@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed readers for the driver-generated testdata star schema
+  * (TESTDATA.md).
+  *
+  * Re-expresses the reference's document/embedding pairing
+  * (reference: db/init.sql:17-76, one document table joined 1:1 to a
+  * vector(768) embedding table) as parquet-backed DataFrames:
+  * `documents` plays the role of mtg_cards/mtg_rules/mtg_glossary and
+  * `embeddings` plays the mtg_*_embeddings tables (64-dim float
+  * vectors keyed by vec_id = doc_id).
+  *
+  * All readers are plain `spark.read.parquet` so Catalyst keeps full
+  * pushdown/pruning freedom — filters and projections land in the
+  * parquet scan (verify via explain: PushedFilters / ReadSchema).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+
+  /** Embeddings with the vector pre-cast to array<double> so every
+    * downstream similarity computation runs in double precision (the
+    * raw column is array<float>; float-precision dot products drift
+    * ~1e-8 from the oracle). */
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.plans.CosineSimilarity
+
+/** Vector math as `Column` expressions (codegen'd; no UDFs).
+  *
+  * The reference's vector surface is pgvector's cosine operator over
+  * vector(768) columns (reference: db/init.sql:50-53,
+  * db/search_strategies.py:160-168). Here vectors are
+  * `array<double>` columns and all math is either the fused native
+  * expression [[graft.plans.CosineSimilarity]] (hot path) or
+  * `functions.aggregate`/`zip_with` compositions (reference
+  * implementations, used in tests to cross-check the native
+  * expression).
+  *
+  * Accumulation is strictly left-to-right in index order, matching a
+  * sequential double fold — the property the DuckDB oracle relies on
+  * for hash-exact comparisons.
+  */
+object VectorFunctions {
+
+  /** Fused native cosine similarity (WholeStageCodegen). */
+  def cosineSim(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  /** Sequential-fold dot product via built-ins; reference
+    * implementation for tests. */
+  def dotBuiltin(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm via built-ins. */
+  def normBuiltin(a: Column): Column = sqrt(dotBuiltin(a, a))
+
+  /** Cosine similarity via built-ins; reference implementation for
+    * tests (must agree bitwise with [[cosineSim]]). */
+  def cosineBuiltin(a: Column, b: Column): Column =
+    dotBuiltin(a, b) / (normBuiltin(a) * normBuiltin(b))
+
+  /** L2-normalize a vector (unit length); zero vector passes through. */
+  def l2Normalize(a: Column): Column = {
+    val n = normBuiltin(a)
+    when(n === 0.0d, a).otherwise(transform(a, x => x / n))
+  }
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the embeddings table — the Spark-first
+  * re-expression of the reference's pgvector search functions
+  * (reference: db/init.sql:162-254 `search_similar_cards/rules/
+  * glossary`; db/search_strategies.py:126-238).
+  *
+  * Scale design (100 TB): the query side is always tiny (one vector
+  * or a small batch) and is `broadcast()`; the corpus side is a
+  * map-only scan — similarity is computed partition-locally and only
+  * top-k survivors per partition reach the final ordering, so no
+  * corpus shuffle ever happens. Top-k uses `orderBy().limit(k)`,
+  * which Spark executes as TakeOrderedAndProject (partition-local
+  * heap + driver merge of k×P rows), exactly the partial-top-k
+  * pattern we want at 1000 executors.
+  */
+object VectorSearch extends graft.QueryGroup {
+
+  /** The broadcast single-row query-vector side, keyed off a corpus
+    * row (no collect — the "query literal" stays a plan node). */
+  private def queryVec(s: SparkSession, dir: String, id: Long): DataFrame =
+    Tables.embeddings(s, dir).where(col("vec_id") === id)
+      .select(col("embedding").as("qvec"))
+
+  /** search_similar_* semantics: cosine top-k for one query vector,
+    * deterministic vec_id tiebreak. Selection orders by the
+    * unrounded similarity; output rounds to 6 decimals for
+    * cross-engine hash parity. */
+  def topK(s: SparkSession, dir: String, id: Long = 0L, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    e.where(col("vec_id") =!= id)
+      .crossJoin(broadcast(queryVec(s, dir, id)))
+      .select(col("vec_id"), cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Threshold + top-k, the exact contract of search_similar_cards
+    * (reference: db/init.sql:162-186: `WHERE 1 - (e.embedding <=> q)
+    * > match_threshold ORDER BY distance LIMIT match_count`). */
+  def topKThreshold(s: SparkSession, dir: String, id: Long = 0L,
+      threshold: Double = 0.3, k: Int = 20): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    e.where(col("vec_id") =!= id)
+      .crossJoin(broadcast(queryVec(s, dir, id)))
+      .select(col("vec_id"), col("label"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .where(col("sim") > threshold)
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Batch kNN join: top-k corpus neighbors for EACH query vector.
+    * Query batch (vec_id < nq) is broadcast; ranking is a window
+    * partitioned by query id — one shuffle of the (small) candidate
+    * score set, never of raw vectors. */
+  def knnJoin(s: SparkSession, dir: String, nq: Long = 10L, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.where(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.where(col("vec_id") >= nq)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"),
+        col("rnk"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
+  /** Grouped search: top-k per label for one query vector (the
+    * "search within each collection" shape of the reference's three
+    * per-table search functions, fused into one pass). */
+  def topKPerLabel(s: SparkSession, dir: String, id: Long = 0L, k: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val scored = e.where(col("vec_id") =!= id)
+      .crossJoin(broadcast(queryVec(s, dir, id)))
+      .select(col("label"), col("vec_id"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("label"), col("vec_id"), round(col("sim"), 6).as("sim"),
+        col("rnk"))
+      .orderBy(col("label").asc, col("rnk").asc)
+  }
+
+  /** Vector-math sanity distributions per label: map-side partial
+    * aggregation only (hash agg on 10 keys). */
+  def pairStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    e.select(col("label"), normBuiltin(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nrm")), 6).as("avg_norm"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+      .orderBy(col("label").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_topk" -> ((s, d) => topK(s, d)),
+    "q_vec_topk_threshold" -> ((s, d) => topKThreshold(s, d)),
+    "q_vec_knn_join" -> ((s, d) => knnJoin(s, d)),
+    "q_vec_topk_per_label" -> ((s, d) => topKPerLabel(s, d)),
+    "q_vec_pair_stats" -> ((s, d) => pairStats(s, d)),
+  )
+
+  // DuckDB oracle parity notes: embeddings cast to DOUBLE[] so the
+  // similarity is the same sequential double fold as cosineSim;
+  // scores rounded to 6 decimals on both sides; every ordering has a
+  // unique tiebreak.
+  private val cosExpr =
+    "list_cosine_similarity(e.embedding::DOUBLE[], q.qv)"
+
+  val oracles: Map[String, String] = Map(
+    "q_vec_topk" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, $cosExpr AS sim
+         |      FROM embeddings e, q WHERE e.vec_id <> 0)
+         |SELECT vec_id, round(sim, 6) AS sim FROM s
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_vec_topk_threshold" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, e.label, $cosExpr AS sim
+         |      FROM embeddings e, q WHERE e.vec_id <> 0)
+         |SELECT vec_id, label, round(sim, 6) AS sim FROM s
+         |WHERE sim > 0.3 ORDER BY sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "q_vec_knn_join" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |            FROM embeddings WHERE vec_id < 10),
+         |s AS (SELECT q.qid, e.vec_id,
+         |             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+         |      FROM embeddings e, qs q WHERE e.vec_id >= 10),
+         |r AS (SELECT qid, vec_id, sim,
+         |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+         |      FROM s)
+         |SELECT qid, vec_id, round(sim, 6) AS sim, rnk FROM r
+         |WHERE rnk <= 5 ORDER BY qid ASC, rnk ASC""".stripMargin,
+    "q_vec_topk_per_label" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.label, e.vec_id, $cosExpr AS sim
+         |      FROM embeddings e, q WHERE e.vec_id <> 0),
+         |r AS (SELECT label, vec_id, sim,
+         |             row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id ASC) AS rnk
+         |      FROM s)
+         |SELECT label, vec_id, round(sim, 6) AS sim, rnk FROM r
+         |WHERE rnk <= 3 ORDER BY label ASC, rnk ASC""".stripMargin,
+    "q_vec_pair_stats" ->
+      """WITH n AS (SELECT label,
+        |  sqrt(list_sum([x * x for x in embedding::DOUBLE[]])) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |       round(avg(nrm), 6) AS avg_norm,
+        |       round(min(nrm), 6) AS min_norm,
+        |       round(max(nrm), 6) AS max_norm
+        |FROM n GROUP BY label ORDER BY label ASC""".stripMargin,
+  )
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Column ↔ Expression conversions
+  * (Spark 4 moved them behind `classic.ExpressionUtils`). Lives in
+  * the org.apache.spark.sql package solely to satisfy the access
+  * qualifier; the public API pattern follows the approach used by
+  * open-source Spark extension libraries. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

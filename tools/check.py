@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+
+Reads outdir/<name>/ parquet (written by graft.Verify) and
+outdir/oracle_sql.json, runs each oracle SQL in DuckDB with views
+registered for every testdata table, and compares: schema (column
+names sorted), row count, and value hash (rows sorted, floats kept
+as-is since both sides round explicitly).
+"""
+import json, sys, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(repr(r[i]) for i in order))
+    out.sort()
+    h = hashlib.md5()
+    for r in out:
+        h.update("|".join(r).encode())
+    return h.hexdigest()
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    import glob
+    produced = {p.split("/")[-1] for p in glob.glob(f"{outdir}/*")
+                if not p.endswith(".json")}
+    for name in sorted(produced):
+        if name not in oracle:
+            print(f"  ~ {name}: rows-only (no oracle)")
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            grows, gcols = got.fetchall(), [d[0] for d in got.description]
+            want = con.execute(oracle[name])
+            wrows, wcols = want.fetchall(), [d[0] for d in want.description]
+        except Exception as e:
+            print(f"  ✗ {name}: ERROR {str(e)[:200]}")
+            n_fail += 1
+            continue
+        ok_schema = sorted(gcols) == sorted(wcols)
+        ok_rows = len(grows) == len(wrows)
+        ok_hash = ok_schema and ok_rows and \
+            canon(grows, gcols) == canon(wrows, wcols)
+        if ok_hash:
+            print(f"  ✓ {name}: {len(grows)} rows")
+            n_pass += 1
+        else:
+            print(f"  ✗ {name}: schema={ok_schema} ({sorted(gcols)} vs "
+                  f"{sorted(wcols)}) rows={len(grows)}/{len(wrows)} "
+                  f"hash={ok_hash}")
+            if ok_schema and grows and wrows:
+                gs = sorted(tuple(map(repr, r)) for r in grows)[:3]
+                ws = sorted(tuple(map(repr, r)) for r in wrows)[:3]
+                for a, b in zip(gs, ws):
+                    if a != b:
+                        print(f"      got  {a}\n      want {b}")
+            n_fail += 1
+    missing = set(oracle) - produced
+    for m in sorted(missing):
+        print(f"  ✗ {m}: oracle present but no spark output")
+        n_fail += 1
+    print(f"PASS {n_pass} FAIL {n_fail}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
