@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives as `Column` expressions — tokenization, trigram
+  * sets, word n-gram shingles, set similarity. All are built-in
+  * higher-order functions (codegen'd, no UDFs) and every construct
+  * has an exact DuckDB equivalent so oracle SQL can reproduce results
+  * hash-identically.
+  *
+  * The trigram machinery re-expresses pg_trgm's set-similarity used
+  * by the reference's fuzzy name search (reference:
+  * db/search_strategies.py:96-124 `similarity(card_name, q)`;
+  * db/init.sql:31 gin_trgm_ops): similarity = |T(a) ∩ T(b)| /
+  * |T(a) ∪ T(b)| over distinct 3-grams of the lowercased string
+  * (we skip pg_trgm's space padding — same ranking behavior, simpler
+  * cross-engine parity).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Distinct token set. */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** Distinct character 3-gram set of a lowercased string. */
+  def trigrams(c: Column): Column = {
+    val lc = lower(c)
+    when(length(lc) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(lc) - 2), i => lc.substr(i, lit(3)))))
+  }
+
+  /** Jaccard similarity of two pre-distinct string arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0d))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /** pg_trgm-style similarity between two strings. */
+  def trigramSim(a: Column, b: Column): Column = jaccard(trigrams(a), trigrams(b))
+
+  /** Distinct word n-gram shingle set (n >= 2). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))))
+  }
+
+  /** The "name" of a document — lowercased 24-char prefix, standing
+    * in for card_name in the reference's name-search tiers. */
+  def docName(textCol: Column): Column = lower(substring(textCol, 1, 24))
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Lexical / fuzzy search over document "names" — the Spark-first
+  * re-expression of the reference's three-tier card-name search
+  * (reference: db/search_strategies.py:26-124: exact → prefix →
+  * pg_trgm trigram similarity) plus ILIKE metadata filtering and an
+  * edit-distance tier.
+  *
+  * Scale design: the query side (a handful of names) is broadcast;
+  * each tier is a map-only scan over the corpus with partition-local
+  * top-k (TakeOrderedAndProject), so no corpus shuffle. Trigram sets
+  * are computed inline per row (no materialized index) — at 100 TB
+  * the same plan holds because the scan is embarrassingly parallel
+  * and only k×P candidate rows reach the driver merge.
+  */
+object Lexical extends graft.QueryGroup {
+
+  private def names(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), docName(col("text")).as("name"))
+
+  /** Tier 1 — exact case-insensitive match (reference:
+    * search_strategies.py:56-76). Query names derived from docs
+    * 0..2 so the query stays data-independent of scale factor. */
+  def nameExact(s: SparkSession, dir: String): DataFrame = {
+    val n = names(s, dir)
+    val q = n.where(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("name").as("qname"))
+    n.join(broadcast(q), lower(col("name")) === lower(col("qname")))
+      .select(col("qid"), col("doc_id"), col("name"), lit(1.0d).as("sim"))
+      .orderBy(col("qid").asc, col("doc_id").asc)
+  }
+
+  /** Tier 2 — prefix match ranked by trigram similarity (reference:
+    * search_strategies.py:78-99). Prefix = first 4 chars of doc 0's
+    * name. */
+  def namePrefix(s: SparkSession, dir: String): DataFrame = {
+    val n = names(s, dir)
+    val q = n.where(col("doc_id") === 0)
+      .select(substring(col("name"), 1, 4).as("pfx"), col("name").as("qname"))
+    n.join(broadcast(q), col("name").startsWith(col("pfx")))
+      .select(col("doc_id"), col("name"),
+        trigramSim(col("name"), col("qname")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("name"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Tier 3 — trigram-set similarity against a typo'd query literal
+    * (reference: search_strategies.py:101-124). Top-10, no threshold,
+    * so the result is non-empty at every scale factor. */
+  val trigramQuery = "key agg row scna slow fa" // 'scan' typo'd
+  def nameTrigram(s: SparkSession, dir: String): DataFrame =
+    names(s, dir)
+      .select(col("doc_id"), col("name"),
+        trigramSim(col("name"), lit(trigramQuery)).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("name"), round(col("sim"), 6).as("sim"))
+
+  /** ILIKE containment filter (reference: README.md "Direct SQL
+    * Queries" `card_name ILIKE '%dragon%'`). */
+  def textIlike(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(lower(col("text")).contains("merge join"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+
+  /** Edit-distance tier — nearest names by Levenshtein distance to
+    * the typo'd query (typo-correction semantics of tier 3). */
+  def nameLevenshtein(s: SparkSession, dir: String): DataFrame =
+    names(s, dir)
+      .select(col("doc_id"), col("name"),
+        levenshtein(col("name"), lit(trigramQuery)).as("dist"))
+      .orderBy(col("dist").asc, col("doc_id").asc)
+      .limit(10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_name_exact" -> ((s, d) => nameExact(s, d)),
+    "q_name_prefix" -> ((s, d) => namePrefix(s, d)),
+    "q_name_trigram" -> ((s, d) => nameTrigram(s, d)),
+    "q_text_ilike" -> ((s, d) => textIlike(s, d)),
+    "q_levenshtein" -> ((s, d) => nameLevenshtein(s, d)),
+  )
+
+  // DuckDB trigram-set similarity over distinct 3-grams of the
+  // lowercased string; guard len<3 → empty set.
+  private def tg(e: String): String =
+    s"""(CASE WHEN len($e) < 3 THEN [] ELSE
+       | list_distinct([substr($e, i, 3) for i in generate_series(1, len($e) - 2)])
+       | END)""".stripMargin.replace("\n", "")
+  private def tsim(a: String, b: String): String =
+    s"""(CASE WHEN len(list_distinct($a || $b)) = 0 THEN 0.0 ELSE
+       | len(list_intersect($a, $b)) / len(list_distinct($a || $b))
+       | END)""".stripMargin.replace("\n", "")
+
+  val oracles: Map[String, String] = Map(
+    "q_name_exact" ->
+      """WITH n AS (SELECT doc_id, lower(substr(text, 1, 24)) AS name FROM documents),
+        |q AS (SELECT doc_id AS qid, name AS qname FROM n WHERE doc_id < 3)
+        |SELECT q.qid, n.doc_id, n.name, CAST(1.0 AS DOUBLE) AS sim
+        |FROM n JOIN q ON lower(n.name) = lower(q.qname)
+        |ORDER BY q.qid ASC, n.doc_id ASC""".stripMargin,
+    "q_name_prefix" ->
+      s"""WITH n AS (SELECT doc_id, lower(substr(text, 1, 24)) AS name FROM documents),
+         |q AS (SELECT substr(name, 1, 4) AS pfx, name AS qname FROM n WHERE doc_id = 0),
+         |s AS (SELECT n.doc_id, n.name,
+         |             ${tsim(tg("n.name"), tg("q.qname"))} AS sim
+         |      FROM n JOIN q ON n.name LIKE q.pfx || '%')
+         |SELECT doc_id, name, round(sim, 6) AS sim FROM s
+         |ORDER BY sim DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_name_trigram" ->
+      s"""WITH n AS (SELECT doc_id, lower(substr(text, 1, 24)) AS name FROM documents),
+         |s AS (SELECT doc_id, name,
+         |             ${tsim(tg("name"), tg(s"'$trigramQuery'"))} AS sim
+         |      FROM n)
+         |SELECT doc_id, name, round(sim, 6) AS sim FROM s
+         |ORDER BY sim DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_text_ilike" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE lower(text) LIKE '%merge join%'
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_levenshtein" ->
+      s"""SELECT doc_id, lower(substr(text, 1, 24)) AS name,
+         |       levenshtein(lower(substr(text, 1, 24)), '$trigramQuery') AS dist
+         |FROM documents ORDER BY dist ASC, doc_id ASC LIMIT 10""".stripMargin,
+  )
+}
