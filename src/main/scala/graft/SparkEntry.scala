@@ -13,6 +13,8 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     VectorSearch,
+    Lexical,
+    Dedup,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

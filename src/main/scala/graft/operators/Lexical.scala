@@ -112,7 +112,7 @@ object Lexical extends graft.QueryGroup {
          |q AS (SELECT substr(name, 1, 4) AS pfx, name AS qname FROM n WHERE doc_id = 0),
          |s AS (SELECT n.doc_id, n.name,
          |             ${tsim(tg("n.name"), tg("q.qname"))} AS sim
-         |      FROM n JOIN q ON n.name LIKE q.pfx || '%')
+         |      FROM n JOIN q ON starts_with(n.name, q.pfx))
          |SELECT doc_id, name, round(sim, 6) AS sim FROM s
          |ORDER BY sim DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q_name_trigram" ->

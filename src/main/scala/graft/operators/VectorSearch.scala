@@ -99,15 +99,23 @@ object VectorSearch extends graft.QueryGroup {
   }
 
   /** Vector-math sanity distributions per label: map-side partial
-    * aggregation only (hash agg on 10 keys). */
+    * aggregation only (hash agg on 10 keys). The mean is accumulated
+    * in fixed-point micro-units (long) so the sum is exact and
+    * order-independent — a raw double `avg` depends on Spark's
+    * nondeterministic partial-aggregation order and can flip the
+    * 6-decimal rounding at a boundary vs the oracle's sequential
+    * fold. min/max are order-independent already. */
   def pairStats(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     e.select(col("label"), normBuiltin(col("embedding")).as("nrm"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("nrm")), 6).as("avg_norm"),
+        sum(round(col("nrm") * 1e6).cast("long")).as("sf"),
         round(min(col("nrm")), 6).as("min_norm"),
         round(max(col("nrm")), 6).as("max_norm"))
+      .select(col("label"), col("n"),
+        round(col("sf").cast("double") / col("n") / 1e6, 6).as("avg_norm"),
+        col("min_norm"), col("max_norm"))
       .orderBy(col("label").asc)
   }
 
@@ -164,7 +172,8 @@ object VectorSearch extends graft.QueryGroup {
         |  sqrt(list_sum([x * x for x in embedding::DOUBLE[]])) AS nrm
         |  FROM embeddings)
         |SELECT label, count(*) AS n,
-        |       round(avg(nrm), 6) AS avg_norm,
+        |       round(CAST(sum(CAST(round(nrm * 1e6) AS BIGINT)) AS DOUBLE)
+        |             / count(*) / 1e6, 6) AS avg_norm,
         |       round(min(nrm), 6) AS min_norm,
         |       round(max(nrm), 6) AS max_norm
         |FROM n GROUP BY label ORDER BY label ASC""".stripMargin,
