@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -60,9 +59,12 @@ object VectorSearch extends graft.QueryGroup {
   }
 
   /** Batch kNN join: top-k corpus neighbors for EACH query vector.
-    * Query batch (vec_id < nq) is broadcast; ranking is a window
-    * partitioned by query id — one shuffle of the (small) candidate
-    * score set, never of raw vectors. */
+    * Query batch (vec_id < nq) is broadcast; ranking uses the bounded
+    * [[graft.plans.TopKByScore]] aggregate, which reduces
+    * partition-locally (each task ships ≤ k pairs per qid), so only
+    * O(k × partitions) tiny rows shuffle — never the full scored
+    * corpus. A `Window.partitionBy(qid)` plan would funnel every
+    * scored row onto ≤ nq reducers: catastrophic at 100 TB. */
   def knnJoin(s: SparkSession, dir: String, nq: Long = 10L, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val queries = e.where(col("vec_id") < nq)
@@ -71,12 +73,12 @@ object VectorSearch extends graft.QueryGroup {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
         cosineSim(col("embedding"), col("qvec")).as("sim"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"),
-        col("rnk"))
+    scored.groupBy(col("qid"))
+      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("vec_id"),
+        round(col("col.score"), 6).as("sim"),
+        (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("qid").asc, col("rnk").asc)
   }
 
@@ -89,12 +91,12 @@ object VectorSearch extends graft.QueryGroup {
       .crossJoin(broadcast(queryVec(s, dir, id)))
       .select(col("label"), col("vec_id"),
         cosineSim(col("embedding"), col("qvec")).as("sim"))
-    val w = Window.partitionBy(col("label"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("label"), col("vec_id"), round(col("sim"), 6).as("sim"),
-        col("rnk"))
+    scored.groupBy(col("label"))
+      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), k).as("tk"))
+      .select(col("label"), posexplode(col("tk")))
+      .select(col("label"), col("col.id").as("vec_id"),
+        round(col("col.score"), 6).as("sim"),
+        (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("label").asc, col("rnk").asc)
   }
 
