@@ -28,7 +28,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  /** The events parquet stores ts as TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects by default. Read nanos as long (legacy
+    * conf, runtime-settable) and convert to a microsecond timestamp —
+    * the generator emits whole microseconds, so ts DIV 1000 is
+    * lossless. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
 

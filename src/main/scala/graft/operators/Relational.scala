@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational / OLAP core over the TPC-H-ish star schema — the
+  * engine-completeness group. The reference exposes plain-SQL
+  * filtering and aggregation alongside its vector search (reference:
+  * README.md "Direct SQL Queries"; db/query_example.py:142-171
+  * database statistics); this group generalizes that to the standard
+  * OLAP shapes: multi-agg scan, star join, top-n per group, rollup,
+  * running windows, semi/anti join, time bucketing, sessionization.
+  *
+  * Scale design (100 TB):
+  * - Dimension tables (region, nation) are `broadcast()`; fact-fact
+  *   joins (orders⋈lineitem, customer⋈orders) shuffle on their keys
+  *   and AQE picks the strategy at runtime.
+  * - Aggregations are hash-aggs with map-side combine on bounded or
+  *   uniformly distributed keys; top-n per group uses the bounded
+  *   [[graft.plans.TopKByScore]] aggregate (map-side partial top-k)
+  *   rather than a full window shuffle.
+  * - Per-user windows (running sums, sessionization) partition by
+  *   user_id whose cardinality grows with the data — no fixed-key
+  *   funnel.
+  *
+  * Float determinism: money columns are cast to exact DECIMAL before
+  * aggregation (sums are order-independent), then cast to DOUBLE and
+  * rounded for output; free-form doubles (event values) accumulate in
+  * fixed-point micro-unit longs. Raw double sums would depend on
+  * Spark's partial-aggregation order and flake the oracle hash.
+  */
+object Relational extends graft.QueryGroup {
+
+  private val one = lit(1).cast("decimal(4,2)")
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  private def dec4(c: Column): Column = c.cast("decimal(4,2)")
+  /** Exact micro-unit fixed-point accumulator for a free-form double. */
+  private def fixedSum(c: Column): Column = sum(round(c * 1e6).cast("long"))
+
+  /** TPC-H Q1-shape pricing summary: multi-aggregate scan with a
+    * pushed-down date filter, grouped on (returnflag, linestatus). */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val disc = dec4(col("l_discount"))
+    val tax = dec4(col("l_tax"))
+    l.where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        dec2(col("l_quantity")).as("q"),
+        dec2(col("l_extendedprice")).as("p"),
+        (dec2(col("l_extendedprice")) * (one - disc)).as("dp"),
+        (dec2(col("l_extendedprice")) * (one - disc) * (one + tax)).as("ch"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("q")).cast("double"), 2).as("sum_qty"),
+        round(sum(col("p")).cast("double"), 2).as("sum_base_price"),
+        round(sum(col("dp")).cast("double"), 2).as("sum_disc_price"),
+        round(sum(col("ch")).cast("double"), 2).as("sum_charge"),
+        round(sum(col("q")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(col("p")).cast("double") / count(lit(1)), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+  }
+
+  /** Star join region⋈nation⋈customer⋈orders⋈lineitem → revenue per
+    * (region, nation) for one order year. Dims broadcast; facts
+    * shuffle on their join keys. */
+  def joinAgg(s: SparkSession, dir: String): DataFrame = {
+    val rev = (dec2(col("l_extendedprice")) * (one - dec4(col("l_discount"))))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(rev).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name").asc, col("n_name").asc)
+  }
+
+  /** Top-3 orders by total price per order priority — bounded
+    * [[graft.plans.TopKByScore]] aggregate (map-side partial top-k;
+    * a window over 5 fixed keys would shuffle the whole fact table
+    * onto 5 reducers). */
+  def topNGroup(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.plans.TopKByScore(col("o_totalprice"), col("o_orderkey"), k)
+        .as("tk"))
+      .select(col("o_orderpriority"), posexplode(col("tk")))
+      .select(col("o_orderpriority"), col("col.id").as("o_orderkey"),
+        round(col("col.score"), 2).as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("o_orderpriority").asc, col("rnk").asc)
+
+  /** Hierarchical ROLLUP (region → nation) over customer account
+    * balances: grand total, per-region, per-nation rows. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(dec2(col("c_acctbal"))).cast("double"), 2).as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** Running sum + inter-event gap per user over event time; the
+    * window partitions on user_id (cardinality grows with data).
+    * Running value accumulates in exact micro-units — an ordered
+    * running double sum is sequential, but the micro-unit long keeps
+    * it integer-exact so oracle parity is bitwise. */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .where(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 1e6).cast("long").as("v6"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"),
+        round((sum(col("v6")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") / 1e6), 6).as("running_value"),
+        (col("us") - lag(col("us"), 1).over(w)).as("gap_us"))
+      .orderBy(col("user_id").asc, col("event_id").asc)
+  }
+
+  /** Semi/anti join: per market segment, customers WITH at least one
+    * urgent order vs customers WITHOUT any (left_semi / left_anti on
+    * the same filtered fact side). */
+  def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val urgent = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    def side(tag: String, joinType: String): DataFrame =
+      c.join(urgent, col("c_custkey") === col("o_custkey"), joinType)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(dec2(col("c_acctbal"))).cast("double"), 2).as("sum_bal"))
+        .select(lit(tag).as("tag"), col("c_mktsegment"), col("n_cust"),
+          col("sum_bal"))
+    side("has_urgent", "left_semi").unionAll(side("no_urgent", "left_anti"))
+      .orderBy(col("tag").asc, col("c_mktsegment").asc)
+  }
+
+  /** Time-bucketed event aggregation (batch twin of the streaming
+    * windowed agg): hourly buckets × event type. */
+  def eventsBucket(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round((fixedSum(col("value")).cast("double") / 1e6), 6).as("sum_value"))
+      .orderBy(col("bucket").asc, col("event_type").asc)
+
+  /** Gap-based sessionization: a session breaks after >30 min of user
+    * inactivity. lag → new-session flag → running session index →
+    * per-session rollup. Two narrow windows on user_id. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gapUs = 30L * 60L * 1000000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("is_new",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+      .orderBy(col("user_id").asc, col("sess_idx").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
+    "q_join_agg" -> ((s, d) => joinAgg(s, d)),
+    "q_top_n_group" -> ((s, d) => topNGroup(s, d)),
+    "q_rollup" -> ((s, d) => rollupAgg(s, d)),
+    "q_window_running" -> ((s, d) => windowRunning(s, d)),
+    "q_semi_anti" -> ((s, d) => semiAnti(s, d)),
+    "q_events_bucket" -> ((s, d) => eventsBucket(s, d)),
+    "q_sessionize" -> ((s, d) => sessionize(s, d)),
+  )
+
+  // DuckDB parity notes: money math uses the same DECIMAL casts so
+  // sums are exact on both engines; all double outputs rounded after
+  // exact aggregation; every ORDER BY carries a unique tiebreak.
+  private val revExpr =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(l_quantity AS DECIMAL(12,2)) AS q,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS dp,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |           (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS ch
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(q) AS DOUBLE), 2) AS sum_qty,
+        |       round(CAST(sum(p) AS DOUBLE), 2) AS sum_base_price,
+        |       round(CAST(sum(dp) AS DOUBLE), 2) AS sum_disc_price,
+        |       round(CAST(sum(ch) AS DOUBLE), 2) AS sum_charge,
+        |       round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |       round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS avg_price,
+        |       count(*) AS count_order
+        |FROM l GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin,
+    "q_join_agg" ->
+      s"""SELECT r_name, n_name,
+         |       round(CAST(sum($revExpr) AS DOUBLE), 2) AS revenue,
+         |       count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name ASC, n_name ASC""".stripMargin,
+    "q_top_n_group" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey,
+        |       round(o_totalprice, 2) AS o_totalprice, rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY o_orderpriority ASC, rnk ASC""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |         AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_window_running" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(round(value * 1e6) AS BIGINT) AS v6,
+        |         epoch_us(ts) AS us
+        |  FROM events WHERE user_id < 20)
+        |SELECT user_id, event_id,
+        |       round(CAST(sum(v6) OVER w AS DOUBLE) / 1e6, 6) AS running_value,
+        |       us - lag(us, 1) OVER w AS gap_us
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id ASC, event_id ASC""".stripMargin,
+    "q_semi_anti" ->
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |s_semi AS (
+        |  SELECT 'has_urgent' AS tag, c_mktsegment, count(*) AS n_cust,
+        |         round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |           AS sum_bal
+        |  FROM customer WHERE c_custkey IN (SELECT o_custkey FROM u)
+        |  GROUP BY c_mktsegment),
+        |s_anti AS (
+        |  SELECT 'no_urgent' AS tag, c_mktsegment, count(*) AS n_cust,
+        |         round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+        |           AS sum_bal
+        |  FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM u)
+        |  GROUP BY c_mktsegment)
+        |SELECT * FROM s_semi UNION ALL SELECT * FROM s_anti
+        |ORDER BY tag ASC, c_mktsegment ASC""".stripMargin,
+    "q_events_bucket" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE)
+        |             / 1e6, 6) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY bucket ASC, event_type ASC""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts), 1) OVER
+        |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, event_id, us,
+        |         CAST(sum(is_new) OVER
+        |           (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS sess_idx
+        |  FROM f)
+        |SELECT user_id, sess_idx, count(*) AS n_events,
+        |       min(us) AS start_us, max(us) - min(us) AS dur_us
+        |FROM g GROUP BY user_id, sess_idx
+        |ORDER BY user_id ASC, sess_idx ASC""".stripMargin,
+  )
+}
