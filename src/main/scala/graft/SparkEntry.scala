@@ -16,6 +16,8 @@ object SparkEntry {
     Lexical,
     Dedup,
     Relational,
+    TextAnalysis,
+    Ingest,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis suite over the documents corpus — the LLM-pipeline
+  * mandate operators: language ID, quality scoring, token counting,
+  * fingerprinting. The reference's corpus is curated and single-
+  * language, so its pipeline has no explicit analysis pass; these are
+  * the operators its ingest path (cardsCleaning/cleanCardJson.py,
+  * rulesCleaning/parse_rules_both_versions.py — normalize, strip,
+  * filter) implies at training-data scale.
+  *
+  * Scale design: every query is a map-only projection over the scan
+  * followed by at most one hash-agg on a bounded or uniform key —
+  * no joins, no windows, no skew. All scoring is Column expressions
+  * (codegen'd, no UDFs) with exact DuckDB equivalents.
+  */
+object TextAnalysis extends graft.QueryGroup {
+
+  /** (lang → marker stopwords). Deterministic argmax with fixed
+    * tiebreak order decides the predicted language. */
+  val StopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+  )
+
+  private def hits(toksCol: Column, words: Seq[String]): Column =
+    size(filter(toksCol, t => t.isin(words: _*)))
+
+  /** Stopword-occurrence language ID: count marker-word occurrences
+    * per candidate language, predict the argmax (ties resolved in
+    * StopwordSets order, 'und' = no evidence). */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        StopwordSets.map { case (l, ws) => hits(col("toks"), ws).as(s"hits_$l") }: _*)
+    val best = StopwordSets.map(p => col(s"hits_${p._1}"))
+      .reduce((a, b) => greatest(a, b))
+    val pred = StopwordSets.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives earlier languages precedence: the first branch
+    // that matches wins, so ties resolve in StopwordSets order.
+    base.select(col("doc_id"), col("lang"),
+      col("hits_en"), col("hits_de"), col("hits_fr"), col("hits_es"),
+      pred.as("pred_lang"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Quality features per document: token count, distinct-token
+    * ratio, stopword ratio, mean word length, and a composite score.
+    * All ratios derive from exact integer counts, so the doubles are
+    * deterministic. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val enWords = StopwordSets.head._2
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), length(col("text")).as("len"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        hits(col("toks"), enWords).as("n_stop"),
+        col("len"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("distinct_ratio"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6)
+          .as("stopword_ratio"),
+        round((col("len") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"), 6).as("mean_word_len"),
+        round(col("n_distinct").cast("double") / col("n_tokens") *
+          least(lit(1.0d), col("n_tokens").cast("double") / 40.0d), 6)
+          .as("quality"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Token counts per source: whitespace tokens plus a BPE-ish
+    * regex tokenization ([a-z0-9]+ runs and single non-alnum
+    * symbols), aggregated per source. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).as("ws"),
+        regexp_count(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9 ]"))
+          .as("bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        max(col("ws")).as("max_ws"),
+        round(sum(col("ws")).cast("double") / count(lit(1)), 6).as("avg_ws"))
+      .orderBy(col("source").asc)
+
+  /** Document fingerprint: md5 of the normalized content (lowercase,
+    * alnum+space only, collapsed/trimmed whitespace) plus a length
+    * band — the exact-dedup key a 100 TB ingest would bucket on. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(norm).as("fp"),
+        (length(norm).cast("long") / lit(100L)).cast("long").as("len_band"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> ((s, d) => langId(s, d)),
+    "q_quality_score" -> ((s, d) => qualityScore(s, d)),
+    "q_token_count" -> ((s, d) => tokenCount(s, d)),
+    "q_fingerprint" -> ((s, d) => fingerprint(s, d)),
+  )
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def sqlHits(l: String, ws: Seq[String]): String =
+    s"len(list_filter(str_split(text, ' '), t -> list_contains(${sqlList(ws)}, t))) AS hits_$l"
+
+  val oracles: Map[String, String] = Map(
+    "q_lang_id" -> {
+      val hitCols = StopwordSets.map { case (l, ws) => sqlHits(l, ws) }
+        .mkString(",\n|         ")
+      val bestExpr = StopwordSets.map(p => s"hits_${p._1}")
+        .reduce((a, b) => s"greatest($a, $b)")
+      val predExpr = StopwordSets.foldRight("'und'") { case ((l, _), acc) =>
+        s"CASE WHEN hits_$l = best AND best > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |         $hitCols
+         |  FROM documents),
+         |b AS (SELECT *, $bestExpr AS best FROM h)
+         |SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es,
+         |       $predExpr AS pred_lang
+         |FROM b ORDER BY doc_id ASC""".stripMargin
+    },
+    "q_quality_score" -> {
+      val en = sqlList(StopwordSets.head._2)
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(text) AS l,
+         |         str_split(text, ' ') AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, len(toks) AS n_tokens,
+         |         len(list_distinct(toks)) AS n_distinct,
+         |         len(list_filter(toks, t -> list_contains($en, t))) AS n_stop,
+         |         l
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |       round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+         |       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+         |       round(CAST(l - (n_tokens - 1) AS DOUBLE) / n_tokens, 6)
+         |         AS mean_word_len,
+         |       round(CAST(n_distinct AS DOUBLE) / n_tokens *
+         |             least(1.0, CAST(n_tokens AS DOUBLE) / 40.0), 6) AS quality
+         |FROM c ORDER BY doc_id ASC""".stripMargin
+    },
+    "q_token_count" ->
+      """WITH t AS (
+        |  SELECT source, len(str_split(text, ' ')) AS ws,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))
+        |           AS bpe
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+        |       max(ws) AS max_ws,
+        |       round(CAST(sum(ws) AS DOUBLE) / count(*), 6) AS avg_ws
+        |FROM t GROUP BY source ORDER BY source ASC""".stripMargin,
+    "q_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(
+        |           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |           ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp,
+        |       CAST(len(norm) // 100 AS BIGINT) AS len_band
+        |FROM n ORDER BY doc_id ASC""".stripMargin,
+  )
+}
