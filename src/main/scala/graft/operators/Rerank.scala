@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Retrieve-then-rerank and multi-source fusion — the reference's
+  * headline search capability (reference: db/db_utils.py:271-497
+  * OllamaReranker.rerank retrieve initial_k → LLM-score → final_k;
+  * db/search_with_reranker.py:249-330 search_all_sources parallel
+  * cards/rules/glossary search with score fusion). The LLM scoring
+  * pass is replaced by a deterministic feature blend (cosine +
+  * name-trigram + stopword-density) with the same retrieve→score→cut
+  * shape, so the operator is fully oracle-checkable.
+  *
+  * Scale design: retrieval is the scale-safe top-k path
+  * (TakeOrderedAndProject over a map-only scored scan); everything
+  * after the cut operates on ≤ initial_k rows, so the rerank join is
+  * a broadcast of the tiny candidate set into the documents scan and
+  * the fusion windows rank fixed-size lists (k rows, not the corpus).
+  */
+object Rerank extends graft.QueryGroup {
+
+  /** Cosine retrieve initial_k → feature rerank → final_k.
+    * rerank = 0.7·cosine + 0.2·trigram(name, query name) +
+    * 0.1·stopword-density, all deterministic. */
+  def rerank(s: SparkSession, dir: String, initialK: Int = 50,
+      finalK: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val qvec = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val cand = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qvec))
+      .select(col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+      .limit(initialK)
+    val qname = Tables.documents(s, dir).where(col("doc_id") === 0)
+      .select(docName(col("text")).as("qname"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), docName(col("text")).as("name"),
+        tokens(col("text")).as("toks"))
+    docs.join(broadcast(cand), Seq("doc_id"))
+      .crossJoin(broadcast(qname))
+      .select(col("doc_id"), col("sim"),
+        trigramSim(col("name"), col("qname")).as("tri"),
+        (size(filter(col("toks"),
+          t => t.isin(TextAnalysis.StopwordSets.head._2: _*))).cast("double") /
+          size(col("toks"))).as("sr"))
+      .select(col("doc_id"), col("sim"), col("tri"),
+        (lit(0.7d) * col("sim") + lit(0.2d) * col("tri") +
+          lit(0.1d) * col("sr")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(finalK)
+      .select(col("doc_id"), round(col("sim"), 6).as("sim"),
+        round(col("tri"), 6).as("tri"), round(col("score"), 6).as("score"))
+  }
+
+  /** Reciprocal-rank fusion across three search modalities (vector
+    * cosine, name trigram, levenshtein) — search_all_sources with RRF
+    * instead of raw-score mixing. Each list is cut to k rows BEFORE
+    * ranking, so the ranking windows see fixed-k inputs (never the
+    * corpus); the fusion join is over ≤ 3k rows. */
+  def fusion(s: SparkSession, dir: String, k: Int = 20,
+      finalK: Int = 10): DataFrame = {
+    val rrfK = 60
+    val e = Tables.embeddings(s, dir)
+    val qvec = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val names = Tables.documents(s, dir)
+      .select(col("doc_id"), docName(col("text")).as("name"))
+
+    // Each list: deterministic top-k cut, then rank the k survivors.
+    def ranked(scored: DataFrame, asc: Boolean): DataFrame = {
+      val ord = if (asc) Seq(col("s").asc, col("doc_id").asc)
+        else Seq(col("s").desc, col("doc_id").asc)
+      scored.orderBy(ord: _*).limit(k)
+        .withColumn("r", row_number().over(Window.orderBy(ord: _*)))
+        .select(col("doc_id"), col("r"))
+    }
+    val vec = ranked(e.where(col("vec_id") =!= 0).crossJoin(broadcast(qvec))
+      .select(col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), col("qvec")).as("s")), asc = false)
+    val tri = ranked(names
+      .select(col("doc_id"),
+        trigramSim(col("name"), lit(Lexical.trigramQuery)).as("s")),
+      asc = false)
+    val lev = ranked(names
+      .select(col("doc_id"),
+        levenshtein(col("name"), lit(Lexical.trigramQuery))
+          .cast("double").as("s")), asc = true)
+
+    def rrf(r: org.apache.spark.sql.Column) =
+      coalesce(lit(1.0d) / (lit(rrfK) + r), lit(0.0d))
+    vec.withColumnRenamed("r", "r_vec")
+      .join(tri.withColumnRenamed("r", "r_tri"), Seq("doc_id"), "full_outer")
+      .join(lev.withColumnRenamed("r", "r_lev"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_vec"), col("r_tri"), col("r_lev"),
+        (rrf(col("r_vec")) + rrf(col("r_tri")) + rrf(col("r_lev"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(finalK)
+      .select(col("doc_id"), col("r_vec"), col("r_tri"), col("r_lev"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rerank" -> ((s, d) => rerank(s, d)),
+    "q_fusion" -> ((s, d) => fusion(s, d)),
+  )
+
+  // Trigram-set similarity SQL (same construction as Lexical's).
+  private def tg(e: String): String =
+    s"""(CASE WHEN len($e) < 3 THEN [] ELSE
+       | list_distinct([substr($e, i, 3) for i in generate_series(1, len($e) - 2)])
+       | END)""".stripMargin.replace("\n", "")
+  private def tsim(a: String, b: String): String =
+    s"""(CASE WHEN len(list_distinct($a || $b)) = 0 THEN 0.0 ELSE
+       | len(list_intersect($a, $b)) / len(list_distinct($a || $b))
+       | END)""".stripMargin.replace("\n", "")
+
+  val oracles: Map[String, String] = Map(
+    "q_rerank" -> {
+      val en = TextAnalysis.StopwordSets.head._2
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id AS doc_id,
+         |         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY sim DESC, doc_id ASC LIMIT 50),
+         |qn AS (SELECT lower(substr(text, 1, 24)) AS qname FROM documents WHERE doc_id = 0),
+         |f AS (
+         |  SELECT c.doc_id, c.sim,
+         |         ${tsim(tg("lower(substr(d.text, 1, 24))"), tg("qn.qname"))} AS tri,
+         |         CAST(len(list_filter(str_split(d.text, ' '),
+         |                t -> list_contains($en, t))) AS DOUBLE)
+         |           / len(str_split(d.text, ' ')) AS sr
+         |  FROM cand c JOIN documents d ON c.doc_id = d.doc_id, qn),
+         |r AS (SELECT doc_id, sim, tri,
+         |             0.7 * sim + 0.2 * tri + 0.1 * sr AS score
+         |      FROM f)
+         |SELECT doc_id, round(sim, 6) AS sim, round(tri, 6) AS tri,
+         |       round(score, 6) AS score
+         |FROM r ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+    "q_fusion" -> {
+      val q = s"'${Lexical.trigramQuery}'"
+      s"""WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+         |n AS (SELECT doc_id, lower(substr(text, 1, 24)) AS name FROM documents),
+         |vec AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+         |  FROM (SELECT e.vec_id AS doc_id,
+         |               list_cosine_similarity(e.embedding::DOUBLE[], qv.v) AS s
+         |        FROM embeddings e, qv WHERE e.vec_id <> 0
+         |        ORDER BY s DESC, doc_id ASC LIMIT 20)),
+         |tri AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+         |  FROM (SELECT doc_id, ${tsim(tg("name"), tg(q))} AS s
+         |        FROM n ORDER BY s DESC, doc_id ASC LIMIT 20)),
+         |lev AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY s ASC, doc_id ASC) AS r
+         |  FROM (SELECT doc_id, CAST(levenshtein(name, $q) AS DOUBLE) AS s
+         |        FROM n ORDER BY s ASC, doc_id ASC LIMIT 20)),
+         |fused AS (
+         |  SELECT doc_id, vec.r AS r_vec, tri.r AS r_tri, lev.r AS r_lev,
+         |         coalesce(1.0 / (60 + vec.r), 0.0)
+         |           + coalesce(1.0 / (60 + tri.r), 0.0)
+         |           + coalesce(1.0 / (60 + lev.r), 0.0) AS rrf
+         |  FROM vec
+         |  FULL JOIN tri USING (doc_id)
+         |  FULL JOIN lev USING (doc_id))
+         |SELECT doc_id, r_vec, r_tri, r_lev, round(rrf, 6) AS rrf
+         |FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+  )
+}
