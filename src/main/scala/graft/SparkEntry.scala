@@ -13,6 +13,7 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     VectorSearch,
+    Ann,
     Lexical,
     Dedup,
     Relational,

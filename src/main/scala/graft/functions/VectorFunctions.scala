@@ -38,6 +38,12 @@ object VectorFunctions {
   def cosineBuiltin(a: Column, b: Column): Column =
     dotBuiltin(a, b) / (normBuiltin(a) * normBuiltin(b))
 
+  /** Squared euclidean distance via built-ins (sequential fold —
+    * DuckDB-parity order). */
+  def dist2Builtin(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+
   /** L2-normalize a vector (unit length); zero vector passes through. */
   def l2Normalize(a: Column): Column = {
     val n = normBuiltin(a)

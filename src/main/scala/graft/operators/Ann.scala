@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Lsh
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor scale path — what replaces the
+  * reference's HNSW index (reference: db/init.sql:50-52) when the
+  * corpus is 100 TB instead of 30k rows. Two index families:
+  *
+  *  - Random-hyperplane LSH ([[Lsh]]): map-only bucket code; a probe
+  *    reads only the query's bucket ± 1-bit multiprobe neighbors —
+  *    an equi-join on the bucket code, never a corpus scan.
+  *  - IVF (inverted file): a deterministic coarse quantizer —
+  *    md5-ordered sample → seeds → one Lloyd iteration (exact
+  *    fixed-point centroid means) → cell assignment; a probe ranks
+  *    only the nprobe nearest cells' members.
+  *
+  * Scale design (100 TB): both index builds are one-pass batch jobs
+  * whose outputs (bucket/cell column) become the table's partition or
+  * bucket key, so probes become partition-pruned reads. The probe
+  * query side is always tiny and broadcast; candidate ranking uses
+  * exact cosine on the pruned candidate set only. KMeans here is one
+  * deterministic Lloyd step so the whole pipeline stays hash-exactly
+  * DuckDB-checkable (an MLlib KMeans would drop this to a rows-only
+  * check while exercising the identical plan shape — assignment is
+  * the same broadcast-join + argmin either way).
+  */
+object Ann extends graft.QueryGroup {
+
+  val Dim = 64
+  val NumPlanes = 8 // 256 buckets
+  val IvfCells = 16
+  val NProbe = 2
+
+  private val planes = Lsh.planes(NumPlanes, Dim)
+
+  /** LSH-bucketed ANN search for query vec_id=0: bucket the corpus
+    * (map-only), probe the query bucket plus all 1-bit neighbors
+    * (multiprobe, recall guard), exact-cosine rank the candidates. */
+  def lshBucketSearch(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val corpus = e.where(col("vec_id") =!= id)
+      .select(col("vec_id"), col("embedding"),
+        Lsh.bucketCode(col("embedding"), planes).as("bucket"))
+    val probes = e.where(col("vec_id") === id)
+      .select(col("embedding").as("qvec"),
+        Lsh.bucketCode(col("embedding"), planes).as("qb"))
+      .select(col("qvec"), explode(array(
+        (lit(0) +: (0 until NumPlanes).map(p => lit(1 << p))).map(m =>
+          col("qb").bitwiseXOR(m)): _*)).as("bucket"))
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .select(col("vec_id"), col("bucket"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("bucket"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF search for query vec_id=0: deterministic coarse quantizer
+    * (md5-ordered 16-seed sample, one exact Lloyd step), assign all
+    * vectors to nearest centroid, probe the 2 cells nearest the
+    * query, exact-cosine rank their members. */
+  def ivfSearch(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+
+    // Deterministic pseudo-random seed sample (both engines sort the
+    // same md5 strings) — driver-bounded the way a KMeans sample is.
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(IvfCells)
+      .select(col("vec_id").as("sid"), col("embedding").as("svec"))
+
+    // Lloyd iteration 0: nearest seed per vector. Broadcast-join +
+    // argmin via min(struct(dist, sid)) — map-side combine collapses
+    // the 16 candidate rows before the narrow (vec_id) shuffle.
+    val a0 = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"),
+        struct(dist2Builtin(col("embedding"), col("svec")).as("d"),
+          col("sid").as("cid")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("dc"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("dc.cid").as("cid"))
+
+    // Exact per-dimension centroid means in fixed-point micro-units —
+    // order-independent (a raw double sum would flake the oracle).
+    val cent = a0
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(round(col("col") * 1e6).cast("long")).as("m"),
+        count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"),
+        (col("m").cast("double") / col("n") / 1e6).as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+
+    // Lloyd iteration 1 = final cell assignment.
+    val a1 = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"),
+        struct(dist2Builtin(col("embedding"), col("cvec")).as("d"),
+          col("cid").as("cell")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("dc"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("dc.cell").as("cell"))
+
+    // Probe: the NProbe cells nearest the query vector.
+    val qcells = e.where(col("vec_id") === id).crossJoin(broadcast(cent))
+      .select(col("cid").as("cell"), col("embedding").as("qvec"),
+        dist2Builtin(col("embedding"), col("cvec")).as("qd"))
+      .orderBy(col("qd").asc, col("cell").asc)
+      .limit(NProbe)
+      .select(col("cell"), col("qvec"))
+
+    a1.where(col("vec_id") =!= id)
+      .join(broadcast(qcells), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_lsh_bucket" -> ((s, d) => lshBucketSearch(s, d)),
+    "q_ann_ivf" -> ((s, d) => ivfSearch(s, d)),
+  )
+
+  private val bucketSql = Lsh.bucketCodeSql("v", planes)
+  private val probeXors =
+    (0 +: (0 until NumPlanes).map(1 << _)).map(m => s"xor(qb, $m)")
+      .mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_lsh_bucket" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id, v, $bucketSql AS bucket FROM e WHERE vec_id <> 0),
+         |q AS (SELECT v AS qv, $bucketSql AS qb FROM e WHERE vec_id = 0),
+         |probes AS (SELECT qv, unnest($probeXors) AS bucket FROM q),
+         |cand AS (SELECT c.vec_id, c.bucket,
+         |                list_cosine_similarity(c.v, p.qv) AS sim
+         |         FROM c JOIN probes p ON c.bucket = p.bucket)
+         |SELECT vec_id, bucket, round(sim, 6) AS sim FROM cand
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS sid, v AS sv FROM e
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |          LIMIT $IvfCells),
+         |d0 AS (SELECT e.vec_id, s.sid,
+         |              list_sum([(e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i])
+         |                        for i in generate_series(1, $Dim)]) AS d
+         |       FROM e, seeds s),
+         |a0 AS (SELECT vec_id, sid AS cid FROM (
+         |         SELECT vec_id, sid,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY d ASC, sid ASC) AS rn
+         |         FROM d0) WHERE rn = 1),
+         |dims AS (SELECT a0.cid, g.i AS pos,
+         |                CAST(round(e.v[g.i] * 1e6) AS BIGINT) AS m
+         |         FROM a0 JOIN e USING (vec_id),
+         |              generate_series(1, $Dim) AS g(i)),
+         |cdim AS (SELECT cid, pos, CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
+         |         FROM dims GROUP BY cid, pos),
+         |cent AS (SELECT cid, list(c ORDER BY pos) AS cv
+         |         FROM cdim GROUP BY cid),
+         |d1 AS (SELECT e.vec_id, t.cid,
+         |              list_sum([(e.v[i] - t.cv[i]) * (e.v[i] - t.cv[i])
+         |                        for i in generate_series(1, $Dim)]) AS d
+         |       FROM e, cent t),
+         |a1 AS (SELECT vec_id, cid AS cell FROM (
+         |         SELECT vec_id, cid,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY d ASC, cid ASC) AS rn
+         |         FROM d1) WHERE rn = 1),
+         |qc AS (SELECT t.cid AS cell, q.v AS qv
+         |       FROM cent t, (SELECT v FROM e WHERE vec_id = 0) q
+         |       ORDER BY list_sum([(q.v[i] - t.cv[i]) * (q.v[i] - t.cv[i])
+         |                          for i in generate_series(1, $Dim)]) ASC,
+         |                t.cid ASC
+         |       LIMIT $NProbe),
+         |res AS (SELECT a1.vec_id, a1.cell,
+         |               list_cosine_similarity(e.v, qc.qv) AS sim
+         |        FROM a1 JOIN qc USING (cell) JOIN e USING (vec_id)
+         |        WHERE a1.vec_id <> 0)
+         |SELECT vec_id, cell, round(sim, 6) AS sim FROM res
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+  )
+}
