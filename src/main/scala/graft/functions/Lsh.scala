@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   */
 object Lsh {
 
-  private def md5hex(s: String): String =
+  private[functions] def md5hex(s: String): String =
     MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
@@ -47,10 +47,11 @@ object Lsh {
       zip_with(v, typedLit(w.map(_.toDouble)), (x, y) => x * y),
       lit(0.0d), (acc, x) => acc + x)
 
-  /** Integer bucket code: bit p = [dot(v, plane_p) >= 0]. */
+  /** Long bucket code: bit p = [dot(v, plane_p) >= 0]. Long so codes
+    * up to 63 planes fit (pair-banding wants 32-bit codes). */
   def bucketCode(v: Column, ps: Seq[Seq[Int]]): Column =
     ps.zipWithIndex.map { case (w, p) =>
-      when(dotLit(v, w) >= 0.0d, lit(1 << p)).otherwise(lit(0))
+      when(dotLit(v, w) >= 0.0d, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** DuckDB expression computing the same bucket code over a
@@ -58,6 +59,6 @@ object Lsh {
   def bucketCodeSql(vExpr: String, ps: Seq[Seq[Int]]): String =
     ps.zipWithIndex.map { case (w, p) =>
       val wLit = w.map(x => s"$x.0").mkString("[", ",", "]")
-      s"(CASE WHEN list_inner_product($vExpr, $wLit) >= 0 THEN ${1 << p} ELSE 0 END)"
+      s"(CASE WHEN list_inner_product($vExpr, $wLit) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.{Lsh, MinHash}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 
@@ -14,28 +15,36 @@ import graft.functions.VectorFunctions._
   * scryfallOracleId); this generalizes that to content-level and
   * near-duplicate detection.
   *
-  * Scale design (100 TB):
-  * - Exact/fingerprints: map-side partial agg on uniformly
-  *   distributed hash keys — no skew, one shuffle of (hash, 1).
-  * - MinHash+LSH: only (band_id, band_hash, doc_id) tuples shuffle —
-  *   O(docs × bands) small rows, never O(n²) pairs; candidate pairs
-  *   come from equi-joining band buckets, then an exact Jaccard
-  *   verify touches only candidates.
-  * - SimHash: signature build is two narrow aggregations; the pair
-  *   join is blocked (here by source — in production by simhash
-  *   prefix bands) so the join key bounds the blow-up.
-  * - Embedding near-dup: blocked by label (= coarse IVF cell), the
-  *   same blocking a 100 TB deployment gets from its coarse
-  *   quantizer; within-block pairs only.
+  * Scale design (100 TB) — NO all-pairs joins anywhere (round 1 had
+  * three; all replaced with LSH-bounded candidate generation):
+  * - Exact: map-side partial agg on uniformly distributed hash keys.
+  * - MinHash+LSH (unigram and bigram-shingle variants): each feature
+  *   is md5'd once (xor-trick family, [[MinHash]]); only
+  *   (band_key, doc_id) tuples shuffle — O(docs × bands) small rows;
+  *   candidate pairs come from equi-joining band buckets; the exact
+  *   Jaccard verify touches candidates only.
+  * - SimHash: signature build is ONE narrow shuffle with bounded
+  *   per-doc state ([[graft.plans.ElementwiseSum]], 32 longs); the
+  *   pair stage equi-joins on 8-bit signature bands (guaranteed
+  *   recall for Hamming ≤ 3, probabilistic above) instead of
+  *   all-pairs-within-source.
+  * - Embedding near-dup: 32-plane random-hyperplane codes
+  *   ([[Lsh]]), banded 4×8 bits; candidates equi-join on band keys,
+  *   exact cosine verifies candidates only — the plan a coarse
+  *   quantizer gives you at 100 TB, not O(n²/blocks).
   *
-  * All hashing is md5 (identical in Spark and DuckDB) so every
-  * operator here is fully oracle-checkable; the production-scale
-  * variant would swap xxhash64 for md5 with no structural change.
+  * All hashing is md5-derived (identical in Spark and DuckDB) so
+  * every operator stays fully oracle-checkable; production would swap
+  * xxhash64 for md5 with no structural change.
   */
 object Dedup extends graft.QueryGroup {
 
-  val NumHashes = 16
+  import MinHash.{NumHashes, seeds}
   val NumBands = 8 // rows-per-band r = 2
+  val SimHashBits = 32
+  val SimHashBands = 4 // 8 bits each
+  val EmbPlanes = 32
+  val EmbBands = 4 // 8 bits each
 
   /** Exact dedup stats per source: docs, distinct contents, dupes
     * (hash-groupBy; at 100 TB identical plan, keys never skew). */
@@ -48,113 +57,134 @@ object Dedup extends graft.QueryGroup {
         (count(lit(1)) - countDistinct(col("h"))).as("n_dupes"))
       .orderBy(col("source").asc)
 
-  /** (doc_id, h0..h15) MinHash signature over distinct unigram
-    * tokens: h_i = min over tokens of md5(i ':' token). Built as 16
-    * parallel min-aggregates over the exploded token set — one
-    * shuffle on doc_id, no nested lambdas, map-side combine. */
-  private def minhashSignature(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokenSet(col("text"))).as("token"))
-    val aggs = (0 until NumHashes).map(i =>
-      min(md5(concat_ws(":", lit(i), col("token")))).as(s"h$i"))
-    toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  /** (doc_id, h0..h15) xor-trick MinHash signature over an exploded
+    * distinct feature relation (doc_id, f): one md5 per feature, one
+    * shuffle on doc_id, map-side combine. */
+  private def signature(feats: DataFrame): DataFrame = {
+    val base = feats.select(col("doc_id"), MinHash.hash60(col("f")).as("base"))
+    val aggs = seeds.zipWithIndex.map { case (sd, i) =>
+      min(col("base").bitwiseXOR(lit(sd))).as(s"h$i")
+    }
+    base.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + LSH near-dup: band-bucket join → candidate pairs →
-    * exact Jaccard verify → top-20 most similar pairs. */
-  def minhashLsh(s: SparkSession, dir: String, topN: Int = 20): DataFrame = {
-    val sig = minhashSignature(s, dir)
-    val bandCols = (0 until NumBands).map { b =>
-      struct(lit(b).as("bi"),
-        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bh"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.bi").as("bi"), col("band.bh").as("bh"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.bi") === col("b.bi") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+  /** LSH band-bucket candidate pairs from a signature: band key =
+    * "b:h_{2b}:h_{2b+1}"; only (band_key, doc_id) shuffles; pairs
+    * from the bucket equi-join, deduped. */
+  private def bandCandidates(sig: DataFrame): DataFrame = {
+    val keys = (0 until NumBands).map(b =>
+      concat_ws(":", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+    val bands = sig.select(col("doc_id"), explode(array(keys: _*)).as("bk"))
+    bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("did_a"), col("b.doc_id").as("did_b"))
       .distinct()
-    val docSets = Tables.documents(s, dir)
-      .select(col("doc_id"), tokenSet(col("text")).as("ts"))
-    val verified = cand
-      .join(docSets.withColumnRenamed("doc_id", "did_a")
-        .withColumnRenamed("ts", "ts_a"), Seq("did_a"))
-      .join(docSets.withColumnRenamed("doc_id", "did_b")
-        .withColumnRenamed("ts", "ts_b"), Seq("did_b"))
-      .select(col("did_a"), col("did_b"),
-        jaccard(col("ts_a"), col("ts_b")).as("jac"))
-    verified.orderBy(col("jac").desc, col("did_a").asc, col("did_b").asc)
-      .limit(topN)
-      .select(col("did_a"), col("did_b"), round(col("jac"), 6).as("jac"))
   }
 
-  /** 32-bit SimHash from md5 hex-char parity: bit p of token t =
-    * ascii(md5(t)[p]) % 2; doc bit = majority vote over distinct
-    * tokens. */
+  /** Candidates → exact Jaccard on per-doc feature sets → top-N. */
+  private def jaccardVerify(cand: DataFrame, sets: DataFrame,
+      topN: Int): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("did_a"), col("fs").as("fs_a")),
+        Seq("did_a"))
+      .join(sets.select(col("doc_id").as("did_b"), col("fs").as("fs_b")),
+        Seq("did_b"))
+      .select(col("did_a"), col("did_b"),
+        jaccard(col("fs_a"), col("fs_b")).as("jac"))
+      .orderBy(col("jac").desc, col("did_a").asc, col("did_b").asc)
+      .limit(topN)
+      .select(col("did_a"), col("did_b"), round(col("jac"), 6).as("jac"))
+
+  /** MinHash + LSH near-dup over unigram token sets. */
+  def minhashLsh(s: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val feats = docs.select(col("doc_id"), explode(tokenSet(col("text"))).as("f"))
+    val sets = docs.select(col("doc_id"), tokenSet(col("text")).as("fs"))
+    jaccardVerify(bandCandidates(signature(feats)), sets, topN)
+  }
+
+  /** Word-bigram Jaccard near-dup with MinHash-LSH-bounded candidates
+    * (round 1 was a raw blocked cross join — the SURVEY always
+    * promised LSH-bounded candidates; now it is one). */
+  def ngramJaccard(s: SparkSession, dir: String, topN: Int = 30): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = docs.select(col("doc_id"), wordShingles(col("text"), 2).as("fs"))
+    val feats = sh.select(col("doc_id"), explode(col("fs")).as("f"))
+    jaccardVerify(bandCandidates(signature(feats)), sh, topN)
+  }
+
+  /** 32-bit SimHash: bit p of token t = ascii(md5(t)[p]) % 2; doc bit
+    * = majority vote over distinct tokens. Per-token ±1 contribution
+    * vectors are built map-side as 32-element arrays and tallied by
+    * the bounded [[graft.plans.ElementwiseSum]] aggregate — one
+    * narrow shuffle, no 32× row amplification. */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         explode(tokenSet(col("text"))).as("token"))
-    val bits = toks
-      .select(col("doc_id"), col("source"), md5(col("token")).as("th"),
-        explode(sequence(lit(0), lit(31))).as("p"))
-      .select(col("doc_id"), col("source"), col("p"),
-        (ascii(col("th").substr(col("p") + 1, lit(1))) % 2 * 2 - 1).as("w"))
-    bits.groupBy(col("doc_id"), col("source"), col("p"))
-      .agg(sum(col("w")).as("sw"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(when(col("sw") > 0,
-        pow(lit(2.0d), col("p")).cast("long")).otherwise(lit(0L)))
-        .as("simhash"))
+    val contrib = toks.select(col("doc_id"), col("source"),
+      transform(sequence(lit(0), lit(SimHashBits - 1)),
+        p => ascii(md5(col("token")).substr(p + 1, lit(1))) % 2 * 2 - 1)
+        .as("cv"))
+    contrib.groupBy(col("doc_id"), col("source"))
+      .agg(graft.plans.ElementwiseSum(col("cv"), SimHashBits).as("sw"))
+      .select(col("doc_id"), col("source"),
+        aggregate(
+          zip_with(col("sw"), sequence(lit(0), lit(SimHashBits - 1)),
+            (swp, p) => when(swp > 0, pow(lit(2.0d), p)).otherwise(lit(0.0d))),
+          lit(0.0d), (acc, x) => acc + x).cast("long").as("simhash"))
   }
 
-  /** SimHash near-dup pairs: source-blocked join, Hamming ≤ 10,
-    * nearest 50 pairs. */
+  /** SimHash near-dup pairs: 8-bit-band candidate equi-join (within
+    * source), Hamming ≤ 10 verify, nearest 50 pairs. Banding
+    * guarantees every Hamming ≤ 3 pair and catches most above; the
+    * round-1 all-pairs-within-source join is gone. */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 10,
       topN: Int = 50): DataFrame = {
     val sh = simhash(s, dir)
-    sh.as("a").join(sh.as("b"),
-        col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+    val keys = (0 until SimHashBands).map(b =>
+      concat_ws(":", col("source"), lit(b),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))))
+    val bands = sh.select(col("doc_id"), col("source"), col("simhash"),
+      explode(array(keys: _*)).as("bk"))
+    bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.source").as("source"),
         col("a.doc_id").as("did_a"), col("b.doc_id").as("did_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy(col("hamming").asc, col("did_a").asc, col("did_b").asc)
       .limit(topN)
   }
 
-  /** Word-bigram Jaccard near-dup, source-blocked, top-30 pairs. */
-  def ngramJaccard(s: SparkSession, dir: String, topN: Int = 30): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        wordShingles(col("text"), 2).as("sh"))
-    docs.as("a").join(docs.as("b"),
-        col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("did_a"), col("b.doc_id").as("did_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jac"))
-      .orderBy(col("jac").desc, col("did_a").asc, col("did_b").asc)
-      .limit(topN)
-      .select(col("did_a"), col("did_b"), round(col("jac"), 6).as("jac"))
-  }
+  private val embPlanes = Lsh.planes(EmbPlanes, 64)
 
-  /** Embedding-cosine near-dup: label-blocked (coarse-quantizer
-    * cell), 50 closest pairs. */
+  /** Embedding-cosine near-dup: 32-plane hyperplane codes, 4×8-bit
+    * band candidates, exact cosine verify, 50 closest pairs. */
   def embeddingNearDup(s: SparkSession, dir: String, topN: Int = 50): DataFrame = {
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("label"),
-        col("a.vec_id").as("vid_a"), col("b.vec_id").as("vid_b"),
-        cosineSim(col("a.embedding"), col("b.embedding")).as("sim"))
+      .select(col("vec_id"), col("embedding"),
+        Lsh.bucketCode(col("embedding"), embPlanes).as("code"))
+    val keys = (0 until EmbBands).map(b =>
+      concat_ws(":", lit(b),
+        shiftright(col("code"), 8 * b).bitwiseAND(lit(255L))))
+    val bands = e.select(col("vec_id"), explode(array(keys: _*)).as("bk"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vid_a"), col("b.vec_id").as("vid_b"))
+      .distinct()
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("vid_a"), col("embedding").as("va")),
+        Seq("vid_a"))
+      .join(vecs.select(col("vec_id").as("vid_b"), col("embedding").as("vb")),
+        Seq("vid_b"))
+      .select(col("vid_a"), col("vid_b"),
+        cosineSim(col("va"), col("vb")).as("sim"))
       .orderBy(col("sim").desc, col("vid_a").asc, col("vid_b").asc)
       .limit(topN)
-      .select(col("label"), col("vid_a"), col("vid_b"),
-        round(col("sim"), 6).as("sim"))
+      .select(col("vid_a"), col("vid_b"), round(col("sim"), 6).as("sim"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -165,10 +195,43 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_embedding" -> ((s, d) => embeddingNearDup(s, d)),
   )
 
-  private val sigSelect = (0 until NumHashes).map(i =>
-    s"min(md5('$i:' || token)) AS h$i").mkString(", ")
+  // ---- oracle SQL (mirrors the candidate generation exactly) ----
+
+  private val sigSelect = seeds.zipWithIndex
+    .map { case (sd, i) => s"min(xor(base, $sd)) AS h$i" }.mkString(", ")
   private val bandsUnion = (0 until NumBands).map(b =>
-    s"SELECT doc_id, $b AS bi, md5(h${2 * b} || h${2 * b + 1}) AS bh FROM sig")
+    s"SELECT doc_id, '$b' || ':' || CAST(h${2 * b} AS VARCHAR) || ':' || " +
+      s"CAST(h${2 * b + 1} AS VARCHAR) AS bk FROM sig")
+    .mkString(" UNION ALL ")
+
+  /** Shared candidate+verify oracle skeleton over a `sets(doc_id,
+    * fs)` CTE: base-hash → xor-min signature → band keys → bucket
+    * join → Jaccard verify → top-N. */
+  private def minhashOracle(setsCte: String, topN: Int): String =
+    s"""WITH $setsCte,
+       |feats AS (SELECT doc_id, unnest(fs) AS f FROM sets),
+       |base AS (SELECT doc_id, ${MinHash.hash60Sql("f")} AS base FROM feats),
+       |sig AS (SELECT doc_id, $sigSelect FROM base GROUP BY doc_id),
+       |bands AS ($bandsUnion),
+       |cand AS (SELECT DISTINCT a.doc_id AS did_a, b.doc_id AS did_b
+       |         FROM bands a JOIN bands b
+       |           ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |v AS (SELECT c.did_a, c.did_b,
+       |             CASE WHEN len(list_distinct(sa.fs || sb.fs)) = 0 THEN 0.0
+       |                  ELSE len(list_intersect(sa.fs, sb.fs))
+       |                       / len(list_distinct(sa.fs || sb.fs)) END AS jac
+       |      FROM cand c JOIN sets sa ON c.did_a = sa.doc_id
+       |                  JOIN sets sb ON c.did_b = sb.doc_id)
+       |SELECT did_a, did_b, round(jac, 6) AS jac FROM v
+       |ORDER BY jac DESC, did_a ASC, did_b ASC LIMIT $topN""".stripMargin
+
+  private val simBandKeys = (0 until SimHashBands).map(b =>
+    s"SELECT doc_id, source, simhash, source || ':$b:' || " +
+      s"CAST((simhash >> ${8 * b}) & 255 AS VARCHAR) AS bk FROM sh")
+    .mkString(" UNION ALL ")
+  private val embBandKeys = (0 until EmbBands).map(b =>
+    s"SELECT vec_id, '$b' || ':' || " +
+      s"CAST((code >> ${8 * b}) & 255 AS VARCHAR) AS bk FROM c")
     .mkString(" UNION ALL ")
 
   val oracles: Map[String, String] = Map(
@@ -177,73 +240,53 @@ object Dedup extends graft.QueryGroup {
         |       count(DISTINCT md5(text)) AS n_distinct,
         |       count(*) - count(DISTINCT md5(text)) AS n_dupes
         |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin,
-    "q_dedup_minhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS token
-         |  FROM documents),
-         |sig AS (SELECT doc_id, $sigSelect FROM toks GROUP BY doc_id),
-         |bands AS ($bandsUnion),
-         |cand AS (SELECT DISTINCT a.doc_id AS did_a, b.doc_id AS did_b
-         |         FROM bands a JOIN bands b
-         |           ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ts
-         |         FROM documents),
-         |v AS (SELECT c.did_a, c.did_b,
-         |             CASE WHEN len(list_distinct(sa.ts || sb.ts)) = 0 THEN 0.0
-         |                  ELSE len(list_intersect(sa.ts, sb.ts))
-         |                       / len(list_distinct(sa.ts || sb.ts)) END AS jac
-         |      FROM cand c JOIN sets sa ON c.did_a = sa.doc_id
-         |                  JOIN sets sb ON c.did_b = sb.doc_id)
-         |SELECT did_a, did_b, round(jac, 6) AS jac FROM v
-         |ORDER BY jac DESC, did_a ASC, did_b ASC LIMIT 20""".stripMargin,
-    "q_dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source,
-        |         unnest(list_distinct(str_split(text, ' '))) AS token
-        |  FROM documents),
-        |bits AS (
-        |  SELECT doc_id, source, p,
-        |         (ascii(substr(md5(token), p + 1, 1)) % 2) * 2 - 1 AS w
-        |  FROM toks, (SELECT unnest(generate_series(0, 31)) AS p)),
-        |pos AS (SELECT doc_id, source, p, sum(w) AS sw
-        |        FROM bits GROUP BY doc_id, source, p),
-        |sh AS (SELECT doc_id, source,
-        |              CAST(sum(CASE WHEN sw > 0
-        |                       THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        |       FROM pos GROUP BY doc_id, source),
-        |pairs AS (SELECT a.source AS source, a.doc_id AS did_a,
-        |                 b.doc_id AS did_b,
-        |                 bit_count(xor(a.simhash, b.simhash)) AS hamming
-        |          FROM sh a JOIN sh b
-        |            ON a.source = b.source AND a.doc_id < b.doc_id)
-        |SELECT source, did_a, did_b, hamming FROM pairs
-        |WHERE hamming <= 10
-        |ORDER BY hamming ASC, did_a ASC, did_b ASC LIMIT 50""".stripMargin,
-    "q_dedup_ngram_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, str_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id, source,
+    "q_dedup_minhash" -> minhashOracle(
+      """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs
+        |         FROM documents)""".stripMargin, 20),
+    "q_dedup_ngram_jaccard" -> minhashOracle(
+      """d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+        |sets AS (SELECT doc_id,
         |  CASE WHEN len(t) < 2 THEN []
         |       ELSE list_distinct([t[i] || ' ' || t[i + 1]
         |                           for i in generate_series(1, len(t) - 1)])
-        |  END AS sh FROM d),
-        |pairs AS (SELECT a.doc_id AS did_a, b.doc_id AS did_b,
-        |  CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-        |       ELSE len(list_intersect(a.sh, b.sh))
-        |            / len(list_distinct(a.sh || b.sh)) END AS jac
-        |  FROM sh a JOIN sh b
-        |    ON a.source = b.source AND a.doc_id < b.doc_id)
-        |SELECT did_a, did_b, round(jac, 6) AS jac FROM pairs
-        |ORDER BY jac DESC, did_a ASC, did_b ASC LIMIT 30""".stripMargin,
+        |  END AS fs FROM d)""".stripMargin, 30),
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |         unnest(list_distinct(str_split(text, ' '))) AS token
+         |  FROM documents),
+         |bits AS (
+         |  SELECT doc_id, source, p,
+         |         (ascii(substr(md5(token), p + 1, 1)) % 2) * 2 - 1 AS w
+         |  FROM toks, (SELECT unnest(generate_series(0, 31)) AS p)),
+         |pos AS (SELECT doc_id, source, p, sum(w) AS sw
+         |        FROM bits GROUP BY doc_id, source, p),
+         |sh AS (SELECT doc_id, source,
+         |              CAST(sum(CASE WHEN sw > 0
+         |                       THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM pos GROUP BY doc_id, source),
+         |bands AS ($simBandKeys),
+         |pairs AS (SELECT DISTINCT a.source AS source, a.doc_id AS did_a,
+         |                 b.doc_id AS did_b,
+         |                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |          FROM bands a JOIN bands b
+         |            ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT source, did_a, did_b, hamming FROM pairs
+         |WHERE hamming <= 10
+         |ORDER BY hamming ASC, did_a ASC, did_b ASC LIMIT 50""".stripMargin,
     "q_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-        |           FROM embeddings),
-        |pairs AS (SELECT a.label AS label, a.vec_id AS vid_a,
-        |                 b.vec_id AS vid_b,
-        |                 list_cosine_similarity(a.v, b.v) AS sim
-        |          FROM e a JOIN e b
-        |            ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT label, vid_a, vid_b, round(sim, 6) AS sim FROM pairs
-        |ORDER BY sim DESC, vid_a ASC, vid_b ASC LIMIT 50""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id, v, ${Lsh.bucketCodeSql("v", embPlanes)} AS code
+         |      FROM e),
+         |bands AS ($embBandKeys),
+         |cand AS (SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
+         |         FROM bands a JOIN bands b
+         |           ON a.bk = b.bk AND a.vec_id < b.vec_id),
+         |v AS (SELECT c.vid_a, c.vid_b,
+         |             list_cosine_similarity(ea.v, eb.v) AS sim
+         |      FROM cand c JOIN e ea ON c.vid_a = ea.vec_id
+         |                  JOIN e eb ON c.vid_b = eb.vec_id)
+         |SELECT vid_a, vid_b, round(sim, 6) AS sim FROM v
+         |ORDER BY sim DESC, vid_a ASC, vid_b ASC LIMIT 50""".stripMargin,
   )
 }
