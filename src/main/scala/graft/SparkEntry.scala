@@ -20,6 +20,8 @@ object SparkEntry {
     TextAnalysis,
     Ingest,
     Rerank,
+    graft.streaming.Streaming,
+    graft.multimodal.Multimodal,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

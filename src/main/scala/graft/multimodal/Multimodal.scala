@@ -1,0 +1,142 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata. The reference corpus is
+  * text-only (reference: db/init.sql document tables), so the binary
+  * payload here is the utf-8 encoding of the document text — the
+  * POINT is the pipeline shape (binary column → metadata → fixed-size
+  * chunking → per-chunk hashes), which is byte-format-agnostic.
+  *
+  * Scale design (100 TB of media): every operator is a map-only
+  * projection over the binary column — no shuffle, no state; chunking
+  * explodes to (payload/chunk_size) rows whose partition count scales
+  * with input splits. Decode (the only step that needs codec
+  * libraries, absent in this environment) is isolated behind
+  * [[decodeStub]]: a `mapPartitions` batch interface with a
+  * deterministic fake, so the Spark-side plumbing — schema, encoder,
+  * batch iteration — is real and tested while the codec call is one
+  * swap-in.
+  *
+  * Oracle parity: metadata/chunking work on the UPPER-hex rendering
+  * of the payload (2 hex chars per byte) because hex-string functions
+  * are bit-identical across Spark and DuckDB, while BLOB
+  * slicing/hashing semantics are not.
+  */
+object Multimodal extends graft.QueryGroup {
+
+  val ChunkBytes = 256 // = 512 hex chars
+
+  private def payloads(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        col("text").cast("binary").as("payload"))
+      .withColumn("hx", upper(hex(col("payload"))))
+
+  /** Per-payload typed metadata: byte length, content hash, magic
+    * bytes, format sniff (deterministic magic-number table — the
+    * "decode" analog that needs no codec). */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    payloads(s, dir)
+      .select(col("doc_id"), col("source"),
+        (length(col("hx")) / 2).cast("long").as("n_bytes"),
+        md5(col("hx")).as("content_md5"),
+        substring(col("hx"), 1, 4).as("magic"))
+      .withColumn("format",
+        when(col("magic") === "FFD8", "jpeg")
+          .when(col("magic") === "8950", "png")
+          .when(col("magic") === "4749", "gif")
+          .when(col("magic") === "4949" || col("magic") === "4D4D", "tiff")
+          .otherwise("raw"))
+      .orderBy(col("doc_id").asc)
+
+  /** Fixed-size chunking with per-chunk hashes — the frame-sample /
+    * shard-for-decode shape: payload → ceil(n/256)-byte chunks, each
+    * addressable and hashed independently. */
+  def multimodalChunk(s: SparkSession, dir: String): DataFrame =
+    payloads(s, dir)
+      .select(col("doc_id"), col("hx"),
+        ceil(length(col("hx")).cast("double") / (2 * ChunkBytes))
+          .cast("int").as("n_chunks"))
+      .select(col("doc_id"), col("hx"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("hx").substr(col("chunk_idx") * (2 * ChunkBytes) + 1,
+          lit(2 * ChunkBytes)).as("chunk_hx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (length(col("chunk_hx")) / 2).cast("long").as("chunk_bytes"),
+        md5(col("chunk_hx")).as("chunk_md5"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+
+  /** Decoded-media metadata (deterministic STUB). */
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
+      height: Int, codec: String)
+
+  /** The decode step a production deployment swaps a codec into:
+    * batched `mapPartitions` over (id, payload) rows. The fake
+    * derives dimensions from payload bytes deterministically; the
+    * plumbing (binary encoder, per-partition batching, typed output)
+    * is the real interface a libjpeg/ffmpeg binding would use. */
+  def decodeStub(s: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // One codec context per partition (the expensive init a real
+        // decoder amortizes across its batch).
+        rows.map { case (id, bytes) =>
+          val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+          val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+          MediaMeta(id, bytes.length.toLong,
+            width = 16 * (1 + b0 % 64), height = 16 * (1 + b1 % 64),
+            codec = "stub")
+        }
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
+    "q_multimodal_chunk" -> ((s, d) => multimodalChunk(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """WITH p AS (SELECT doc_id, source, upper(hex(encode(text))) AS hx
+        |           FROM documents),
+        |m AS (SELECT doc_id, source,
+        |             CAST(length(hx) / 2 AS BIGINT) AS n_bytes,
+        |             md5(hx) AS content_md5,
+        |             substr(hx, 1, 4) AS magic
+        |      FROM p)
+        |SELECT doc_id, source, n_bytes, content_md5, magic,
+        |       CASE WHEN magic = 'FFD8' THEN 'jpeg'
+        |            WHEN magic = '8950' THEN 'png'
+        |            WHEN magic = '4749' THEN 'gif'
+        |            WHEN magic IN ('4949', '4D4D') THEN 'tiff'
+        |            ELSE 'raw' END AS format
+        |FROM m ORDER BY doc_id ASC""".stripMargin,
+    "q_multimodal_chunk" ->
+      s"""WITH p AS (SELECT doc_id, upper(hex(encode(text))) AS hx
+         |           FROM documents),
+         |n AS (SELECT doc_id, hx,
+         |             CAST(ceil(length(hx) / ${2 * ChunkBytes}.0) AS INT)
+         |               AS n_chunks
+         |      FROM p),
+         |c AS (SELECT doc_id, hx, unnest(generate_series(0, n_chunks - 1))
+         |               AS chunk_idx
+         |      FROM n),
+         |h AS (SELECT doc_id, chunk_idx,
+         |             substr(hx, chunk_idx * ${2 * ChunkBytes} + 1,
+         |                    ${2 * ChunkBytes}) AS chunk_hx
+         |      FROM c)
+         |SELECT doc_id, chunk_idx,
+         |       CAST(length(chunk_hx) / 2 AS BIGINT) AS chunk_bytes,
+         |       md5(chunk_hx) AS chunk_md5
+         |FROM h ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
+  )
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming twins of the batch event queries — the
+  * reference ingests in batch (reference: db/ingest_cards.py), but a
+  * 100 TB deployment ingests continuously; these queries prove the
+  * same plans run as streams.
+  *
+  * Each query here runs a real `readStream → transform → writeStream`
+  * pipeline to completion with `Trigger.AvailableNow` (process all
+  * currently-available input, then stop — the standard
+  * batch-over-stream harness), sinks to an in-memory table, and
+  * returns the sink as a DataFrame. That makes the streaming path
+  * oracle-checkable end-to-end: the DuckDB oracle is the exact batch
+  * SQL, so CORRECTNESS verifies stream-equals-batch, not just
+  * rows>0.
+  *
+  * Scale design: the windowed aggregation is a standard watermarked
+  * tumbling-window state store (state = open windows × event types,
+  * bounded by the watermark horizon); dedup state is the distinct key
+  * set within the watermark horizon. At 100 TB/day both key spaces
+  * are bounded and hash-partitioned across executors; the memory sink
+  * here holds only the tiny aggregate, never events.
+  */
+object Streaming extends graft.QueryGroup {
+
+  /** Streaming reader over the events parquet with the same nano→
+    * micro timestamp normalization as the batch reader
+    * ([[graft.Tables.events]]). The schema comes from a footer-only
+    * batch read (driver metadata, not data). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // The streaming file source wants a directory; point it at the sf
+    // dir and glob-filter to the events file(s).
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  private def runToCompletion(df: DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Watermark + tumbling 1h window × event_type aggregation — the
+    * streaming twin of [[graft.operators.Relational.eventsBucket]];
+    * fixed-point value sum for cross-engine exactness. Complete
+    * output mode so the trailing (unclosed) windows are emitted too
+    * and the result equals the batch query exactly. */
+  def streamWindow(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1e6).cast("long")).as("sv"))
+    runToCompletion(agg, "graft_stream_window", "complete")
+    s.table("graft_stream_window")
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"),
+        round(col("sv").cast("double") / 1e6, 6).as("sum_value"))
+      .orderBy(col("bucket").asc, col("event_type").asc)
+  }
+
+  /** Streaming dedup: watermarked dropDuplicates on (user_id,
+    * event_type), then a batch rollup of the deduped sink — counts
+    * the distinct key set per event type, which is invariant to which
+    * duplicate survived, so the result is oracle-exact. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val dedup = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToCompletion(dedup, "graft_stream_dedup", "append")
+    s.table("graft_stream_dedup")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_window" -> ((s, d) => streamWindow(s, d)),
+    "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Exactly the batch q_events_bucket semantics: the correctness
+    // gate therefore proves stream == batch.
+    "q_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE)
+        |             / 1e6, 6) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY bucket ASC, event_type ASC""".stripMargin,
+    "q_stream_dedup" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT event_type, count(*) AS n_keys,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM d GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+  )
+}
