@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for all suites (sbt forks one test JVM). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  val sfDir: String = TestSpark.sfDir
+
+  /** Run `body` with codegen fully disabled (interpreted expression
+    * paths), restoring the previous confs afterwards. */
+  def withCodegenOff[T](body: => T): T = {
+    val prevWS = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    val prevFM = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try body
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prevWS)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFM)
+    }
+  }
+}
