@@ -42,13 +42,22 @@ object TextFunctions {
   /** pg_trgm-style similarity between two strings. */
   def trigramSim(a: Column, b: Column): Column = jaccard(trigrams(a), trigrams(b))
 
-  /** Distinct word n-gram shingle set (n >= 2). */
+  /** Distinct word n-gram shingle set (n >= 2). Built by zipping the
+    * token array with its shifted selves — higher-order functions are
+    * interpreted (no codegen), and `zip_with` iterates the arrays
+    * directly where a `transform` + `element_at(t, i)` formulation
+    * pays per-element eval dispatch (~6× slower measured). zip_with
+    * pads the shorter side with null, which null-propagates through
+    * concat; the final slice drops those tail slots. */
   def wordShingles(c: Column, n: Int): Column = {
     val t = tokens(c)
+    val joined = (1 until n).foldLeft(t) { (acc, j) =>
+      zip_with(acc, slice(t, lit(j + 1), greatest(size(t) - j, lit(1))),
+        (a, b) => concat(a, lit(" "), b))
+    }
     when(size(t) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))))
+      .otherwise(array_distinct(
+        slice(joined, lit(1), size(t) - (n - 1))))
   }
 
   /** The "name" of a document — lowercased 24-char prefix, standing

@@ -68,16 +68,22 @@ object Dedup extends graft.QueryGroup {
     base.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band-bucket candidate pairs from a signature: band key =
-    * "b:h_{2b}:h_{2b+1}"; only (band_key, doc_id) shuffles; pairs
-    * from the bucket equi-join, deduped. */
+  /** LSH band-bucket STAR candidates from a signature: band key =
+    * "b:h_{2b}:h_{2b+1}"; each doc pairs with its bucket's min-id
+    * representative, NOT with every bucket member. Duplicate clusters
+    * make buckets quadratic under all-pairs (sf0.1 has ~2,500-doc
+    * token-set-identical clusters → 10.9M pairs); the star keeps
+    * candidates at O(docs × bands) while still linking every cluster
+    * member to its canonical winner — the pairs a dedup actually
+    * consumes. Two narrow shuffles of (band_key, doc_id) rows. */
   private def bandCandidates(sig: DataFrame): DataFrame = {
     val keys = (0 until NumBands).map(b =>
       concat_ws(":", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
     val bands = sig.select(col("doc_id"), explode(array(keys: _*)).as("bk"))
-    bands.as("a").join(bands.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("did_a"), col("b.doc_id").as("did_b"))
+    val reps = bands.groupBy(col("bk")).agg(min(col("doc_id")).as("rep"))
+    bands.join(reps, Seq("bk"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("did_a"), col("doc_id").as("did_b"))
       .distinct()
   }
 
@@ -213,9 +219,10 @@ object Dedup extends graft.QueryGroup {
        |base AS (SELECT doc_id, ${MinHash.hash60Sql("f")} AS base FROM feats),
        |sig AS (SELECT doc_id, $sigSelect FROM base GROUP BY doc_id),
        |bands AS ($bandsUnion),
-       |cand AS (SELECT DISTINCT a.doc_id AS did_a, b.doc_id AS did_b
-       |         FROM bands a JOIN bands b
-       |           ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |reps AS (SELECT bk, min(doc_id) AS rep FROM bands GROUP BY bk),
+       |cand AS (SELECT DISTINCT r.rep AS did_a, b.doc_id AS did_b
+       |         FROM bands b JOIN reps r USING (bk)
+       |         WHERE b.doc_id <> r.rep),
        |v AS (SELECT c.did_a, c.did_b,
        |             CASE WHEN len(list_distinct(sa.fs || sb.fs)) = 0 THEN 0.0
        |                  ELSE len(list_intersect(sa.fs, sb.fs))
