@@ -81,12 +81,67 @@ object Lexical extends graft.QueryGroup {
       .orderBy(col("dist").asc, col("doc_id").asc)
       .limit(10)
 
+  /** Array-containment metadata filter — the reference's GIN
+    * `keywords @> ARRAY[...]` / colors containment (reference:
+    * README.md "Direct SQL Queries", db/init.sql GIN indexes). The
+    * document's keyword array is its token set; both required terms
+    * must be present. Map-only scan; at 100 TB the array column
+    * would carry a bloom/GIN-style secondary index, but the plan is
+    * already embarrassingly parallel. */
+  def metaArrayContains(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(array_contains(tokenSet(col("text")), "merge") &&
+        array_contains(tokenSet(col("text")), "hash"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+
+  /** Numeric-range + equality metadata filter — the reference's
+    * `mana_value BETWEEN x AND y AND card_type = t` shape. Both
+    * predicates reach the parquet scan as PushedFilters. */
+  def metaRange(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(col("n_chars").between(400, 450) && col("lang") === "en")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id").asc)
+
+  /** The reference's ACTUAL three-tier control flow (reference:
+    * db/search_strategies.py:26-124 `search_card_by_name`): exact →
+    * prefix → trigram, returning the FIRST non-empty tier. Expressed
+    * declaratively: each tier is a bounded top-k list; the union
+    * (≤ 3k rows) is filtered to the minimum populated tier. The
+    * tier lists are the scale-safe paths above, and the fallback
+    * filter touches only their union — no corpus recomputation. */
+  def nameTiered(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val n = names(s, dir)
+    val t1 = n.where(lower(col("name")) === lower(lit(trigramQuery)))
+      .select(col("doc_id"), col("name"), lit(1.0d).as("sim"),
+        lit(1).as("tier"))
+      .orderBy(col("doc_id").asc).limit(k)
+    val t2 = n.where(col("name").startsWith(lit(trigramQuery.take(4))))
+      .select(col("doc_id"), col("name"),
+        trigramSim(col("name"), lit(trigramQuery)).as("sim"), lit(2).as("tier"))
+      .orderBy(col("sim").desc, col("doc_id").asc).limit(k)
+    val t3 = n
+      .select(col("doc_id"), col("name"),
+        trigramSim(col("name"), lit(trigramQuery)).as("sim"), lit(3).as("tier"))
+      .orderBy(col("sim").desc, col("doc_id").asc).limit(k)
+    val u = t1.unionAll(t2).unionAll(t3)
+    val best = u.agg(min(col("tier")).as("best"))
+    u.join(broadcast(best), col("tier") === col("best"))
+      .select(col("doc_id"), col("name"), round(col("sim"), 6).as("sim"),
+        col("tier"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_name_exact" -> ((s, d) => nameExact(s, d)),
     "q_name_prefix" -> ((s, d) => namePrefix(s, d)),
     "q_name_trigram" -> ((s, d) => nameTrigram(s, d)),
+    "q_name_tiered" -> ((s, d) => nameTiered(s, d)),
     "q_text_ilike" -> ((s, d) => textIlike(s, d)),
     "q_levenshtein" -> ((s, d) => nameLevenshtein(s, d)),
+    "q_meta_array_contains" -> ((s, d) => metaArrayContains(s, d)),
+    "q_meta_range" -> ((s, d) => metaRange(s, d)),
   )
 
   // DuckDB trigram-set similarity over distinct 3-grams of the
@@ -130,5 +185,33 @@ object Lexical extends graft.QueryGroup {
       s"""SELECT doc_id, lower(substr(text, 1, 24)) AS name,
          |       levenshtein(lower(substr(text, 1, 24)), '$trigramQuery') AS dist
          |FROM documents ORDER BY dist ASC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_meta_array_contains" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE list_has_all(list_distinct(str_split(text, ' ')),
+        |                   ['merge', 'hash'])
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_meta_range" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE n_chars BETWEEN 400 AND 450 AND lang = 'en'
+        |ORDER BY doc_id ASC""".stripMargin,
+    "q_name_tiered" ->
+      s"""WITH n AS (SELECT doc_id, lower(substr(text, 1, 24)) AS name FROM documents),
+         |t1 AS (SELECT doc_id, name, CAST(1.0 AS DOUBLE) AS sim, 1 AS tier
+         |       FROM n WHERE lower(name) = lower('$trigramQuery')
+         |       ORDER BY doc_id ASC LIMIT 10),
+         |t2 AS (SELECT doc_id, name,
+         |              ${tsim(tg("name"), tg(s"'$trigramQuery'"))} AS sim,
+         |              2 AS tier
+         |       FROM n WHERE starts_with(name, '${trigramQuery.take(4)}')
+         |       ORDER BY sim DESC, doc_id ASC LIMIT 10),
+         |t3 AS (SELECT doc_id, name,
+         |              ${tsim(tg("name"), tg(s"'$trigramQuery'"))} AS sim,
+         |              3 AS tier
+         |       FROM n ORDER BY sim DESC, doc_id ASC LIMIT 10),
+         |u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+         |      UNION ALL SELECT * FROM t3)
+         |SELECT doc_id, name, round(sim, 6) AS sim, tier FROM u
+         |WHERE tier = (SELECT min(tier) FROM u)
+         |ORDER BY sim DESC, doc_id ASC""".stripMargin,
   )
 }
