@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, Trigger}
 
 /** Structured Streaming twins of the batch event queries — the
   * reference ingests in batch (reference: db/ingest_cards.py), but a
@@ -85,9 +86,79 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("event_type").asc)
   }
 
+  /** Per-event input / per-session output / carried state for the
+    * custom-state sessionizer. State is ONE open-session tuple per
+    * user (bounded), never an event buffer. */
+  final case class SessEvent(user_id: Long, event_id: Long, us: Long)
+  final case class SessOut(user_id: Long, sess_idx: Long, n_events: Long,
+      start_us: Long, dur_us: Long)
+  final case class OpenSession(idx: Long, start: Long, last: Long, n: Long)
+
+  /** Gap-based sessionization (>30 min inactivity breaks a session)
+    * as a `flatMapGroupsWithState` stateful operator — the
+    * KeyValueGroupedDataset custom-state API the mandate calls for.
+    *
+    * Each invocation folds the batch's events (sorted in-group; per
+    * user per batch, bounded) into the carried open-session tuple,
+    * emitting a session row whenever a gap closes one, and emits the
+    * trailing open session at the end of the replay. Under
+    * `Trigger.AvailableNow` the input is a finite replay, so the
+    * trailing emission is final and the result equals the batch
+    * `q_sessionize` exactly (the DuckDB oracle proves it). On an
+    * unbounded stream the same operator runs with an event-time
+    * timeout emitting sessions as the watermark closes them; the
+    * state size (one tuple per active user) is identical.
+    *
+    * Scale design: state is hash-partitioned by user_id (cardinality
+    * grows with data — no fixed-key funnel) and O(1) per user; only
+    * (user_id, event_id, us) triples flow in. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 30L * 60L * 1000000L
+    val events = eventsStream(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[SessEvent]
+
+    val sessions = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[OpenSession]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
+          val out = Seq.newBuilder[SessOut]
+          var open = state.getOption.orNull
+          for (e <- sorted) {
+            open match {
+              case null =>
+                open = OpenSession(1L, e.us, e.us, 1L)
+              case o if e.us - o.last > gapUs =>
+                out += SessOut(uid, o.idx, o.n, o.start, o.last - o.start)
+                open = OpenSession(o.idx + 1, e.us, e.us, 1L)
+              case o =>
+                open = o.copy(last = e.us, n = o.n + 1)
+            }
+          }
+          if (open != null) {
+            state.update(open)
+            // Finite replay (AvailableNow): the trailing session is
+            // final — emit it. An unbounded deployment would instead
+            // register an event-time timeout here.
+            out += SessOut(uid, open.idx, open.n, open.start,
+              open.last - open.start)
+          }
+          out.result().iterator
+      }
+
+    runToCompletion(sessions.toDF(), "graft_stream_sessionize", "append")
+    s.table("graft_stream_sessionize")
+      .select(col("user_id"), col("sess_idx"), col("n_events"),
+        col("start_us"), col("dur_us"))
+      .orderBy(col("user_id").asc, col("sess_idx").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> ((s, d) => streamWindow(s, d)),
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
+    "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -105,5 +176,29 @@ object Streaming extends graft.QueryGroup {
         |SELECT event_type, count(*) AS n_keys,
         |       count(DISTINCT user_id) AS n_users
         |FROM d GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    // Exactly the batch q_sessionize semantics (Relational group) —
+    // the gate proves the stateful operator equals the batch windows.
+    "q_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts), 1) OVER
+        |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, event_id, us,
+        |         CAST(sum(is_new) OVER
+        |           (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS sess_idx
+        |  FROM f)
+        |SELECT user_id, sess_idx, count(*) AS n_events,
+        |       min(us) AS start_us, max(us) - min(us) AS dur_us
+        |FROM g GROUP BY user_id, sess_idx
+        |ORDER BY user_id ASC, sess_idx ASC""".stripMargin,
   )
 }

@@ -15,6 +15,13 @@ class StreamingSpec extends SparkSuite {
     assert(streamRows === batchRows)
   }
 
+  test("q_stream_sessionize (flatMapGroupsWithState) == batch sessionize") {
+    val streamRows = Streaming.streamSessionize(spark, sfDir).collect().toSeq
+    val batchRows = Relational.sessionize(spark, sfDir).collect().toSeq
+    assert(streamRows.nonEmpty)
+    assert(streamRows === batchRows)
+  }
+
   test("q_stream_dedup == batch distinct rollup") {
     import org.apache.spark.sql.functions._
     val streamRows = Streaming.streamDedup(spark, sfDir).collect().toSeq
