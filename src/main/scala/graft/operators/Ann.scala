@@ -126,6 +126,40 @@ object Ann extends graft.QueryGroup {
       .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Materialize the LSH index: the corpus written PARTITIONED BY its
+    * bucket code. At 100 TB this is the one-off batch index build;
+    * after it, a probe is a partition-pruned read of ≤ (1 +
+    * NumPlanes) directories instead of a corpus scan (see
+    * [[probeIndex]] and the PartitionFilters assertion in
+    * AnnIndexSpec). */
+  def writeLshIndex(s: SparkSession, dir: String, out: String): Unit =
+    Tables.embeddings(s, dir)
+      .withColumn("bucket", Lsh.bucketCode(col("embedding"), planes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+  /** Probe the materialized index for query vec_id=`id`: the bucket
+    * predicate is a PARTITION filter (directory pruning, no data
+    * read outside the probed buckets); candidates are exact-cosine
+    * ranked. */
+  def probeIndex(s: SparkSession, dir: String, indexPath: String,
+      id: Long = 0L, k: Int = 10): DataFrame = {
+    val probes = Tables.embeddings(s, dir).where(col("vec_id") === id)
+      .select(col("embedding").as("qvec"),
+        Lsh.bucketCode(col("embedding"), planes).as("qb"))
+      .select(col("qvec"), explode(array(
+        (lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p))).map(m =>
+          col("qb").bitwiseXOR(m)): _*)).as("bucket"))
+    s.read.parquet(indexPath)
+      .join(broadcast(probes), Seq("bucket"))
+      .where(col("vec_id") =!= id)
+      .select(col("vec_id"), col("bucket"),
+        cosineSim(col("embedding").cast("array<double>"), col("qvec"))
+          .as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("bucket"), round(col("sim"), 6).as("sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_lsh_bucket" -> ((s, d) => lshBucketSearch(s, d)),
     "q_ann_ivf" -> ((s, d) => ivfSearch(s, d)),

@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+/** The materialized LSH index must turn probes into partition-pruned
+  * reads — the property that makes ANN search on a 100 TB corpus a
+  * few-directory read instead of a scan. */
+class AnnIndexSpec extends SparkSuite {
+
+  test("probe of bucket-partitioned index is partition-pruned and matches brute force") {
+    val out = Files.createTempDirectory("graft_lsh_index").toString
+    try {
+      Ann.writeLshIndex(spark, sfDir, out)
+
+      val probe = Ann.probeIndex(spark, sfDir, out)
+      val p = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // The bucket predicate must reach the scan as a PARTITION
+      // filter (directory pruning), not a data filter.
+      assert(p.contains("PartitionFilters"), s"expected partition pruning:\n$p")
+
+      // A single-bucket read plans a pruned scan too.
+      val one = spark.read.parquet(out).where(col("bucket") === 3)
+      val p1 = one.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p1.contains("PartitionFilters") && p1.contains("bucket"),
+        s"expected bucket partition filter:\n$p1")
+
+      // Probe results equal the unmaterialized LSH search exactly.
+      val viaIndex = probe.collect().toSeq
+      val direct = Ann.lshBucketSearch(spark, sfDir).collect().toSeq
+      assert(viaIndex === direct)
+    } finally {
+      // best-effort temp cleanup
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+}
