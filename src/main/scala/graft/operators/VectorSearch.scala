@@ -121,12 +121,47 @@ object VectorSearch extends graft.QueryGroup {
       .orderBy(col("label").asc)
   }
 
+  /** Filtered vector search: metadata predicate (label equality — the
+    * reference README's "colors @> …" + vector search combination)
+    * applied BEFORE scoring, so the filter reaches the parquet scan
+    * and the cosine loop runs only on survivors ("filtered ANN" done
+    * the pre-filter way; at 100 TB the label would also be a
+    * partition key → pruned read). */
+  def topKFiltered(s: SparkSession, dir: String, id: Long = 0L,
+      label: Int = 3, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    e.where(col("vec_id") =!= id && col("label") === label)
+      .crossJoin(broadcast(queryVec(s, dir, id)))
+      .select(col("vec_id"), col("label"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Search returning DOCUMENT fields — the reference's actual output
+    * shape (init.sql search functions join mtg_*_embeddings back to
+    * the document table and return name/text + similarity). Top-k
+    * cut happens BEFORE the join, so only k rows join against the
+    * documents table (broadcast of the tiny candidate list). */
+  def topKWithDocs(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val hits = topK(s, dir, id, k) // (vec_id, sim), already rounded
+    Tables.documents(s, dir)
+      .join(broadcast(hits), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        col("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_topk" -> ((s, d) => topK(s, d)),
     "q_vec_topk_threshold" -> ((s, d) => topKThreshold(s, d)),
     "q_vec_knn_join" -> ((s, d) => knnJoin(s, d)),
     "q_vec_topk_per_label" -> ((s, d) => topKPerLabel(s, d)),
     "q_vec_pair_stats" -> ((s, d) => pairStats(s, d)),
+    "q_vec_filtered" -> ((s, d) => topKFiltered(s, d)),
+    "q_vec_doc_join" -> ((s, d) => topKWithDocs(s, d)),
   )
 
   // DuckDB oracle parity notes: embeddings cast to DOUBLE[] so the
@@ -169,6 +204,20 @@ object VectorSearch extends graft.QueryGroup {
          |      FROM s)
          |SELECT label, vec_id, round(sim, 6) AS sim, rnk FROM r
          |WHERE rnk <= 3 ORDER BY label ASC, rnk ASC""".stripMargin,
+    "q_vec_filtered" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, e.label, $cosExpr AS sim
+         |      FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = 3)
+         |SELECT vec_id, label, round(sim, 6) AS sim FROM s
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_vec_doc_join" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, round($cosExpr, 6) AS sim
+         |      FROM embeddings e, q WHERE e.vec_id <> 0
+         |      ORDER BY $cosExpr DESC, e.vec_id ASC LIMIT 10)
+         |SELECT d.doc_id, d.source, d.lang, d.n_chars, s.sim
+         |FROM documents d JOIN s ON d.doc_id = s.vec_id
+         |ORDER BY s.sim DESC, d.doc_id ASC""".stripMargin,
     "q_vec_pair_stats" ->
       """WITH n AS (SELECT label,
         |  sqrt(list_sum([x * x for x in embedding::DOUBLE[]])) AS nrm
