@@ -25,12 +25,21 @@ object TextFunctions {
   /** Distinct token set. */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
-  /** Distinct character 3-gram set of a lowercased string. */
+  /** Distinct character 3-gram set of a lowercased string. Built by
+    * zipping the char array with its shifted selves (same reasoning
+    * as [[wordShingles]]: interpreted HOFs, and per-element
+    * `substr(i, 3)` pays eval dispatch that array iteration
+    * doesn't). */
   def trigrams(c: Column): Column = {
     val lc = lower(c)
-    when(length(lc) < 3, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), length(lc) - 2), i => lc.substr(i, lit(3)))))
+    val ch = split(lc, "")
+    val n = length(lc)
+    val joined = (1 to 2).foldLeft(ch) { (acc, j) =>
+      zip_with(acc, slice(ch, lit(j + 1), greatest(n - j, lit(1))),
+        (a, b) => concat(a, b))
+    }
+    when(n < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(slice(joined, lit(1), n - 2)))
   }
 
   /** Jaccard similarity of two pre-distinct string arrays. */

@@ -99,12 +99,44 @@ object Multimodal extends graft.QueryGroup {
       }
   }
 
+  /** The decode path as a verified query: [[decodeStub]]'s typed
+    * mapPartitions output joined back to sources and rolled up — this
+    * puts the decode PLUMBING (binary encoder, per-partition batch
+    * iteration, typed output) under the DuckDB correctness gate. The
+    * fake's width/height derive from the first two payload bytes, so
+    * the oracle reproduces them from ascii() (the corpus is ASCII; a
+    * real codec swap would drop this query to a rows-only check). */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    decodeStub(s, dir).toDF()
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("width")).as("sum_w"),
+        sum(col("height")).as("sum_h"))
+      .orderBy(col("source").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
     "q_multimodal_chunk" -> ((s, d) => multimodalChunk(s, d)),
+    "q_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |         octet_length(encode(text)) AS n_bytes,
+        |         16 * (1 + ascii(substr(text, 1, 1)) % 64) AS w,
+        |         16 * (1 + CASE WHEN length(text) > 1
+        |                        THEN ascii(substr(text, 2, 1)) % 64
+        |                        ELSE 0 END) AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n,
+        |       sum(n_bytes) AS total_bytes,
+        |       sum(w) AS sum_w, sum(h) AS sum_h
+        |FROM m GROUP BY source ORDER BY source ASC""".stripMargin,
     "q_multimodal_meta" ->
       """WITH p AS (SELECT doc_id, source, upper(hex(encode(text))) AS hx
         |           FROM documents),
