@@ -80,6 +80,20 @@ class PlanSpec extends SparkSuite {
       "LSH probe should join on the bucket code")
   }
 
+  test("q_vec_filtered: label predicate pushed below the cosine loop") {
+    val p = formatted(VectorSearch.topKFiltered(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3)"),
+      s"label filter must reach the parquet scan:\n$p")
+  }
+
+  test("q_meta_range: range + equality predicates pushed to the scan") {
+    val p = formatted(Lexical.metaRange(spark, sfDir))
+    assert(p.contains("GreaterThanOrEqual(n_chars,400)") &&
+      p.contains("LessThanOrEqual(n_chars,450)") &&
+      p.contains("EqualTo(lang,en)"),
+      s"both predicates must reach the parquet scan:\n$p")
+  }
+
   test("whole-stage codegen covers the cosine hot path") {
     // AQE wraps everything in AdaptiveSparkPlan and defers codegen
     // until execution — turn it off so the codegen explain sees the
