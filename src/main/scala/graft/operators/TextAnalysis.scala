@@ -110,11 +110,30 @@ object TextAnalysis extends graft.QueryGroup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** ORDER-SENSITIVE rolling-hash fingerprint (Rabin-Karp over the
+    * token stream): fp = fold of acc·B + h(tok) mod M, left to
+    * right — two docs with the same token SET but different order
+    * fingerprint differently (the content hash in [[fingerprint]]
+    * can't see order through normalization-stable permutations).
+    * Map-only; the sequential fold is per-row, not cross-row. */
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val B = 1000003L
+    val M = 2147483647L // 2^31-1; acc·B + x < 2^52, no overflow
+    val tokHash = transform(tokens(col("text")),
+      t => graft.functions.MinHash.hash60(t) % lit(1048576L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        aggregate(tokHash, lit(0L),
+          (acc, x) => (acc * lit(B) + x) % lit(M)).as("rfp"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lang_id" -> ((s, d) => langId(s, d)),
     "q_quality_score" -> ((s, d) => qualityScore(s, d)),
     "q_token_count" -> ((s, d) => tokenCount(s, d)),
     "q_fingerprint" -> ((s, d) => fingerprint(s, d)),
+    "q_fingerprint_rolling" -> ((s, d) => rollingFingerprint(s, d)),
   )
 
   private def sqlList(ws: Seq[String]): String =
@@ -172,6 +191,14 @@ object TextAnalysis extends graft.QueryGroup {
         |       max(ws) AS max_ws,
         |       round(CAST(sum(ws) AS DOUBLE) / count(*), 6) AS avg_ws
         |FROM t GROUP BY source ORDER BY source ASC""".stripMargin,
+    "q_fingerprint_rolling" ->
+      """SELECT doc_id, source,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           [CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1048576
+        |            for t in str_split(text, ' ')]),
+        |         (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rfp
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
     "q_fingerprint" ->
       """WITH n AS (
         |  SELECT doc_id,
