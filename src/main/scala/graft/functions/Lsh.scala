@@ -48,8 +48,17 @@ object Lsh {
       lit(0.0d), (acc, x) => acc + x)
 
   /** Long bucket code: bit p = [dot(v, plane_p) >= 0]. Long so codes
-    * up to 63 planes fit (pair-banding wants 32-bit codes). */
+    * up to 63 planes fit (pair-banding wants 32-bit codes). Native
+    * fused-loop expression ([[graft.plans.HyperplaneCode]],
+    * whole-stage codegen); bit-identical to [[bucketCodeBuiltin]]. */
   def bucketCode(v: Column, ps: Seq[Seq[Int]]): Column =
+    graft.plans.HyperplaneCode(v, ps)
+
+  /** Composed-HOF reference formulation of [[bucketCode]] — kept for
+    * the bitwise cross-check in LshSpec (HOFs are interpreted; the
+    * native expression exists because this form pays per-element
+    * closure dispatch × nPlanes). */
+  def bucketCodeBuiltin(v: Column, ps: Seq[Seq[Int]]): Column =
     ps.zipWithIndex.map { case (w, p) =>
       when(dotLit(v, w) >= 0.0d, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
