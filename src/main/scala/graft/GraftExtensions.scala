@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.Lsh
+import graft.plans.{CosineSimilarity, HyperplaneCode, TopKByScore}
+
+/** SQL-surface registration: injects the native graft expressions
+  * into the session catalog so pure-SQL users get them too —
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or spark.sql.extensions=graft.GraftExtensions
+  * spark.sql("SELECT cosine_sim(a.embedding, b.embedding) ...")
+  * spark.sql("SELECT qid, top_k_by_score(sim, vec_id, 5) ... GROUP BY qid")
+  * spark.sql("SELECT hyperplane_code(embedding, 32, 64) AS bucket ...")
+  * }}}
+  *
+  * This is the reference's "plain SQL next to the search functions"
+  * usage (reference: README.md "Direct SQL Queries", db/init.sql
+  * CREATE FUNCTION search_similar_*) made first-class in Spark SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim(vec, vec)")
+        CosineSimilarity(args(0), args(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
+      (args: Seq[Expression]) => args match {
+        case Seq(score, id, Literal(k: Int, _)) => TopKByScore(score, id, k)
+        case _ => throw new IllegalArgumentException(
+          "top_k_by_score(score, id, k) with literal k")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_code"),
+      new ExpressionInfo(classOf[HyperplaneCode].getName, "hyperplane_code"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, Literal(n: Int, _), Literal(d: Int, _)) =>
+          HyperplaneCode(v, Lsh.planes(n, d).flatten.toArray, d)
+        case _ => throw new IllegalArgumentException(
+          "hyperplane_code(vec, nPlanes, dim) with literal nPlanes/dim")
+      }))
+  }
+}
