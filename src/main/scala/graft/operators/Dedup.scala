@@ -128,14 +128,11 @@ object Dedup extends graft.QueryGroup {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         explode(tokenSet(col("text"))).as("token"))
-    // transform over the hash's own char array: the lambda references
-    // only its argument, so md5 evaluates ONCE per token — an outer
-    // `md5(token)` inside the lambda would be re-evaluated per bit
-    // position (32 md5 calls per token, measured ~4s of the query).
+    // Native expression computing the ±1 vector straight from the
+    // digest bytes (one md5 per token, no hex string, no interpreted
+    // transform); bit-identical to the hex-char-parity formulation.
     val contrib = toks.select(col("doc_id"), col("source"),
-      transform(slice(split(md5(col("token")), ""), 1, SimHashBits),
-        ch => ascii(ch) % 2 * 2 - 1)
-        .as("cv"))
+      graft.plans.Md5SignBitsExpr(col("token")).as("cv"))
     contrib.groupBy(col("doc_id"), col("source"))
       .agg(graft.plans.ElementwiseSum(col("cv"), SimHashBits).as("sw"))
       .select(col("doc_id"), col("source"),

@@ -33,6 +33,18 @@ class LshSpec extends SparkSuite {
     assert(gen === interp)
   }
 
+  test("md5_sign_bits == hex-char-parity formulation on real tokens") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokenSet(col("text")))
+        .as("t"))
+    val cmp = toks.select(
+      graft.plans.Md5SignBitsExpr(col("t")).as("native"),
+      transform(slice(split(md5(col("t")), ""), 1, 32),
+        ch => ascii(ch) % 2 * 2 - 1).as("composed"))
+    assert(cmp.where(col("native") =!= col("composed")).count() === 0)
+    assert(cmp.count() > 0)
+  }
+
   test("null vector → null code") {
     import spark.implicits._
     val df = Seq(Option.empty[Array[Double]]).toDF("v")
