@@ -21,8 +21,13 @@ object MinHash {
 
   val NumHashes = 16
 
-  /** 60-bit base hash of a string column. */
-  def hash60(c: Column): Column =
+  /** 60-bit base hash of a string column (native digest-byte
+    * expression; bit-identical to [[hash60Builtin]]). */
+  def hash60(c: Column): Column = graft.plans.Md5Prefix60Expr(c)
+
+  /** Composed-builtin reference formulation (hex render + conv parse)
+    * — kept for the bitwise cross-check in LshSpec. */
+  def hash60Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** DuckDB twin of [[hash60]] over expression `e`. */

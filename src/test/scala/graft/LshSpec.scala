@@ -45,6 +45,16 @@ class LshSpec extends SparkSuite {
     assert(cmp.count() > 0)
   }
 
+  test("md5_prefix60 == conv(substring(md5)) formulation on real tokens") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokenSet(col("text")))
+        .as("t"))
+    val cmp = toks.select(
+      graft.functions.MinHash.hash60(col("t")).as("native"),
+      graft.functions.MinHash.hash60Builtin(col("t")).as("composed"))
+    assert(cmp.where(col("native") =!= col("composed")).count() === 0)
+  }
+
   test("null vector → null code") {
     import spark.implicits._
     val df = Seq(Option.empty[Array[Double]]).toDF("v")
