@@ -48,4 +48,16 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
       .withColumn("embedding", col("embedding").cast("array<double>"))
+
+  /** Register every table as a temp view so the pure-SQL surface
+    * (the reference's "Direct SQL Queries" usage, plus the functions
+    * injected by [[GraftExtensions]]) can query the schema by name:
+    * `spark.sql("SELECT … FROM documents JOIN embeddings …")`. */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach(t => table(s, d, t).createOrReplaceTempView(t))
+    events(s, d).createOrReplaceTempView("events")
+    documents(s, d).createOrReplaceTempView("documents")
+    embeddings(s, d).createOrReplaceTempView("embeddings")
+  }
 }
