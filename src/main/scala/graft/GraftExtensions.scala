@@ -47,7 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneCode].getName, "hyperplane_code"),
       (args: Seq[Expression]) => args match {
         case Seq(v, Literal(n: Int, _), Literal(d: Int, _)) =>
-          HyperplaneCode(v, Lsh.planes(n, d).flatten.toArray, d)
+          HyperplaneCode(v, Lsh.planes(n, d).flatten.toIndexedSeq, d)
         case _ => throw new IllegalArgumentException(
           "hyperplane_code(vec, nPlanes, dim) with literal nPlanes/dim")
       }))

@@ -134,8 +134,9 @@ object Multimodal extends graft.QueryGroup {
         |                        ELSE 0 END) AS h
         |  FROM documents)
         |SELECT source, count(*) AS n,
-        |       sum(n_bytes) AS total_bytes,
-        |       sum(w) AS sum_w, sum(h) AS sum_h
+        |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |       CAST(sum(w) AS BIGINT) AS sum_w,
+        |       CAST(sum(h) AS BIGINT) AS sum_h
         |FROM m GROUP BY source ORDER BY source ASC""".stripMargin,
     "q_multimodal_meta" ->
       """WITH p AS (SELECT doc_id, source, upper(hex(encode(text))) AS hx

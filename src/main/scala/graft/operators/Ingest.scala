@@ -93,7 +93,7 @@ object Ingest extends graft.QueryGroup {
     "q_doc_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT lang) AS n_langs,
-        |       sum(n_chars) AS total_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       min(n_chars) AS min_chars,
         |       max(n_chars) AS max_chars,
         |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars

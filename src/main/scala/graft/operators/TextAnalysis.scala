@@ -187,7 +187,8 @@ object TextAnalysis extends graft.QueryGroup {
         |           AS bpe
         |  FROM documents)
         |SELECT source, count(*) AS n_docs,
-        |       sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+        |       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
         |       max(ws) AS max_ws,
         |       round(CAST(sum(ws) AS DOUBLE) / count(*), 6) AS avg_ws
         |FROM t GROUP BY source ORDER BY source ASC""".stripMargin,

@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -34,6 +35,14 @@ case class ElementwiseSum(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // Fail non-int-array input at analysis time (getInt on an
+  // array<bigint> would silently read garbage bytes at execution).
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"elementwise_sum expects array<int>, got ${other.catalogString}")
+  }
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](len)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
@@ -42,7 +51,10 @@ case class ElementwiseSum(
       val arr = v.asInstanceOf[ArrayData]
       val n = math.min(len, arr.numElements())
       var j = 0
-      while (j < n) { buf(j) += arr.getInt(j); j += 1 }
+      while (j < n) {
+        if (!arr.isNullAt(j)) buf(j) += arr.getInt(j)
+        j += 1
+      }
     }
     buf
   }

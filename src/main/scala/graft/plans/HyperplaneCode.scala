@@ -24,12 +24,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * product fold as the composed form, so results are bit-identical
   * (asserted in LshSpec) and the DuckDB oracle SQL is unchanged.
   */
-case class HyperplaneCode(child: Expression, planes: Array[Int], dim: Int)
+case class HyperplaneCode(child: Expression, planes: IndexedSeq[Int], dim: Int)
     extends UnaryExpression {
 
+  // IndexedSeq (not Array) so case-class equality is structural:
+  // two identical codes built independently (corpus and probe sides)
+  // are semanticEquals and canonicalize/CSE together.
   private val nPlanes: Int = planes.length / dim
   require(planes.length == nPlanes * dim && nPlanes >= 1 && nPlanes <= 63,
     "planes must be nPlanes×dim with 1..63 planes")
+
+  // Flat primitive matrix for the hot loop / codegen reference object.
+  @transient private lazy val planeArr: Array[Int] = planes.toArray
 
   override def dataType: DataType = LongType
 
@@ -48,7 +54,7 @@ case class HyperplaneCode(child: Expression, planes: Array[Int], dim: Int)
       var dot = 0.0d
       val off = p * dim
       var i = 0
-      while (i < n) { dot += v.getDouble(i) * planes(off + i); i += 1 }
+      while (i < n) { dot += v.getDouble(i) * planeArr(off + i); i += 1 }
       if (dot >= 0.0d) code |= 1L << p
       p += 1
     }
@@ -57,7 +63,7 @@ case class HyperplaneCode(child: Expression, planes: Array[Int], dim: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val w = ctx.addReferenceObj("planes", planes, "int[]")
+      val w = ctx.addReferenceObj("planes", planeArr, "int[]")
       val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
@@ -89,6 +95,6 @@ object HyperplaneCode {
   def apply(v: Column, ps: Seq[Seq[Int]]): Column = {
     val dim = ps.head.length
     GraftBridge.column(
-      HyperplaneCode(GraftBridge.expression(v), ps.flatten.toArray, dim))
+      HyperplaneCode(GraftBridge.expression(v), ps.flatten.toIndexedSeq, dim))
   }
 }

@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -87,6 +88,17 @@ case class TopKByScore(
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("score", DoubleType, nullable = false))))
+
+  // The SQL surface (top_k_by_score via GraftExtensions) exposes this
+  // to arbitrary columns — fail misuse at analysis time, not with a
+  // runtime ClassCastException in update().
+  override def checkInputDataTypes(): TypeCheckResult =
+    (scoreExpr.dataType, idExpr.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"top_k_by_score expects (double, bigint), got " +
+          s"(${s.catalogString}, ${i.catalogString})")
+    }
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 

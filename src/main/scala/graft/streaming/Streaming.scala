@@ -139,9 +139,13 @@ object Streaming extends graft.QueryGroup {
           }
           if (open != null) {
             state.update(open)
-            // Finite replay (AvailableNow): the trailing session is
-            // final — emit it. An unbounded deployment would instead
-            // register an event-time timeout here.
+            // Emit the trailing open session too. If the replay spans
+            // several micro-batches this row may be partial, but a
+            // later batch re-emits the SAME (user_id, sess_idx) with
+            // monotonically larger n/dur and the same start, so the
+            // max-rollup below reconstructs the final row exactly —
+            // no single-micro-batch assumption. An unbounded
+            // deployment would use an event-time timeout instead.
             out += SessOut(uid, open.idx, open.n, open.start,
               open.last - open.start)
           }
@@ -149,7 +153,14 @@ object Streaming extends graft.QueryGroup {
       }
 
     runToCompletion(sessions.toDF(), "graft_stream_sessionize", "append")
+    // Idempotent sink read: later emissions of a session supersede
+    // earlier partials (same key + start, larger n_events/dur_us), so
+    // max() per (user_id, sess_idx) is exact under any batch split.
     s.table("graft_stream_sessionize")
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(max(col("n_events")).as("n_events"),
+        min(col("start_us")).as("start_us"),
+        max(col("dur_us")).as("dur_us"))
       .select(col("user_id"), col("sess_idx"), col("n_events"),
         col("start_us"), col("dur_us"))
       .orderBy(col("user_id").asc, col("sess_idx").asc)

@@ -55,6 +55,18 @@ def main():
             print(f"  ✗ {name}: ERROR {str(e)[:200]}")
             n_fail += 1
             continue
+        # The driver's fetch path renders DuckDB HUGEINT (int128, the
+        # default sum() result for integer inputs) as float64 → hash
+        # mismatch even when values agree. Flag it locally via
+        # DESCRIBE (cursor description only says NUMBER).
+        desc = con.execute(f"DESCRIBE ({oracle[name]})").fetchall()
+        huge = [c for c, t in [(d[0], d[1]) for d in desc]
+                if "HUGEINT" in t.upper() or "INT128" in t.upper()]
+        if huge:
+            print(f"  ✗ {name}: oracle emits HUGEINT column(s) {huge} — "
+                  f"CAST(... AS BIGINT) in the oracle SQL")
+            n_fail += 1
+            continue
         ok_schema = sorted(gcols) == sorted(wcols)
         ok_rows = len(grows) == len(wrows)
         ok_hash = ok_schema and ok_rows and \
