@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.Lsh
-import graft.plans.{CosineSimilarity, HyperplaneCode, TopKByScore}
+import graft.plans.{CosineSimilarity, HyperplaneCode, TopKByScore, TrigramSim}
 
 /** SQL-surface registration: injects the native graft expressions
   * into the session catalog so pure-SQL users get them too —
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim(vec, vec)")
         CosineSimilarity(args(0), args(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("trigram_sim"),
+      new ExpressionInfo(classOf[TrigramSim].getName, "trigram_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "trigram_sim(string, string)")
+        TrigramSim(args(0), args(1))
       }))
 
     ext.injectFunction((

@@ -48,8 +48,17 @@ object TextFunctions {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
-  /** pg_trgm-style similarity between two strings. */
-  def trigramSim(a: Column, b: Column): Column = jaccard(trigrams(a), trigrams(b))
+  /** pg_trgm-style similarity between two strings — native fused
+    * kernel ([[graft.plans.TrigramSim]], whole-stage codegen);
+    * bit-identical to [[trigramSimBuiltin]]. */
+  def trigramSim(a: Column, b: Column): Column = graft.plans.TrigramSim(a, b)
+
+  /** Composed-HOF reference formulation of [[trigramSim]] — kept for
+    * the bitwise cross-check in TrigramSimSpec (the HOF tree is
+    * interpreted and allocates several arrays per row; the native
+    * expression exists for the hot paths). */
+  def trigramSimBuiltin(a: Column, b: Column): Column =
+    jaccard(trigrams(a), trigrams(b))
 
   /** Distinct word n-gram shingle set (n >= 2). Built by zipping the
     * token array with its shifted selves — higher-order functions are

@@ -125,9 +125,14 @@ object Lexical extends graft.QueryGroup {
       .select(col("doc_id"), col("name"),
         trigramSim(col("name"), lit(trigramQuery)).as("sim"), lit(3).as("tier"))
       .orderBy(col("sim").desc, col("doc_id").asc).limit(k)
+    // min(tier) over the ≤3k-row union as a global window: one pass
+    // over the tier lists (an agg+join formulation recomputes all
+    // three tier scans for the second consumer of u).
     val u = t1.unionAll(t2).unionAll(t3)
-    val best = u.agg(min(col("tier")).as("best"))
-    u.join(broadcast(best), col("tier") === col("best"))
+    u.withColumn("best",
+        min(col("tier")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .where(col("tier") === col("best"))
       .select(col("doc_id"), col("name"), round(col("sim"), 6).as("sim"),
         col("tier"))
       .orderBy(col("sim").desc, col("doc_id").asc)

@@ -62,9 +62,13 @@ object Rerank extends graft.QueryGroup {
 
   /** Reciprocal-rank fusion across three search modalities (vector
     * cosine, name trigram, levenshtein) — search_all_sources with RRF
-    * instead of raw-score mixing. Each list is cut to k rows BEFORE
-    * ranking, so the ranking windows see fixed-k inputs (never the
-    * corpus); the fusion join is over ≤ 3k rows. */
+    * instead of raw-score mixing. Each list is a scale-safe top-k cut
+    * (TakeOrderedAndProject); the three ≤k-row lists are then UNIONED
+    * with a modality tag, ranked by ONE tiny window (ascending sort
+    * key = raw score for ascending modalities, negated otherwise) and
+    * pivoted back to rank columns by a single ≤3k-row hash-agg — two
+    * small shuffles total where a full_outer-join formulation pays
+    * two un-broadcastable join shuffles. */
   def fusion(s: SparkSession, dir: String, k: Int = 20,
       finalK: Int = 10): DataFrame = {
     val rrfK = 60
@@ -73,31 +77,40 @@ object Rerank extends graft.QueryGroup {
     val names = Tables.documents(s, dir)
       .select(col("doc_id"), docName(col("text")).as("name"))
 
-    // Each list: deterministic top-k cut, then rank the k survivors.
-    def ranked(scored: DataFrame, asc: Boolean): DataFrame = {
+    // Each list: deterministic top-k cut, tagged with its modality;
+    // sk is ascending-sorted in the shared ranking window (negation
+    // flips descending modalities; ties stay on doc_id either way).
+    def cut(scored: DataFrame, asc: Boolean, m: String): DataFrame = {
       val ord = if (asc) Seq(col("s").asc, col("doc_id").asc)
         else Seq(col("s").desc, col("doc_id").asc)
       scored.orderBy(ord: _*).limit(k)
-        .withColumn("r", row_number().over(Window.orderBy(ord: _*)))
-        .select(col("doc_id"), col("r"))
+        .select(col("doc_id"),
+          (if (asc) col("s") else -col("s")).as("sk"), lit(m).as("m"))
     }
-    val vec = ranked(e.where(col("vec_id") =!= 0).crossJoin(broadcast(qvec))
+    val vec = cut(e.where(col("vec_id") =!= 0).crossJoin(broadcast(qvec))
       .select(col("vec_id").as("doc_id"),
-        cosineSim(col("embedding"), col("qvec")).as("s")), asc = false)
-    val tri = ranked(names
+        cosineSim(col("embedding"), col("qvec")).as("s")),
+      asc = false, "vec")
+    val tri = cut(names
       .select(col("doc_id"),
         trigramSim(col("name"), lit(Lexical.trigramQuery)).as("s")),
-      asc = false)
-    val lev = ranked(names
+      asc = false, "tri")
+    val lev = cut(names
       .select(col("doc_id"),
         levenshtein(col("name"), lit(Lexical.trigramQuery))
-          .cast("double").as("s")), asc = true)
+          .cast("double").as("s")), asc = true, "lev")
+
+    val ranked = vec.unionAll(tri).unionAll(lev)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("m"))
+          .orderBy(col("sk").asc, col("doc_id").asc)))
 
     def rrf(r: org.apache.spark.sql.Column) =
       coalesce(lit(1.0d) / (lit(rrfK) + r), lit(0.0d))
-    vec.withColumnRenamed("r", "r_vec")
-      .join(tri.withColumnRenamed("r", "r_tri"), Seq("doc_id"), "full_outer")
-      .join(lev.withColumnRenamed("r", "r_lev"), Seq("doc_id"), "full_outer")
+    ranked.groupBy(col("doc_id"))
+      .agg(min(when(col("m") === "vec", col("r"))).as("r_vec"),
+        min(when(col("m") === "tri", col("r"))).as("r_tri"),
+        min(when(col("m") === "lev", col("r"))).as("r_lev"))
       .select(col("doc_id"), col("r_vec"), col("r_tri"), col("r_lev"),
         (rrf(col("r_vec")) + rrf(col("r_tri")) + rrf(col("r_lev"))).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id").asc)

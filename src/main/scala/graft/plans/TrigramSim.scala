@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared trigram-set kernel: distinct character 3-grams of the
+  * lowercased string, each packed into one long (3 × 16-bit UTF-16
+  * units), returned sorted — so set intersection is a two-pointer
+  * merge with zero per-row boxing.
+  */
+object TrigramSimUtil {
+
+  /** Sorted distinct packed trigrams of lower(s). */
+  def trigrams(s: UTF8String): Array[Long] = {
+    val str = s.toLowerCase.toString
+    val n = str.length
+    if (n < 3) return Array.emptyLongArray
+    val out = new Array[Long](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      out(i) = (str.charAt(i).toLong << 32) |
+        (str.charAt(i + 1).toLong << 16) | str.charAt(i + 2).toLong
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var m = 0
+    var j = 0
+    while (j < out.length) {
+      if (m == 0 || out(j) != out(m - 1)) { out(m) = out(j); m += 1 }
+      j += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** |T(a) ∩ T(b)| / |T(a) ∪ T(b)|; 0.0 when both sets are empty.
+    * Counts are exact ints, so the double division is bit-identical
+    * to the composed `size(intersect)/size(union)` form. */
+  def sim(a: UTF8String, b: UTF8String): Double = {
+    val ta = trigrams(a)
+    val tb = trigrams(b)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < ta.length && j < tb.length) {
+      if (ta(i) == tb(j)) { inter += 1; i += 1; j += 1 }
+      else if (ta(i) < tb(j)) i += 1
+      else j += 1
+    }
+    val union = ta.length + tb.length - inter
+    if (union == 0) 0.0d else inter.toDouble / union.toDouble
+  }
+}
+
+/** Native pg_trgm-style trigram-set similarity between two string
+  * columns (reference: db/search_strategies.py:96-124
+  * `similarity(card_name, q)`, db/init.sql:31 gin_trgm_ops).
+  *
+  * The composed form (`jaccard(trigrams(a), trigrams(b))` in
+  * TextFunctions) is a ~10-node tree of higher-order functions —
+  * char split, two zip_with shifts, array_distinct/intersect/union —
+  * all interpreted, allocating several string arrays per row. This
+  * expression runs one packed-long kernel per row and stays inside
+  * whole-stage codegen (static call, no closure dispatch). Results
+  * are bit-identical to the composed form (asserted in
+  * TrigramSimSpec): same distinct-3-gram sets over the lowercased
+  * string, same int counts, same double division.
+  */
+case class TrigramSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"trigram_sim expects (string, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TrigramSimUtil.sim(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.TrigramSimUtil.sim($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TrigramSim =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "trigram_sim"
+}
+
+object TrigramSim {
+  /** Column-facing constructor: `trigramSim($"name", lit(q))`. */
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(
+      TrigramSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** The native TrigramSim expression must agree BITWISE with the
+  * composed HOF form it replaces, in both codegen and interpreted
+  * modes, over real corpus names and adversarial edge strings.
+  */
+class TrigramSimSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val edge = Seq(
+    "", "a", "ab", "abc", "AbAbab", "aaaa", "   ", "a b c d",
+    "hello", "HELLO", "lightning bolt", "lightning balt",
+    "key agg row scna slow fa", "xyzxyzxyz", "zzz zzz zzz")
+
+  test("native trigramSim == composed form on edge strings (both orders)") {
+    val pairs = for (a <- edge; b <- edge) yield (a, b)
+    val df = pairs.toDF("a", "b")
+      .select(trigramSim($"a", $"b").as("nat"),
+        trigramSimBuiltin($"a", $"b").as("ref"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} composed=${r.getDouble(1)}")
+    }
+  }
+
+  test("native trigramSim == composed form over corpus names") {
+    val names = Tables.documents(spark, sfDir)
+      .select(docName(col("text")).as("name"))
+    val q = "key agg row scna slow fa"
+    val df = names.select(trigramSim(col("name"), lit(q)).as("nat"),
+      trigramSimBuiltin(col("name"), lit(q)).as("ref"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("interpreted eval matches codegen") {
+    val pairs = edge.map(a => (a, "lightning bolt"))
+    val on = pairs.toDF("a", "b")
+      .select(trigramSim($"a", $"b")).collect().map(_.getDouble(0))
+    val off = withCodegenOff {
+      pairs.toDF("a", "b")
+        .select(trigramSim($"a", $"b")).collect().map(_.getDouble(0))
+    }
+    assert(on.toSeq === off.toSeq)
+  }
+
+  test("null propagates") {
+    val df = Seq((Option("abc"), Option.empty[String]))
+      .toDF("a", "b").select(trigramSim($"a", $"b"))
+    assert(df.head().isNullAt(0))
+  }
+}
