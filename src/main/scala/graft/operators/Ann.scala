@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Lsh
 import graft.functions.VectorFunctions._
+import graft.plans.NearestCell
 
 /** Approximate-nearest-neighbor scale path — what replaces the
   * reference's HNSW index (reference: db/init.sql:50-52) when the
@@ -64,55 +65,72 @@ object Ann extends graft.QueryGroup {
   /** IVF search for query vec_id=0: deterministic coarse quantizer
     * (md5-ordered 16-seed sample, one exact Lloyd step), assign all
     * vectors to nearest centroid, probe the 2 cells nearest the
-    * query, exact-cosine rank their members. */
+    * query, exact-cosine rank their members.
+    *
+    * Both Lloyd assignment passes are MAP-ONLY: the centroid table is
+    * collapsed to a single broadcast array row and each vector picks
+    * its cell with the fused native argmin
+    * [[graft.plans.NearestCell]] — no corpus shuffle anywhere. (The
+    * round-2 formulation crossJoined the centroids then
+    * `groupBy(vec_id).agg(min(struct(d,cid)))`, shuffling the whole
+    * corpus, embeddings included, through a 16×-amplified exchange —
+    * twice.) The only aggregation that remains is the centroid-mean
+    * build: one narrow shuffle of (cid, long[Dim]) rows via the
+    * bounded [[graft.plans.ElementwiseSum]] — 16 cells × 64 longs,
+    * constant-size regardless of corpus size. */
   def ivfSearch(s: SparkSession, dir: String, id: Long = 0L,
       k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
 
     // Deterministic pseudo-random seed sample (both engines sort the
     // same md5 strings) — driver-bounded the way a KMeans sample is.
+    // TakeOrdered: partition-local top-16, tiny driver merge.
     val seeds = e
       .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
       .limit(IvfCells)
-      .select(col("vec_id").as("sid"), col("embedding").as("svec"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
 
-    // Lloyd iteration 0: nearest seed per vector. Broadcast-join +
-    // argmin via min(struct(dist, sid)) — map-side combine collapses
-    // the 16 candidate rows before the narrow (vec_id) shuffle.
-    val a0 = e.crossJoin(broadcast(seeds))
+    // One broadcast array row of (cid, cvec) structs, sorted for
+    // deterministic iteration (argmin itself is order-independent:
+    // ties break to the smaller cid).
+    def asArray(c: DataFrame): DataFrame =
+      c.agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
+        .as("cents"))
+
+    // Lloyd iteration 0: nearest seed per vector — map-only.
+    val a0 = e.crossJoin(broadcast(asArray(seeds)))
       .select(col("vec_id"), col("embedding"),
-        struct(dist2Builtin(col("embedding"), col("svec")).as("d"),
-          col("sid").as("cid")).as("dc"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("dc")).as("dc"), first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("dc.cid").as("cid"))
+        NearestCell(col("embedding"), col("cents")).as("cid"))
 
     // Exact per-dimension centroid means in fixed-point micro-units —
     // order-independent (a raw double sum would flake the oracle).
+    // ElementwiseSum: bounded per-cell state, map-side combine, ONE
+    // narrow shuffle (vs the round-2 posexplode → 64× row
+    // amplification through two shuffles).
     val cent = a0
-      .select(col("cid"), posexplode(col("embedding")))
-      .groupBy(col("cid"), col("pos"))
-      .agg(sum(round(col("col") * 1e6).cast("long")).as("m"),
-        count(lit(1)).as("n"))
-      .select(col("cid"), col("pos"),
-        (col("m").cast("double") / col("n") / 1e6).as("c"))
+      .select(col("cid"),
+        transform(col("embedding"),
+          x => round(x * 1e6).cast("int")).as("mi"))
       .groupBy(col("cid"))
-      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
-        x => x.getField("c")).as("cvec"))
+      .agg(graft.plans.ElementwiseSum(col("mi"), Dim).as("ms"),
+        count(lit(1)).as("n"))
+      .select(col("cid"),
+        transform(col("ms"),
+          m => m.cast("double") / col("n") / lit(1e6)).as("cvec"))
 
-    // Lloyd iteration 1 = final cell assignment.
-    val a1 = e.crossJoin(broadcast(cent))
+    val centArr = broadcast(asArray(cent))
+
+    // Lloyd iteration 1 = final cell assignment — map-only again.
+    val a1 = e.crossJoin(centArr)
       .select(col("vec_id"), col("embedding"),
-        struct(dist2Builtin(col("embedding"), col("cvec")).as("d"),
-          col("cid").as("cell")).as("dc"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("dc")).as("dc"), first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("embedding"), col("dc.cell").as("cell"))
+        NearestCell(col("embedding"), col("cents")).as("cell"))
 
-    // Probe: the NProbe cells nearest the query vector.
-    val qcells = e.where(col("vec_id") === id).crossJoin(broadcast(cent))
-      .select(col("cid").as("cell"), col("embedding").as("qvec"),
-        dist2Builtin(col("embedding"), col("cvec")).as("qd"))
+    // Probe: the NProbe cells nearest the query vector (1 row × 16
+    // cells — trivially small).
+    val qcells = e.where(col("vec_id") === id).crossJoin(centArr)
+      .select(col("embedding").as("qvec"), explode(col("cents")).as("c"))
+      .select(col("c.cid").as("cell"), col("qvec"),
+        dist2Builtin(col("qvec"), col("c.cvec")).as("qd"))
       .orderBy(col("qd").asc, col("cell").asc)
       .limit(NProbe)
       .select(col("cell"), col("qvec"))

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.plans.NearestCell
+
+/** The native NearestCell argmin must agree with the composed
+  * crossJoin + min(struct(dist2, cid)) formulation it replaced (the
+  * formulation the DuckDB oracle still runs), in both codegen and
+  * interpreted modes, including the cid tie-break.
+  */
+class NearestCellSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def centsDf(cs: Seq[(Long, Seq[Double])]) =
+    cs.toDF("cid", "cvec")
+      .agg(sort_array(collect_list(struct($"cid", $"cvec"))).as("cents"))
+
+  test("native argmin == composed min(struct(dist2,cid)) on real vectors") {
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val seeds = e
+      .orderBy(md5($"vec_id".cast("string")).asc, $"vec_id".asc).limit(16)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+
+    val native = e.crossJoin(broadcast(
+        seeds.agg(sort_array(collect_list(struct($"cid", $"cvec")))
+          .as("cents"))))
+      .select($"vec_id", NearestCell($"embedding", $"cents").as("cid"))
+
+    val composed = e.crossJoin(broadcast(seeds))
+      .select($"vec_id",
+        struct(dist2Builtin($"embedding", $"cvec").as("d"), $"cid").as("dc"))
+      .groupBy($"vec_id").agg(min($"dc").as("dc"))
+      .select($"vec_id", $"dc.cid".as("cid"))
+
+    val mismatches = native.alias("n")
+      .join(composed.alias("c"), Seq("vec_id"))
+      .where(col("n.cid") =!= col("c.cid"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("equidistant centroids tie-break to the smaller cid") {
+    val cents = centsDf(Seq(
+      (7L, Seq(1.0, 0.0)), (3L, Seq(-1.0, 0.0)), (9L, Seq(1.0, 0.0))))
+    val r = Seq(Seq(0.0, 5.0)).toDF("v").crossJoin(cents)
+      .select(NearestCell($"v", $"cents")).head()
+    assert(r.getLong(0) === 3L) // dist ties across all three; min cid wins
+  }
+
+  test("interpreted eval matches codegen") {
+    val vs = Seq(Seq(0.1, 0.2), Seq(-0.5, 0.25), Seq(0.0, 0.0))
+    val cents = centsDf(Seq((1L, Seq(0.0, 0.25)), (2L, Seq(0.1, 0.19))))
+    def run() = vs.toDF("v").crossJoin(cents)
+      .select(NearestCell($"v", $"cents")).collect().map(_.getLong(0)).toSeq
+    val on = run()
+    val off = withCodegenOff(run())
+    assert(on === off)
+  }
+
+  test("empty centroid array yields null") {
+    val cents = Seq.empty[(Long, Seq[Double])]
+      .toDF("cid", "cvec")
+      .agg(collect_list(struct($"cid", $"cvec")).as("cents"))
+    val r = Seq(Seq(1.0)).toDF("v").crossJoin(cents)
+      .select(NearestCell($"v", $"cents")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("wrong input types fail at analysis time") {
+    val df = Seq((Seq(1, 2), Seq(1.0))).toDF("ints", "doubles")
+    val ex = intercept[AnalysisException] {
+      df.select(NearestCell($"ints", $"doubles")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("nearest_cell"))
+  }
+}
