@@ -17,6 +17,8 @@ object SparkEntry {
     Lexical,
     Dedup,
     Relational,
+    Temporal,
+    Curation,
     TextAnalysis,
     Ingest,
     Rerank,

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.MinHash
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators — the selection/weighting passes a
+  * training-data pipeline runs between dedup and training:
+  * deterministic stratified sampling, quality-score distribution
+  * audits, and TF-IDF term salience. The reference's corpus is
+  * hand-curated (30k cards); at 100 TB these replace the human.
+  *
+  * Scale design:
+  *  - Sampling is HASH-deterministic (keep iff h(doc_id) mod 100 <
+  *    rate(stratum)) — a map-only filter, reproducible across runs
+  *    and engines, no sort, no rand(). Rates vary per stratum the
+  *    way a real pipeline downweights over-represented sources.
+  *  - The quality histogram is a map-side agg on 10 bounded bucket
+  *    keys — the scale-safe alternative to exact global deciles
+  *    (which need a total sort; at 100 TB you bucket on fixed
+  *    boundaries or approx-quantile, never ntile the corpus).
+  *  - TF-IDF: tf aggregates on (doc_id, term) and df on term — both
+  *    uniform-ish keys with map-side combine absorbing stopword
+  *    skew; the tf⋈df join is keyed on term. The final top-k window
+  *    partitions on doc_id (unbounded cardinality — no skew).
+  */
+object Curation extends graft.QueryGroup {
+
+  /** Per-stratum sample rates: source srcN keeps (N mod 4 + 1)×10 %
+    * of its docs. */
+  private def rateCol: Column =
+    (pmod(substring(col("source"), 4, 10).cast("int"), lit(4)) + 1) * 10
+
+  private def keepCol: Column =
+    pmod(MinHash.hash60(concat(lit("smp:"), col("doc_id").cast("string"))),
+      lit(100L)) < rateCol.cast("long")
+
+  /** Deterministic stratified sample audit: per source, the configured
+    * rate, totals, kept count, and realized fraction. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), rateCol.as("rate"),
+        when(keepCol, 1L).otherwise(0L).as("kept"))
+      .groupBy(col("source"), col("rate"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .select(col("source"), col("rate").cast("int").as("rate"),
+        col("n_total"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_total"), 6)
+          .as("realized"))
+      .orderBy(col("source").asc)
+
+  /** Unrounded composite quality score (the formula of
+    * TextAnalysis.qualityScore) for bucketing. */
+  private def qCol: Column =
+    size(array_distinct(col("toks"))).cast("double") /
+      size(col("toks")) *
+      least(lit(1.0d), size(col("toks")).cast("double") / 40.0d)
+
+  /** Fixed-boundary quality-score histogram over the corpus: bucket
+    * = min(9, floor(q·10)), count + min/avg/max per bucket. */
+  def qualityHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(tokens(col("text")).as("toks"))
+      .select(qCol.as("q"))
+      .select(least(lit(9L), floor(col("q") * 10)).as("bucket"), col("q"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("q")), 6).as("min_q"),
+        round(sum(round(col("q") * 1e6).cast("long")).cast("double") /
+          count(lit(1)) / 1e6, 6).as("avg_q"),
+        round(max(col("q")), 6).as("max_q"))
+      .orderBy(col("bucket").asc)
+
+  private val TfidfDocs = 20
+  private val TopTerms = 3
+
+  /** Top-3 TF-IDF terms for the first 20 docs; df/idf computed over
+    * the WHOLE corpus (restricting the output docs must not change
+    * their scores). */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("nd"))
+    val scored = tf.where(col("doc_id") < TfidfDocs)
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          log(col("nd").cast("double") / col("df").cast("double")))
+          .as("score"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)))
+      .where(col("rk") <= TopTerms)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id").asc, col("rk").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
+    "q_quality_hist" -> ((s, d) => qualityHistogram(s, d)),
+    "q_tfidf" -> ((s, d) => tfidfTopTerms(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sample_stratified" -> {
+      val h = MinHash.hash60Sql("'smp:' || CAST(doc_id AS VARCHAR)")
+      """WITH d AS (
+        |  SELECT source,
+        |         (CAST(substr(source, 4) AS INTEGER) % 4 + 1) * 10 AS rate,
+        |         CASE WHEN HASH60 % 100 < (CAST(substr(source, 4) AS INTEGER)
+        |                                   % 4 + 1) * 10
+        |              THEN 1 ELSE 0 END AS kept
+        |  FROM documents)
+        |SELECT source, rate, count(*) AS n_total,
+        |       CAST(sum(kept) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(kept) AS DOUBLE) / count(*), 6) AS realized
+        |FROM d GROUP BY source, rate ORDER BY source ASC""".stripMargin
+        .replace("HASH60", h)
+    },
+    "q_quality_hist" ->
+      """WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) *
+        |             least(1.0, CAST(len(toks) AS DOUBLE) / 40.0) AS q
+        |      FROM t),
+        |b AS (SELECT least(9, CAST(floor(q * 10) AS BIGINT)) AS bucket, q
+        |      FROM q)
+        |SELECT bucket, count(*) AS n_docs,
+        |       round(min(q), 6) AS min_q,
+        |       round(CAST(sum(CAST(round(q * 1e6) AS BIGINT)) AS DOUBLE)
+        |             / count(*) / 1e6, 6) AS avg_q,
+        |       round(max(q), 6) AS max_q
+        |FROM b GROUP BY bucket ORDER BY bucket ASC""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+         |              FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, term FROM toks)
+         |       GROUP BY term),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |              CAST(tf.tf AS DOUBLE) *
+         |                ln(CAST(nd.nd AS DOUBLE) / CAST(df.df AS DOUBLE))
+         |                AS score
+         |       FROM tf JOIN df USING (term), nd
+         |       WHERE tf.doc_id < $TfidfDocs),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |               ORDER BY score DESC, term ASC) AS rk
+         |      FROM sc)
+         |SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf,
+         |       CAST(df AS BIGINT) AS df, round(score, 6) AS score
+         |FROM r WHERE rk <= $TopTerms
+         |ORDER BY doc_id ASC, rk ASC""".stripMargin,
+  )
+}

@@ -45,6 +45,7 @@ object Dedup extends graft.QueryGroup {
   val SimHashBands = 4 // 8 bits each
   val EmbPlanes = 32
   val EmbBands = 4 // 8 bits each
+  val ClusterJac = 0.9 // verified-edge threshold for clustering
 
   /** Exact dedup stats per source: docs, distinct contents, dupes
     * (hash-groupBy; at 100 TB identical plan, keys never skew). */
@@ -117,6 +118,58 @@ object Dedup extends graft.QueryGroup {
     val sh = docs.select(col("doc_id"), wordShingles(col("text"), 2).as("fs"))
     val feats = sh.select(col("doc_id"), explode(col("fs")).as("f"))
     jaccardVerify(bandCandidates(signature(feats)), sh, topN)
+  }
+
+  /** Near-duplicate cluster canonicalization — the pass that turns
+    * pairwise near-dup evidence into one canonical winner per
+    * cluster: fixed TWO-SWEEP min-label propagation over the MinHash
+    * band STAR edges (each sweep: every doc takes the min label among
+    * itself and its neighbors). Two sweeps resolve the star topology
+    * the band buckets produce; a 100 TB run iterates the identical
+    * sweep to fixpoint (alternating large-star/small-star), each
+    * sweep being one equi-join + one min-agg — both on uniformly
+    * distributed doc ids, no skew, no driver state. Deterministic:
+    * labels are min doc_ids, independent of execution order. */
+  def dedupClusters(s: SparkSession, dir: String, topN: Int = 30): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val feats = docs.select(col("doc_id"), explode(tokenSet(col("text"))).as("f"))
+    val sets = docs.select(col("doc_id"), tokenSet(col("text")).as("fs"))
+    // Edges are VERIFIED near-dups (Jaccard ≥ ClusterJac), not raw
+    // band collisions — candidates that fail the verify must not
+    // glue unrelated clusters together.
+    val ed = bandCandidates(signature(feats))
+      .join(sets.select(col("doc_id").as("did_a"), col("fs").as("fs_a")),
+        Seq("did_a"))
+      .join(sets.select(col("doc_id").as("did_b"), col("fs").as("fs_b")),
+        Seq("did_b"))
+      .where(jaccard(col("fs_a"), col("fs_b")) >= ClusterJac)
+      .select(col("did_a"), col("did_b"))
+    // Symmetrize via explode, not self-union — a union would clone
+    // the whole candidate+verify subtree into the plan twice.
+    val und = ed.select(explode(array(
+        struct(col("did_a").as("a"), col("did_b").as("b")),
+        struct(col("did_b").as("a"), col("did_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    // Propagate ONLY over the edge-induced subgraph: docs with no
+    // verified neighbor keep their own label through every sweep
+    // (min over {self} = self), so the singleton majority never
+    // enters the iteration loop — at 100 TB the sweeps shuffle
+    // O(edges), not O(corpus).
+    val l0 = und.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lab"))
+    def sweep(lab: DataFrame): DataFrame =
+      und.join(lab.select(col("doc_id").as("b"), col("lab")), Seq("b"))
+        .select(col("a").as("doc_id"), col("lab"))
+        .unionAll(lab)
+        .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
+    docs.select(col("doc_id"))
+      .join(sweep(sweep(l0)), Seq("doc_id"), "left")
+      .select(coalesce(col("lab"), col("doc_id")).as("lab"))
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("lab").as("cluster_id"), col("n_members"))
+      .orderBy(col("n_members").desc, col("cluster_id").asc)
+      .limit(topN)
   }
 
   /** 32-bit SimHash: bit p of token t = ascii(md5(t)[p]) % 2; doc bit
@@ -200,6 +253,7 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_simhash" -> ((s, d) => simhashPairs(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q_dedup_embedding" -> ((s, d) => embeddingNearDup(s, d)),
+    "q_dedup_cluster" -> ((s, d) => dedupClusters(s, d)),
   )
 
   // ---- oracle SQL (mirrors the candidate generation exactly) ----
@@ -211,11 +265,11 @@ object Dedup extends graft.QueryGroup {
       s"CAST(h${2 * b + 1} AS VARCHAR) AS bk FROM sig")
     .mkString(" UNION ALL ")
 
-  /** Shared candidate+verify oracle skeleton over a `sets(doc_id,
-    * fs)` CTE: base-hash → xor-min signature → band keys → bucket
-    * join → Jaccard verify → top-N. */
-  private def minhashOracle(setsCte: String, topN: Int): String =
-    s"""WITH $setsCte,
+  /** Candidate-generation CTE chain over a `sets(doc_id, fs)` CTE:
+    * base-hash → xor-min signature → band keys → bucket STAR join
+    * ending in `cand(did_a, did_b)`. */
+  private def candidateCtes(setsCte: String): String =
+    s"""$setsCte,
        |feats AS (SELECT doc_id, unnest(fs) AS f FROM sets),
        |base AS (SELECT doc_id, ${MinHash.hash60Sql("f")} AS base FROM feats),
        |sig AS (SELECT doc_id, $sigSelect FROM base GROUP BY doc_id),
@@ -223,7 +277,12 @@ object Dedup extends graft.QueryGroup {
        |reps AS (SELECT bk, min(doc_id) AS rep FROM bands GROUP BY bk),
        |cand AS (SELECT DISTINCT r.rep AS did_a, b.doc_id AS did_b
        |         FROM bands b JOIN reps r USING (bk)
-       |         WHERE b.doc_id <> r.rep),
+       |         WHERE b.doc_id <> r.rep)""".stripMargin
+
+  /** Shared candidate+verify oracle skeleton: candidates → Jaccard
+    * verify → top-N. */
+  private def minhashOracle(setsCte: String, topN: Int): String =
+    s"""WITH ${candidateCtes(setsCte)},
        |v AS (SELECT c.did_a, c.did_b,
        |             CASE WHEN len(list_distinct(sa.fs || sb.fs)) = 0 THEN 0.0
        |                  ELSE len(list_intersect(sa.fs, sb.fs))
@@ -251,6 +310,34 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_minhash" -> minhashOracle(
       """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs
         |         FROM documents)""".stripMargin, 20),
+    "q_dedup_cluster" -> {
+      val cand = candidateCtes(
+        """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs
+          |         FROM documents)""".stripMargin)
+      s"""WITH $cand,
+         |ed AS (SELECT c.did_a, c.did_b
+         |       FROM cand c JOIN sets sa ON c.did_a = sa.doc_id
+         |                   JOIN sets sb ON c.did_b = sb.doc_id
+         |       WHERE CASE WHEN len(list_distinct(sa.fs || sb.fs)) = 0
+         |                  THEN 0.0
+         |                  ELSE len(list_intersect(sa.fs, sb.fs))
+         |                       / len(list_distinct(sa.fs || sb.fs))
+         |             END >= $ClusterJac),
+         |und AS (SELECT did_a AS a, did_b AS b FROM ed
+         |        UNION ALL SELECT did_b AS a, did_a AS b FROM ed),
+         |l0 AS (SELECT doc_id, doc_id AS lab FROM documents),
+         |l1 AS (SELECT doc_id, min(lab) AS lab FROM (
+         |         SELECT u.a AS doc_id, l.lab FROM und u JOIN l0 l
+         |           ON u.b = l.doc_id
+         |         UNION ALL SELECT doc_id, lab FROM l0) GROUP BY doc_id),
+         |l2 AS (SELECT doc_id, min(lab) AS lab FROM (
+         |         SELECT u.a AS doc_id, l.lab FROM und u JOIN l1 l
+         |           ON u.b = l.doc_id
+         |         UNION ALL SELECT doc_id, lab FROM l1) GROUP BY doc_id)
+         |SELECT lab AS cluster_id, count(*) AS n_members
+         |FROM l2 GROUP BY lab
+         |ORDER BY n_members DESC, cluster_id ASC LIMIT 30""".stripMargin
+    },
     "q_dedup_ngram_jaccard" -> minhashOracle(
       """d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
         |sets AS (SELECT doc_id,

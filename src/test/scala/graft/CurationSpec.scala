@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup}
+
+/** Invariants of the curation operators: hash-sampling determinism,
+  * histogram completeness, TF-IDF ranking shape, cluster label
+  * properties.
+  */
+class CurationSpec extends SparkSuite {
+
+  test("stratified sample is deterministic and rate-configured") {
+    val a = Curation.sampleStratified(spark, sfDir).collect()
+    val b = Curation.sampleStratified(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      val (src, rate, total, kept) =
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))
+      val n = src.stripPrefix("src").toInt
+      assert(rate === (n % 4 + 1) * 10, src)
+      assert(kept >= 0 && kept <= total)
+    }
+  }
+
+  test("quality histogram covers every document exactly once") {
+    val total = Tables.documents(spark, sfDir).count()
+    val hist = Curation.qualityHistogram(spark, sfDir).collect()
+    assert(hist.map(_.getLong(1)).sum === total)
+    hist.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 9)
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-9) // min_q <= avg_q
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-9) // avg_q <= max_q
+    }
+  }
+
+  test("tfidf emits at most 3 ranked terms per doc, scores descending") {
+    val rows = Curation.tfidfTopTerms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(5)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      assert(sorted.length <= 3)
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) => assert(hi._3 >= lo._3 - 1e-9)
+        case _ =>
+      }
+    }
+  }
+
+  test("cluster sizes are positive, ordered, and bounded by the corpus") {
+    val total = Tables.documents(spark, sfDir).count()
+    val cl = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cl.map(_._2).sum <= total)
+    assert(cl.forall(_._2 >= 1))
+    cl.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      case _ =>
+    }
+  }
+}
