@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.Lsh
-import graft.plans.{CosineSimilarity, HyperplaneCode, TopKByScore, TrigramSim}
+import graft.plans.{CosineSimilarity, HyperplaneCode, NearestCell, TopKByScore, TrigramSim}
 
 /** SQL-surface registration: injects the native graft expressions
   * into the session catalog so pure-SQL users get them too —
@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "trigram_sim(string, string)")
         TrigramSim(args(0), args(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "nearest_cell(vec, cents)")
+        NearestCell(args(0), args(1))
       }))
 
     ext.injectFunction((

@@ -78,8 +78,16 @@ object Ann extends graft.QueryGroup {
     * build: one narrow shuffle of (cid, long[Dim]) rows via the
     * bounded [[graft.plans.ElementwiseSum]] — 16 cells × 64 longs,
     * constant-size regardless of corpus size. */
-  def ivfSearch(s: SparkSession, dir: String, id: Long = 0L,
-      k: Int = 10): DataFrame = {
+  /** One broadcast array row of (cid, cvec) structs, sorted for
+    * deterministic iteration (argmin itself is order-independent:
+    * ties break to the smaller cid). */
+  private def asArray(c: DataFrame): DataFrame =
+    c.agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
+      .as("cents"))
+
+  /** Deterministic coarse-quantizer centroids (cid, cvec):
+    * md5-ordered seed sample + one exact Lloyd step. */
+  def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
 
     // Deterministic pseudo-random seed sample (both engines sort the
@@ -89,13 +97,6 @@ object Ann extends graft.QueryGroup {
       .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
       .limit(IvfCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-
-    // One broadcast array row of (cid, cvec) structs, sorted for
-    // deterministic iteration (argmin itself is order-independent:
-    // ties break to the smaller cid).
-    def asArray(c: DataFrame): DataFrame =
-      c.agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
-        .as("cents"))
 
     // Lloyd iteration 0: nearest seed per vector — map-only.
     val a0 = e.crossJoin(broadcast(asArray(seeds)))
@@ -107,8 +108,7 @@ object Ann extends graft.QueryGroup {
     // ElementwiseSum: bounded per-cell state, map-side combine, ONE
     // narrow shuffle (vs the round-2 posexplode → 64× row
     // amplification through two shuffles).
-    val cent = a0
-      .select(col("cid"),
+    a0.select(col("cid"),
         transform(col("embedding"),
           x => round(x * 1e6).cast("int")).as("mi"))
       .groupBy(col("cid"))
@@ -117,8 +117,12 @@ object Ann extends graft.QueryGroup {
       .select(col("cid"),
         transform(col("ms"),
           m => m.cast("double") / col("n") / lit(1e6)).as("cvec"))
+  }
 
-    val centArr = broadcast(asArray(cent))
+  def ivfSearch(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val centArr = broadcast(asArray(ivfCentroids(s, dir)))
 
     // Lloyd iteration 1 = final cell assignment — map-only again.
     val a1 = e.crossJoin(centArr)
@@ -176,6 +180,50 @@ object Ann extends graft.QueryGroup {
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("bucket"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Materialize the IVF index: centroids to `out`/centroids, the
+    * corpus cell-assigned and written PARTITIONED BY cell to
+    * `out`/data. The 100 TB one-off index build; probes after it are
+    * partition-pruned reads of nprobe directories. */
+  def writeIvfIndex(s: SparkSession, dir: String, out: String): Unit = {
+    val cent = ivfCentroids(s, dir)
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
+    val centArr = broadcast(asArray(s.read.parquet(s"$out/centroids")))
+    Tables.embeddings(s, dir)
+      .crossJoin(centArr)
+      .select(col("vec_id"), col("embedding"),
+        NearestCell(col("embedding"), col("cents")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/data")
+  }
+
+  /** Probe the materialized IVF index for query vec_id=`id`: rank the
+    * NProbe nearest cells from the tiny centroid table, then read
+    * ONLY those cell directories (partition pruning) and exact-cosine
+    * rank their members. Results equal [[ivfSearch]] exactly. */
+  def probeIvfIndex(s: SparkSession, dir: String, indexPath: String,
+      id: Long = 0L, k: Int = 10): DataFrame = {
+    val centArr =
+      broadcast(asArray(s.read.parquet(s"$indexPath/centroids")))
+    val qcells = Tables.embeddings(s, dir).where(col("vec_id") === id)
+      .crossJoin(centArr)
+      .select(col("embedding").as("qvec"), explode(col("cents")).as("c"))
+      .select(col("c.cid").as("cell"), col("qvec"),
+        dist2Builtin(col("qvec"), col("c.cvec")).as("qd"))
+      .orderBy(col("qd").asc, col("cell").asc)
+      .limit(NProbe)
+      .select(col("cell"), col("qvec"))
+    s.read.parquet(s"$indexPath/data")
+      .join(broadcast(qcells), Seq("cell"))
+      .where(col("vec_id") =!= id)
+      .select(col("vec_id"), col("cell"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      // partition-column type inference may narrow cell to int; cast
+      // back so the schema matches ivfSearch exactly
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        round(col("sim"), 6).as("sim"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

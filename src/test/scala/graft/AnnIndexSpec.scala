@@ -40,4 +40,29 @@ class AnnIndexSpec extends SparkSuite {
       new Directory(new java.io.File(out)).deleteRecursively()
     }
   }
+
+  test("IVF index probe is partition-pruned and equals the unmaterialized search") {
+    val out = Files.createTempDirectory("graft_ivf_index").toString
+    try {
+      Ann.writeIvfIndex(spark, sfDir, out)
+
+      val probe = Ann.probeIvfIndex(spark, sfDir, out)
+      val p = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("PartitionFilters"), s"expected partition pruning:\n$p")
+
+      val one = spark.read.parquet(s"$out/data").where(col("cell") === 3)
+      val p1 = one.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p1.contains("PartitionFilters") && p1.contains("cell"),
+        s"expected cell partition filter:\n$p1")
+
+      val viaIndex = probe.collect().toSeq
+      val direct = Ann.ivfSearch(spark, sfDir).collect().toSeq
+      assert(viaIndex === direct)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
 }

@@ -36,6 +36,25 @@ class ExtensionsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(1) === expect(r.getInt(0))))
   }
 
+  test("trigram_sim resolves in SQL and matches the Column API") {
+    val r = spark.sql("SELECT trigram_sim('lightning bolt', 'lightning balt')")
+      .head().getDouble(0)
+    val c = Seq(("lightning bolt", "lightning balt")).toDF("a", "b")
+      .select(graft.functions.TextFunctions.trigramSim(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(r) ===
+      java.lang.Double.doubleToLongBits(c))
+  }
+
+  test("nearest_cell resolves in SQL and matches the Column API") {
+    val r = spark.sql(
+      """SELECT nearest_cell(array(0.9d, 0.1d),
+        |  array(struct(CAST(1 AS BIGINT) AS cid, array(1.0d, 0.0d) AS cvec),
+        |        struct(CAST(2 AS BIGINT) AS cid, array(0.0d, 1.0d) AS cvec)))
+        |""".stripMargin).head().getLong(0)
+    assert(r === 1L)
+  }
+
   test("hyperplane_code in SQL matches the Column API") {
     Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_ext2")
     val viaSql = spark.sql(
