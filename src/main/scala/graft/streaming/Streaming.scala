@@ -166,10 +166,96 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("user_id").asc, col("sess_idx").asc)
   }
 
+  /** Streaming as-of state/rows. `matched_us = -1` encodes "no prior
+    * purchase yet"; matches only ever improve (matched_us is
+    * monotonically non-decreasing per click), which is what makes
+    * the sink read reconcilable. */
+  final case class AsofEvent(user_id: Long, event_id: Long, us: Long,
+      side: Int)
+  final case class AsofOut(event_id: Long, user_id: Long, us: Long,
+      matched_us: Long, matched_id: Long, lag_us: Long)
+  final case class AsofState(purchases: Seq[(Long, Long)],
+      clicks: Seq[(Long, Long)], emitted: Map[Long, Long])
+
+  /** Streaming point-in-time (as-of) join — the online-feature-store
+    * twin of [[graft.operators.Temporal.asofJoin]]: for every click,
+    * the most recent purchase by the same user at-or-before it.
+    *
+    * State per user holds the purchase/click history and the
+    * last-emitted match per click; every batch re-resolves the
+    * clicks against the full purchase set and re-emits ONLY rows
+    * whose match improved. A match can only improve (a late
+    * purchase either lands between the current match and the click,
+    * raising matched_us, or is irrelevant), so the sink read's
+    * max(struct(matched_us, …)) rollup reconstructs the final answer
+    * under ANY micro-batch split or arrival order — no
+    * single-micro-batch assumption.
+    *
+    * Scale design: a production deployment prunes both lists at the
+    * watermark (purchases older than the horizon collapse to the
+    * single best-so-far entry per click horizon; resolved clicks
+    * drop once the watermark passes their timestamp), giving O(open
+    * horizon) state per user. The finite AvailableNow replay here
+    * skips the pruning so the result stays exact under arbitrary
+    * disorder — the resolution logic is identical either way. */
+  def streamAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = eventsStream(s, dir)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("side"))
+      .as[AsofEvent]
+
+    val matched = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[AsofState]) =>
+          val st = state.getOption
+            .getOrElse(AsofState(Nil, Nil, Map.empty))
+          val batch = evs.toSeq
+          val purchases =
+            (st.purchases ++ batch.filter(_.side == 0)
+              .map(e => (e.us, e.event_id))).sortBy(identity)
+          val clicks = st.clicks ++ batch.filter(_.side == 1)
+            .map(e => (e.us, e.event_id))
+          val out = Seq.newBuilder[AsofOut]
+          var emitted = st.emitted
+          for ((cus, cid) <- clicks) {
+            // Best = max (us, id) among purchases with us <= click us;
+            // purchases is sorted, so it's the last qualifying entry.
+            val i = purchases.lastIndexWhere(_._1 <= cus)
+            val (bus, bid) =
+              if (i < 0) (-1L, -1L) else purchases(i)
+            if (!emitted.get(cid).contains(bus)) {
+              out += AsofOut(cid, uid, cus, bus, bid,
+                if (i < 0) -1L else cus - bus)
+              emitted += (cid -> bus)
+            }
+          }
+          state.update(AsofState(purchases, clicks, emitted))
+          out.result().iterator
+      }
+
+    runToCompletion(matched.toDF(), "graft_stream_asof", "append")
+    // Idempotent sink read: matches only improve, so the row with the
+    // max matched_us per click is the final one; -1 decodes to null.
+    s.table("graft_stream_asof")
+      .groupBy(col("event_id"), col("user_id"), col("us"))
+      .agg(max(struct(col("matched_us"), col("matched_id"), col("lag_us")))
+        .as("m"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        when(col("m.matched_us") < 0, lit(null).cast("long"))
+          .otherwise(col("m.matched_id")).as("matched_id"),
+        when(col("m.matched_us") < 0, lit(null).cast("long"))
+          .otherwise(col("m.lag_us")).as("lag_us"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> ((s, d) => streamWindow(s, d)),
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
+    "q_stream_asof" -> ((s, d) => streamAsof(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,6 +273,20 @@ object Streaming extends graft.QueryGroup {
         |SELECT event_type, count(*) AS n_keys,
         |       count(DISTINCT user_id) AS n_users
         |FROM d GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    // Exactly the batch q_asof_join semantics (Temporal group) — the
+    // gate proves the stateful resolver equals the LATERAL top-1.
+    "q_stream_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.us,
+        |       m.mid AS matched_id, l.us - m.mus AS lag_us
+        |FROM l LEFT JOIN LATERAL (
+        |  SELECT r.event_id AS mid, r.us AS mus FROM r
+        |  WHERE r.user_id = l.user_id AND r.us <= l.us
+        |  ORDER BY r.us DESC, r.event_id DESC LIMIT 1) m ON TRUE
+        |ORDER BY l.event_id ASC""".stripMargin,
     // Exactly the batch q_sessionize semantics (Relational group) —
     // the gate proves the stateful operator equals the batch windows.
     "q_stream_sessionize" ->

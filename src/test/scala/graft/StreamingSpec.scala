@@ -22,6 +22,14 @@ class StreamingSpec extends SparkSuite {
     assert(streamRows === batchRows)
   }
 
+  test("q_stream_asof (stateful point-in-time resolver) == batch as-of join") {
+    val streamRows = Streaming.streamAsof(spark, sfDir).collect().toSeq
+    val batchRows = graft.operators.Temporal.asofJoin(spark, sfDir)
+      .collect().toSeq
+    assert(streamRows.nonEmpty)
+    assert(streamRows === batchRows)
+  }
+
   test("q_stream_dedup == batch distinct rollup") {
     import org.apache.spark.sql.functions._
     val streamRows = Streaming.streamDedup(spark, sfDir).collect().toSeq
