@@ -106,10 +106,59 @@ object Curation extends graft.QueryGroup {
       .orderBy(col("doc_id").asc, col("rk").asc)
   }
 
+  private val PackBudget = 512L
+
+  /** Sequence packing: documents filled sequentially (per source, in
+    * doc_id order) into fixed token-budget training bins; a doc's bin
+    * is its starting token offset DIV budget. Per-bin doc counts,
+    * token totals, and doc-id spans. The window partitions on source
+    * (unbounded cardinality at 100 TB — shards pack independently),
+    * and everything after the one running-sum window is a map-side
+    * agg on (source, bin). */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("tk"))
+      .withColumn("cum", sum(col("tk")).over(w))
+      .withColumn("bin", expr(s"(cum - tk) DIV $PackBudget"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source").asc, col("bin").asc)
+  }
+
+  private val ContamTestDocs = 10
+  private val ContamMinShared = 2
+
+  /** Benchmark-contamination scan: corpus docs sharing ≥ 2 distinct
+    * word-trigram shingles with any doc of the "benchmark" set
+    * (doc_id < 10 stands in for an eval set). The benchmark shingle
+    * set is the broadcast side — at 100 TB the corpus streams
+    * through a broadcast hash join keyed on shingle and the
+    * per-(doc, test) counts partial-aggregate map-side. (A
+    * production run would also drop stop-shingles above a document
+    * frequency cap to bound hot keys.) */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sng"))
+    val test = sh.where(col("doc_id") < ContamTestDocs)
+      .select(col("doc_id").as("test_id"), col("sng"))
+    sh.where(col("doc_id") >= ContamTestDocs)
+      .join(broadcast(test), Seq("sng"))
+      .groupBy(col("doc_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= ContamMinShared)
+      .orderBy(col("n_shared").desc, col("doc_id").asc, col("test_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "q_quality_hist" -> ((s, d) => qualityHistogram(s, d)),
     "q_tfidf" -> ((s, d) => tfidfTopTerms(s, d)),
+    "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "q_contamination" -> ((s, d) => contamination(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,6 +190,38 @@ object Curation extends graft.QueryGroup {
         |             / count(*) / 1e6, 6) AS avg_q,
         |       round(max(q), 6) AS max_q
         |FROM b GROUP BY bucket ORDER BY bucket ASC""".stripMargin,
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source, len(str_split(text, ' ')) AS tk
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, tk,
+         |             CAST(sum(tk) OVER (PARTITION BY source
+         |               ORDER BY doc_id ASC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |               AS BIGINT) AS cum
+         |      FROM t),
+         |b AS (SELECT source, (cum - tk) // $PackBudget AS bin, doc_id, tk
+         |      FROM c)
+         |SELECT source, bin, count(*) AS n_docs,
+         |       CAST(sum(tk) AS BIGINT) AS bin_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM b GROUP BY source, bin ORDER BY source ASC, bin ASC""".stripMargin,
+    "q_contamination" ->
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |              unnest(list_distinct(
+         |                CASE WHEN len(t) < 3 THEN []
+         |                     ELSE [t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+         |                           for i in generate_series(1, len(t) - 2)]
+         |                END)) AS sng
+         |       FROM d),
+         |test AS (SELECT doc_id AS test_id, sng FROM sh
+         |         WHERE doc_id < $ContamTestDocs),
+         |corp AS (SELECT doc_id, sng FROM sh WHERE doc_id >= $ContamTestDocs)
+         |SELECT corp.doc_id, test.test_id, count(*) AS n_shared
+         |FROM corp JOIN test USING (sng)
+         |GROUP BY corp.doc_id, test.test_id
+         |HAVING count(*) >= $ContamMinShared
+         |ORDER BY n_shared DESC, doc_id ASC, test_id ASC""".stripMargin,
     "q_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term
          |              FROM documents),

@@ -48,6 +48,31 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("sequence packing partitions every doc into exactly one bin") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val toksTotal = docs
+      .select(size(split(col("text"), " ")).cast("long").as("tk"))
+      .agg(sum(col("tk"))).head().getLong(0)
+    val bins = Curation.packSequences(spark, sfDir).collect()
+    assert(bins.map(_.getLong(2)).sum === total) // n_docs sums to corpus
+    assert(bins.map(_.getLong(3)).sum === toksTotal) // tokens conserved
+    // Within a source, bins are contiguous doc-id ranges.
+    bins.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4))
+        case _ =>
+      }
+    }
+  }
+
+  test("contamination pairs share at least the threshold of shingles") {
+    val rows = Curation.contamination(spark, sfDir).collect()
+    assert(rows.forall(_.getLong(2) >= 2))
+    assert(rows.forall(r => r.getLong(0) >= 10 && r.getLong(1) < 10))
+  }
+
   test("cluster sizes are positive, ordered, and bounded by the corpus") {
     val total = Tables.documents(spark, sfDir).count()
     val cl = Dedup.dedupClusters(spark, sfDir).collect()
