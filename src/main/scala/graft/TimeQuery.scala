@@ -20,6 +20,9 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val q = SparkEntry.queries(name)
+    if (sys.env.contains("GRAFT_EXPLAIN")) {
+      println(q(spark, dir).queryExecution.executedPlan.toString)
+    }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = q(spark, dir).collect().length

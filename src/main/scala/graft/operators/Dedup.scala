@@ -145,11 +145,17 @@ object Dedup extends graft.QueryGroup {
       .where(jaccard(col("fs_a"), col("fs_b")) >= ClusterJac)
       .select(col("did_a"), col("did_b"))
     // Symmetrize via explode, not self-union — a union would clone
-    // the whole candidate+verify subtree into the plan twice.
+    // the whole candidate+verify subtree into the plan twice. Then
+    // MATERIALIZE the edge set (eager localCheckpoint): each sweep
+    // references its input twice, so without a lineage cut the
+    // candidate chain re-executes ~2^sweeps times (the plan audit
+    // showed 29 parquet scans) — the standard checkpoint-per-
+    // iteration pattern of every iterative graph algorithm on Spark.
     val und = ed.select(explode(array(
         struct(col("did_a").as("a"), col("did_b").as("b")),
         struct(col("did_b").as("a"), col("did_a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+      .localCheckpoint()
     // Propagate ONLY over the edge-induced subgraph: docs with no
     // verified neighbor keep their own label through every sweep
     // (min over {self} = self), so the singleton majority never
@@ -162,6 +168,7 @@ object Dedup extends graft.QueryGroup {
         .select(col("a").as("doc_id"), col("lab"))
         .unionAll(lab)
         .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
     docs.select(col("doc_id"))
       .join(sweep(sweep(l0)), Seq("doc_id"), "left")
       .select(coalesce(col("lab"), col("doc_id")).as("lab"))
