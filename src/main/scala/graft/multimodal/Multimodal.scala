@@ -72,6 +72,23 @@ object Multimodal extends graft.QueryGroup {
         md5(col("chunk_hx")).as("chunk_md5"))
       .orderBy(col("doc_id").asc, col("chunk_idx").asc)
 
+  val FrameStride = 4
+
+  /** Frame sampling: every FrameStride-th chunk (the keyframe-
+    * every-N shape of video pipelines), rolled into a per-doc
+    * order-sensitive sample fingerprint. Map-only until one hash-agg
+    * on doc_id. */
+  def multimodalFramesample(s: SparkSession, dir: String): DataFrame =
+    multimodalChunk(s, dir)
+      .where(col("chunk_idx") % FrameStride === 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("chunk_idx"),
+            col("chunk_md5")))), x => x.getField("chunk_md5")), ":"))
+          .as("frames_fp"))
+      .orderBy(col("doc_id").asc)
+
   /** Decoded-media metadata (deterministic STUB). */
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, codec: String)
@@ -121,6 +138,7 @@ object Multimodal extends graft.QueryGroup {
     "q_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
     "q_multimodal_chunk" -> ((s, d) => multimodalChunk(s, d)),
     "q_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
+    "q_multimodal_framesample" -> ((s, d) => multimodalFramesample(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -153,6 +171,24 @@ object Multimodal extends graft.QueryGroup {
         |            WHEN magic IN ('4949', '4D4D') THEN 'tiff'
         |            ELSE 'raw' END AS format
         |FROM m ORDER BY doc_id ASC""".stripMargin,
+    "q_multimodal_framesample" ->
+      s"""WITH p AS (SELECT doc_id, upper(hex(encode(text))) AS hx
+         |           FROM documents),
+         |n AS (SELECT doc_id, hx,
+         |             CAST(ceil(length(hx) / ${2 * ChunkBytes}.0) AS INT)
+         |               AS n_chunks
+         |      FROM p),
+         |c AS (SELECT doc_id, hx, unnest(generate_series(0, n_chunks - 1))
+         |               AS chunk_idx
+         |      FROM n),
+         |h AS (SELECT doc_id, chunk_idx,
+         |             md5(substr(hx, chunk_idx * ${2 * ChunkBytes} + 1,
+         |                        ${2 * ChunkBytes})) AS chunk_md5
+         |      FROM c WHERE chunk_idx % $FrameStride = 0)
+         |SELECT doc_id, count(*) AS n_frames,
+         |       md5(string_agg(chunk_md5, ':' ORDER BY chunk_idx))
+         |         AS frames_fp
+         |FROM h GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin,
     "q_multimodal_chunk" ->
       s"""WITH p AS (SELECT doc_id, upper(hex(encode(text))) AS hx
          |           FROM documents),

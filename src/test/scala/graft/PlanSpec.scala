@@ -110,4 +110,25 @@ class PlanSpec extends SparkSuite {
       assert(p.contains("cosine_sim"), s"expected native cosine:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q_contamination: benchmark side broadcast, no cartesian") {
+    val p = plan(Curation.contamination(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_pack_sequences: one running-sum window, no joins") {
+    val p = plan(Curation.packSequences(spark, sfDir))
+    assert(p.split("Window").length - 1 === 1,
+      s"expected exactly one window:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_ann_ivf: Lloyd assignments are map-only (no corpus shuffle into an agg keyed by vec_id)") {
+    val p = plan(Ann.ivfSearch(spark, sfDir))
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"assignment must not shuffle the corpus on vec_id:\n$p")
+    assert(p.contains("nearest_cell"), "expected the fused argmin kernel")
+  }
 }
