@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.Lsh
-import graft.plans.{CosineSimilarity, HyperplaneCode, NearestCell, TopKByScore, TrigramSim}
+import graft.plans.{CosineSimilarity, HyperplaneCode, NearestCell, TopKByScore, TopKWindowRewrite, TrigramSim}
 
 /** SQL-surface registration: injects the native graft expressions
   * into the session catalog so pure-SQL users get them too —
@@ -25,6 +25,11 @@ import graft.plans.{CosineSimilarity, HyperplaneCode, NearestCell, TopKByScore, 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Plan rewrite: row_number()-window top-N-per-group → bounded
+    // TopKRows aggregate (see TopKWindowRewrite). Disable with
+    // spark.sql.optimizer.excludedRules=graft.plans.TopKWindowRewrite.
+    ext.injectOptimizerRule(_ => TopKWindowRewrite)
+
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

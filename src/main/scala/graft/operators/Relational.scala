@@ -100,6 +100,26 @@ object Relational extends graft.QueryGroup {
         (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("o_orderpriority").asc, col("rnk").asc)
 
+  /** Top-N per group written the NATURAL way — a row_number window +
+    * rank filter. The [[graft.plans.TopKWindowRewrite]] optimizer
+    * rule (GraftExtensions) replaces the full-shuffle window with the
+    * bounded [[graft.plans.TopKRows]] aggregate at plan time
+    * (PlanSpec asserts no Window survives), so the declarative
+    * formulation and the hand-tuned [[topNGroup]] execute the same
+    * scale-safe plan. */
+  def topNWindow(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .where(col("rnk") <= k)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("rnk"))
+      .orderBy(col("o_orderpriority").asc, col("rnk").asc)
+  }
+
   /** Hierarchical ROLLUP (region → nation) over customer account
     * balances: grand total, per-region, per-nation rows. */
   def rollupAgg(s: SparkSession, dir: String): DataFrame =
@@ -186,6 +206,7 @@ object Relational extends graft.QueryGroup {
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
     "q_join_agg" -> ((s, d) => joinAgg(s, d)),
     "q_top_n_group" -> ((s, d) => topNGroup(s, d)),
+    "q_top_n_window" -> ((s, d) => topNWindow(s, d)),
     "q_rollup" -> ((s, d) => rollupAgg(s, d)),
     "q_window_running" -> ((s, d) => windowRunning(s, d)),
     "q_semi_anti" -> ((s, d) => semiAnti(s, d)),
@@ -242,6 +263,17 @@ object Relational extends graft.QueryGroup {
         |  FROM orders)
         |SELECT o_orderpriority, o_orderkey,
         |       round(o_totalprice, 2) AS o_totalprice, rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY o_orderpriority ASC, rnk ASC""".stripMargin,
+    "q_top_n_window" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 3
         |ORDER BY o_orderpriority ASC, rnk ASC""".stripMargin,
     "q_rollup" ->
