@@ -120,6 +120,29 @@ object Dedup extends graft.QueryGroup {
     jaccardVerify(bandCandidates(signature(feats)), sh, topN)
   }
 
+  /** Containment near-dup: |A ∩ B| / min(|A|, |B|) over unigram
+    * token sets on the MinHash star candidates — the asymmetric
+    * measure that catches a short doc embedded in a long one, which
+    * Jaccard dilutes (|A∩B|/|A∪B| → small when |B| ≫ |A|). Same
+    * LSH-bounded candidate plan as [[minhashLsh]]; only the verify
+    * formula differs. */
+  def containment(s: SparkSession, dir: String, topN: Int = 30): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val feats = docs.select(col("doc_id"), explode(tokenSet(col("text"))).as("f"))
+    val sets = docs.select(col("doc_id"), tokenSet(col("text")).as("fs"))
+    bandCandidates(signature(feats))
+      .join(sets.select(col("doc_id").as("did_a"), col("fs").as("fs_a")),
+        Seq("did_a"))
+      .join(sets.select(col("doc_id").as("did_b"), col("fs").as("fs_b")),
+        Seq("did_b"))
+      .select(col("did_a"), col("did_b"),
+        (size(array_intersect(col("fs_a"), col("fs_b"))).cast("double") /
+          least(size(col("fs_a")), size(col("fs_b")))).as("cont"))
+      .orderBy(col("cont").desc, col("did_a").asc, col("did_b").asc)
+      .limit(topN)
+      .select(col("did_a"), col("did_b"), round(col("cont"), 6).as("cont"))
+  }
+
   /** Near-duplicate cluster canonicalization — the pass that turns
     * pairwise near-dup evidence into one canonical winner per
     * cluster: fixed TWO-SWEEP min-label propagation over the MinHash
@@ -261,6 +284,7 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q_dedup_embedding" -> ((s, d) => embeddingNearDup(s, d)),
     "q_dedup_cluster" -> ((s, d) => dedupClusters(s, d)),
+    "q_dedup_containment" -> ((s, d) => containment(s, d)),
   )
 
   // ---- oracle SQL (mirrors the candidate generation exactly) ----
@@ -317,6 +341,19 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_minhash" -> minhashOracle(
       """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs
         |         FROM documents)""".stripMargin, 20),
+    "q_dedup_containment" -> {
+      val cand = candidateCtes(
+        """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs
+          |         FROM documents)""".stripMargin)
+      s"""WITH $cand,
+         |v AS (SELECT c.did_a, c.did_b,
+         |             len(list_intersect(sa.fs, sb.fs))
+         |               / least(len(sa.fs), len(sb.fs)) AS cont
+         |      FROM cand c JOIN sets sa ON c.did_a = sa.doc_id
+         |                  JOIN sets sb ON c.did_b = sb.doc_id)
+         |SELECT did_a, did_b, round(cont, 6) AS cont FROM v
+         |ORDER BY cont DESC, did_a ASC, did_b ASC LIMIT 30""".stripMargin
+    },
     "q_dedup_cluster" -> {
       val cand = candidateCtes(
         """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs

@@ -133,6 +133,19 @@ object Relational extends graft.QueryGroup {
         round(sum(dec2(col("c_acctbal"))).cast("double"), 2).as("sum_bal"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
 
+  /** Full CUBE (market segment × order priority) over order counts
+    * and totals — the grouping-sets completeness twin of [[rollupAgg]]
+    * (same broadcast-dim + hash-agg plan; the cube expansion is
+    * map-side). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(dec2(col("o_totalprice"))).cast("double"), 2).as("sum_price"))
+      .orderBy(col("c_mktsegment").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Running sum + inter-event gap per user over event time; the
     * window partitions on user_id (cardinality grows with data).
     * Running value accumulates in exact micro-units — an ordered
@@ -208,6 +221,7 @@ object Relational extends graft.QueryGroup {
     "q_top_n_group" -> ((s, d) => topNGroup(s, d)),
     "q_top_n_window" -> ((s, d) => topNWindow(s, d)),
     "q_rollup" -> ((s, d) => rollupAgg(s, d)),
+    "q_cube" -> ((s, d) => cubeAgg(s, d)),
     "q_window_running" -> ((s, d) => windowRunning(s, d)),
     "q_semi_anti" -> ((s, d) => semiAnti(s, d)),
     "q_events_bucket" -> ((s, d) => eventsBucket(s, d)),
@@ -285,6 +299,14 @@ object Relational extends graft.QueryGroup {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE),
+        |             2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY c_mktsegment ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_window_running" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,
