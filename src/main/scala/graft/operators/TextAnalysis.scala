@@ -58,9 +58,16 @@ object TextAnalysis extends graft.QueryGroup {
     * ratio, stopword ratio, mean word length, and a composite score.
     * All ratios derive from exact integer counts, so the doubles are
     * deterministic. */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityProjection(Tables.documents(s, dir))
+      .orderBy(col("doc_id").asc)
+
+  /** The quality feature projection over any (doc_id, source, text)
+    * relation — shared by the batch query and its streaming twin
+    * (map-only, so it runs identically on a stream). */
+  def qualityProjection(in: DataFrame): DataFrame = {
     val enWords = StopwordSets.head._2
-    Tables.documents(s, dir)
+    in
       .select(col("doc_id"), col("source"), length(col("text")).as("len"),
         tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
@@ -78,7 +85,6 @@ object TextAnalysis extends graft.QueryGroup {
         round(col("n_distinct").cast("double") / col("n_tokens") *
           least(lit(1.0d), col("n_tokens").cast("double") / 40.0d), 6)
           .as("quality"))
-      .orderBy(col("doc_id").asc)
   }
 
   /** Token counts per source: whitespace tokens plus a BPE-ish

@@ -166,6 +166,29 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("user_id").asc, col("sess_idx").asc)
   }
 
+  /** Streaming reader over the documents parquet (footer-only schema
+    * read, then a glob-filtered file stream — same harness as
+    * [[eventsStream]]). */
+  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** Stateless streaming twin of the quality scorer
+    * ([[graft.operators.TextAnalysis.qualityScore]]) — the
+    * score-at-ingest shape of a continuously-fed corpus. Map-only:
+    * no watermark, no state store; every micro-batch appends its
+    * scored rows, so the sink equals the batch query whatever the
+    * batch split. */
+  def streamQuality(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.TextAnalysis
+      .qualityProjection(documentsStream(s, dir))
+    runToCompletion(scored, "graft_stream_quality", "append")
+    s.table("graft_stream_quality").orderBy(col("doc_id").asc)
+  }
+
   /** Streaming as-of state/rows. `matched_us = -1` encodes "no prior
     * purchase yet"; matches only ever improve (matched_us is
     * monotonically non-decreasing per click), which is what makes
@@ -256,9 +279,13 @@ object Streaming extends graft.QueryGroup {
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
     "q_stream_asof" -> ((s, d) => streamAsof(s, d)),
+    "q_stream_quality" -> ((s, d) => streamQuality(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    // Exactly the batch q_quality_score semantics — stream == batch.
+    "q_stream_quality" ->
+      graft.operators.TextAnalysis.oracles("q_quality_score"),
     // Exactly the batch q_events_bucket semantics: the correctness
     // gate therefore proves stream == batch.
     "q_stream_window" ->

@@ -30,6 +30,14 @@ class StreamingSpec extends SparkSuite {
     assert(streamRows === batchRows)
   }
 
+  test("q_stream_quality (stateless map-only stream) == batch quality score") {
+    val streamRows = Streaming.streamQuality(spark, sfDir).collect().toSeq
+    val batchRows = graft.operators.TextAnalysis.qualityScore(spark, sfDir)
+      .collect().toSeq
+    assert(streamRows.nonEmpty)
+    assert(streamRows === batchRows)
+  }
+
   test("q_stream_dedup == batch distinct rollup") {
     import org.apache.spark.sql.functions._
     val streamRows = Streaming.streamDedup(spark, sfDir).collect().toSeq
