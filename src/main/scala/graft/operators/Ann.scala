@@ -62,22 +62,6 @@ object Ann extends graft.QueryGroup {
       .select(col("vec_id"), col("bucket"), round(col("sim"), 6).as("sim"))
   }
 
-  /** IVF search for query vec_id=0: deterministic coarse quantizer
-    * (md5-ordered 16-seed sample, one exact Lloyd step), assign all
-    * vectors to nearest centroid, probe the 2 cells nearest the
-    * query, exact-cosine rank their members.
-    *
-    * Both Lloyd assignment passes are MAP-ONLY: the centroid table is
-    * collapsed to a single broadcast array row and each vector picks
-    * its cell with the fused native argmin
-    * [[graft.plans.NearestCell]] — no corpus shuffle anywhere. (The
-    * round-2 formulation crossJoined the centroids then
-    * `groupBy(vec_id).agg(min(struct(d,cid)))`, shuffling the whole
-    * corpus, embeddings included, through a 16×-amplified exchange —
-    * twice.) The only aggregation that remains is the centroid-mean
-    * build: one narrow shuffle of (cid, long[Dim]) rows via the
-    * bounded [[graft.plans.ElementwiseSum]] — 16 cells × 64 longs,
-    * constant-size regardless of corpus size. */
   /** One broadcast array row of (cid, cvec) structs, sorted for
     * deterministic iteration (argmin itself is order-independent:
     * ties break to the smaller cid). */
@@ -119,6 +103,22 @@ object Ann extends graft.QueryGroup {
           m => m.cast("double") / col("n") / lit(1e6)).as("cvec"))
   }
 
+  /** IVF search for query vec_id=0: deterministic coarse quantizer
+    * (md5-ordered 16-seed sample, one exact Lloyd step), assign all
+    * vectors to nearest centroid, probe the 2 cells nearest the
+    * query, exact-cosine rank their members.
+    *
+    * Both Lloyd assignment passes are MAP-ONLY: the centroid table is
+    * collapsed to a single broadcast array row and each vector picks
+    * its cell with the fused native argmin
+    * [[graft.plans.NearestCell]] — no corpus shuffle anywhere. (The
+    * round-2 formulation crossJoined the centroids then
+    * `groupBy(vec_id).agg(min(struct(d,cid)))`, shuffling the whole
+    * corpus, embeddings included, through a 16×-amplified exchange —
+    * twice.) The only aggregation that remains is the centroid-mean
+    * build: one narrow shuffle of (cid, long[Dim]) rows via the
+    * bounded [[graft.plans.ElementwiseSum]] — 16 cells × 64 longs,
+    * constant-size regardless of corpus size. */
   def ivfSearch(s: SparkSession, dir: String, id: Long = 0L,
       k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))

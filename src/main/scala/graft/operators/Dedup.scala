@@ -88,14 +88,20 @@ object Dedup extends graft.QueryGroup {
       .distinct()
   }
 
-  /** Candidates → exact Jaccard on per-doc feature sets → top-N. */
-  private def jaccardVerify(cand: DataFrame, sets: DataFrame,
-      topN: Int): DataFrame =
+  /** Hydrate candidate pairs with both endpoints' feature sets:
+    * (did_a, did_b, fs_a, fs_b) — the single definition of the
+    * candidate⋈sets shape every verify stage shares. */
+  private def withSets(cand: DataFrame, sets: DataFrame): DataFrame =
     cand
       .join(sets.select(col("doc_id").as("did_a"), col("fs").as("fs_a")),
         Seq("did_a"))
       .join(sets.select(col("doc_id").as("did_b"), col("fs").as("fs_b")),
         Seq("did_b"))
+
+  /** Candidates → exact Jaccard on per-doc feature sets → top-N. */
+  private def jaccardVerify(cand: DataFrame, sets: DataFrame,
+      topN: Int): DataFrame =
+    withSets(cand, sets)
       .select(col("did_a"), col("did_b"),
         jaccard(col("fs_a"), col("fs_b")).as("jac"))
       .orderBy(col("jac").desc, col("did_a").asc, col("did_b").asc)
@@ -130,11 +136,7 @@ object Dedup extends graft.QueryGroup {
     val docs = Tables.documents(s, dir)
     val feats = docs.select(col("doc_id"), explode(tokenSet(col("text"))).as("f"))
     val sets = docs.select(col("doc_id"), tokenSet(col("text")).as("fs"))
-    bandCandidates(signature(feats))
-      .join(sets.select(col("doc_id").as("did_a"), col("fs").as("fs_a")),
-        Seq("did_a"))
-      .join(sets.select(col("doc_id").as("did_b"), col("fs").as("fs_b")),
-        Seq("did_b"))
+    withSets(bandCandidates(signature(feats)), sets)
       .select(col("did_a"), col("did_b"),
         (size(array_intersect(col("fs_a"), col("fs_b"))).cast("double") /
           least(size(col("fs_a")), size(col("fs_b")))).as("cont"))
@@ -147,9 +149,12 @@ object Dedup extends graft.QueryGroup {
     * pairwise near-dup evidence into one canonical winner per
     * cluster: fixed TWO-SWEEP min-label propagation over the MinHash
     * band STAR edges (each sweep: every doc takes the min label among
-    * itself and its neighbors). Two sweeps resolve the star topology
-    * the band buckets produce; a 100 TB run iterates the identical
-    * sweep to fixpoint (alternating large-star/small-star), each
+    * itself and its neighbors). Two sweeps fully resolve disjoint
+    * stars; chains of OVERLAPPING stars propagate one hop per sweep,
+    * so this query's output is by definition the two-sweep prefix of
+    * the fixpoint (the DuckDB oracle replicates the same two sweeps).
+    * A 100 TB run iterates the identical sweep until no label
+    * changes (alternating large-star/small-star), each
     * sweep being one equi-join + one min-agg — both on uniformly
     * distributed doc ids, no skew, no driver state. Deterministic:
     * labels are min doc_ids, independent of execution order. */
@@ -160,11 +165,7 @@ object Dedup extends graft.QueryGroup {
     // Edges are VERIFIED near-dups (Jaccard ≥ ClusterJac), not raw
     // band collisions — candidates that fail the verify must not
     // glue unrelated clusters together.
-    val ed = bandCandidates(signature(feats))
-      .join(sets.select(col("doc_id").as("did_a"), col("fs").as("fs_a")),
-        Seq("did_a"))
-      .join(sets.select(col("doc_id").as("did_b"), col("fs").as("fs_b")),
-        Seq("did_b"))
+    val ed = withSets(bandCandidates(signature(feats)), sets)
       .where(jaccard(col("fs_a"), col("fs_b")) >= ClusterJac)
       .select(col("did_a"), col("did_b"))
     // Symmetrize via explode, not self-union — a union would clone

@@ -77,16 +77,19 @@ object Rerank extends graft.QueryGroup {
     val names = Tables.documents(s, dir)
       .select(col("doc_id"), docName(col("text")).as("name"))
 
-    // Each list: deterministic top-k cut, tagged with its modality;
-    // sk is ascending-sorted in the shared ranking window (negation
-    // flips descending modalities; ties stay on doc_id either way).
-    def cut(scored: DataFrame, asc: Boolean, m: String): DataFrame = {
-      val ord = if (asc) Seq(col("s").asc, col("doc_id").asc)
-        else Seq(col("s").desc, col("doc_id").asc)
-      scored.orderBy(ord: _*).limit(k)
+    // Each list: deterministic top-k cut, tagged with its modality.
+    // The cut and the shared ranking window BOTH order by the same
+    // normalized ascending key sk (= s for ascending modalities, -s
+    // for descending) — ordering by `s desc` in the cut but `sk asc`
+    // in the window would disagree on NaN placement (Spark sorts NaN
+    // greatest under both `desc` and `asc`, and -NaN is still NaN),
+    // letting a NaN score enter the cut first yet rank last. With one
+    // key, NaN scores deterministically sort last everywhere.
+    def cut(scored: DataFrame, asc: Boolean, m: String): DataFrame =
+      scored
         .select(col("doc_id"),
           (if (asc) col("s") else -col("s")).as("sk"), lit(m).as("m"))
-    }
+        .orderBy(col("sk").asc, col("doc_id").asc).limit(k)
     val vec = cut(e.where(col("vec_id") =!= 0).crossJoin(broadcast(qvec))
       .select(col("vec_id").as("doc_id"),
         cosineSim(col("embedding"), col("qvec")).as("s")),

@@ -19,14 +19,17 @@ object NearestCellUtil {
     * `list_sum` comprehension the oracle runs. */
   def nearest(v: ArrayData, cents: ArrayData): Long = {
     val dim = v.numElements()
+    var found = false
     var bestId = Long.MaxValue
     var bestD = Double.PositiveInfinity
+    var minId = Long.MaxValue
     var i = 0
     val n = cents.numElements()
     while (i < n) {
       val c = cents.getStruct(i, 2)
       val cid = c.getLong(0)
       val cv = c.getArray(1)
+      if (cid < minId) minId = cid
       var acc = 0.0d
       var j = 0
       while (j < dim) {
@@ -35,12 +38,17 @@ object NearestCellUtil {
         j += 1
       }
       if (acc < bestD || (acc == bestD && cid < bestId)) {
+        found = true
         bestD = acc
         bestId = cid
       }
       i += 1
     }
-    bestId
+    // All distances NaN (a NaN vector component): every comparison is
+    // false and nothing was picked. Match the composed
+    // min(struct(d, cid)) semantics — equal keys fall through to the
+    // cid tiebreak — instead of leaking the Long.MaxValue sentinel.
+    if (found) bestId else minId
   }
 }
 

@@ -13,11 +13,17 @@ import org.apache.spark.sql.types._
   * multi-key ordering; at most 2k entries between compactions, so
   * state is O(k × row width) regardless of input size. */
 final class TopKRowsBuffer(val k: Int, cmp: (InternalRow, InternalRow) => Int) {
-  var rows: Array[InternalRow] = new Array[InternalRow](2 * k)
+  // Grow geometrically toward the 2k compaction cap instead of
+  // eagerly allocating 2k slots — a large-k rank filter must not cost
+  // O(k) memory per group before any rows arrive.
+  var rows: Array[InternalRow] = new Array[InternalRow](math.min(2 * k, 64))
   var n: Int = 0
   private var sorted = true
 
   def add(r: InternalRow): Unit = {
+    if (n == rows.length && n < 2 * k) {
+      rows = java.util.Arrays.copyOf(rows, math.min(2 * k, n * 2))
+    }
     if (n == rows.length) compact()
     // Fast reject against the worst kept entry of a sorted full buffer.
     if (sorted && n >= k && cmp(r, rows(n - 1)) >= 0) return

@@ -35,6 +35,12 @@ import org.apache.spark.sql.types.IntegerType
   */
 object TopKWindowRewrite extends Rule[LogicalPlan] {
 
+  /** Above this k the rewrite declines: the bounded buffer holds up
+    * to 2k rows per group in memory, while the window plan's
+    * sort-based execution can spill — for huge rank cuts the window
+    * is the safer plan. */
+  val MaxK = 8192
+
   private object RnLimit {
     def unapply(e: Expression): Option[(Attribute, Int)] = e match {
       case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) =>
@@ -68,11 +74,12 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
 
   def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case f @ Filter(RnLimit(rn, k), w: Window)
-        if k >= 1 && rnAlias(w, rn).isDefined =>
+        if k >= 1 && k <= MaxK && rnAlias(w, rn).isDefined =>
       rewrite(w, rnAlias(w, rn).get, k, f.output)
 
     case f @ Filter(RnLimit(rn, k), Project(projList, w: Window))
-        if k >= 1 && passThrough(projList) && rnAlias(w, rn).isDefined =>
+        if k >= 1 && k <= MaxK && passThrough(projList) &&
+          rnAlias(w, rn).isDefined =>
       rewrite(w, rnAlias(w, rn).get, k, f.output)
   }
 

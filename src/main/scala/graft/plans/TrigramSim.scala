@@ -9,22 +9,24 @@ import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared trigram-set kernel: distinct character 3-grams of the
-  * lowercased string, each packed into one long (3 × 16-bit UTF-16
-  * units), returned sorted — so set intersection is a two-pointer
-  * merge with zero per-row boxing.
+  * lowercased string, each packed into one long (3 × 21-bit Unicode
+  * code points — code POINTS, not UTF-16 units, matching the
+  * code-point semantics of the composed `split(lc, "")` form for
+  * supplementary characters), returned sorted — so set intersection
+  * is a two-pointer merge with zero per-row boxing.
   */
 object TrigramSimUtil {
 
   /** Sorted distinct packed trigrams of lower(s). */
   def trigrams(s: UTF8String): Array[Long] = {
-    val str = s.toLowerCase.toString
-    val n = str.length
+    val cps = s.toLowerCase.toString.codePoints().toArray
+    val n = cps.length
     if (n < 3) return Array.emptyLongArray
     val out = new Array[Long](n - 2)
     var i = 0
     while (i < n - 2) {
-      out(i) = (str.charAt(i).toLong << 32) |
-        (str.charAt(i + 1).toLong << 16) | str.charAt(i + 2).toLong
+      out(i) = (cps(i).toLong << 42) |
+        (cps(i + 1).toLong << 21) | cps(i + 2).toLong
       i += 1
     }
     java.util.Arrays.sort(out)

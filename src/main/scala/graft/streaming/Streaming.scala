@@ -198,7 +198,7 @@ object Streaming extends graft.QueryGroup {
   final case class AsofOut(event_id: Long, user_id: Long, us: Long,
       matched_us: Long, matched_id: Long, lag_us: Long)
   final case class AsofState(purchases: Seq[(Long, Long)],
-      clicks: Seq[(Long, Long)], emitted: Map[Long, Long])
+      clicks: Seq[(Long, Long)], emitted: Map[Long, (Long, Long)])
 
   /** Streaming point-in-time (as-of) join — the online-feature-store
     * twin of [[graft.operators.Temporal.asofJoin]]: for every click,
@@ -249,10 +249,13 @@ object Streaming extends graft.QueryGroup {
             val i = purchases.lastIndexWhere(_._1 <= cus)
             val (bus, bid) =
               if (i < 0) (-1L, -1L) else purchases(i)
-            if (!emitted.get(cid).contains(bus)) {
+            // Dedup on the full (us, id) match key: two equal-us
+            // purchases split across batches still re-emit when the
+            // higher id arrives (matched_id alone improves).
+            if (!emitted.get(cid).contains((bus, bid))) {
               out += AsofOut(cid, uid, cus, bus, bid,
                 if (i < 0) -1L else cus - bus)
-              emitted += (cid -> bus)
+              emitted += (cid -> ((bus, bid)))
             }
           }
           state.update(AsofState(purchases, clicks, emitted))
@@ -260,8 +263,9 @@ object Streaming extends graft.QueryGroup {
       }
 
     runToCompletion(matched.toDF(), "graft_stream_asof", "append")
-    // Idempotent sink read: matches only improve, so the row with the
-    // max matched_us per click is the final one; -1 decodes to null.
+    // Idempotent sink read: matches only improve in (us, id) order,
+    // so the row with the max (matched_us, matched_id) struct per
+    // click is the final one; -1 decodes to null.
     s.table("graft_stream_asof")
       .groupBy(col("event_id"), col("user_id"), col("us"))
       .agg(max(struct(col("matched_us"), col("matched_id"), col("lag_us")))

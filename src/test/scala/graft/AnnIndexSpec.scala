@@ -11,6 +11,13 @@ import graft.operators.Ann
   * few-directory read instead of a scan. */
 class AnnIndexSpec extends SparkSuite {
 
+  /** True iff some scan carries a NON-empty PartitionFilters list
+    * (plain "PartitionFilters" matches even the empty list every
+    * scan prints, which would make the assertion vacuous). */
+  private def nonEmptyPartitionFilter(plan: String): Boolean =
+    "PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined ||
+      plan.contains("dynamicpruning")
+
   test("probe of bucket-partitioned index is partition-pruned and matches brute force") {
     val out = Files.createTempDirectory("graft_lsh_index").toString
     try {
@@ -19,15 +26,16 @@ class AnnIndexSpec extends SparkSuite {
       val probe = Ann.probeIndex(spark, sfDir, out)
       val p = probe.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      // The bucket predicate must reach the scan as a PARTITION
-      // filter (directory pruning), not a data filter.
-      assert(p.contains("PartitionFilters"), s"expected partition pruning:\n$p")
+      // The bucket predicate must reach the scan as a NON-EMPTY
+      // partition filter (directory pruning), not a data filter —
+      // every scan prints "PartitionFilters: []", so match content.
+      assert(nonEmptyPartitionFilter(p), s"expected partition pruning:\n$p")
 
       // A single-bucket read plans a pruned scan too.
       val one = spark.read.parquet(out).where(col("bucket") === 3)
       val p1 = one.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      assert(p1.contains("PartitionFilters") && p1.contains("bucket"),
+      assert(nonEmptyPartitionFilter(p1) && p1.contains("bucket"),
         s"expected bucket partition filter:\n$p1")
 
       // Probe results equal the unmaterialized LSH search exactly.
@@ -49,12 +57,12 @@ class AnnIndexSpec extends SparkSuite {
       val probe = Ann.probeIvfIndex(spark, sfDir, out)
       val p = probe.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      assert(p.contains("PartitionFilters"), s"expected partition pruning:\n$p")
+      assert(nonEmptyPartitionFilter(p), s"expected partition pruning:\n$p")
 
       val one = spark.read.parquet(s"$out/data").where(col("cell") === 3)
       val p1 = one.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      assert(p1.contains("PartitionFilters") && p1.contains("cell"),
+      assert(nonEmptyPartitionFilter(p1) && p1.contains("cell"),
         s"expected cell partition filter:\n$p1")
 
       val viaIndex = probe.collect().toSeq

@@ -15,7 +15,10 @@ class TrigramSimSpec extends SparkSuite {
   private val edge = Seq(
     "", "a", "ab", "abc", "AbAbab", "aaaa", "   ", "a b c d",
     "hello", "HELLO", "lightning bolt", "lightning balt",
-    "key agg row scna slow fa", "xyzxyzxyz", "zzz zzz zzz")
+    "key agg row scna slow fa", "xyzxyzxyz", "zzz zzz zzz",
+    // non-BMP: supplementary chars must count as ONE code point
+    "a😀b😀c", "𝄞𝄞abc",
+    "café cafés", "ßßss")
 
   test("native trigramSim == composed form on edge strings (both orders)") {
     val pairs = for (a <- edge; b <- edge) yield (a, b)
