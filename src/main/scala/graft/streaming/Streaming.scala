@@ -90,77 +90,80 @@ object Streaming extends graft.QueryGroup {
     * custom-state sessionizer. State is ONE open-session tuple per
     * user (bounded), never an event buffer. */
   final case class SessEvent(user_id: Long, event_id: Long, us: Long)
-  final case class SessOut(user_id: Long, sess_idx: Long, n_events: Long,
-      start_us: Long, dur_us: Long)
-  final case class OpenSession(idx: Long, start: Long, last: Long, n: Long)
+  final case class SessState(events: Seq[(Long, Long)], ver: Long)
+  final case class SessOutV(user_id: Long, ver: Long, sess_idx: Long,
+      n_events: Long, start_us: Long, dur_us: Long)
 
   /** Gap-based sessionization (>30 min inactivity breaks a session)
     * as a `flatMapGroupsWithState` stateful operator — the
     * KeyValueGroupedDataset custom-state API the mandate calls for.
     *
-    * Each invocation folds the batch's events (sorted in-group; per
-    * user per batch, bounded) into the carried open-session tuple,
-    * emitting a session row whenever a gap closes one, and emits the
-    * trailing open session at the end of the replay. Under
-    * `Trigger.AvailableNow` the input is a finite replay, so the
-    * trailing emission is final and the result equals the batch
-    * `q_sessionize` exactly (the DuckDB oracle proves it). On an
-    * unbounded stream the same operator runs with an event-time
-    * timeout emitting sessions as the watermark closes them; the
-    * state size (one tuple per active user) is identical.
+    * Exact under ANY micro-batch split or arrival order: state per
+    * user holds the (us, event_id) history; each batch re-sessionizes
+    * the full history and re-emits the user's complete session list
+    * tagged with a monotone version, and the sink read keeps only
+    * each user's LATEST version. A late gap-filling event can merge
+    * two previously-emitted sessions — an append sink cannot retract
+    * rows, but versioning makes stale emissions invisible. (A
+    * max-per-key rollup is NOT enough: session indices shift when
+    * late events change the gap structure — the multi-batch
+    * out-of-order replay test in StreamingSpec fails that design.)
     *
     * Scale design: state is hash-partitioned by user_id (cardinality
-    * grows with data — no fixed-key funnel) and O(1) per user; only
-    * (user_id, event_id, us) triples flow in. */
-  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    * grows with data — no fixed-key funnel). The finite replay keeps
+    * the full per-user history so the result is exact under
+    * arbitrary disorder; an unbounded deployment prunes the buffer at
+    * the watermark (events older than the horizon collapse into the
+    * closed-session prefix, emitted once and dropped), giving
+    * O(open-horizon) state per user with the identical resolution
+    * logic. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    streamSessionizeOver(s, eventsStream(s, dir), "graft_stream_sessionize")
+
+  /** The sessionize pipeline over an arbitrary events stream —
+    * test-injectable so the multi-micro-batch out-of-order replay
+    * path is exercised with split input files (StreamingSpec). */
+  private[graft] def streamSessionizeOver(s: SparkSession,
+      in: DataFrame, sink: String): DataFrame = {
     import s.implicits._
     val gapUs = 30L * 60L * 1000000L
-    val events = eventsStream(s, dir)
+    val events = in
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .as[SessEvent]
 
     val sessions = events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, SessOut](
+      .flatMapGroupsWithState[SessState, SessOutV](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (uid, evs, state: GroupState[OpenSession]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
-          val out = Seq.newBuilder[SessOut]
-          var open = state.getOption.orNull
-          for (e <- sorted) {
-            open match {
-              case null =>
-                open = OpenSession(1L, e.us, e.us, 1L)
-              case o if e.us - o.last > gapUs =>
-                out += SessOut(uid, o.idx, o.n, o.start, o.last - o.start)
-                open = OpenSession(o.idx + 1, e.us, e.us, 1L)
-              case o =>
-                open = o.copy(last = e.us, n = o.n + 1)
-            }
+        case (uid, evs, state: GroupState[SessState]) =>
+          val st = state.getOption.getOrElse(SessState(Nil, 0L))
+          val all = (st.events ++ evs.map(e => (e.us, e.event_id)))
+            .sortBy(identity)
+          val ver = st.ver + 1
+          val out = Seq.newBuilder[SessOutV]
+          var idx = 0L
+          var start = 0L
+          var last = 0L
+          var n = 0L
+          for ((us, _) <- all) {
+            if (n == 0L) { idx = 1L; start = us; last = us; n = 1L }
+            else if (us - last > gapUs) {
+              out += SessOutV(uid, ver, idx, n, start, last - start)
+              idx += 1; start = us; last = us; n = 1L
+            } else { last = us; n += 1L }
           }
-          if (open != null) {
-            state.update(open)
-            // Emit the trailing open session too. If the replay spans
-            // several micro-batches this row may be partial, but a
-            // later batch re-emits the SAME (user_id, sess_idx) with
-            // monotonically larger n/dur and the same start, so the
-            // max-rollup below reconstructs the final row exactly —
-            // no single-micro-batch assumption. An unbounded
-            // deployment would use an event-time timeout instead.
-            out += SessOut(uid, open.idx, open.n, open.start,
-              open.last - open.start)
-          }
+          if (n > 0L) out += SessOutV(uid, ver, idx, n, start, last - start)
+          state.update(SessState(all, ver))
           out.result().iterator
       }
 
-    runToCompletion(sessions.toDF(), "graft_stream_sessionize", "append")
-    // Idempotent sink read: later emissions of a session supersede
-    // earlier partials (same key + start, larger n_events/dur_us), so
-    // max() per (user_id, sess_idx) is exact under any batch split.
-    s.table("graft_stream_sessionize")
-      .groupBy(col("user_id"), col("sess_idx"))
-      .agg(max(col("n_events")).as("n_events"),
-        min(col("start_us")).as("start_us"),
-        max(col("dur_us")).as("dur_us"))
+    runToCompletion(sessions.toDF(), sink, "append")
+    // Latest-version-wins sink read: only the rows of each user's
+    // final re-emission count; earlier versions are stale.
+    val t = s.table(sink)
+    val latest = t.groupBy(col("user_id")).agg(max(col("ver")).as("mver"))
+      .withColumnRenamed("user_id", "lv_user_id")
+    t.join(broadcast(latest),
+        col("user_id") === col("lv_user_id") && col("ver") === col("mver"))
       .select(col("user_id"), col("sess_idx"), col("n_events"),
         col("start_us"), col("dur_us"))
       .orderBy(col("user_id").asc, col("sess_idx").asc)
@@ -221,9 +224,17 @@ object Streaming extends graft.QueryGroup {
     * horizon) state per user. The finite AvailableNow replay here
     * skips the pruning so the result stays exact under arbitrary
     * disorder — the resolution logic is identical either way. */
-  def streamAsof(s: SparkSession, dir: String): DataFrame = {
+  def streamAsof(s: SparkSession, dir: String): DataFrame =
+    streamAsofOver(s, eventsStream(s, dir), "graft_stream_asof")
+
+  /** The as-of pipeline over an arbitrary events stream —
+    * test-injectable so the multi-micro-batch out-of-order replay
+    * path (late purchases, re-emission) is exercised with split
+    * input files (StreamingSpec). */
+  private[graft] def streamAsofOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
     import s.implicits._
-    val events = eventsStream(s, dir)
+    val events = in
       .where(col("event_type").isin("purchase", "click"))
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
         when(col("event_type") === "purchase", 0).otherwise(1).as("side"))
@@ -262,11 +273,11 @@ object Streaming extends graft.QueryGroup {
           out.result().iterator
       }
 
-    runToCompletion(matched.toDF(), "graft_stream_asof", "append")
+    runToCompletion(matched.toDF(), sink, "append")
     // Idempotent sink read: matches only improve in (us, id) order,
     // so the row with the max (matched_us, matched_id) struct per
     // click is the final one; -1 decodes to null.
-    s.table("graft_stream_asof")
+    s.table(sink)
       .groupBy(col("event_id"), col("user_id"), col("us"))
       .agg(max(struct(col("matched_us"), col("matched_id"), col("lag_us")))
         .as("m"))

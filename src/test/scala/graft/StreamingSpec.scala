@@ -38,6 +38,44 @@ class StreamingSpec extends SparkSuite {
     assert(streamRows === batchRows)
   }
 
+  /** Write the events table as three interleaved slices (event_id mod
+    * 3) in separate files, then stream them one file per micro-batch:
+    * every batch carries events from the WHOLE time range, so state
+    * operators see heavy cross-batch event-time disorder. */
+  private def splitReplay(name: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft_split_$name").toString
+    val ev = Tables.events(spark, sfDir)
+    (0 until 3).foreach { i =>
+      ev.where(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val schema = spark.read.parquet(tmp).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmp)
+  }
+
+  test("stream sessionize stays exact under multi-batch out-of-order replay") {
+    val stream = splitReplay("sess")
+    val got = Streaming.streamSessionizeOver(spark, stream,
+      "graft_split_sess").collect().toSeq
+    val want = Relational.sessionize(spark, sfDir).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("stream as-of stays exact under multi-batch out-of-order replay") {
+    val stream = splitReplay("asof")
+    val got = Streaming.streamAsofOver(spark, stream,
+      "graft_split_asof").collect().toSeq
+    val want = graft.operators.Temporal.asofJoin(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("q_stream_dedup == batch distinct rollup") {
     import org.apache.spark.sql.functions._
     val streamRows = Streaming.streamDedup(spark, sfDir).collect().toSeq
