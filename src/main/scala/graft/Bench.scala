@@ -32,15 +32,23 @@ object Bench {
     Tables.events(spark, sfDir).count() // needs the nanos-ts conf
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      // Two reps, report the min: the first execution of a query
+      // shape pays one-off plan compilation + whole-stage-codegen
+      // JIT, a cost that amortizes to nothing at real scale. The
+      // DuckDB baseline (tools/baseline.py) measures the same way,
+      // so the comparison stays symmetric.
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .take(200)
-          false
+          -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val r1 = once()
+      val r2 = if (r1 >= 0) once() else -1.0
+      name -> (if (r1 >= 0 && r2 >= 0) math.min(r1, r2) else -1.0)
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""

@@ -31,9 +31,14 @@ def main():
     oracle = json.load(open(oracle_path))
     times = {}
     for name, sql in sorted(oracle.items()):
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        times[name] = round(time.time() - t0, 4)
+        # two reps, min — symmetric with graft.Bench (first run pays
+        # one-off plan/compile costs that amortize at scale)
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            reps.append(time.time() - t0)
+        times[name] = round(min(reps), 4)
     print(json.dumps({"engine": "duckdb", "sf": sfdir,
                       "total": round(sum(times.values()), 3),
                       "queries": times}))
