@@ -61,8 +61,14 @@ object Dedup extends graft.QueryGroup {
   /** (doc_id, h0..h15) xor-trick MinHash signature over an exploded
     * distinct feature relation (doc_id, f): one md5 per feature, one
     * shuffle on doc_id, map-side combine. */
-  private def signature(feats: DataFrame): DataFrame = {
-    val base = feats.select(col("doc_id"), MinHash.hash60(col("f")).as("base"))
+  private def signature(feats: DataFrame): DataFrame =
+    signatureFromBase(
+      feats.select(col("doc_id"), MinHash.hash60(col("f")).as("base")))
+
+  /** Signature from a pre-hashed (doc_id, base) feature relation —
+    * lets callers that already carry 60-bit feature hashes skip the
+    * second md5 pass. */
+  private def signatureFromBase(base: DataFrame): DataFrame = {
     val aggs = seeds.zipWithIndex.map { case (sd, i) =>
       min(col("base").bitwiseXOR(lit(sd))).as(s"h$i")
     }
@@ -118,12 +124,24 @@ object Dedup extends graft.QueryGroup {
 
   /** Word-bigram Jaccard near-dup with MinHash-LSH-bounded candidates
     * (round 1 was a raw blocked cross join — the SURVEY always
-    * promised LSH-bounded candidates; now it is one). */
+    * promised LSH-bounded candidates; now it is one).
+    *
+    * The verify stage operates on 60-bit-HASHED shingle sets
+    * (array<long>) rather than the raw strings: Jaccard is
+    * collision-exactly preserved (distinct shingles → distinct
+    * 60-bit values at any realistic vocabulary) while the
+    * per-candidate set intersections compare longs instead of
+    * hashing/equating strings and the verify join shuffles ~8 bytes
+    * per shingle instead of whole bigrams — the constant-factor that
+    * dominates this query at scale. The DuckDB oracle hashes with
+    * the identical md5-prefix formula, so the gate stays hash-exact. */
   def ngramJaccard(s: SparkSession, dir: String, topN: Int = 30): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val sh = docs.select(col("doc_id"), wordShingles(col("text"), 2).as("fs"))
-    val feats = sh.select(col("doc_id"), explode(col("fs")).as("f"))
-    jaccardVerify(bandCandidates(signature(feats)), sh, topN)
+    val sh = docs.select(col("doc_id"),
+      transform(wordShingles(col("text"), 2),
+        f => graft.functions.MinHash.hash60(f)).as("fs"))
+    val feats = sh.select(col("doc_id"), explode(col("fs")).as("base"))
+    jaccardVerify(bandCandidates(signatureFromBase(feats)), sh, topN)
   }
 
   /** Containment near-dup: |A ∩ B| / min(|A|, |B|) over unigram
@@ -300,21 +318,27 @@ object Dedup extends graft.QueryGroup {
   /** Candidate-generation CTE chain over a `sets(doc_id, fs)` CTE:
     * base-hash → xor-min signature → band keys → bucket STAR join
     * ending in `cand(did_a, did_b)`. */
-  private def candidateCtes(setsCte: String): String =
+  private def candidateCtes(setsCte: String,
+      preHashed: Boolean = false): String = {
+    val baseCte =
+      if (preHashed) "base AS (SELECT doc_id, unnest(fs) AS base FROM sets)"
+      else "feats AS (SELECT doc_id, unnest(fs) AS f FROM sets),\n" +
+        s"base AS (SELECT doc_id, ${MinHash.hash60Sql("f")} AS base FROM feats)"
     s"""$setsCte,
-       |feats AS (SELECT doc_id, unnest(fs) AS f FROM sets),
-       |base AS (SELECT doc_id, ${MinHash.hash60Sql("f")} AS base FROM feats),
+       |$baseCte,
        |sig AS (SELECT doc_id, $sigSelect FROM base GROUP BY doc_id),
        |bands AS ($bandsUnion),
        |reps AS (SELECT bk, min(doc_id) AS rep FROM bands GROUP BY bk),
        |cand AS (SELECT DISTINCT r.rep AS did_a, b.doc_id AS did_b
        |         FROM bands b JOIN reps r USING (bk)
        |         WHERE b.doc_id <> r.rep)""".stripMargin
+  }
 
   /** Shared candidate+verify oracle skeleton: candidates → Jaccard
     * verify → top-N. */
-  private def minhashOracle(setsCte: String, topN: Int): String =
-    s"""WITH ${candidateCtes(setsCte)},
+  private def minhashOracle(setsCte: String, topN: Int,
+      preHashed: Boolean = false): String =
+    s"""WITH ${candidateCtes(setsCte, preHashed)},
        |v AS (SELECT c.did_a, c.did_b,
        |             CASE WHEN len(list_distinct(sa.fs || sb.fs)) = 0 THEN 0.0
        |                  ELSE len(list_intersect(sa.fs, sb.fs))
@@ -384,12 +408,13 @@ object Dedup extends graft.QueryGroup {
          |ORDER BY n_members DESC, cluster_id ASC LIMIT 30""".stripMargin
     },
     "q_dedup_ngram_jaccard" -> minhashOracle(
-      """d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
-        |sets AS (SELECT doc_id,
-        |  CASE WHEN len(t) < 2 THEN []
-        |       ELSE list_distinct([t[i] || ' ' || t[i + 1]
-        |                           for i in generate_series(1, len(t) - 1)])
-        |  END AS fs FROM d)""".stripMargin, 30),
+      s"""d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |sets AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 2 THEN CAST([] AS BIGINT[])
+         |       ELSE [${MinHash.hash60Sql("f")}
+         |             for f in list_distinct([t[i] || ' ' || t[i + 1]
+         |                      for i in generate_series(1, len(t) - 1)])]
+         |  END AS fs FROM d)""".stripMargin, 30, preHashed = true),
     "q_dedup_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, source,
