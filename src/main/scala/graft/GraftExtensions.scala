@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.sql.optimizer.excludedRules=graft.plans.TopKWindowRewrite.
     ext.injectOptimizerRule(_ => TopKWindowRewrite)
 
+    // Whole-operator tier: the native sort-merge as-of join
+    // (AsofJoinNode → AsofJoinExec).
+    ext.injectPlannerStrategy(s => new graft.plans.AsofJoinStrategy(s))
+
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -98,8 +98,34 @@ object Temporal extends graft.QueryGroup {
       .orderBy(col("win_id").asc)
   }
 
+  /** The same as-of semantics through the NATIVE whole-operator
+    * path: [[graft.plans.AsofJoinNode]] planned by
+    * [[graft.plans.AsofJoinStrategy]] into the sort-merge
+    * [[graft.plans.AsofJoinExec]] (hash-clustered + (key, ts, id)
+    * sorted children, one O(1)-state forward merge per partition).
+    * Hash-identical to [[asofJoin]] and to the LATERAL oracle. */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val l = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val r = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("us").as("r_us"))
+    val node = graft.plans.AsofJoinNode(
+      GraftBridge.analyzed(l), GraftBridge.analyzed(r),
+      "user_id", "us", "event_id", "r_user", "r_us", "r_id")
+    GraftBridge.ofRows(s, node)
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("matched_id"), (col("us") - col("matched_us")).as("lag_us"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> ((s, d) => asofJoin(s, d)),
+    "q_asof_join_native" -> ((s, d) => asofJoinNative(s, d)),
     "q_range_join" -> ((s, d) => rangeJoin(s, d)),
   )
 
@@ -108,8 +134,7 @@ object Temporal extends graft.QueryGroup {
   // left row, the range join a raw inequality join — both infeasible
   // at scale but exact at sf, so they check the merge/bucket plans
   // against an independent derivation.
-  val oracles: Map[String, String] = Map(
-    "q_asof_join" ->
+  private val asofOracle =
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
         |           FROM events),
         |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
@@ -120,7 +145,12 @@ object Temporal extends graft.QueryGroup {
         |  SELECT r.event_id AS mid, r.us AS mus FROM r
         |  WHERE r.user_id = l.user_id AND r.us <= l.us
         |  ORDER BY r.us DESC, r.event_id DESC LIMIT 1) m ON TRUE
-        |ORDER BY l.event_id ASC""".stripMargin,
+        |ORDER BY l.event_id ASC""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" -> asofOracle,
+    // identical semantics through the native whole-operator path
+    "q_asof_join_native" -> asofOracle,
     "q_range_join" ->
       s"""WITH e AS (SELECT event_id, epoch_us(ts) AS us, value FROM events),
          |a AS (SELECT event_id AS win_id, us AS lo, us + $WindowUs AS hi

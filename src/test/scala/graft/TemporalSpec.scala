@@ -39,6 +39,16 @@ class TemporalSpec extends SparkSuite {
     assert(!plan.contains("Join"), s"unexpected join in as-of plan:\n$plan")
   }
 
+  test("native AsofJoinExec == union-merge as-of join, plan uses the custom operator") {
+    val native = Temporal.asofJoinNative(spark, sfDir)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"expected the custom exec:\n$plan")
+    assert(!plan.contains("Window"), s"no window in the native path:\n$plan")
+    val a = native.collect().map(_.toSeq).toSeq
+    val b = Temporal.asofJoin(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("range join matches brute-force interval filter") {
     val e = Tables.events(spark, sfDir)
       .select(col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
