@@ -56,14 +56,18 @@ object Streaming extends graft.QueryGroup {
     * fixed-point value sum for cross-engine exactness. Complete
     * output mode so the trailing (unclosed) windows are emitted too
     * and the result equals the batch query exactly. */
-  def streamWindow(s: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(s, dir)
+  def streamWindow(s: SparkSession, dir: String): DataFrame =
+    streamWindowOver(s, eventsStream(s, dir), "graft_stream_window")
+
+  private[graft] def streamWindowOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    val agg = in
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 1e6).cast("long")).as("sv"))
-    runToCompletion(agg, "graft_stream_window", "complete")
-    s.table("graft_stream_window")
+    runToCompletion(agg, sink, "complete")
+    s.table(sink)
       .select(col("window.start").as("bucket"), col("event_type"), col("n"),
         round(col("sv").cast("double") / 1e6, 6).as("sum_value"))
       .orderBy(col("bucket").asc, col("event_type").asc)
@@ -73,13 +77,21 @@ object Streaming extends graft.QueryGroup {
     * event_type), then a batch rollup of the deduped sink — counts
     * the distinct key set per event type, which is invariant to which
     * duplicate survived, so the result is oracle-exact. */
-  def streamDedup(s: SparkSession, dir: String): DataFrame = {
-    val dedup = eventsStream(s, dir)
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    streamDedupOver(s, eventsStream(s, dir), "graft_stream_dedup")
+
+  private[graft] def streamDedupOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    val dedup = in
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    runToCompletion(dedup, "graft_stream_dedup", "append")
-    s.table("graft_stream_dedup")
+    runToCompletion(dedup, sink, "append")
+    // Defensive distinct: watermark state eviction may legally
+    // re-emit a key whose last occurrence fell behind the watermark —
+    // the OUTPUT contract is the distinct key set, so dedupe the sink
+    // before rolling up rather than assuming single-emission.
+    s.table(sink).distinct()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_keys"),
         countDistinct(col("user_id")).as("n_users"))

@@ -76,6 +76,27 @@ class StreamingSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("stream window (complete mode) stays exact under out-of-order replay") {
+    val got = Streaming.streamWindowOver(spark, splitReplay("win"),
+      "graft_split_win").collect().toSeq
+    val want = Relational.eventsBucket(spark, sfDir).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("stream dedup rollup stays exact under out-of-order replay") {
+    import org.apache.spark.sql.functions._
+    val got = Streaming.streamDedupOver(spark, splitReplay("ddp"),
+      "graft_split_ddp").collect().toSeq
+    val want = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type").asc).collect().toSeq
+    assert(got === want)
+  }
+
   test("q_stream_dedup == batch distinct rollup") {
     import org.apache.spark.sql.functions._
     val streamRows = Streaming.streamDedup(spark, sfDir).collect().toSeq
