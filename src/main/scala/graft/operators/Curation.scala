@@ -153,7 +153,28 @@ object Curation extends graft.QueryGroup {
       .orderBy(col("n_shared").desc, col("doc_id").asc, col("test_id").asc)
   }
 
+  /** Data-mixing weights: per-source sampling weight that reshapes
+    * the corpus toward a UNIFORM token mixture (weight =
+    * target_frac / actual_frac, target = 1/n_sources) — the knob a
+    * training pipeline turns to up/down-weight sources. Two map-side
+    * aggs + one broadcast of a single totals row. */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("toks"))
+    val tot = per.agg(sum(col("toks")).as("total"),
+      count(lit(1)).as("nsrc"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("toks"),
+        round(col("toks").cast("double") / col("total"), 6)
+          .as("actual_frac"),
+        round(col("total").cast("double") / col("nsrc") / col("toks"), 6)
+          .as("weight"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_weights" -> ((s, d) => mixWeights(s, d)),
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "q_quality_hist" -> ((s, d) => qualityHistogram(s, d)),
     "q_tfidf" -> ((s, d) => tfidfTopTerms(s, d)),
@@ -162,6 +183,16 @@ object Curation extends graft.QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mix_weights" ->
+      """WITH per AS (SELECT source,
+        |             CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS toks
+        |      FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total,
+        |               count(*) AS nsrc FROM per)
+        |SELECT source, toks,
+        |       round(CAST(toks AS DOUBLE) / total, 6) AS actual_frac,
+        |       round(CAST(total AS DOUBLE) / nsrc / toks, 6) AS weight
+        |FROM per, tot ORDER BY source ASC""".stripMargin,
     "q_sample_stratified" -> {
       val h = MinHash.hash60Sql("'smp:' || CAST(doc_id AS VARCHAR)")
       """WITH d AS (
