@@ -154,7 +154,34 @@ object VectorSearch extends graft.QueryGroup {
       .orderBy(col("sim").desc, col("doc_id").asc)
   }
 
+  /** Per-label centroid (prototype) vectors: exact fixed-point
+    * elementwise means via the bounded
+    * [[graft.plans.ElementwiseSum]] aggregate — ONE narrow shuffle of
+    * (label, long[64]) rows regardless of corpus size (the
+    * class-prototype construction behind centroid classifiers and
+    * cluster summaries). Output: per label the member count, the
+    * centroid norm, and its first two coordinates. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.normBuiltin
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        transform(col("embedding"),
+          x => round(x * 1e6).cast("int")).as("mi"))
+      .groupBy(col("label"))
+      .agg(graft.plans.ElementwiseSum(col("mi"), 64).as("ms"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("n"),
+        transform(col("ms"),
+          m => m.cast("double") / col("n") / lit(1e6)).as("cv"))
+      .select(col("label"), col("n"),
+        round(normBuiltin(col("cv")), 6).as("norm"),
+        round(element_at(col("cv"), 1), 6).as("c0"),
+        round(element_at(col("cv"), 2), 6).as("c1"))
+      .orderBy(col("label").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_centroids" -> ((s, d) => labelCentroids(s, d)),
     "q_vec_topk" -> ((s, d) => topK(s, d)),
     "q_vec_topk_threshold" -> ((s, d) => topKThreshold(s, d)),
     "q_vec_knn_join" -> ((s, d) => knnJoin(s, d)),
@@ -172,6 +199,21 @@ object VectorSearch extends graft.QueryGroup {
     "list_cosine_similarity(e.embedding::DOUBLE[], q.qv)"
 
   val oracles: Map[String, String] = Map(
+    "q_vec_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT label, g.i AS pos,
+        |             CAST(round(v[g.i] * 1e6) AS BIGINT) AS m
+        |      FROM e, generate_series(1, 64) AS g(i)),
+        |c AS (SELECT label, pos, CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
+        |      FROM d GROUP BY label, pos),
+        |cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM c GROUP BY label),
+        |n AS (SELECT label, count(*) AS n FROM e GROUP BY label)
+        |SELECT cv.label, n.n,
+        |       round(sqrt(list_sum([cv.cv[i] * cv.cv[i]
+        |                            for i in generate_series(1, 64)])), 6)
+        |         AS norm,
+        |       round(cv.cv[1], 6) AS c0, round(cv.cv[2], 6) AS c1
+        |FROM cv JOIN n USING (label) ORDER BY label ASC""".stripMargin,
     "q_vec_topk" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT e.vec_id, $cosExpr AS sim
