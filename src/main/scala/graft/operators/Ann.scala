@@ -226,9 +226,43 @@ object Ann extends graft.QueryGroup {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** LSH-accelerated batch kNN JOIN — the ANN scale path for
+    * MULTI-query search (VectorSearch.knnJoin is the brute-force
+    * twin: every query scans the whole corpus). Here each query
+    * probes only its bucket ± 1-bit neighbors: corpus bucketing is
+    * map-only, the probe side (queries × 9 buckets) broadcasts, the
+    * candidate match is an equi-join on bucket, and per-query
+    * ranking is the bounded [[graft.plans.TopKByScore]] aggregate —
+    * at 100 TB the per-query work is proportional to bucket
+    * occupancy, not corpus size. */
+  def annKnnJoin(s: SparkSession, dir: String, nq: Long = 10L,
+      k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val corpus = e.where(col("vec_id") >= nq)
+      .select(col("vec_id"), col("embedding"),
+        Lsh.bucketCode(col("embedding"), planes).as("bucket"))
+    val probes = e.where(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        Lsh.bucketCode(col("embedding"), planes).as("qb"))
+      .select(col("qid"), col("qvec"), explode(array(
+        (lit(0) +: (0 until NumPlanes).map(p => lit(1 << p))).map(m =>
+          col("qb").bitwiseXOR(m)): _*)).as("bucket"))
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("vec_id"),
+        round(col("col.score"), 6).as("sim"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_lsh_bucket" -> ((s, d) => lshBucketSearch(s, d)),
     "q_ann_ivf" -> ((s, d) => ivfSearch(s, d)),
+    "q_ann_knn_join" -> ((s, d) => annKnnJoin(s, d)),
   )
 
   private val bucketSql = Lsh.bucketCodeSql("v", planes)
@@ -237,6 +271,22 @@ object Ann extends graft.QueryGroup {
       .mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_ann_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id, v, $bucketSql AS bucket FROM e
+         |      WHERE vec_id >= 10),
+         |q AS (SELECT vec_id AS qid, v AS qv, $bucketSql AS qb FROM e
+         |      WHERE vec_id < 10),
+         |p AS (SELECT qid, qv, unnest($probeXors) AS bucket FROM q),
+         |cand AS (SELECT p.qid, c.vec_id,
+         |                list_cosine_similarity(c.v, p.qv) AS sim
+         |         FROM c JOIN p USING (bucket)),
+         |r AS (SELECT qid, vec_id, sim,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY sim DESC, vec_id ASC) AS rnk
+         |      FROM cand)
+         |SELECT qid, vec_id, round(sim, 6) AS sim, CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 5 ORDER BY qid ASC, rnk ASC""".stripMargin,
     "q_ann_lsh_bucket" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT vec_id, v, $bucketSql AS bucket FROM e WHERE vec_id <> 0),
