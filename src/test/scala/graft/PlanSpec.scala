@@ -125,6 +125,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_ann_knn_join: bucket equi-join, broadcast probes, bounded ranking, no window") {
+    val p = plan(Ann.annKnnJoin(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"probes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus must never cross-join:\n$p")
+    assert(p.contains("top_k_by_score") && !p.contains("Window"),
+      s"ranking must be the bounded aggregate:\n$p")
+  }
+
   test("q_ann_ivf: Lloyd assignments are map-only (no corpus shuffle into an agg keyed by vec_id)") {
     val p = plan(Ann.ivfSearch(spark, sfDir))
     assert(!p.contains("hashpartitioning(vec_id"),
