@@ -32,7 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     // Whole-operator tier: the native sort-merge as-of join
     // (AsofJoinNode → AsofJoinExec).
-    ext.injectPlannerStrategy(s => new graft.plans.AsofJoinStrategy(s))
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
 
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

@@ -44,6 +44,19 @@ object VectorFunctions {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, v) => acc + v)
 
+  /** Fixed-point micro-unit encoding of a double vector (exact,
+    * order-independent accumulation; |x| must stay < 2147 to fit
+    * int). The shared half of every elementwise-mean pipeline —
+    * pair with [[microMean]] and [[graft.plans.ElementwiseSum]]. */
+  def microInts(v: Column): Column =
+    transform(v, x => round(x * 1e6).cast("int"))
+
+  /** Decode summed micro-units back to the elementwise mean:
+    * m / n / 1e6 in that exact operation order (the DuckDB oracle
+    * divides the same way). */
+  def microMean(sums: Column, n: Column): Column =
+    transform(sums, m => m.cast("double") / n / lit(1e6))
+
   /** L2-normalize a vector (unit length); zero vector passes through. */
   def l2Normalize(a: Column): Column = {
     val n = normBuiltin(a)

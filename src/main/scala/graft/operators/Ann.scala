@@ -39,6 +39,13 @@ object Ann extends graft.QueryGroup {
 
   private val planes = Lsh.planes(NumPlanes, Dim)
 
+  /** 1-bit multiprobe: a query's own bucket plus every single-bit
+    * neighbor — the ONE definition all probe sides share (the SQL
+    * twin is `probeXors`). */
+  private def multiprobe(qb: org.apache.spark.sql.Column) =
+    explode(array((lit(0) +: (0 until NumPlanes).map(p => lit(1 << p)))
+      .map(m => qb.bitwiseXOR(m)): _*))
+
   /** LSH-bucketed ANN search for query vec_id=0: bucket the corpus
     * (map-only), probe the query bucket plus all 1-bit neighbors
     * (multiprobe, recall guard), exact-cosine rank the candidates. */
@@ -51,9 +58,7 @@ object Ann extends graft.QueryGroup {
     val probes = e.where(col("vec_id") === id)
       .select(col("embedding").as("qvec"),
         Lsh.bucketCode(col("embedding"), planes).as("qb"))
-      .select(col("qvec"), explode(array(
-        (lit(0) +: (0 until NumPlanes).map(p => lit(1 << p))).map(m =>
-          col("qb").bitwiseXOR(m)): _*)).as("bucket"))
+      .select(col("qvec"), multiprobe(col("qb")).as("bucket"))
     corpus.join(broadcast(probes), Seq("bucket"))
       .select(col("vec_id"), col("bucket"),
         cosineSim(col("embedding"), col("qvec")).as("sim"))
@@ -92,15 +97,11 @@ object Ann extends graft.QueryGroup {
     // ElementwiseSum: bounded per-cell state, map-side combine, ONE
     // narrow shuffle (vs the round-2 posexplode → 64× row
     // amplification through two shuffles).
-    a0.select(col("cid"),
-        transform(col("embedding"),
-          x => round(x * 1e6).cast("int")).as("mi"))
+    a0.select(col("cid"), microInts(col("embedding")).as("mi"))
       .groupBy(col("cid"))
       .agg(graft.plans.ElementwiseSum(col("mi"), Dim).as("ms"),
         count(lit(1)).as("n"))
-      .select(col("cid"),
-        transform(col("ms"),
-          m => m.cast("double") / col("n") / lit(1e6)).as("cvec"))
+      .select(col("cid"), microMean(col("ms"), col("n")).as("cvec"))
   }
 
   /** IVF search for query vec_id=0: deterministic coarse quantizer
@@ -168,9 +169,7 @@ object Ann extends graft.QueryGroup {
     val probes = Tables.embeddings(s, dir).where(col("vec_id") === id)
       .select(col("embedding").as("qvec"),
         Lsh.bucketCode(col("embedding"), planes).as("qb"))
-      .select(col("qvec"), explode(array(
-        (lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p))).map(m =>
-          col("qb").bitwiseXOR(m)): _*)).as("bucket"))
+      .select(col("qvec"), multiprobe(col("qb")).as("bucket"))
     s.read.parquet(indexPath)
       .join(broadcast(probes), Seq("bucket"))
       .where(col("vec_id") =!= id)
@@ -244,9 +243,7 @@ object Ann extends graft.QueryGroup {
     val probes = e.where(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         Lsh.bucketCode(col("embedding"), planes).as("qb"))
-      .select(col("qid"), col("qvec"), explode(array(
-        (lit(0) +: (0 until NumPlanes).map(p => lit(1 << p))).map(m =>
-          col("qb").bitwiseXOR(m)): _*)).as("bucket"))
+      .select(col("qid"), col("qvec"), multiprobe(col("qb")).as("bucket"))
     corpus.join(broadcast(probes), Seq("bucket"))
       .select(col("qid"), col("vec_id"),
         cosineSim(col("embedding"), col("qvec")).as("sim"))

@@ -162,17 +162,13 @@ object VectorSearch extends graft.QueryGroup {
     * cluster summaries). Output: per label the member count, the
     * centroid norm, and its first two coordinates. */
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.normBuiltin
+    import graft.functions.VectorFunctions.{microInts, microMean, normBuiltin}
     Tables.embeddings(s, dir)
-      .select(col("label"),
-        transform(col("embedding"),
-          x => round(x * 1e6).cast("int")).as("mi"))
+      .select(col("label"), microInts(col("embedding")).as("mi"))
       .groupBy(col("label"))
       .agg(graft.plans.ElementwiseSum(col("mi"), 64).as("ms"),
         count(lit(1)).as("n"))
-      .select(col("label"), col("n"),
-        transform(col("ms"),
-          m => m.cast("double") / col("n") / lit(1e6)).as("cv"))
+      .select(col("label"), col("n"), microMean(col("ms"), col("n")).as("cv"))
       .select(col("label"), col("n"),
         round(normBuiltin(col("cv")), 6).as("norm"),
         round(element_at(col("cv"), 1), 6).as("c0"),

@@ -1,7 +1,6 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BindReferences, GenericInternalRow, JoinedRow, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
@@ -104,6 +103,13 @@ case class AsofJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  // Left rows pass through unchanged, so the required key clustering
+  // survives — advertise it, or every downstream groupBy/join on the
+  // key pays a redundant shuffle of the as-of output.
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     import org.apache.spark.sql.catalyst.expressions.Expression
     val lk = BindReferences.bindReference[Expression](attr(left, lKey), left.output)
@@ -127,28 +133,47 @@ case class AsofJoinExec(
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          val k = lk.eval(l).asInstanceOf[Long]
-          val ts = lt.eval(l).asInstanceOf[Long]
+          val kBoxed = lk.eval(l)
+          val tsBoxed = lt.eval(l)
+          // SQL null semantics: a null key or timestamp matches
+          // nothing (never coerce null to 0L — that would join the
+          // row against key 0's rows).
+          if (kBoxed == null || tsBoxed == null) {
+            matchRow.update(0, null); matchRow.update(1, null)
+            return joined(l, matchRow)
+          }
+          val k = kBoxed.asInstanceOf[Long]
+          val ts = tsBoxed.asInstanceOf[Long]
           if (!haveKey || k != curKey) {
             curKey = k; haveKey = true; haveBest = false
           }
           // Advance the right side through every row usable by this
-          // (and, keys ascending, any later) left row.
+          // (and, keys ascending, any later) left row. Null-keyed /
+          // null-ts right rows sort first (NullsFirst) and are
+          // consumed without ever becoming a match.
           var advance = true
           while (advance && rBuf.hasNext) {
             val r = rBuf.head
-            val rkv = rk.eval(r).asInstanceOf[Long]
-            if (rkv < k ||
-                (rkv == k && rt.eval(r).asInstanceOf[Long] <= ts)) {
-              if (rkv == k) {
-                // sorted by (ts, id): the last qualifying row is the
-                // (max ts, max id) match
-                bestUs = rt.eval(r).asInstanceOf[Long]
-                bestId = ri.eval(r).asInstanceOf[Long]
-                haveBest = true
-              }
+            val rkBoxed = rk.eval(r)
+            val rtBoxed = if (rkBoxed == null) null else rt.eval(r)
+            if (rkBoxed == null) {
               rBuf.next()
-            } else advance = false
+            } else {
+              val rkv = rkBoxed.asInstanceOf[Long]
+              if (rkv < k || (rkv == k && rtBoxed != null &&
+                  rtBoxed.asInstanceOf[Long] <= ts)) {
+                if (rkv == k) {
+                  // sorted by (ts, id): the last qualifying row is the
+                  // (max ts, max id) match
+                  bestUs = rtBoxed.asInstanceOf[Long]
+                  bestId = ri.eval(r).asInstanceOf[Long]
+                  haveBest = true
+                }
+                rBuf.next()
+              } else if (rkv == k && rtBoxed == null) {
+                rBuf.next() // null-ts row of this key: skip, no match
+              } else advance = false
+            }
           }
           if (haveBest) {
             matchRow.update(0, bestUs); matchRow.update(1, bestId)
@@ -168,7 +193,7 @@ case class AsofJoinExec(
 
 /** Planner strategy mapping the logical as-of node to its exec —
   * registered via GraftExtensions `injectPlannerStrategy`. */
-class AsofJoinStrategy(spark: SparkSession)
+object AsofJoinStrategy
     extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsofJoinNode =>

@@ -98,9 +98,11 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("event_type").asc)
   }
 
-  /** Per-event input / per-session output / carried state for the
-    * custom-state sessionizer. State is ONE open-session tuple per
-    * user (bounded), never an event buffer. */
+  /** Per-event input / versioned per-session output / carried state
+    * for the custom-state sessionizer. State holds the per-user
+    * (us, event_id) history plus the emission version — the finite
+    * replay keeps the full history for disorder-exactness; an
+    * unbounded deployment prunes it at the watermark. */
   final case class SessEvent(user_id: Long, event_id: Long, us: Long)
   final case class SessState(events: Seq[(Long, Long)], ver: Long)
   final case class SessOutV(user_id: Long, ver: Long, sess_idx: Long,

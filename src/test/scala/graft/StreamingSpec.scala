@@ -6,7 +6,16 @@ import graft.streaming.Streaming
 /** The streaming twins must produce exactly the batch results (the
   * CORRECTNESS gate also proves this vs DuckDB; this is the in-repo
   * guard at a second scale factor). */
-class StreamingSpec extends SparkSuite {
+class StreamingSpec extends SparkSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer[String]()
+
+  override def afterAll(): Unit = {
+    import scala.reflect.io.Directory
+    tmpDirs.foreach(d => new Directory(new java.io.File(d)).deleteRecursively())
+    super.afterAll()
+  }
 
   test("q_stream_window == q_events_bucket (batch twin)") {
     val streamRows = Streaming.streamWindow(spark, sfDir).collect().toSeq
@@ -46,6 +55,7 @@ class StreamingSpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files
       .createTempDirectory(s"graft_split_$name").toString
+    tmpDirs += tmp
     val ev = Tables.events(spark, sfDir)
     (0 until 3).foreach { i =>
       ev.where(pmod(col("event_id"), lit(3)) === i)

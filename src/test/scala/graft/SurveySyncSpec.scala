@@ -9,11 +9,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * makes that class of drift a test failure). */
 class SurveySyncSpec extends AnyFunSuite {
 
-  private lazy val surveyRows: Set[String] = {
-    val md = scala.io.Source.fromFile("SURVEY.md")(scala.io.Codec.UTF8).mkString
-    "- \\[x\\] `(q[a-z0-9_]*)`".r.findAllMatchIn(md)
+  private lazy val surveyText: String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  private lazy val surveyRows: Set[String] =
+    "- \\[x\\] `(q[a-z0-9_]*)`".r.findAllMatchIn(surveyText)
       .map(_.group(1)).toSet
-  }
 
   test("SURVEY §2 checklist == SparkEntry.queries") {
     val registered = SparkEntry.queries.keySet
@@ -31,9 +34,8 @@ class SurveySyncSpec extends AnyFunSuite {
   }
 
   test("STATUS line's row count matches the registry") {
-    val md = scala.io.Source.fromFile("SURVEY.md")(scala.io.Codec.UTF8).mkString
     val n = "all (\\d+) rows below are implemented".r
-      .findFirstMatchIn(md).map(_.group(1).toInt)
+      .findFirstMatchIn(surveyText).map(_.group(1).toInt)
     assert(n.contains(SparkEntry.queries.size),
       s"STATUS claims ${n.getOrElse(-1)} rows; registry has " +
         s"${SparkEntry.queries.size}")
