@@ -49,6 +49,36 @@ class TemporalSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("native as-of join honors SQL null semantics on keys and timestamps") {
+    import org.apache.spark.sql.GraftBridge
+    import spark.implicits._
+    // left: clicks incl. a null key and a null ts; right: purchases
+    // incl. null-key and null-ts rows that must never match.
+    val l = Seq(
+      (1L, Option(5L), Option(100L)),
+      (2L, Option.empty[Long], Option(100L)),
+      (3L, Option(5L), Option.empty[Long]),
+      (4L, Option(0L), Option(100L)))
+      .toDF("event_id", "user_id", "us")
+    val r = Seq(
+      (10L, Option(5L), Option(50L)),
+      (11L, Option.empty[Long], Option(40L)),
+      (12L, Option(5L), Option.empty[Long]),
+      (13L, Option(0L), Option(60L)))
+      .toDF("r_id", "r_user", "r_us")
+    val node = graft.plans.AsofJoinNode(
+      GraftBridge.analyzed(l), GraftBridge.analyzed(r),
+      "user_id", "us", "event_id", "r_user", "r_us", "r_id")
+    val out = GraftBridge.ofRows(spark, node)
+      .select(col("event_id"), col("matched_id"))
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    assert(out(1L) === Some(10L)) // normal match
+    assert(out(2L) === None)      // null left key matches nothing
+    assert(out(3L) === None)      // null left ts matches nothing
+    assert(out(4L) === Some(13L)) // key 0 matches ONLY key-0 purchases
+  }
+
   test("range join matches brute-force interval filter") {
     val e = Tables.events(spark, sfDir)
       .select(col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
