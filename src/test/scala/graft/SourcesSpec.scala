@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.JsonDocs
+import graft.sources.{CsvDocs, JsonDocs}
 
 class SourcesSpec extends SparkSuite {
 
@@ -20,6 +20,29 @@ class SourcesSpec extends SparkSuite {
       val a = orig.orderBy(col("doc_id")).collect().toSeq
       val b = back.orderBy(col("doc_id")).collect().toSeq
       assert(a === b)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out).getParentFile).deleteRecursively()
+    }
+  }
+
+  test("CSV round-trip preserves the corpus incl. quoted delimiters") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_csv").toString + "/docs"
+    try {
+      val orig = Tables.documents(spark, sfDir)
+      CsvDocs.writeDocuments(orig, out)
+      val back = CsvDocs.readDocuments(spark, out)
+      val a = orig.orderBy(col("doc_id")).collect().toSeq
+      val b = back.orderBy(col("doc_id")).collect().toSeq
+      assert(a === b)
+
+      // Adversarial delimiters: commas and quotes inside text survive.
+      val tricky = Seq((99000L, "a, \"quoted\" value, with commas", "en",
+        "src0", 30L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      CsvDocs.writeDocuments(tricky, out)
+      val row = CsvDocs.readDocuments(spark, out).head()
+      assert(row.getString(1) === "a, \"quoted\" value, with commas")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(out).getParentFile).deleteRecursively()
