@@ -51,6 +51,10 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
         Some((a, v))
       case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) =>
         Some((a, v - 1))
+      // rn = 1 — the ubiquitous keep-first-row-per-group filter.
+      // (rn = v for v > 1 keeps ONLY rank v, which is not a top-k.)
+      case EqualTo(a: Attribute, Literal(1, IntegerType)) => Some((a, 1))
+      case EqualTo(Literal(1, IntegerType), a: Attribute) => Some((a, 1))
       case _ => None
     }
   }

@@ -66,6 +66,19 @@ class TopKRewriteSpec extends SparkSuite {
     }
   }
 
+  test("rn = 1 (keep-first-per-group) is rewritten and exact") {
+    val df = Seq((0, 2.0, 1L), (0, 3.0, 2L), (1, 1.0, 3L), (1, 1.0, 4L))
+      .toDF("g", "score", "id")
+    val q = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g"))
+          .orderBy(col("score").desc, col("id").asc)))
+      .where(col("rn") === 1)
+      .orderBy(col("g"))
+    assert(!q.queryExecution.executedPlan.toString.contains("Window"))
+    val rows = q.collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(rows.toSeq === Seq((0, 2L), (1, 3L)))
+  }
+
   test("rank column is usable downstream of the rewrite") {
     val rows = Relational.topNWindow(spark, sfDir)
       .select(col("rnk"), col("o_orderpriority")).collect()
