@@ -144,6 +144,25 @@ object Dedup extends graft.QueryGroup {
     jaccardVerify(bandCandidates(signatureFromBase(feats)), sh, topN)
   }
 
+  /** Dedup-by-latest: keep each (user, event_type) key's most recent
+    * event — the snapshot-compaction shape every CDC/versioned-corpus
+    * pipeline runs. WRITTEN as the natural `row_number() = 1` window
+    * query; the TopKWindowRewrite optimizer rule plans it as the k=1
+    * bounded aggregate (no per-key window shuffle/sort — asserted in
+    * PlanSpec). */
+  def dedupLatest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("us"))
+      .orderBy(col("user_id").asc, col("event_type").asc)
+  }
+
   /** Containment near-dup: |A ∩ B| / min(|A|, |B|) over unigram
     * token sets on the MinHash star candidates — the asymmetric
     * measure that catches a short doc embedded in a long one, which
@@ -304,6 +323,7 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_embedding" -> ((s, d) => embeddingNearDup(s, d)),
     "q_dedup_cluster" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_containment" -> ((s, d) => containment(s, d)),
+    "q_dedup_latest" -> ((s, d) => dedupLatest(s, d)),
   )
 
   // ---- oracle SQL (mirrors the candidate generation exactly) ----
@@ -366,6 +386,15 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_minhash" -> minhashOracle(
       """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs
         |         FROM documents)""".stripMargin, 20),
+    "q_dedup_latest" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, us
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id ASC, event_type ASC""".stripMargin,
     "q_dedup_containment" -> {
       val cand = candidateCtes(
         """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs

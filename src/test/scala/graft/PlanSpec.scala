@@ -125,6 +125,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_dedup_latest: rn=1 window rewritten to the bounded aggregate") {
+    val p = plan(Dedup.dedupLatest(spark, sfDir))
+    assert(!p.contains("Window"), s"window must be rewritten away:\n$p")
+    assert(p.contains("top_k_rows"), s"expected bounded aggregate:\n$p")
+  }
+
   test("q_ann_knn_join: bucket equi-join, broadcast probes, bounded ranking, no window") {
     val p = plan(Ann.annKnnJoin(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"probes must broadcast:\n$p")
