@@ -111,19 +111,25 @@ object Lexical extends graft.QueryGroup {
     * (≤ 3k rows) is filtered to the minimum populated tier. The
     * tier lists are the scale-safe paths above, and the fallback
     * filter touches only their union — no corpus recomputation. */
-  def nameTiered(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def nameTiered(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    nameTieredFor(s, dir, trigramQuery, k)
+
+  /** [[nameTiered]] for an arbitrary query name (the reference API
+    * takes any card name). */
+  def nameTieredFor(s: SparkSession, dir: String, q: String,
+      k: Int = 10): DataFrame = {
     val n = names(s, dir)
-    val t1 = n.where(lower(col("name")) === lower(lit(trigramQuery)))
+    val t1 = n.where(lower(col("name")) === lower(lit(q)))
       .select(col("doc_id"), col("name"), lit(1.0d).as("sim"),
         lit(1).as("tier"))
       .orderBy(col("doc_id").asc).limit(k)
-    val t2 = n.where(col("name").startsWith(lit(trigramQuery.take(4))))
+    val t2 = n.where(col("name").startsWith(lit(q.take(4))))
       .select(col("doc_id"), col("name"),
-        trigramSim(col("name"), lit(trigramQuery)).as("sim"), lit(2).as("tier"))
+        trigramSim(col("name"), lit(q)).as("sim"), lit(2).as("tier"))
       .orderBy(col("sim").desc, col("doc_id").asc).limit(k)
     val t3 = n
       .select(col("doc_id"), col("name"),
-        trigramSim(col("name"), lit(trigramQuery)).as("sim"), lit(3).as("tier"))
+        trigramSim(col("name"), lit(q)).as("sim"), lit(3).as("tier"))
       .orderBy(col("sim").desc, col("doc_id").asc).limit(k)
     // min(tier) over the ≤3k-row union as a global window: one pass
     // over the tier lists (an agg+join formulation recomputes all
