@@ -61,7 +61,7 @@ object Dedup extends graft.QueryGroup {
   /** (doc_id, h0..h15) xor-trick MinHash signature over an exploded
     * distinct feature relation (doc_id, f): one md5 per feature, one
     * shuffle on doc_id, map-side combine. */
-  private def signature(feats: DataFrame): DataFrame =
+  private[graft] def signature(feats: DataFrame): DataFrame =
     signatureFromBase(
       feats.select(col("doc_id"), MinHash.hash60(col("f")).as("base")))
 
@@ -83,7 +83,7 @@ object Dedup extends graft.QueryGroup {
     * candidates at O(docs × bands) while still linking every cluster
     * member to its canonical winner — the pairs a dedup actually
     * consumes. Two narrow shuffles of (band_key, doc_id) rows. */
-  private def bandCandidates(sig: DataFrame): DataFrame = {
+  private[graft] def bandCandidates(sig: DataFrame): DataFrame = {
     val keys = (0 until NumBands).map(b =>
       concat_ws(":", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
     val bands = sig.select(col("doc_id"), explode(array(keys: _*)).as("bk"))
