@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{CsvDocs, JsonDocs}
+import graft.sources.{CsvDocs, JsonDocs, OrcDocs}
 
 class SourcesSpec extends SparkSuite {
 
@@ -43,6 +43,28 @@ class SourcesSpec extends SparkSuite {
       CsvDocs.writeDocuments(tricky, out)
       val row = CsvDocs.readDocuments(spark, out).head()
       assert(row.getString(1) === "a, \"quoted\" value, with commas")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out).getParentFile).deleteRecursively()
+    }
+  }
+
+  test("ORC round-trip preserves the corpus with pushdown-capable files") {
+    val out = Files.createTempDirectory("graft_orc").toString + "/docs"
+    try {
+      val orig = Tables.documents(spark, sfDir)
+      OrcDocs.writeDocuments(orig, out)
+      val back = OrcDocs.readDocuments(spark, out)
+      assert(back.orderBy(col("doc_id")).collect().toSeq ===
+        orig.orderBy(col("doc_id")).collect().toSeq)
+      // Columnar contract: a filtered two-column projection reaches
+      // the ORC scan with a pushed filter.
+      val q = spark.read.orc(out).where(col("doc_id") === 3)
+        .select(col("doc_id"), col("source"))
+      val plan = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+        s"expected ORC pushdown:\n$plan")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(out).getParentFile).deleteRecursively()
