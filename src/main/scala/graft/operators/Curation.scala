@@ -173,8 +173,47 @@ object Curation extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  private val PipelineQualityMin = 0.5
+  private val PipelineRate = 50L
+
+  /** The CAPSTONE: the whole curation pipeline as ONE composed query
+    * — exact-dedup canonical winners → quality gate → deterministic
+    * hash sample → per-source sequence packing → summary stats. This
+    * is the actual shape of a 100 TB pre-training data build, and
+    * every stage is one of this engine's verified operators composing
+    * through Catalyst (the optimizer fuses the winner semi-join,
+    * quality projection, and sample filter into a single scan-side
+    * pipeline before the pack window). */
+  def pipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // 1. exact-dedup winners: min doc_id per content hash
+    val winners = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    // 2+3. quality gate + deterministic sample over the winner set
+    val kept = docs.join(winners, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .where(qCol >= PipelineQualityMin)
+      .where(pmod(MinHash.hash60(
+        concat(lit("smp:"), col("doc_id").cast("string"))),
+        lit(100L)) < PipelineRate)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("tk"))
+    // 4. sequence packing per source
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept.withColumn("cum", sum(col("tk")).over(w))
+      .withColumn("bin", expr(s"(cum - tk) DIV $PackBudget"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("bin")).as("n_bins"),
+        sum(col("tk")).as("toks"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_weights" -> ((s, d) => mixWeights(s, d)),
+    "q_pipeline" -> ((s, d) => pipeline(s, d)),
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "q_quality_hist" -> ((s, d) => qualityHistogram(s, d)),
     "q_tfidf" -> ((s, d) => tfidfTopTerms(s, d)),
@@ -183,6 +222,32 @@ object Curation extends graft.QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pipeline" ->
+      s"""WITH w AS (SELECT min(doc_id) AS doc_id FROM documents
+         |           GROUP BY md5(text)),
+         |k AS (SELECT d.doc_id, d.source,
+         |             str_split(d.text, ' ') AS toks
+         |      FROM documents d JOIN w USING (doc_id)),
+         |q AS (SELECT doc_id, source,
+         |             CAST(len(toks) AS BIGINT) AS tk
+         |      FROM k
+         |      WHERE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) *
+         |            least(1.0, CAST(len(toks) AS DOUBLE) / 40.0)
+         |              >= $PipelineQualityMin
+         |        AND ${MinHash.hash60Sql("'smp:' || CAST(doc_id AS VARCHAR)")}
+         |              % 100 < $PipelineRate),
+         |c AS (SELECT doc_id, source, tk,
+         |             CAST(sum(tk) OVER (PARTITION BY source
+         |               ORDER BY doc_id ASC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |               AS BIGINT) AS cum
+         |      FROM q),
+         |b AS (SELECT source, (cum - tk) // $PackBudget AS bin, doc_id, tk
+         |      FROM c)
+         |SELECT source, count(*) AS n_docs,
+         |       count(DISTINCT bin) AS n_bins,
+         |       CAST(sum(tk) AS BIGINT) AS toks
+         |FROM b GROUP BY source ORDER BY source ASC""".stripMargin,
     "q_mix_weights" ->
       """WITH per AS (SELECT source,
         |             CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS toks
