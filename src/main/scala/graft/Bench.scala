@@ -56,14 +56,24 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    // 3-decimal seconds: the driver captures only the LAST ~2000
+    // chars of stdout and parses the metric line out of that tail;
+    // at 66+ queries full nanosecond precision pushed the line past
+    // the window and round 3 recorded `parsed: null`. 1 ms
+    // granularity keeps the line ~1.6k chars with headroom to grow.
+    def s3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"${q(k)}:${s3(v)}" }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${q(sfDir)}}"""
-    println(line)
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${q(sfDir)}}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()
+    // Print LAST, after Spark shutdown, so only sbt's `[success]`
+    // epilogue can land between the line and the end of the tail.
+    println(line)
   }
 }

@@ -26,7 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Plan rewrite: row_number()-window top-N-per-group → bounded
-    // TopKRows aggregate (see TopKWindowRewrite). Disable with
+    // TopKRows aggregate (see TopKWindowRewrite). CAVEAT: when the
+    // window's ORDER BY is not a total order, tied rows are kept
+    // arbitrarily by BOTH plans, but possibly DIFFERENT arbitrary
+    // rows — add a unique tiebreak column for determinism. Disable
+    // per-query with SET spark.graft.topkWindowRewrite.enabled=false,
+    // or per-session via
     // spark.sql.optimizer.excludedRules=graft.plans.TopKWindowRewrite.
     ext.injectOptimizerRule(_ => TopKWindowRewrite)
 

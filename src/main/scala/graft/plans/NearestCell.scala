@@ -11,36 +11,58 @@ import org.apache.spark.sql.types._
 /** Fused argmin kernel shared by codegen and interpreted eval. */
 object NearestCellUtil {
 
+  /** Sentinel for "no usable centroid" — both eval paths turn it
+    * into SQL NULL. (A real cid of Long.MinValue would collide; cids
+    * in this engine are non-negative row ids.) */
+  val NoCell: Long = Long.MinValue
+
   /** Id of the centroid with the smallest squared euclidean distance
     * to `v`; ties break to the smaller id. Distance is a strict
     * left-to-right fold of `(v(i)-c(i))²` additions — bit-identical
     * to the composed `dist2Builtin` + `min(struct(d, cid))`
     * formulation (asserted in NearestCellSpec) and to the DuckDB
-    * `list_sum` comprehension the oracle runs. */
+    * `list_sum` comprehension the oracle runs.
+    *
+    * Malformed input guards (`containsNull` metadata is sticky on
+    * arrays built by collect_list et al., so runtime checks beat
+    * type-check rejection): null array elements, null cid/cvec
+    * struct fields are SKIPPED; a centroid vector shorter than the
+    * query contributes only its shared prefix (inner loop bounded by
+    * min(dim, |cv|)); null elements inside either vector are skipped
+    * (contribution 0). Returns [[NoCell]] when no usable centroid
+    * remains. */
   def nearest(v: ArrayData, cents: ArrayData): Long = {
     val dim = v.numElements()
     var found = false
     var bestId = Long.MaxValue
     var bestD = Double.PositiveInfinity
     var minId = Long.MaxValue
+    var any = false
     var i = 0
     val n = cents.numElements()
     while (i < n) {
-      val c = cents.getStruct(i, 2)
-      val cid = c.getLong(0)
-      val cv = c.getArray(1)
-      if (cid < minId) minId = cid
-      var acc = 0.0d
-      var j = 0
-      while (j < dim) {
-        val d = v.getDouble(j) - cv.getDouble(j)
-        acc += d * d
-        j += 1
-      }
-      if (acc < bestD || (acc == bestD && cid < bestId)) {
-        found = true
-        bestD = acc
-        bestId = cid
+      if (!cents.isNullAt(i)) {
+        val c = cents.getStruct(i, 2)
+        if (!c.isNullAt(0) && !c.isNullAt(1)) {
+          val cid = c.getLong(0)
+          val cv = c.getArray(1)
+          if (cid < minId) { minId = cid; any = true }
+          var acc = 0.0d
+          var j = 0
+          val m = math.min(dim, cv.numElements())
+          while (j < m) {
+            if (!v.isNullAt(j) && !cv.isNullAt(j)) {
+              val d = v.getDouble(j) - cv.getDouble(j)
+              acc += d * d
+            }
+            j += 1
+          }
+          if (acc < bestD || (acc == bestD && cid < bestId)) {
+            found = true
+            bestD = acc
+            bestId = cid
+          }
+        }
       }
       i += 1
     }
@@ -48,7 +70,7 @@ object NearestCellUtil {
     // false and nothing was picked. Match the composed
     // min(struct(d, cid)) semantics — equal keys fall through to the
     // cid tiebreak — instead of leaking the Long.MaxValue sentinel.
-    if (found) bestId else minId
+    if (found) bestId else if (any) minId else NoCell
   }
 }
 
@@ -92,16 +114,17 @@ case class NearestCell(left: Expression, right: Expression)
 
   override def nullSafeEval(v: Any, cents: Any): Any = {
     val ca = cents.asInstanceOf[ArrayData]
-    if (ca.numElements() == 0) null
-    else NearestCellUtil.nearest(v.asInstanceOf[ArrayData], ca)
+    val r = NearestCellUtil.nearest(v.asInstanceOf[ArrayData], ca)
+    if (r == NearestCellUtil.NoCell) null else r
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, c) =>
-      s"""if ($c.numElements() == 0) {
+      s"""long ${ev.value}_r = graft.plans.NearestCellUtil.nearest($v, $c);
+         |if (${ev.value}_r == Long.MIN_VALUE) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.plans.NearestCellUtil.nearest($v, $c);
+         |  ${ev.value} = ${ev.value}_r;
          |}""".stripMargin)
 
   override protected def withNewChildrenInternal(

@@ -31,9 +31,21 @@ import org.apache.spark.sql.types.IntegerType
   * pass-through projection). Ties in the ordering are resolved
   * deterministically by the aggregate's comparator; the window form
   * leaves tie order partition-dependent, so only queries with a
-  * total order (unique tiebreak) are deterministic either way.
+  * total order (unique tiebreak) are deterministic either way. Since
+  * the rule fires on EVERY session built with GraftExtensions, it is
+  * also gated behind `spark.graft.topkWindowRewrite.enabled`
+  * (default true) — a runtime conf toggle, coarser-grained but
+  * settable per-query, alongside the standard
+  * `spark.sql.optimizer.excludedRules` escape hatch.
   */
 object TopKWindowRewrite extends Rule[LogicalPlan] {
+
+  /** Runtime toggle (default on): `SET
+    * spark.graft.topkWindowRewrite.enabled=false` restores the
+    * window plan — e.g. for queries whose ORDER BY is not a total
+    * order, where the two plans may keep different tied rows (both
+    * orders are legal; see the tie caveat above). */
+  val EnabledKey = "spark.graft.topkWindowRewrite.enabled"
 
   /** Above this k the rewrite declines: the bounded buffer holds up
     * to 2k rows per group in memory, while the window plan's
@@ -76,7 +88,9 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
   private def passThrough(projList: Seq[NamedExpression]): Boolean =
     projList.forall(_.isInstanceOf[Attribute])
 
-  def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+  def apply(plan: LogicalPlan): LogicalPlan = if (
+    !conf.getConfString(EnabledKey, "true").toBoolean) plan
+  else plan transformUp {
     case f @ Filter(RnLimit(rn, k), w: Window)
         if k >= 1 && k <= MaxK && rnAlias(w, rn).isDefined =>
       rewrite(w, rnAlias(w, rn).get, k, f.output)

@@ -42,8 +42,17 @@ object TrigramSimUtil {
   /** |T(a) ∩ T(b)| / |T(a) ∪ T(b)|; 0.0 when both sets are empty.
     * Counts are exact ints, so the double division is bit-identical
     * to the composed `size(intersect)/size(union)` form. */
-  def sim(a: UTF8String, b: UTF8String): Double = {
-    val ta = trigrams(a)
+  def sim(a: UTF8String, b: UTF8String): Double =
+    simPre(trigrams(a), b)
+
+  /** [[sim]] with one side's trigram set precomputed. Every real
+    * call site compares a column against a literal query string, so
+    * the literal's set (lowercase, code-point extraction, sort,
+    * dedup) is hoisted out of the per-row loop — the expression
+    * caches the foldable side's packed array once per task and calls
+    * this. Jaccard is symmetric, so which side is precomputed does
+    * not matter. */
+  def simPre(ta: Array[Long], b: UTF8String): Double = {
     val tb = trigrams(b)
     var i = 0
     var j = 0
@@ -86,12 +95,40 @@ case class TrigramSim(left: Expression, right: Expression)
           s"(${l.catalogString}, ${r.catalogString})")
     }
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    TrigramSimUtil.sim(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  /** The foldable side's trigram set, computed once per expression
+    * instance (≙ once per task in the interpreted path) instead of
+    * once per row. None when neither side is a constant or the
+    * constant is null (the null short-circuits before use anyway). */
+  @transient private lazy val foldedSide: Option[(Boolean, Array[Long])] = {
+    def pre(e: Expression): Option[Array[Long]] =
+      if (e.foldable)
+        Option(e.eval()).map(v =>
+          TrigramSimUtil.trigrams(v.asInstanceOf[UTF8String]))
+      else None
+    pre(right).map(a => (true, a)).orElse(pre(left).map(a => (false, a)))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = foldedSide match {
+    case Some((true, ta)) =>
+      TrigramSimUtil.simPre(ta, l.asInstanceOf[UTF8String])
+    case Some((false, ta)) =>
+      TrigramSimUtil.simPre(ta, r.asInstanceOf[UTF8String])
+    case None =>
+      TrigramSimUtil.sim(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.plans.TrigramSimUtil.sim($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => foldedSide match {
+      // Constant side: bake its packed trigram array into the
+      // generated class as a reference object — the per-row code is
+      // one static merge-intersect call over the cached array.
+      case Some((rightIsConst, ta)) =>
+        val ref = ctx.addReferenceObj("trigramsPre", ta, "long[]")
+        val varying = if (rightIsConst) a else b
+        s"${ev.value} = graft.plans.TrigramSimUtil.simPre($ref, $varying);"
+      case None =>
+        s"${ev.value} = graft.plans.TrigramSimUtil.sim($a, $b);"
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TrigramSim =

@@ -69,6 +69,44 @@ class NearestCellSpec extends SparkSuite {
     assert(r.isNullAt(0))
   }
 
+  test("null centroid elements and null struct fields are skipped") {
+    // collect_list arrays carry containsNull metadata; build the
+    // malformed shape directly with SQL literals.
+    def run() = spark.sql(
+      """SELECT nearest_cell(array(0.0d, 0.0d), array(
+        |  CAST(NULL AS STRUCT<cid: BIGINT, cvec: ARRAY<DOUBLE>>),
+        |  named_struct('cid', CAST(NULL AS BIGINT), 'cvec', array(9.0d, 9.0d)),
+        |  named_struct('cid', 5L, 'cvec', CAST(NULL AS ARRAY<DOUBLE>)),
+        |  named_struct('cid', 2L, 'cvec', array(1.0d, 1.0d)),
+        |  named_struct('cid', 1L, 'cvec', array(3.0d, 3.0d))))""".stripMargin)
+      .head()
+    assert(run().getLong(0) === 2L) // only valid centroids compete
+    assert(withCodegenOff(run()).getLong(0) === 2L)
+  }
+
+  test("all-null / all-invalid centroid arrays yield null, not a crash") {
+    def run() = spark.sql(
+      """SELECT nearest_cell(array(0.0d), array(
+        |  CAST(NULL AS STRUCT<cid: BIGINT, cvec: ARRAY<DOUBLE>>),
+        |  named_struct('cid', 4L, 'cvec', CAST(NULL AS ARRAY<DOUBLE>))))"""
+        .stripMargin).head()
+    assert(run().isNullAt(0))
+    assert(withCodegenOff(run()).isNullAt(0))
+  }
+
+  test("centroid vectors shorter than the query use the shared prefix") {
+    // query (0,0,10): cid 1's 2-dim centroid (0,0) compares on the
+    // first two dims only (dist 0) and must win over cid 2's exact
+    // 3-dim (1,1,10) at dist 2 — bounded loop, no AIOOBE.
+    def run() = spark.sql(
+      """SELECT nearest_cell(array(0.0d, 0.0d, 10.0d), array(
+        |  named_struct('cid', 1L, 'cvec', array(0.0d, 0.0d)),
+        |  named_struct('cid', 2L, 'cvec', array(1.0d, 1.0d, 10.0d))))"""
+        .stripMargin).head()
+    assert(run().getLong(0) === 1L)
+    assert(withCodegenOff(run()).getLong(0) === 1L)
+  }
+
   test("wrong input types fail at analysis time") {
     val df = Seq((Seq(1, 2), Seq(1.0))).toDF("ints", "doubles")
     val ex = intercept[AnalysisException] {

@@ -43,6 +43,20 @@ class SourcesSpec extends SparkSuite {
       CsvDocs.writeDocuments(tricky, out)
       val row = CsvDocs.readDocuments(spark, out).head()
       assert(row.getString(1) === "a, \"quoted\" value, with commas")
+
+      // Embedded newlines (LF and CRLF): the sink's control-separator
+      // translation keeps files splittable AND round-trips the
+      // newlines losslessly through the line-based reader.
+      val nl = Seq(
+        (99001L, "line one\nline two\nline three", "en", "src0", 28L),
+        (99002L, "crlf\r\nstyle, \"quoted\"\r\ntail", "en", "src0", 27L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      CsvDocs.writeDocuments(nl, out)
+      val backNl = CsvDocs.readDocuments(spark, out)
+        .orderBy(col("doc_id")).collect()
+      assert(backNl.length === 2)
+      assert(backNl(0).getString(1) === "line one\nline two\nline three")
+      assert(backNl(1).getString(1) === "crlf\r\nstyle, \"quoted\"\r\ntail")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(out).getParentFile).deleteRecursively()

@@ -84,4 +84,20 @@ class TopKRewriteSpec extends SparkSuite {
       .select(col("rnk"), col("o_orderpriority")).collect()
     assert(rows.map(_.getInt(0)).forall(r => r >= 1 && r <= 3))
   }
+
+  test("runtime conf gate disables the rewrite per-query, same answer") {
+    val key = graft.plans.TopKWindowRewrite.EnabledKey
+    val rewritten = Relational.topNWindow(spark, sfDir).collect().toSeq
+    spark.conf.set(key, "false")
+    try {
+      val df = Relational.topNWindow(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Window"),
+        s"conf gate off must restore the window plan:\n$plan")
+      assert(df.collect().toSeq === rewritten)
+    } finally spark.conf.unset(key)
+    // back on without touching the conf: default is enabled
+    assert(!Relational.topNWindow(spark, sfDir)
+      .queryExecution.executedPlan.toString.contains("Window"))
+  }
 }

@@ -55,6 +55,30 @@ class TrigramSimSpec extends SparkSuite {
     assert(on.toSeq === off.toSeq)
   }
 
+  test("foldable-side caching is bitwise-transparent (both sides)") {
+    // The literal side's trigram set is precomputed once (reference
+    // object in codegen, lazy val interpreted) — results must stay
+    // bitwise identical to the uncached two-column path.
+    val q = "lightning bolt"
+    val twoCol = edge.map(a => (a, q)).toDF("a", "b")
+      .select(trigramSim($"a", $"b")).collect().map(_.getDouble(0)).toSeq
+    def litRight() = edge.toDF("a")
+      .select(trigramSim($"a", lit(q))).collect().map(_.getDouble(0)).toSeq
+    def litLeft() = edge.toDF("a")
+      .select(trigramSim(lit(q), $"a")).collect().map(_.getDouble(0)).toSeq
+    def bits(xs: Seq[Double]) = xs.map(java.lang.Double.doubleToLongBits)
+    assert(bits(litRight()) === bits(twoCol))
+    assert(bits(litLeft()) === bits(twoCol)) // jaccard is symmetric
+    assert(bits(withCodegenOff(litRight())) === bits(twoCol))
+    assert(bits(withCodegenOff(litLeft())) === bits(twoCol))
+  }
+
+  test("null literal side stays null-safe") {
+    val df = edge.toDF("a")
+      .select(trigramSim($"a", lit(null).cast("string")))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
   test("null propagates") {
     val df = Seq((Option("abc"), Option.empty[String]))
       .toDF("a", "b").select(trigramSim($"a", $"b"))
