@@ -19,6 +19,7 @@ object SparkEntry {
     Relational,
     Temporal,
     Curation,
+    Sketches,
     TextAnalysis,
     Ingest,
     Rerank,

@@ -211,7 +211,39 @@ object Curation extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  /** Per-source length-outlier audit (|z| > 2 on n_chars, population
+    * σ). The z² > 4 test is evaluated in EXACT integer arithmetic —
+    * (x·n − S)² > 4·(n·Q − S²) over DECIMAL(38,0) sums — so the
+    * outlier decision cannot drift across engines or partial-agg
+    * orders; the reported max_z is derived from those same exact
+    * integers by one correctly-rounded division + sqrt. Two narrow
+    * passes: a 3-sum agg on source, then a broadcast join back — the
+    * standard scale shape for "flag rows vs their group's moments".
+    */
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    val stats = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("n_chars"))).as("s_"),
+      sum(dec(col("n_chars")) * dec(col("n_chars"))).as("q_"))
+    val dev = dec(col("n_chars")) * dec(col("n")) - col("s_")
+    val vterm = dec(col("n")) * col("q_") - col("s_") * col("s_")
+    d.join(broadcast(stats), Seq("source"))
+      .select(col("source"),
+        (dev * dev > lit(4) * vterm).as("is_out"),
+        when(vterm > 0,
+          sqrt((dev * dev).cast("double") / vterm.cast("double")))
+          .as("z"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_out"),
+        round(max(col("z")), 4).as("max_z"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outliers" -> ((s, d) => outliers(s, d)),
     "q_mix_weights" -> ((s, d) => mixWeights(s, d)),
     "q_pipeline" -> ((s, d) => pipeline(s, d)),
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
@@ -222,6 +254,26 @@ object Curation extends graft.QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_outliers" ->
+      """WITH st AS (
+        |  SELECT source, count(*) AS n,
+        |         CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s_,
+        |         CAST(sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+        |           AS HUGEINT) AS q_
+        |  FROM documents GROUP BY source),
+        |j AS (
+        |  SELECT d.source,
+        |         (CAST(d.n_chars AS HUGEINT) * n - s_) AS dev,
+        |         (CAST(n AS HUGEINT) * q_ - s_ * s_) AS vterm
+        |  FROM documents d JOIN st USING (source))
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN dev * dev > 4 * vterm THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_out,
+        |       round(max(CASE WHEN vterm > 0 THEN
+        |         sqrt(CAST(dev * dev AS DOUBLE) / CAST(vterm AS DOUBLE))
+        |         END), 4) AS max_z
+        |FROM j GROUP BY source
+        |ORDER BY source ASC""".stripMargin,
     "q_pipeline" ->
       s"""WITH w AS (SELECT min(doc_id) AS doc_id FROM documents
          |           GROUP BY md5(text)),

@@ -215,8 +215,44 @@ object Relational extends graft.QueryGroup {
       .orderBy(col("user_id").asc, col("sess_idx").asc)
   }
 
+  private val PivotStatuses = Seq("F", "O", "P")
+
+  /** Status × priority pivot (wide crosstab): order counts and exact
+    * cent-unit revenue per cell. Pivot values are DECLARED, not
+    * discovered — at 100 TB the values-discovery pass a blind
+    * `pivot(col)` runs is a full extra scan, and the declared form
+    * compiles to one map-side-combining aggregate with CASE columns
+    * (no shuffle beyond the 5-key groupBy). */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", PivotStatuses)
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+      .orderBy(col("o_orderpriority").asc)
+
+  /** Exact p25/p50/p75 of quantity per returnflag. Scale note: exact
+    * percentile is only 100 TB-safe because the measure is LOW
+    * CARDINALITY (≤50 distinct quantities — the aggregate buffers a
+    * value→count map, not the rows); for unbounded measures use the
+    * fixed-boundary histogram (q_quality_hist) or a mergeable
+    * quantile sketch instead. Quantities are integral and the
+    * quartile fractions dyadic, so the interpolated results are
+    * exact doubles on both engines. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"))
+      .orderBy(col("l_returnflag").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
+    "q_pivot" -> ((s, d) => pivotAgg(s, d)),
+    "q_percentile" -> ((s, d) => percentiles(s, d)),
     "q_join_agg" -> ((s, d) => joinAgg(s, d)),
     "q_top_n_group" -> ((s, d) => topNGroup(s, d)),
     "q_top_n_window" -> ((s, d) => topNWindow(s, d)),
@@ -235,7 +271,26 @@ object Relational extends graft.QueryGroup {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
       "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
+  private def pivotCell(st: String): String =
+    s"""       count(CASE WHEN o_orderstatus = '$st' THEN 1 END)
+       |         AS "${st}_cnt",
+       |       CAST(sum(CASE WHEN o_orderstatus = '$st'
+       |                THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+       |         AS BIGINT) AS "${st}_cents"""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      s"""SELECT o_orderpriority,
+         |${PivotStatuses.map(pivotCell).mkString(",\n")}
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority ASC""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
     "q1_pricing" ->
       """WITH l AS (
         |  SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.MinHash
+
+/** Sketch-based approximate query processing — the primitives that
+  * make 100 TB interactive: a HyperLogLog distinct-count sketch, a
+  * count-min frequency sketch, and a Bloom-filter membership
+  * prefilter. The reference answers "how many distinct cards / how
+  * often does a term occur / is this id in the set" with exact scans
+  * over 30k rows (db/query_example.py:142-171 statistics,
+  * db/init.sql index lookups); at 100 TB those questions are answered
+  * with fixed-size sketches that merge associatively across
+  * partitions — a map-side-combinable aggregation whose shuffled
+  * state is O(sketch), not O(data).
+  *
+  * Everything here is DETERMINISTIC (md5-derived hashes shared with
+  * the DuckDB oracles, no library RNG) so the correctness gate can
+  * hash-compare the sketch outputs bit-for-bit — the estimator
+  * arithmetic is arranged to stay exact (integer register math,
+  * dyadic fractions, one final correctly-rounded division) rather
+  * than relying on cross-engine libm agreement.
+  *
+  * Scale design:
+  *  - HLL: per (group, bucket) max-rho is a map-side-combining agg on
+  *    group×256 keys; registers merge with max() so the same plan
+  *    serves shards, partitions, or days-of-data. The exact distinct
+  *    column exists only to exhibit the sketch's error and would be
+  *    dropped at scale.
+  *  - CMS: the sketch build aggregates token counts into d×w = 4096
+  *    cells — map-side combine absorbs token skew ("the" never
+  *    funnels one reducer: it is ONE cell per row). Probes join the
+  *    tiny cell table broadcast.
+  *  - Bloom: the bit set (m=4096 positions) is a sub-kilobyte
+  *    broadcast; the probe side tests membership map-only — the
+  *    distributed form of the runtime bloom-join pruning modern
+  *    engines plan automatically.
+  */
+object Sketches extends graft.QueryGroup {
+
+  // ---------------------------------------------------------------
+  // HyperLogLog: m = 256 registers, 16-bit rank window.
+  // h = md5-derived 60-bit hash; bucket = h mod 256; the rank rho =
+  // leading-zero count of the next 16 bits + 1 ∈ [1, 17], computed
+  // exactly via the minimal-width binary rendering (length(bin(v)) =
+  // floor(log2 v)+1 with no float log anywhere).
+  // Estimator: alpha_256 · m² / Σ 2^(-M_j) with the denominator kept
+  // in INTEGER fixed point (Σ 2^(17-M_j), empty registers contribute
+  // 2^17) so the only float op is one final division by a constant —
+  // identical to the last bit across engines.
+  // ---------------------------------------------------------------
+
+  private val HllM = 256
+  private val HllWindow = 16
+  /** alpha_256 · m² · 2^17 (the fixed-point scale), one literal shared
+    * verbatim with the oracle: 0.7213/(1+1.079/256) · 65536 · 131072. */
+  private val HllNum = "6169914595.23982"
+
+  private def hllRho(r16: Column): Column =
+    when(r16 === 0, lit(HllWindow + 1))
+      .otherwise(lit(HllWindow + 1) - length(bin(r16)))
+
+  /** Distinct `l_orderkey` per returnflag: exact vs HLL-256 estimate.
+    * One shuffle on (flag, bucket) — bucket partitions the key space,
+    * so per-bucket exact distincts sum to the global distinct and the
+    * register max-rank rides the same aggregation. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val h = MinHash.hash60(concat(lit("hll:"), col("l_orderkey").cast("string")))
+    val regs = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        pmod(h, lit(HllM.toLong)).as("bucket"),
+        hllRho(shiftright(h, 8).bitwiseAND(lit(0xffffL))).as("rho"),
+        col("l_orderkey"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(max(col("rho")).as("m"),
+        countDistinct(col("l_orderkey")).as("nd"))
+    regs.groupBy(col("l_returnflag"))
+      .agg(sum(col("nd")).as("n_exact"),
+        count(lit(1)).as("regs_hit"),
+        (sum(expr(s"shiftleft(1L, ${HllWindow + 1} - m)")) +
+          (lit(HllM.toLong) - count(lit(1))) * lit(1L << (HllWindow + 1)))
+          .as("denom_fp"))
+      .select(col("l_returnflag"), col("n_exact"), col("regs_hit"),
+        round(lit(HllNum).cast("double") / col("denom_fp").cast("double"), 3)
+          .as("est"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  // ---------------------------------------------------------------
+  // Count-min sketch: d = 4 hash rows × w = 1024 columns over the
+  // corpus token stream; estimate(t) = min_j cell(j, h_j(t)).
+  // ---------------------------------------------------------------
+
+  private val CmsD = 4
+  private val CmsW = 1024L
+  /** Probe terms: three frequent, one mid, one absent — the absent
+    * probe exhibits the collision overcount CMS is allowed to make
+    * (estimate ≥ truth, never under). */
+  private val CmsProbes = Seq("table", "query", "spark", "merge", "zebra")
+
+  private def cmsPos(j: Int, tok: Column): Column =
+    pmod(MinHash.hash60(concat(lit(s"cms$j:"), tok)), lit(CmsW))
+
+  /** Token-frequency estimates from the 4×1024 sketch next to true
+    * counts for the fixed probe set. */
+  def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cells = toks
+      .select(explode(array((0 until CmsD).map(j =>
+        struct(lit(j).as("j"), cmsPos(j, col("tok")).as("pos"))): _*)).as("c"))
+      .select(col("c.j").as("j"), col("c.pos").as("pos"))
+      .groupBy(col("j"), col("pos")).agg(count(lit(1)).as("cnt"))
+    val probes = s.range(1).select(
+        explode(array(CmsProbes.map(lit): _*)).as("token"))
+      .select(col("token"), explode(array((0 until CmsD).map(j =>
+        struct(lit(j).as("j"), cmsPos(j, col("token")).as("pos"))): _*)).as("c"))
+      .select(col("token"), col("c.j").as("j"), col("c.pos").as("pos"))
+    val est = probes
+      .join(cells, Seq("j", "pos"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+    val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+    est.join(truth, est("token") === truth("tok"), "left")
+      .select(col("token"), coalesce(col("true_cnt"), lit(0L)).as("true_cnt"),
+        col("cms_est"))
+      .orderBy(col("token").asc)
+  }
+
+  // ---------------------------------------------------------------
+  // Bloom-filter semi-join prefilter: m = 4096 bits, k = 3 hashes.
+  // Build over the urgent orders' keys; probe every lineitem key.
+  // ---------------------------------------------------------------
+
+  private val BloomM = 4096L
+  private val BloomK = 3
+
+  private def bloomPos(j: Int, key: Column): Column =
+    pmod(MinHash.hash60(concat(lit(s"bf$j:"), key.cast("string"))),
+      lit(BloomM))
+
+  private def bloomPositions(key: Column): Column =
+    explode(array((0 until BloomK).map(j => bloomPos(j, key)): _*))
+
+  /** Bloom prefilter audit: keys/rows passing the filter vs the exact
+    * semi-join, with the false-positive count (false NEGATIVES are
+    * impossible — asserted in SketchesSpec). */
+  def bloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bits = urgent.select(bloomPositions(col("o_orderkey")).as("pos"))
+      .distinct()
+    val rowsPerKey = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_rows"))
+    val probed = rowsPerKey
+      .select(col("l_orderkey"), col("n_rows"),
+        bloomPositions(col("l_orderkey")).as("pos"))
+      .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy(col("l_orderkey"), col("n_rows"))
+      .agg((sum(coalesce(col("hit"), lit(0))) === BloomK).as("pass"))
+    val withTruth = probed.join(
+      urgent.withColumn("member", lit(true)),
+      probed("l_orderkey") === urgent("o_orderkey"), "left")
+      .select(col("l_orderkey"), col("n_rows"), col("pass"),
+        coalesce(col("member"), lit(false)).as("member"))
+    withTruth.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("keys_pass"),
+        sum(when(col("member"), 1L).otherwise(0L)).as("keys_true"),
+        sum(when(col("pass") && !col("member"), 1L).otherwise(0L))
+          .as("keys_fp"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(when(col("pass"), col("n_rows")).otherwise(0L)).as("rows_pass"),
+        sum(when(col("member"), col("n_rows")).otherwise(0L)).as("rows_true"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
+    "q_cms_freq" -> ((s, d) => cmsFreq(s, d)),
+    "q_bloom_semi" -> ((s, d) => bloomSemi(s, d)),
+  )
+
+  private def h60(e: String): String = MinHash.hash60Sql(e)
+
+  val oracles: Map[String, String] = Map(
+    "q_hll_distinct" -> {
+      val h = h60("'hll:' || CAST(l_orderkey AS VARCHAR)")
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |         $h % $HllM AS bucket,
+         |         ($h >> 8) & 65535 AS r16,
+         |         l_orderkey
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_returnflag, bucket,
+         |         max(CASE WHEN r16 = 0 THEN ${HllWindow + 1}
+         |                  ELSE ${HllWindow + 1} - length(bin(r16)) END) AS m,
+         |         count(DISTINCT l_orderkey) AS nd
+         |  FROM b GROUP BY l_returnflag, bucket)
+         |SELECT l_returnflag,
+         |       CAST(sum(nd) AS BIGINT) AS n_exact,
+         |       count(*) AS regs_hit,
+         |       round($HllNum / CAST(
+         |         CAST(sum(1::BIGINT << (${HllWindow + 1} - m)) AS BIGINT) +
+         |         ($HllM - count(*)) * ${1L << (HllWindow + 1)}
+         |         AS DOUBLE), 3) AS est
+         |FROM r GROUP BY l_returnflag
+         |ORDER BY l_returnflag ASC""".stripMargin
+    },
+    "q_cms_freq" -> {
+      val cellUnion = (0 until CmsD).map(j =>
+        s"SELECT $j AS j, ${h60(s"'cms$j:' || tok")} % $CmsW AS pos FROM toks")
+        .mkString("\n    UNION ALL ")
+      val probeList = CmsProbes.map(t => s"('$t')").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+         |cells AS (
+         |  SELECT j, pos, count(*) AS cnt FROM (
+         |    $cellUnion
+         |  ) GROUP BY j, pos),
+         |probes AS (
+         |  SELECT token, j, ${h60("'cms' || CAST(j AS VARCHAR) || ':' || token")}
+         |           % $CmsW AS pos
+         |  FROM (VALUES $probeList) p(token),
+         |       (SELECT unnest(generate_series(0, ${CmsD - 1})) AS j)),
+         |est AS (
+         |  SELECT token, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cms_est
+         |  FROM probes LEFT JOIN cells USING (j, pos) GROUP BY token),
+         |truth AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok)
+         |SELECT token, CAST(coalesce(true_cnt, 0) AS BIGINT) AS true_cnt,
+         |       cms_est
+         |FROM est LEFT JOIN truth ON est.token = truth.tok
+         |ORDER BY token ASC""".stripMargin
+    },
+    "q_bloom_semi" -> {
+      def pos(j: Int, e: String) = s"${h60(s"'bf$j:' || $e")} % $BloomM"
+      val buildPos = (0 until BloomK)
+        .map(j => pos(j, "CAST(o_orderkey AS VARCHAR)")).mkString(", ")
+      val probePos = (0 until BloomK)
+        .map(j => pos(j, "CAST(l_orderkey AS VARCHAR)")).mkString(", ")
+      s"""WITH urgent AS (
+         |  SELECT o_orderkey FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'),
+         |bits AS (
+         |  SELECT DISTINCT unnest([$buildPos]) AS pos FROM urgent),
+         |rk AS (
+         |  SELECT l_orderkey, count(*) AS n_rows FROM lineitem
+         |  GROUP BY l_orderkey),
+         |pp AS (
+         |  SELECT l_orderkey, n_rows, unnest([$probePos]) AS pos FROM rk),
+         |probed AS (
+         |  SELECT l_orderkey, n_rows,
+         |         sum(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END)
+         |           = $BloomK AS pass
+         |  FROM pp LEFT JOIN bits USING (pos)
+         |  GROUP BY l_orderkey, n_rows),
+         |t AS (
+         |  SELECT p.l_orderkey, p.n_rows, p.pass,
+         |         u.o_orderkey IS NOT NULL AS member
+         |  FROM probed p LEFT JOIN urgent u ON p.l_orderkey = u.o_orderkey)
+         |SELECT count(*) AS n_keys,
+         |       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS keys_pass,
+         |       CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS keys_true,
+         |       CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS keys_fp,
+         |       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN pass THEN n_rows ELSE 0 END) AS BIGINT)
+         |         AS rows_pass,
+         |       CAST(sum(CASE WHEN member THEN n_rows ELSE 0 END) AS BIGINT)
+         |         AS rows_true
+         |FROM t""".stripMargin
+    },
+  )
+}

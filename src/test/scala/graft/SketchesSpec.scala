@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Relational, Sketches}
+
+/** Sketch correctness properties (error bounds, one-sided-ness, no
+  * false negatives) plus plan-shape audits for the round-4 additions
+  * (pivot, exact percentile, outlier audit). The DuckDB oracle
+  * proves cross-engine hash equality; these tests prove the
+  * STATISTICAL contracts the sketches advertise.
+  */
+class SketchesSpec extends SparkSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("HLL estimate lands within the m=256 error envelope") {
+    val rows = Sketches.hllDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("est")
+      val regs = r.getAs[Long]("regs_hit")
+      assert(regs >= 1 && regs <= 256)
+      // standard error 1.04/sqrt(256) = 6.5%; 30% is a generous
+      // deterministic bound for a single fixed hash draw.
+      assert(math.abs(est - exact) / exact < 0.30,
+        s"flag=${r.getString(0)} exact=$exact est=$est")
+    }
+  }
+
+  test("CMS never underestimates; the absent probe has zero truth") {
+    val rows = Sketches.cmsFreq(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq.contains("zebra"))
+    rows.foreach { r =>
+      val truth = r.getAs[Long]("true_cnt")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= truth,
+        s"token=${r.getString(0)} CMS must be one-sided: $est < $truth")
+      if (r.getString(0) == "zebra") assert(truth === 0L)
+      else assert(truth > 0L, s"probe ${r.getString(0)} missing from corpus")
+    }
+  }
+
+  test("bloom filter has no false negatives and a broadcast bit set") {
+    val r = Sketches.bloomSemi(spark, sfDir).head()
+    val pass = r.getAs[Long]("keys_pass")
+    val truth = r.getAs[Long]("keys_true")
+    val fp = r.getAs[Long]("keys_fp")
+    // pass = fp + (members that passed); equality with keys_true
+    // means EVERY member passed — the no-false-negative guarantee.
+    assert(pass - fp === truth)
+    assert(r.getAs[Long]("rows_pass") >= r.getAs[Long]("rows_true"))
+    assert(truth > 0L)
+    val p = plan(Sketches.bloomSemi(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bloom bit set must broadcast:\n$p")
+  }
+
+  test("q_pivot: declared values mean ONE scan and no discovery job") {
+    val df = Relational.pivotAgg(spark, sfDir)
+    val p = plan(df)
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"pivot must not re-scan to discover values:\n$p")
+    assert(df.columns.toSeq === Seq("o_orderpriority",
+      "F_cnt", "F_cents", "O_cnt", "O_cents", "P_cnt", "P_cents"))
+  }
+
+  test("q_percentile matches a driver-side type-7 quantile") {
+    val got = Relational.percentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val flags = got.keySet
+    val byFlag = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def q7(xs: Seq[Double], p: Double): Double = {
+      val h = p * (xs.length - 1)
+      val lo = h.toInt
+      val g = h - lo
+      if (g == 0) xs(lo) else xs(lo) + g * (xs(lo + 1) - xs(lo))
+    }
+    flags.foreach { f =>
+      val xs = byFlag(f)
+      assert(got(f) === ((q7(xs, 0.25), q7(xs, 0.5), q7(xs, 0.75))),
+        s"flag $f")
+    }
+  }
+
+  test("q_outliers: counts consistent, z threshold honored") {
+    val rows = Curation.outliers(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total === Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val nOut = r.getAs[Long]("n_out")
+      val maxZ = Option(r.get(3)).map(_.asInstanceOf[Double])
+      assert(nOut >= 0 && nOut <= r.getAs[Long]("n_docs"))
+      // outliers exist exactly when the most extreme z exceeds 2
+      assert(maxZ.exists(_ > 2.0) === (nOut > 0),
+        s"source=${r.getString(0)} max_z=$maxZ n_out=$nOut")
+    }
+    val p = plan(Curation.outliers(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source moments must broadcast back:\n$p")
+  }
+}
