@@ -183,6 +183,110 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("user_id").asc, col("sess_idx").asc)
   }
 
+  /** Watermark-PRUNED sessionizer state: `baseIdx` closed-and-
+    * finalized sessions precede the retained open-suffix events. */
+  final case class SessStateWm(baseIdx: Long, events: Seq[(Long, Long)],
+      ver: Long)
+
+  /** Event row for the watermark-pruned resolvers: carries the
+    * watermark-tagged `ts` column through to the stateful operator
+    * (Spark requires the tagged event-time column in the operator's
+    * input to expose `getCurrentWatermarkMs`). */
+  final case class SessEventW(user_id: Long, event_id: Long, us: Long,
+      ts: java.sql.Timestamp)
+  final case class AsofEventW(user_id: Long, event_id: Long, us: Long,
+      side: Int, ts: java.sql.Timestamp)
+
+  /** PRODUCTION variant of [[streamSessionize]]: same gap semantics,
+    * state pruned at the event-time watermark instead of growing with
+    * the full per-user history.
+    *
+    * Pruning invariant: a session whose last event is older than
+    * `watermark − gap` can never re-open (late rows behind the
+    * watermark are dropped upstream, so every future event has
+    * ts ≥ watermark, i.e. gap-exceeding distance from the closed
+    * session). Such sessions are emitted ONCE as FINAL (`ver = -1`)
+    * and their events leave the state; only the open suffix —
+    * O(horizon) events — is retained and re-emitted under the
+    * monotone version. The sink read unions final rows with each
+    * user's latest-version open rows; a finalizing invocation always
+    * also emits a fresh open version (its trigger event is ≥ the
+    * watermark, hence in the open suffix), so stale versions that
+    * still contain the finalized sessions are always superseded.
+    *
+    * Exactness contract: identical to the batch sessionizer for any
+    * disorder BOUNDED by the watermark horizon (the standard
+    * streaming contract); the keep-all variant above stays exact
+    * under arbitrary disorder at the cost of unbounded state. Both
+    * are asserted in StreamingSpec; the correctness gate proves this
+    * variant equals the batch oracle end-to-end. */
+  def streamSessionizeWm(s: SparkSession, dir: String): DataFrame =
+    streamSessionizeWmOver(s, eventsStream(s, dir),
+      "graft_stream_sessionize_wm")
+
+  private[graft] def streamSessionizeWmOver(s: SparkSession,
+      in: DataFrame, sink: String, horizon: String = "2 hours"): DataFrame = {
+    import s.implicits._
+    val gapUs = 30L * 60L * 1000000L
+    val events = in
+      .withWatermark("ts", horizon)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("ts"))
+      .as[SessEventW]
+
+    val sessions = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessStateWm, SessOutV](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[SessStateWm]) =>
+          val st = state.getOption.getOrElse(SessStateWm(0L, Nil, 0L))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val all = (st.events ++ evs.map(e => (e.us, e.event_id)))
+            .sortBy(identity)
+          // Sessionize the retained window; indices offset by the
+          // already-finalized prefix.
+          val sess = Seq.newBuilder[(Long, Long, Long, Long)] // idx,n,start,last
+          var idx = st.baseIdx
+          var start = 0L; var last = 0L; var n = 0L
+          for ((us, _) <- all) {
+            if (n == 0L) { idx += 1; start = us; last = us; n = 1L }
+            else if (us - last > gapUs) {
+              sess += ((idx, n, start, last))
+              idx += 1; start = us; last = us; n = 1L
+            } else { last = us; n += 1L }
+          }
+          if (n > 0L) sess += ((idx, n, start, last))
+          val built = sess.result()
+          // Split closed-forever prefix from the open suffix.
+          val (closed, open) = built.span(_._4 < wmUs - gapUs)
+          val out = Seq.newBuilder[SessOutV]
+          for ((i, cn, cs, cl) <- closed)
+            out += SessOutV(uid, -1L, i, cn, cs, cl - cs)
+          val ver = st.ver + 1
+          for ((i, on, os, ol) <- open)
+            out += SessOutV(uid, ver, i, on, os, ol - os)
+          val keepFrom = if (open.isEmpty) Long.MaxValue else open.head._3
+          state.update(SessStateWm(st.baseIdx + closed.length,
+            all.filter(_._1 >= keepFrom), ver))
+          out.result().iterator
+      }
+
+    runToCompletion(sessions.toDF(), sink, "append")
+    val t = s.table(sink)
+    val finals = t.where(col("ver") === -1L)
+    val opens = {
+      val latest = t.where(col("ver") > 0L)
+        .groupBy(col("user_id")).agg(max(col("ver")).as("mver"))
+        .withColumnRenamed("user_id", "lv_user_id")
+      t.where(col("ver") > 0L).join(broadcast(latest),
+        col("user_id") === col("lv_user_id") && col("ver") === col("mver"))
+    }
+    finals.select(col("user_id"), col("sess_idx"), col("n_events"),
+        col("start_us"), col("dur_us"))
+      .unionAll(opens.select(col("user_id"), col("sess_idx"),
+        col("n_events"), col("start_us"), col("dur_us")))
+      .orderBy(col("user_id").asc, col("sess_idx").asc)
+  }
+
   /** Streaming reader over the documents parquet (footer-only schema
     * read, then a glob-filtered file stream — same harness as
     * [[eventsStream]]). */
@@ -303,15 +407,103 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("event_id").asc)
   }
 
+  /** PRODUCTION variant of [[streamAsof]]: state pruned at the
+    * event-time watermark to O(horizon) per user.
+    *
+    * Pruning invariants (both follow from "future rows have
+    * ts ≥ watermark" once late rows are dropped upstream):
+    *  - A click older than the watermark is FROZEN — any future
+    *    purchase has us ≥ watermark > click.us, so it can never
+    *    improve the match. Its best match was already emitted the
+    *    moment it improved; drop the click and its emitted-map entry.
+    *  - Purchases older than the watermark collapse to the single
+    *    best (max (us, id)) entry: every surviving or future click
+    *    has us ≥ watermark ≥ that entry's us, so the collapsed entry
+    *    stands in for the whole prefix in any future resolution.
+    * The sink read is the same idempotent max-struct rollup — no
+    * versioning needed, because per-click matches only improve and
+    * frozen clicks simply stop re-emitting. */
+  def streamAsofWm(s: SparkSession, dir: String): DataFrame =
+    streamAsofWmOver(s, eventsStream(s, dir), "graft_stream_asof_wm")
+
+  private[graft] def streamAsofWmOver(s: SparkSession, in: DataFrame,
+      sink: String, horizon: String = "2 hours"): DataFrame = {
+    import s.implicits._
+    val events = in
+      .withWatermark("ts", horizon)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("side"),
+        col("ts"))
+      .as[AsofEventW]
+
+    val matched = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[AsofState]) =>
+          val st = state.getOption
+            .getOrElse(AsofState(Nil, Nil, Map.empty))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val batch = evs.toSeq
+          val purchases =
+            (st.purchases ++ batch.filter(_.side == 0)
+              .map(e => (e.us, e.event_id))).sortBy(identity)
+          val clicks = st.clicks ++ batch.filter(_.side == 1)
+            .map(e => (e.us, e.event_id))
+          val out = Seq.newBuilder[AsofOut]
+          var emitted = st.emitted
+          for ((cus, cid) <- clicks) {
+            val i = purchases.lastIndexWhere(_._1 <= cus)
+            val (bus, bid) = if (i < 0) (-1L, -1L) else purchases(i)
+            if (!emitted.get(cid).contains((bus, bid))) {
+              out += AsofOut(cid, uid, cus, bus, bid,
+                if (i < 0) -1L else cus - bus)
+              emitted += (cid -> ((bus, bid)))
+            }
+          }
+          // Prune: frozen clicks leave the state entirely; the
+          // purchase prefix older than the watermark collapses to its
+          // best entry (sorted order preserved: it is the prefix max).
+          val (frozen, live) = clicks.partition(_._1 < wmUs)
+          val (oldP, newP) = purchases.partition(_._1 < wmUs)
+          val keptP = (if (oldP.isEmpty) Nil else Seq(oldP.max)) ++ newP
+          state.update(AsofState(keptP, live,
+            emitted -- frozen.map(_._2)))
+          out.result().iterator
+      }
+
+    runToCompletion(matched.toDF(), sink, "append")
+    s.table(sink)
+      .groupBy(col("event_id"), col("user_id"), col("us"))
+      .agg(max(struct(col("matched_us"), col("matched_id"), col("lag_us")))
+        .as("m"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        when(col("m.matched_us") < 0, lit(null).cast("long"))
+          .otherwise(col("m.matched_id")).as("matched_id"),
+        when(col("m.matched_us") < 0, lit(null).cast("long"))
+          .otherwise(col("m.lag_us")).as("lag_us"))
+      .orderBy(col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> ((s, d) => streamWindow(s, d)),
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
+    "q_stream_sessionize_wm" -> ((s, d) => streamSessionizeWm(s, d)),
     "q_stream_asof" -> ((s, d) => streamAsof(s, d)),
+    "q_stream_asof_wm" -> ((s, d) => streamAsofWm(s, d)),
     "q_stream_quality" -> ((s, d) => streamQuality(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    // The watermark-pruned production resolvers must produce exactly
+    // what their keep-all twins produce (the gate input's disorder is
+    // within the horizon), i.e. the same batch oracles.
+    "q_stream_sessionize_wm" -> oraclesBase("q_stream_sessionize"),
+    "q_stream_asof_wm" -> oraclesBase("q_stream_asof"),
+  ) ++ oraclesBase
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     // Exactly the batch q_quality_score semantics — stream == batch.
     "q_stream_quality" ->
       graft.operators.TextAnalysis.oracles("q_quality_score"),
