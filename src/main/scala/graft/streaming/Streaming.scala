@@ -46,9 +46,23 @@ object Streaming extends graft.QueryGroup {
 
   private def runToCompletion(df: DataFrame, name: String,
       mode: String): Unit = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // No query here emits on watermark advancement (complete-mode
+    // window, first-sight dropDuplicates, fMGWS emitting during
+    // processing), so the trailing no-data micro-batch is pure fixed
+    // cost — skip it. State-eviction timing changes; output does not
+    // (the stream-vs-batch equality suite runs under this setting).
+    val s = df.sparkSession
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** Watermark + tumbling 1h window × event_type aggregation — the
