@@ -63,31 +63,42 @@ object Sketches extends graft.QueryGroup {
     when(r16 === 0, lit(HllWindow + 1))
       .otherwise(lit(HllWindow + 1) - length(bin(r16)))
 
-  /** Distinct `l_orderkey` per returnflag: exact vs HLL-256 estimate.
-    * One shuffle on (flag, bucket) — bucket partitions the key space,
-    * so per-bucket exact distincts sum to the global distinct and the
-    * register max-rank rides the same aggregation. */
-  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
-    val h = MinHash.hash60(concat(lit("hll:"), col("l_orderkey").cast("string")))
-    val regs = Tables.lineitem(s, dir)
-      .select(col("l_returnflag"),
+  /** (group, bucket, rho-max, per-bucket exact distinct) registers
+    * for a keyed input — the MERGEABLE sketch state: registers from
+    * disjoint shards combine with max(m) / sum(nd) to exactly the
+    * whole-corpus registers (asserted in SketchesSpec). */
+  private[graft] def hllRegisters(in: DataFrame, group: Column,
+      key: Column): DataFrame = {
+    val h = MinHash.hash60(concat(lit("hll:"), key.cast("string")))
+    in.select(group.as("g"),
         pmod(h, lit(HllM.toLong)).as("bucket"),
         hllRho(shiftright(h, 8).bitwiseAND(lit(0xffffL))).as("rho"),
-        col("l_orderkey"))
-      .groupBy(col("l_returnflag"), col("bucket"))
-      .agg(max(col("rho")).as("m"),
-        countDistinct(col("l_orderkey")).as("nd"))
-    regs.groupBy(col("l_returnflag"))
+        key.as("k"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("m"), countDistinct(col("k")).as("nd"))
+  }
+
+  /** Fold registers into (g, n_exact, regs_hit, est). */
+  private[graft] def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("g"))
       .agg(sum(col("nd")).as("n_exact"),
         count(lit(1)).as("regs_hit"),
         (sum(expr(s"shiftleft(1L, ${HllWindow + 1} - m)")) +
           (lit(HllM.toLong) - count(lit(1))) * lit(1L << (HllWindow + 1)))
           .as("denom_fp"))
-      .select(col("l_returnflag"), col("n_exact"), col("regs_hit"),
+      .select(col("g"), col("n_exact"), col("regs_hit"),
         round(lit(HllNum).cast("double") / col("denom_fp").cast("double"), 3)
           .as("est"))
+
+  /** Distinct `l_orderkey` per returnflag: exact vs HLL-256 estimate.
+    * One shuffle on (flag, bucket) — bucket partitions the key space,
+    * so per-bucket exact distincts sum to the global distinct and the
+    * register max-rank rides the same aggregation. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    hllEstimate(hllRegisters(Tables.lineitem(s, dir),
+      col("l_returnflag"), col("l_orderkey")))
+      .withColumnRenamed("g", "l_returnflag")
       .orderBy(col("l_returnflag").asc)
-  }
 
   // ---------------------------------------------------------------
   // Count-min sketch: d = 4 hash rows × w = 1024 columns over the

@@ -1,0 +1,228 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-synth` — a DataSource V2 deterministic corpus generator:
+  * the load-generation tool of a 100 TB pipeline. Reads NOTHING from
+  * disk; each partition synthesizes its id range on the executor, so
+  * a scale test drives the full engine (scan → shuffle → agg) at any
+  * size with zero storage and perfect reproducibility (md5-seeded,
+  * seed in the options).
+  *
+  * {{{
+  * spark.read.format("graft-synth")
+  *   .option("rows", 1000000).option("parts", 64).option("seed", 7)
+  *   .load()                       // document-shaped rows
+  * }}}
+  *
+  * This is the engine-surface showcase of the connector API tier:
+  *  - `SupportsPushDownRequiredColumns`: the reader materializes ONLY
+  *    requested columns — `select(doc_id)` never renders text (column
+  *    pruning visible in explain as the scan's narrowed schema).
+  *  - `SupportsPushDownFilters`: `doc_id` comparisons are consumed by
+  *    the source — they PRUNE whole input partitions at planning time
+  *    (the DSv2 analogue of parquet row-group/partition pruning) and
+  *    filter residually inside surviving partitions, so Spark doesn't
+  *    re-evaluate them.
+  * Both behaviors are asserted in SynthSourceSpec.
+  *
+  * The generated shape mirrors the testdata `documents` table
+  * (doc_id, text, lang, source, n_chars) with the same small
+  * vocabulary so every text operator (shingles, minhash, quality)
+  * exercises realistically. (Reference intent: the cleaning fixtures
+  * of cardsCleaning/cleanCardJson.py — synthetic but corpus-shaped.)
+  */
+class SynthSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-synth"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SynthTable(
+      rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      parts = Option(properties.get("parts")).map(_.toInt).getOrElse(8),
+      seed = Option(properties.get("seed")).map(_.toLong).getOrElse(0L))
+}
+
+object SynthSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+
+  val Vocab: IndexedSeq[String] = IndexedSeq(
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "spark", "a", "the", "line", "sort", "window",
+    "order", "data", "column", "join", "small", "customer", "query", "big",
+    "stream", "group", "filter")
+  val Langs: IndexedSeq[String] = IndexedSeq("en", "de", "fr", "es")
+
+  /** Deterministic 64-bit mix (splitmix64 finalizer) — cheap,
+    * stateless, and identical on every executor. */
+  def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def textFor(id: Long, seed: Long): String = {
+    val h0 = mix(id ^ mix(seed))
+    val n = 20 + (java.lang.Long.remainderUnsigned(h0, 81L)).toInt // 20..100
+    val sb = new java.lang.StringBuilder(n * 6)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      val w = java.lang.Long
+        .remainderUnsigned(mix(h0 + i), Vocab.length.toLong).toInt
+      sb.append(Vocab(w))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+final class SynthTable(rows: Long, parts: Int, seed: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-synth($rows rows, $parts parts)"
+  override def schema(): StructType = SynthSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(rows, parts, seed)
+}
+
+final class SynthScanBuilder(rows: Long, parts: Int, seed: Long)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = SynthSource.Schema
+  private var bounds: (Long, Long) = (0L, rows) // [lo, hi) on doc_id
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Consume doc_id comparisons into the [lo, hi) id window; anything
+    * else stays with Spark. Consumed filters are FULLY handled here
+    * (partition pruning + residual row filtering), so they are
+    * reported via `pushedFilters` and Spark drops its own copy. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (take, keep) = filters.partition {
+      case EqualTo("doc_id", _: Number) => true
+      case GreaterThan("doc_id", _: Number) => true
+      case GreaterThanOrEqual("doc_id", _: Number) => true
+      case LessThan("doc_id", _: Number) => true
+      case LessThanOrEqual("doc_id", _: Number) => true
+      case _ => false
+    }
+    take.foreach {
+      case EqualTo(_, v: Number) =>
+        val x = v.longValue()
+        bounds = (math.max(bounds._1, x), math.min(bounds._2, x + 1))
+      case GreaterThan(_, v: Number) =>
+        bounds = (math.max(bounds._1, v.longValue() + 1), bounds._2)
+      case GreaterThanOrEqual(_, v: Number) =>
+        bounds = (math.max(bounds._1, v.longValue()), bounds._2)
+      case LessThan(_, v: Number) =>
+        bounds = (bounds._1, math.min(bounds._2, v.longValue()))
+      case LessThanOrEqual(_, v: Number) =>
+        bounds = (bounds._1, math.min(bounds._2, v.longValue() + 1))
+      case _ =>
+    }
+    pushed = take
+    keep
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new SynthScan(rows, parts, seed, required, bounds._1, bounds._2)
+}
+
+final case class SynthPartition(start: Long, end: Long, seed: Long)
+  extends InputPartition
+
+final class SynthScan(rows: Long, parts: Int, seed: Long,
+    required: StructType, lo: Long, hi: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth rows=$rows window=[$lo,$hi) cols=" +
+      required.fieldNames.mkString(",")
+
+  /** Partition planning WITH pruning: the id space splits into
+    * `parts` even ranges; ranges disjoint from the pushed [lo, hi)
+    * window are never planned — the explain's partition count is the
+    * pruning evidence. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (rows + parts - 1) / parts)
+    (0 until parts).iterator
+      .map(i => (i * per, math.min(rows, (i + 1) * per)))
+      .filter { case (s, e) => s < e && e > lo && s < hi }
+      .map { case (s, e) =>
+        SynthPartition(math.max(s, lo), math.min(e, hi), seed)
+      }
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+}
+
+final class SynthReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SynthReader(p.asInstanceOf[SynthPartition], required)
+}
+
+/** Generates only the REQUIRED columns for its id range — text (the
+  * expensive column) is never rendered unless requested. */
+final class SynthReader(p: SynthPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import SynthSource._
+
+  private var id = p.start - 1
+  private val fields = required.fieldNames
+
+  override def next(): Boolean = { id += 1; id < p.end }
+
+  override def get(): InternalRow = {
+    val vals = fields.map {
+      case "doc_id" => id
+      case "text" => UTF8String.fromString(textFor(id, p.seed))
+      case "lang" =>
+        UTF8String.fromString(Langs(
+          java.lang.Long.remainderUnsigned(mix(id ^ 0x1a2b3cL ^ mix(p.seed)),
+            Langs.length.toLong).toInt))
+      case "source" =>
+        UTF8String.fromString(
+          "src" + java.lang.Long.remainderUnsigned(mix(id + 17 + p.seed), 20L))
+      case "n_chars" => textFor(id, p.seed).length.toLong
+      case other => throw new IllegalArgumentException(other)
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}

@@ -30,6 +30,25 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("HLL registers merge across shards to the whole-corpus sketch") {
+    // The 100 TB claim: sketch per shard, merge registers (max m,
+    // sum nd), estimate once — identical to sketching the union.
+    val li = Tables.lineitem(spark, sfDir)
+    val g = col("l_returnflag")
+    val k = col("l_orderkey")
+    val whole = Sketches.hllEstimate(
+      Sketches.hllRegisters(li, g, k)).orderBy("g").collect().toSeq
+    val shardA = Sketches.hllRegisters(li.where(k % 2 === 0), g, k)
+    val shardB = Sketches.hllRegisters(li.where(k % 2 === 1), g, k)
+    // Merge: keys are disjoint across shards (split BY key), so nd
+    // sums and m maxes per (g, bucket).
+    val merged = shardA.unionAll(shardB)
+      .groupBy(col("g"), col("bucket"))
+      .agg(max(col("m")).as("m"), sum(col("nd")).as("nd"))
+    val viaMerge = Sketches.hllEstimate(merged).orderBy("g").collect().toSeq
+    assert(viaMerge === whole)
+  }
+
   test("CMS never underestimates; the absent probe has zero truth") {
     val rows = Sketches.cmsFreq(spark, sfDir).collect()
     assert(rows.map(_.getString(0)).toSeq.contains("zebra"))

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The graft-synth DSv2 connector must actually deliver the two
+  * scale behaviors it advertises — column pruning into the reader
+  * and doc_id filter pushdown that prunes input partitions — plus
+  * determinism and correct residual filtering. */
+class SynthSourceSpec extends SparkSuite {
+
+  private def synth(rows: Long, parts: Int, seed: Long = 0L) =
+    spark.read.format("graft-synth")
+      .option("rows", rows).option("parts", parts).option("seed", seed)
+      .load()
+
+  test("generates the declared row count with the documents schema") {
+    val df = synth(1000, 8)
+    assert(df.count() === 1000L)
+    assert(df.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val r = df.where(col("doc_id") === 123).head()
+    assert(r.getAs[Long]("n_chars") === r.getAs[String]("text").length.toLong)
+  }
+
+  test("deterministic: same seed same corpus, different seed different") {
+    val a = synth(200, 4, seed = 7).orderBy("doc_id").collect().toSeq
+    val b = synth(200, 4, seed = 7).orderBy("doc_id").collect().toSeq
+    val c = synth(200, 4, seed = 8).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("column pruning reaches the scan (narrowed ReadSchema)") {
+    val q = synth(100, 4).select(col("doc_id"), col("source"))
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("graft-synth"), plan)
+    assert(plan.contains("cols=doc_id,source"),
+      s"scan must carry only required columns:\n$plan")
+    assert(!plan.contains("cols=doc_id,text"), plan)
+  }
+
+  test("doc_id filters prune input partitions and rows exactly") {
+    // 1000 ids over 10 partitions of 100; doc_id < 150 must plan 2.
+    val df = synth(1000, 10).where(col("doc_id") < 150)
+    assert(df.rdd.getNumPartitions === 2,
+      "range filter must prune partitions at planning time")
+    assert(df.count() === 150L)
+    // Residual filtering inside the surviving partition: exact window.
+    val win = synth(1000, 10)
+      .where(col("doc_id") >= 42 && col("doc_id") <= 57)
+    assert(win.rdd.getNumPartitions === 1)
+    assert(win.agg(min("doc_id"), max("doc_id"), count(lit(1)))
+      .head().toSeq === Seq(42L, 57L, 16L))
+    // Point lookup plans a single partition, returns one row.
+    val pt = synth(1000, 10).where(col("doc_id") === 901)
+    assert(pt.rdd.getNumPartitions === 1)
+    assert(pt.count() === 1L)
+    // Contradictory window plans zero partitions, zero rows.
+    val empty = synth(1000, 10)
+      .where(col("doc_id") > 800 && col("doc_id") < 700)
+    assert(empty.rdd.getNumPartitions === 0)
+    assert(empty.count() === 0L)
+  }
+
+  test("non-doc_id filters stay with Spark and still apply") {
+    val df = synth(500, 4).where(col("lang") === "en")
+    val n = df.count()
+    assert(n > 0 && n < 500)
+    assert(df.select("lang").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("en"))
+  }
+
+  test("the synthetic corpus drives real text operators") {
+    // The vocabulary matches the testdata generator's, so shingle /
+    // quality operators behave realistically on synthetic load.
+    val toks = synth(200, 4)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count()
+    assert(toks.count() > 10)
+  }
+}
