@@ -137,9 +137,16 @@ object Dedup extends graft.QueryGroup {
     * the identical md5-prefix formula, so the gate stays hash-exact. */
   def ngramJaccard(s: SparkSession, dir: String, topN: Int = 30): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // Materialize the hashed shingle sets ONCE: the md5 pass is the
+    // dominant cost and the plan consumes `sh` three times (signature
+    // build + both verify-join sides) — without the lineage cut it
+    // re-hashes the corpus three times. Same per-iteration-
+    // materialization rationale as dedupClusters; at 100 TB this is a
+    // persisted/shuffled intermediate either way.
     val sh = docs.select(col("doc_id"),
       transform(wordShingles(col("text"), 2),
         f => graft.functions.MinHash.hash60(f)).as("fs"))
+      .localCheckpoint()
     val feats = sh.select(col("doc_id"), explode(col("fs")).as("base"))
     jaccardVerify(bandCandidates(signatureFromBase(feats)), sh, topN)
   }
