@@ -56,13 +56,15 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // 3-decimal seconds: the driver captures only the LAST ~2000
+    // 2-decimal seconds: the driver captures only the LAST ~2000
     // chars of stdout and parses the metric line out of that tail;
     // at 66+ queries full nanosecond precision pushed the line past
-    // the window and round 3 recorded `parsed: null`. 1 ms
-    // granularity keeps the line ~1.6k chars with headroom to grow.
+    // the window and round 3 recorded `parsed: null`. 10 ms
+    // granularity keeps the line well clear of the window at 78+
+    // queries (full precision lives in each round's bench_out.json
+    // history via git).
     def s3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => s"${q(k)}:${s3(v)}" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }

@@ -249,10 +249,82 @@ object Relational extends graft.QueryGroup {
         percentile(col("l_quantity"), lit(0.75)).as("p75"))
       .orderBy(col("l_returnflag").asc)
 
+  /** JSON property extraction over the events `props` column — the
+    * semi-structured surface every analytics engine needs: parse
+    * `$.k`, aggregate per event type. Map-side extraction (no UDF —
+    * `get_json_object` is a codegen'd expression), 5-key agg. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type").asc)
+
+  /** RANGE-frame window: per event, count and exact fixed-point
+    * value sum over the same user's PRECEDING hour — the value-based
+    * frame (RANGE, not ROWS) that sliding-window features use.
+    * Partitioned on user_id (cardinality grows with data); ties in
+    * `us` get identical frames by definition, so the result is
+    * deterministic without a tiebreak in the ORDER BY. */
+  def windowRange(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 1e6).cast("long").as("v6"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("v6")).over(w).cast("double") / 1e6, 6).as("sv_1h"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** INTERSECT / EXCEPT set operations over behavioral cohorts:
+    * users who both clicked and purchased, clicked only, purchased
+    * only. Spark plans these as distinct + semi/anti joins on
+    * user_id — shuffle keys with unbounded cardinality. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def who(t: String) = e.where(col("event_type") === t)
+      .select(col("user_id"))
+    val clicks = who("click")
+    val buys = who("purchase")
+    def tag(df: DataFrame, t: String) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(t).as("cohort"),
+        col("n_users"))
+    tag(clicks.intersect(buys), "both")
+      .unionAll(tag(clicks.except(buys), "click_only"))
+      .unionAll(tag(buys.except(clicks), "purchase_only"))
+      .orderBy(col("cohort").asc)
+  }
+
+  /** Order-sensitive string aggregation (LISTAGG/string_agg): each
+    * user's event-type journey in (time, id) order. Spark has no
+    * ordered string_agg aggregate — the deterministic twin is
+    * collect_list(struct) → sort_array → transform → concat_ws, all
+    * codegen'd expressions over one hash-agg on user_id. */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", transform(
+          sort_array(collect_list(struct(col("us"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type"))).as("journey"))
+      .orderBy(col("user_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
     "q_pivot" -> ((s, d) => pivotAgg(s, d)),
     "q_percentile" -> ((s, d) => percentiles(s, d)),
+    "q_json_extract" -> ((s, d) => jsonExtract(s, d)),
+    "q_window_range" -> ((s, d) => windowRange(s, d)),
+    "q_set_ops" -> ((s, d) => setOps(s, d)),
+    "q_string_agg" -> ((s, d) => stringAgg(s, d)),
     "q_join_agg" -> ((s, d) => joinAgg(s, d)),
     "q_top_n_group" -> ((s, d) => topNGroup(s, d)),
     "q_top_n_window" -> ((s, d) => topNWindow(s, d)),
@@ -291,6 +363,45 @@ object Relational extends graft.QueryGroup {
         |       quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS sum_k,
+        |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS min_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    "q_window_range" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 1e6) AS BIGINT) AS v6
+        |  FROM events)
+        |SELECT user_id, event_id, us,
+        |       count(*) OVER w AS n_1h,
+        |       round(CAST(CAST(sum(v6) OVER w AS BIGINT) AS DOUBLE) / 1e6, 6)
+        |         AS sv_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id ASC""".stripMargin,
+    "q_set_ops" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT 'both' AS cohort, count(*) AS n_users
+        |  FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+        |UNION ALL
+        |SELECT 'click_only', count(*)
+        |  FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
+        |UNION ALL
+        |SELECT 'purchase_only', count(*)
+        |  FROM (SELECT * FROM p EXCEPT SELECT * FROM c)
+        |ORDER BY cohort ASC""".stripMargin,
+    "q_string_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |       string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id)
+        |         AS journey
+        |FROM events GROUP BY user_id ORDER BY user_id ASC""".stripMargin,
     "q1_pricing" ->
       """WITH l AS (
         |  SELECT l_returnflag, l_linestatus,
