@@ -140,6 +140,20 @@ class PlanSpec extends SparkSuite {
       s"ranking must be the bounded aggregate:\n$p")
   }
 
+  test("q_set_ops: INTERSECT/EXCEPT plan as semi/anti joins, no cartesian") {
+    val p = plan(Relational.setOps(spark, sfDir))
+    assert(!p.contains("Cartesian"), s"set ops must not cross-join:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"expected semi (intersect) and anti (except) joins:\n$p")
+  }
+
+  test("q_window_range: frame window partitioned on the unbounded user key") {
+    val p = plan(Relational.windowRange(spark, sfDir))
+    assert(p.contains("Window"), p)
+    assert(p.contains("partitionBy=[user_id") ||
+      p.contains("[user_id"), s"window must partition by user_id:\n$p")
+  }
+
   test("q_ann_ivf: Lloyd assignments are map-only (no corpus shuffle into an agg keyed by vec_id)") {
     val p = plan(Ann.ivfSearch(spark, sfDir))
     assert(!p.contains("hashpartitioning(vec_id"),

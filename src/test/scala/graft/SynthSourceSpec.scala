@@ -71,6 +71,23 @@ class SynthSourceSpec extends SparkSuite {
       === Seq("en"))
   }
 
+  test("scale smoke: 200k synthetic docs through dedup-shape + audit sink") {
+    // End-to-end zero-storage scale exercise: generate 200k docs,
+    // run the exact-dedup shape (md5 groupBy — the 100 TB workhorse),
+    // account results in the audit sink. Verifies the engine path at
+    // 40x the sf0.001 corpus with no files anywhere.
+    graft.sources.AuditSink.reset("scale")
+    val docs = synth(200000, 32)
+    val winners = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep"), count(lit(1)).as("n_dups"))
+    winners.write.format("graft-audit").option("name", "scale")
+      .mode("append").save()
+    val st = graft.sources.AuditSink.stats("scale").get
+    assert(st.rows > 100000L && st.rows <= 200000L,
+      s"dedup winners out of range: ${st.rows}")
+  }
+
   test("the synthetic corpus drives real text operators") {
     // The vocabulary matches the testdata generator's, so shingle /
     // quality operators behave realistically on synthetic load.
