@@ -51,11 +51,13 @@ class SynthSource extends TableProvider
   override def shortName(): String = "graft-synth"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SynthSource.Schema
+    SynthSource.schemaFor(
+      Option(options.get("shape")).getOrElse("documents"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SynthTable(
+      shape = Option(properties.get("shape")).getOrElse("documents"),
       rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
       parts = Option(properties.get("parts")).map(_.toInt).getOrElse(8),
       seed = Option(properties.get("seed")).map(_.toLong).getOrElse(0L))
@@ -68,6 +70,44 @@ object SynthSource {
     StructField("lang", StringType, nullable = false),
     StructField("source", StringType, nullable = false),
     StructField("n_chars", LongType, nullable = false)))
+
+  /** Embedding-table shape (matches testdata `embeddings`: 64-dim
+    * double vectors, 10 labels). */
+  val EmbSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("label", LongType, nullable = false),
+    StructField("embedding", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  /** Event-stream shape (matches testdata `events` post-read: micro
+    * timestamps, 5 event types, JSON props). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = false)))
+
+  val EmbDim = 64
+
+  def schemaFor(shape: String): StructType = shape match {
+    case "documents" => Schema
+    case "embeddings" => EmbSchema
+    case "events" => EventSchema
+    case other => throw new IllegalArgumentException(
+      s"graft-synth shape must be documents|embeddings|events, got $other")
+  }
+
+  /** The id column each shape supports pushdown on. */
+  def idColFor(shape: String): String = shape match {
+    case "documents" => "doc_id"
+    case "embeddings" => "vec_id"
+    case "events" => "event_id"
+  }
+
+  val EventTypes: IndexedSeq[String] =
+    IndexedSeq("click", "error", "purchase", "signup", "view")
 
   val Vocab: IndexedSeq[String] = IndexedSeq(
     "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
@@ -101,38 +141,41 @@ object SynthSource {
   }
 }
 
-final class SynthTable(rows: Long, parts: Int, seed: Long)
+final class SynthTable(shape: String, rows: Long, parts: Int, seed: Long)
     extends Table with SupportsRead {
-  override def name(): String = s"graft-synth($rows rows, $parts parts)"
-  override def schema(): StructType = SynthSource.Schema
+  override def name(): String =
+    s"graft-synth($shape, $rows rows, $parts parts)"
+  override def schema(): StructType = SynthSource.schemaFor(shape)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, parts, seed)
+    new SynthScanBuilder(shape, rows, parts, seed)
 }
 
-final class SynthScanBuilder(rows: Long, parts: Int, seed: Long)
-    extends ScanBuilder
+final class SynthScanBuilder(shape: String, rows: Long, parts: Int,
+    seed: Long) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
-  private var required: StructType = SynthSource.Schema
-  private var bounds: (Long, Long) = (0L, rows) // [lo, hi) on doc_id
+  private val idCol = SynthSource.idColFor(shape)
+  private var required: StructType = SynthSource.schemaFor(shape)
+  private var bounds: (Long, Long) = (0L, rows) // [lo, hi) on the id col
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Consume doc_id comparisons into the [lo, hi) id window; anything
-    * else stays with Spark. Consumed filters are FULLY handled here
-    * (partition pruning + residual row filtering), so they are
-    * reported via `pushedFilters` and Spark drops its own copy. */
+  /** Consume id-column comparisons into the [lo, hi) id window;
+    * anything else stays with Spark. Consumed filters are FULLY
+    * handled here (partition pruning + residual row filtering), so
+    * they are reported via `pushedFilters` and Spark drops its own
+    * copy. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (take, keep) = filters.partition {
-      case EqualTo("doc_id", _: Number) => true
-      case GreaterThan("doc_id", _: Number) => true
-      case GreaterThanOrEqual("doc_id", _: Number) => true
-      case LessThan("doc_id", _: Number) => true
-      case LessThanOrEqual("doc_id", _: Number) => true
+      case EqualTo(c, _: Number) if c == idCol => true
+      case GreaterThan(c, _: Number) if c == idCol => true
+      case GreaterThanOrEqual(c, _: Number) if c == idCol => true
+      case LessThan(c, _: Number) if c == idCol => true
+      case LessThanOrEqual(c, _: Number) if c == idCol => true
       case _ => false
     }
     take.foreach {
@@ -156,19 +199,19 @@ final class SynthScanBuilder(rows: Long, parts: Int, seed: Long)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SynthScan(rows, parts, seed, required, bounds._1, bounds._2)
+    new SynthScan(shape, rows, parts, seed, required, bounds._1, bounds._2)
 }
 
-final case class SynthPartition(start: Long, end: Long, seed: Long)
-  extends InputPartition
+final case class SynthPartition(shape: String, start: Long, end: Long,
+    seed: Long) extends InputPartition
 
-final class SynthScan(rows: Long, parts: Int, seed: Long,
+final class SynthScan(shape: String, rows: Long, parts: Int, seed: Long,
     required: StructType, lo: Long, hi: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-synth rows=$rows window=[$lo,$hi) cols=" +
+    s"graft-synth shape=$shape rows=$rows window=[$lo,$hi) cols=" +
       required.fieldNames.mkString(",")
 
   /** Partition planning WITH pruning: the id space splits into
@@ -181,7 +224,7 @@ final class SynthScan(rows: Long, parts: Int, seed: Long,
       .map(i => (i * per, math.min(rows, (i + 1) * per)))
       .filter { case (s, e) => s < e && e > lo && s < hi }
       .map { case (s, e) =>
-        SynthPartition(math.max(s, lo), math.min(e, hi), seed)
+        SynthPartition(shape, math.max(s, lo), math.min(e, hi), seed)
       }
       .toArray[InputPartition]
   }
@@ -196,8 +239,9 @@ final class SynthReaderFactory(required: StructType)
     new SynthReader(p.asInstanceOf[SynthPartition], required)
 }
 
-/** Generates only the REQUIRED columns for its id range — text (the
-  * expensive column) is never rendered unless requested. */
+/** Generates only the REQUIRED columns for its id range — text /
+  * embedding (the expensive columns) are never rendered unless
+  * requested. */
 final class SynthReader(p: SynthPartition, required: StructType)
     extends PartitionReader[InternalRow] {
   import SynthSource._
@@ -207,8 +251,12 @@ final class SynthReader(p: SynthPartition, required: StructType)
 
   override def next(): Boolean = { id += 1; id < p.end }
 
+  private def u01(x: Long): Double =
+    (mix(x) >>> 11).toDouble / (1L << 53).toDouble
+
   override def get(): InternalRow = {
     val vals = fields.map {
+      // documents
       case "doc_id" => id
       case "text" => UTF8String.fromString(textFor(id, p.seed))
       case "lang" =>
@@ -219,6 +267,34 @@ final class SynthReader(p: SynthPartition, required: StructType)
         UTF8String.fromString(
           "src" + java.lang.Long.remainderUnsigned(mix(id + 17 + p.seed), 20L))
       case "n_chars" => textFor(id, p.seed).length.toLong
+      // embeddings
+      case "vec_id" => id
+      case "label" =>
+        java.lang.Long.remainderUnsigned(mix(id ^ 0x5eedL ^ mix(p.seed)), 10L)
+      case "embedding" =>
+        val a = new Array[Double](EmbDim)
+        var j = 0
+        while (j < EmbDim) {
+          a(j) = u01(id * EmbDim + j + mix(p.seed)) * 2.0 - 1.0
+          j += 1
+        }
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a)
+      // events (micro timestamps over a 30-day window from epoch day
+      // 19700; id order is NOT time order — realistic disorder)
+      case "event_id" => id
+      case "ts" =>
+        1700000000000000L + java.lang.Long.remainderUnsigned(
+          mix(id ^ 0x7e5L ^ mix(p.seed)), 30L * 86400L * 1000000L)
+      case "user_id" =>
+        java.lang.Long.remainderUnsigned(mix(id + 31 + p.seed), 1500L)
+      case "event_type" =>
+        UTF8String.fromString(EventTypes(
+          java.lang.Long.remainderUnsigned(mix(id ^ 0xe7L ^ mix(p.seed)),
+            EventTypes.length.toLong).toInt))
+      case "value" => u01(id ^ 0xfaceL ^ mix(p.seed)) * 100.0
+      case "props" =>
+        UTF8String.fromString("{\"k\": " + java.lang.Long
+          .remainderUnsigned(mix(id ^ 0x9L + p.seed), 100L) + "}")
       case other => throw new IllegalArgumentException(other)
     }
     InternalRow.fromSeq(vals.toIndexedSeq)

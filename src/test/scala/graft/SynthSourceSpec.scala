@@ -88,6 +88,37 @@ class SynthSourceSpec extends SparkSuite {
       s"dedup winners out of range: ${st.rows}")
   }
 
+  test("embeddings shape: schema, pushdown on vec_id, vector ops work") {
+    val e = spark.read.format("graft-synth")
+      .option("shape", "embeddings").option("rows", 20000)
+      .option("parts", 10).load()
+    assert(e.columns.toSeq === Seq("vec_id", "label", "embedding"))
+    assert(e.where(col("vec_id") < 2000).rdd.getNumPartitions === 1)
+    // a real vector operator over synthetic load: brute cosine top-5
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val top = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosineSim(col("embedding"),
+          col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(5).collect()
+    assert(top.length === 5)
+    assert(top.forall(r => math.abs(r.getDouble(1)) <= 1.000001))
+  }
+
+  test("events shape: schema, time-bucket aggregation, JSON props") {
+    val ev = spark.read.format("graft-synth")
+      .option("shape", "events").option("rows", 10000)
+      .option("parts", 8).load()
+    assert(ev.columns.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val buckets = ev.groupBy(date_trunc("day", col("ts")), col("event_type"))
+      .count()
+    assert(buckets.count() > 30) // ~30 days × 5 types
+    assert(ev.where(get_json_object(col("props"), "$.k").cast("long")
+      .between(0, 99)).count() === 10000L)
+  }
+
   test("the synthetic corpus drives real text operators") {
     // The vocabulary matches the testdata generator's, so shingle /
     // quality operators behave realistically on synthetic load.
