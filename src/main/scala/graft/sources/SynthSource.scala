@@ -9,6 +9,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -147,13 +149,16 @@ final class SynthTable(shape: String, rows: Long, parts: Int, seed: Long)
     s"graft-synth($shape, $rows rows, $parts parts)"
   override def schema(): StructType = SynthSource.schemaFor(shape)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(shape, rows, parts, seed)
+    new SynthScanBuilder(shape, rows, parts, seed,
+      Option(options.get("rowsperbatch")).map(_.toLong)
+        .getOrElse(math.max(1L, rows / 4)))
 }
 
 final class SynthScanBuilder(shape: String, rows: Long, parts: Int,
-    seed: Long) extends ScanBuilder
+    seed: Long, rowsPerBatch: Long = Long.MaxValue) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private val idCol = SynthSource.idColFor(shape)
@@ -199,17 +204,30 @@ final class SynthScanBuilder(shape: String, rows: Long, parts: Int,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SynthScan(shape, rows, parts, seed, required, bounds._1, bounds._2)
+    new SynthScan(shape, rows, parts, seed, required, bounds._1, bounds._2,
+      rowsPerBatch)
 }
 
 final case class SynthPartition(shape: String, start: Long, end: Long,
     seed: Long) extends InputPartition
 
 final class SynthScan(shape: String, rows: Long, parts: Int, seed: Long,
-    required: StructType, lo: Long, hi: Long) extends Scan with Batch {
+    required: StructType, lo: Long, hi: Long,
+    rowsPerBatch: Long = Long.MaxValue) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming read: the same deterministic id space delivered as
+    * micro-batches of `rowsPerBatch` ids — a zero-storage stream for
+    * scale-testing the stateful operators (ids arrive in id order;
+    * the EVENTS shape's timestamps are hash-scattered across the
+    * 30-day window, so event-time disorder across batches is heavy —
+    * exactly what watermark/state logic needs exercising against). */
+  override def toMicroBatchStream(checkpointLocation: String):
+      MicroBatchStream =
+    new SynthMicroBatchStream(shape, rows, parts, seed, required,
+      rowsPerBatch)
   override def description(): String =
     s"graft-synth shape=$shape rows=$rows window=[$lo,$hi) cols=" +
       required.fieldNames.mkString(",")
@@ -231,6 +249,62 @@ final class SynthScan(shape: String, rows: Long, parts: Int, seed: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required)
+}
+
+/** DSv2 micro-batch stream over the synthetic id space. Offsets are
+  * plain id watermarks; `latestOffset` advances one batch per call
+  * until the declared row count, and AvailableNow runs the stream to
+  * completion. */
+final class SynthMicroBatchStream(shape: String, rows: Long, parts: Int,
+    seed: Long, required: StructType, rowsPerBatch: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  final case class SynthOffset(n: Long) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  @volatile private var available = 0L
+
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = SynthOffset(0L)
+
+  // SupportsAdmissionControl entry point (what Spark actually calls):
+  // advance one batch of ids per trigger, up to the declared rows.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    available = math.min(rows, available + rowsPerBatch)
+    SynthOffset(available)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def reportLatestOffset(): Offset = SynthOffset(available)
+
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset):
+      Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthOffset].n
+    val e = end.asInstanceOf[SynthOffset].n
+    if (s >= e) Array.empty
+    else {
+      val per = math.max(1L, (e - s + parts - 1) / parts)
+      (0 until parts).iterator
+        .map(i => (s + i * per, math.min(e, s + (i + 1) * per)))
+        .filter { case (a, b) => a < b }
+        .map { case (a, b) => SynthPartition(shape, a, b, seed) }
+        .toArray[InputPartition]
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class SynthReaderFactory(required: StructType)

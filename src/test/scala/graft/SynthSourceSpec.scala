@@ -119,6 +119,38 @@ class SynthSourceSpec extends SparkSuite {
       .between(0, 99)).count() === 10000L)
   }
 
+  test("micro-batch stream: multi-batch replay equals the batch read") {
+    // Zero-storage streaming harness: the same deterministic id space
+    // delivered as 5 micro-batches (ids in order, event TIMES heavily
+    // disordered across batches), windowed-aggregated with state, and
+    // compared against the one-shot batch read of the identical
+    // generator — stream == batch with no files anywhere.
+    import org.apache.spark.sql.streaming.Trigger
+    val opts = Map("shape" -> "events", "rows" -> "20000",
+      "parts" -> "4", "seed" -> "3", "rowsPerBatch" -> "4000")
+    val stream = opts.foldLeft(spark.readStream.format("graft-synth")) {
+      case (r, (k, v)) => r.option(k, v) }.load()
+    val agg = stream
+      .withWatermark("ts", "100 days") // keep every window open: exactness
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1e6).cast("long")).as("sv"))
+    val q = agg.writeStream.format("memory").queryName("synth_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("synth_stream")
+      .select(col("window.start").as("b"), col("event_type"), col("n"),
+        col("sv")).orderBy("b", "event_type").collect().toSeq
+    val want = opts.foldLeft(spark.read.format("graft-synth")) {
+      case (r, (k, v)) => r.option(k, v) }.load()
+      .groupBy(date_trunc("day", col("ts")).as("b"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1e6).cast("long")).as("sv"))
+      .orderBy("b", "event_type").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("the synthetic corpus drives real text operators") {
     // The vocabulary matches the testdata generator's, so shingle /
     // quality operators behave realistically on synthetic load.
