@@ -242,7 +242,30 @@ object Curation extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  /** Sample-based quantile estimation — the scale path for quantiles
+    * over UNBOUNDED measures (exact percentile needs value→count
+    * state, fine for ≤50 distinct quantities in q_percentile, wrong
+    * for free-form lengths at 100 TB): a deterministic 30%
+    * hash-threshold sample (reproducible, merge-free, map-only —
+    * rand()-free like q_sample_stratified), exact quartiles on the
+    * sample next to the full-corpus truth. Quartile fractions on
+    * integral values are dyadic → interpolation exact on both
+    * engines. */
+  def quantileSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("n_chars"))
+    val keep = pmod(MinHash.hash60(concat(lit("qs:"),
+      col("doc_id").cast("string"))), lit(10L)) < 3
+    val samp = Tables.documents(s, dir).where(keep).select(col("n_chars"))
+    def quarts(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.agg(count(lit(1)).as(s"n_$tag"),
+        percentile(col("n_chars"), lit(0.25)).as(s"p25_$tag"),
+        percentile(col("n_chars"), lit(0.5)).as(s"p50_$tag"),
+        percentile(col("n_chars"), lit(0.75)).as(s"p75_$tag"))
+    quarts(d, "full").crossJoin(quarts(samp, "samp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_sample" -> ((s, d) => quantileSample(s, d)),
     "q_outliers" -> ((s, d) => outliers(s, d)),
     "q_mix_weights" -> ((s, d) => mixWeights(s, d)),
     "q_pipeline" -> ((s, d) => pipeline(s, d)),
@@ -254,6 +277,22 @@ object Curation extends graft.QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_sample" -> {
+      val keep = MinHash.hash60Sql("'qs:' || CAST(doc_id AS VARCHAR)") +
+        " % 10 < 3"
+      s"""SELECT
+         |  (SELECT count(*) FROM documents) AS n_full,
+         |  (SELECT quantile_cont(n_chars, 0.25) FROM documents) AS p25_full,
+         |  (SELECT quantile_cont(n_chars, 0.5) FROM documents) AS p50_full,
+         |  (SELECT quantile_cont(n_chars, 0.75) FROM documents) AS p75_full,
+         |  (SELECT count(*) FROM documents WHERE $keep) AS n_samp,
+         |  (SELECT quantile_cont(n_chars, 0.25) FROM documents WHERE $keep)
+         |    AS p25_samp,
+         |  (SELECT quantile_cont(n_chars, 0.5) FROM documents WHERE $keep)
+         |    AS p50_samp,
+         |  (SELECT quantile_cont(n_chars, 0.75) FROM documents WHERE $keep)
+         |    AS p75_samp""".stripMargin
+    },
     "q_outliers" ->
       """WITH st AS (
         |  SELECT source, count(*) AS n,

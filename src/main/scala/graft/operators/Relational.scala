@@ -317,10 +317,31 @@ object Relational extends graft.QueryGroup {
           x => x.getField("event_type"))).as("journey"))
       .orderBy(col("user_id").asc)
 
+  /** Gap sessionization via Spark's NATIVE `session_window` operator
+    * — the third formulation of the same semantics (q_sessionize:
+    * lag+cumsum windows; q_stream_sessionize: custom fMGWS state;
+    * here: the built-in merging session aggregate, which plans as a
+    * map-side partial session merge and works identically in
+    * streaming). Session end = last event + gap by definition, so
+    * last_us = end − 30 min reproduces the batch formulation's
+    * bounds exactly. */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60L * 1000000L
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        (unix_micros(col("session_window.end")) - gapUs).as("last_us"),
+        col("n_events"))
+      .orderBy(col("user_id").asc, col("start_us").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
     "q_pivot" -> ((s, d) => pivotAgg(s, d)),
     "q_percentile" -> ((s, d) => percentiles(s, d)),
+    "q_session_window" -> ((s, d) => sessionWindow(s, d)),
     "q_json_extract" -> ((s, d) => jsonExtract(s, d)),
     "q_window_range" -> ((s, d) => windowRange(s, d)),
     "q_set_ops" -> ((s, d) => setOps(s, d)),
@@ -363,6 +384,29 @@ object Relational extends graft.QueryGroup {
         |       quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts), 1) OVER
+        |           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |           AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, us,
+        |         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, us,
+        |         CAST(sum(is_new) OVER
+        |           (PARTITION BY user_id ORDER BY us ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS sess
+        |  FROM f)
+        |SELECT user_id, min(us) AS start_us, max(us) AS last_us,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sess
+        |ORDER BY user_id ASC, start_us ASC""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
