@@ -70,8 +70,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Omit the errors object when empty — every byte of the stdout
+    // line spends tail-window budget (see s3 above).
+    val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
     val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs$errPart,"sf":${q(sfDir)}}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()
     // Print LAST, after Spark shutdown, so only sbt's `[success]`
