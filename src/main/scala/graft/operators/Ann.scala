@@ -67,6 +67,30 @@ object Ann extends graft.QueryGroup {
       .select(col("vec_id"), col("bucket"), round(col("sim"), 6).as("sim"))
   }
 
+  /** ANN quality gate: recall@k of the LSH bucket search against the
+    * exact brute-force top-k — the audit every approximate index
+    * needs before it may replace the exact scan (the reference trusts
+    * pgvector's HNSW blindly; at 100 TB you measure recall on a
+    * sample and tune planes/probes until it clears the bar). Both
+    * sides are deterministic, so the recall itself is a hash-exact
+    * oracle row, not a flaky statistic. */
+  def annRecall(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === id).select(col("embedding").as("qvec"))
+    val brute = e.where(col("vec_id") =!= id).crossJoin(broadcast(q))
+      .select(col("vec_id"), cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"))
+    val approx = lshBucketSearch(s, dir, id, k)
+      .select(col("vec_id"), lit(1).as("hit"))
+    brute.join(broadcast(approx), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(lit(k.toLong).as("k"), col("n_brute"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+  }
+
   /** One broadcast array row of (cid, cvec) structs, sorted for
     * deterministic iteration (argmin itself is order-independent:
     * ties break to the smaller cid). */
@@ -260,6 +284,7 @@ object Ann extends graft.QueryGroup {
     "q_ann_lsh_bucket" -> ((s, d) => lshBucketSearch(s, d)),
     "q_ann_ivf" -> ((s, d) => ivfSearch(s, d)),
     "q_ann_knn_join" -> ((s, d) => annKnnJoin(s, d)),
+    "q_ann_recall" -> ((s, d) => annRecall(s, d)),
   )
 
   private val bucketSql = Lsh.bucketCodeSql("v", planes)
@@ -268,6 +293,28 @@ object Ann extends graft.QueryGroup {
       .mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id, v, $bucketSql AS bucket FROM e WHERE vec_id <> 0),
+         |q AS (SELECT v AS qv, $bucketSql AS qb FROM e WHERE vec_id = 0),
+         |probes AS (SELECT qv, unnest($probeXors) AS bucket FROM q),
+         |approx AS (
+         |  SELECT vec_id FROM (
+         |    SELECT c.vec_id, list_cosine_similarity(c.v, p.qv) AS sim
+         |    FROM c JOIN probes p ON c.bucket = p.bucket)
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 10),
+         |brute AS (
+         |  SELECT e.vec_id,
+         |         list_cosine_similarity(e.v, (SELECT qv FROM q)) AS sim
+         |  FROM e WHERE vec_id <> 0
+         |  ORDER BY sim DESC, vec_id ASC LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k,
+         |       count(*) AS n_brute,
+         |       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_hits,
+         |       round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+         |         END) AS DOUBLE) / 10, 6) AS recall
+         |FROM brute b LEFT JOIN approx a ON b.vec_id = a.vec_id""".stripMargin,
     "q_ann_knn_join" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT vec_id, v, $bucketSql AS bucket FROM e
