@@ -73,8 +73,9 @@ object Bench {
     // Omit the errors object when empty — every byte of the stdout
     // line spends tail-window budget (see s3 above).
     val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
+    val sfName = new java.io.File(sfDir).getName // "sf0.1" — path prefix is tail-budget
     val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs$errPart,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs$errPart,"sf":${q(sfName)}}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()
     // Print LAST, after Spark shutdown, so only sbt's `[success]`
