@@ -56,30 +56,37 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // 2-decimal seconds: the driver captures only the LAST ~2000
-    // chars of stdout and parses the metric line out of that tail;
-    // at 66+ queries full nanosecond precision pushed the line past
-    // the window and round 3 recorded `parsed: null`. 10 ms
-    // granularity keeps the line well clear of the window at 78+
-    // queries (full precision lives in each round's bench_out.json
-    // history via git).
-    def s3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => s"${q(k)}:${s3(v)}" }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // Omit the errors object when empty — every byte of the stdout
-    // line spends tail-window budget (see s3 above).
-    val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
-    val sfName = new java.io.File(sfDir).getName // "sf0.1" — path prefix is tail-budget
-    val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs$errPart,"sf":${q(sfName)}}"""
-    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    // 2-decimal seconds, trailing zeros trimmed ("0.40"→"0.4",
+    // "1.00"→"1"): the driver captures only the LAST ~2000 chars of
+    // stdout and parses the metric line out of that tail; at 66+
+    // queries full nanosecond precision pushed the line past the
+    // window and round 3 recorded `parsed: null`. 10 ms granularity
+    // + trimming keeps the line well clear of the window at 85+
+    // queries. Full precision goes to bench_out.json (below), which
+    // each round's git history preserves.
+    def s3(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
+    def s6(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def jsonLine(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"${q(k)}:${fmt(v)}" }
+        .mkString("{", ",", "}")
+      val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      // Omit the errors object when empty — every byte of the stdout
+      // line spends tail-window budget.
+      val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
+      val sfName = new java.io.File(sfDir).getName // "sf0.1" — path prefix is tail-budget
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errPart,"sf":${q(sfName)}}"""
+    }
+    Files.writeString(Paths.get("bench_out.json"), jsonLine(s6) + "\n")
     spark.stop()
     // Print LAST, after Spark shutdown, so only sbt's `[success]`
     // epilogue can land between the line and the end of the tail.
-    println(line)
+    println(jsonLine(s3))
   }
 }

@@ -223,14 +223,22 @@ object Relational extends graft.QueryGroup {
     * `pivot(col)` runs is a full extra scan, and the declared form
     * compiles to one map-side-combining aggregate with CASE columns
     * (no shuffle beyond the 5-key groupBy). */
-  def pivotAgg(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
+  def pivotAgg(s: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.orders(s, dir)
       .select(col("o_orderpriority"), col("o_orderstatus"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", PivotStatuses)
       .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+    // A (priority, status) cell with no orders pivots to NULL, but the
+    // CASE-aggregate form (and the oracle) counts it as 0 — coalesce so
+    // the crosstab is total, not data-dependent.
+    val cells = PivotStatuses.flatMap(v => Seq(s"${v}_cnt", s"${v}_cents"))
+    pivoted
+      .select(col("o_orderpriority") +: cells.map(c =>
+        coalesce(col(c), lit(0L)).as(c)): _*)
       .orderBy(col("o_orderpriority").asc)
+  }
 
   /** Exact p25/p50/p75 of quantity per returnflag. Scale note: exact
     * percentile is only 100 TB-safe because the measure is LOW

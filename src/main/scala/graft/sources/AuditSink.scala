@@ -54,7 +54,10 @@ class AuditSink extends TableProvider
 }
 
 object AuditSink {
-  /** One audit record per completed (named) write. */
+  /** One audit record per (named) sink; every field — rows, bytes,
+    * partitions (task commits), commits (job commits) — accumulates
+    * across repeated writes to the same name, so the totals stay
+    * mutually consistent. */
   final case class Stats(rows: Long, bytes: Long, partitions: Int,
       commits: Long)
 
@@ -66,8 +69,8 @@ object AuditSink {
       partitions: Int): Unit =
     registry.compute(name, (_, prev) => prev match {
       case null => Stats(rows, bytes, partitions, 1L)
-      case p => Stats(p.rows + rows, p.bytes + bytes, partitions,
-        p.commits + 1L)
+      case p => Stats(p.rows + rows, p.bytes + bytes,
+        p.partitions + partitions, p.commits + 1L)
     })
 
   def reset(name: String): Unit = registry.remove(name)

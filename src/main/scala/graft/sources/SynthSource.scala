@@ -329,10 +329,13 @@ final class SynthReader(p: SynthPartition, required: StructType)
     (mix(x) >>> 11).toDouble / (1L << 53).toDouble
 
   override def get(): InternalRow = {
+    // Rendered at most once per row even when both text and n_chars
+    // are projected (and not at all when neither is).
+    lazy val text = textFor(id, p.seed)
     val vals = fields.map {
       // documents
       case "doc_id" => id
-      case "text" => UTF8String.fromString(textFor(id, p.seed))
+      case "text" => UTF8String.fromString(text)
       case "lang" =>
         UTF8String.fromString(Langs(
           java.lang.Long.remainderUnsigned(mix(id ^ 0x1a2b3cL ^ mix(p.seed)),
@@ -340,7 +343,7 @@ final class SynthReader(p: SynthPartition, required: StructType)
       case "source" =>
         UTF8String.fromString(
           "src" + java.lang.Long.remainderUnsigned(mix(id + 17 + p.seed), 20L))
-      case "n_chars" => textFor(id, p.seed).length.toLong
+      case "n_chars" => text.length.toLong
       // embeddings
       case "vec_id" => id
       case "label" =>
@@ -368,7 +371,7 @@ final class SynthReader(p: SynthPartition, required: StructType)
       case "value" => u01(id ^ 0xfaceL ^ mix(p.seed)) * 100.0
       case "props" =>
         UTF8String.fromString("{\"k\": " + java.lang.Long
-          .remainderUnsigned(mix(id ^ 0x9L + p.seed), 100L) + "}")
+          .remainderUnsigned(mix(id ^ 0x9L ^ mix(p.seed)), 100L) + "}")
       case other => throw new IllegalArgumentException(other)
     }
     InternalRow.fromSeq(vals.toIndexedSeq)

@@ -26,10 +26,13 @@ class AuditSinkSpec extends SparkSuite {
     AuditSink.reset("t2")
     val df = spark.range(100).select(col("id"))
     df.write.format("graft-audit").option("name", "t2").mode("append").save()
+    val first = AuditSink.stats("t2").get
     df.write.format("graft-audit").option("name", "t2").mode("append").save()
     val st = AuditSink.stats("t2").get
     assert(st.rows === 200L)
     assert(st.commits === 2L)
+    assert(st.partitions === first.partitions * 2,
+      "partitions must accumulate across commits like rows/bytes do")
     AuditSink.reset("t2")
     assert(AuditSink.stats("t2").isEmpty)
   }
