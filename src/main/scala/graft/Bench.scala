@@ -30,6 +30,18 @@ object Bench {
     Seq("documents", "embeddings", "lineitem", "orders")
       .foreach(t => Tables.table(spark, sfDir, t).count())
     Tables.events(spark, sfDir).count() // needs the nanos-ts conf
+    // Then warm the shared engine machinery (Janino compiler, shuffle
+    // writers, parquet column decoders, localCheckpoint, micro-batch
+    // engine + state store, TypedImperativeAggregate ser/de) with one
+    // untimed pass of a representative query per machinery class.
+    // Queries run alphabetically, which puts the heavy q_ann_*/
+    // q_dedup_* shapes first — without this they absorb the whole
+    // JIT ramp inside their measured reps (r4: q_dedup_cluster 6.99 s
+    // cold vs 1.49 s steady-state).
+    val warm = SparkEntry.queries
+    Seq("q_dedup_cluster", "q_stream_window", "q_join_agg", "q_vec_topk")
+      .foreach(n => try warm(n)(spark, sfDir).count()
+        catch { case _: Throwable => () })
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Two reps, report the min: the first execution of a query
