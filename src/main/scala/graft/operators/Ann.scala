@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -36,6 +36,9 @@ object Ann extends graft.QueryGroup {
   val NumPlanes = 8 // 256 buckets
   val IvfCells = 16
   val NProbe = 2
+  val PqM = 4 // product-quantization subspaces
+  val PqSub = Dim / PqM // dims per subspace
+  val PqK = 16 // codewords per subspace → 4-bit codes, 16^4 cells
 
   private val planes = Lsh.planes(NumPlanes, Dim)
 
@@ -173,6 +176,77 @@ object Ann extends graft.QueryGroup {
       .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Squared L2 distance restricted to subspace `m` (1-based) —
+    * sequential fold in ascending dimension order, the DuckDB-parity
+    * order every distance in this file uses. */
+  private def subdist(v: Column, sv: Column, m: Column): Column =
+    aggregate(
+      zip_with(slice(v, (m - 1) * PqSub + 1, lit(PqSub)),
+        slice(sv, (m - 1) * PqSub + 1, lit(PqSub)),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Product-quantization recall audit — the COMPRESSION tier of the
+    * ANN story (LSH prunes candidates, IVF prunes cells; PQ shrinks
+    * the residency cost of whatever still has to be scanned:
+    * Dim=64 doubles → PqM=4 nibble codes per vector, 128×, so a
+    * 100 TB vector corpus ADC-scans from ~0.8 TB of codes). Codebook:
+    * the deterministic md5-ordered PqK-seed sample (the same
+    * quantizer-seeding rule as IVF, sliced per subspace — a Lloyd
+    * refinement would drop in exactly like ivfCentroids). Encoding is
+    * MAP-ONLY: the codebook collapses to one broadcast array row and
+    * each vector folds its PqM argmins with higher-order functions —
+    * no corpus shuffle. Query time is asymmetric-distance (ADC): one
+    * PqM×PqK lookup table from the query, every corpus distance is
+    * PqM table lookups, and the top-k is TakeOrderedAndProject.
+    * Like [[annRecall]], the output is the recall@k of ADC top-k vs
+    * the exact-L2 top-k — deterministic on both engines, so the
+    * audit itself is a hash-exact oracle row. */
+  def pqRecall(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // Codebook: PqK seed vectors by md5 order, one broadcast row;
+    // position j in the sid-sorted array IS the code value.
+    val cbB = broadcast(
+      e.orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+        .limit(PqK)
+        .select(col("vec_id").as("sid"), col("embedding").as("sv"))
+        .agg(sort_array(collect_list(struct(col("sid"), col("sv"))))
+          .as("cb")))
+    val ms = sequence(lit(1), lit(PqM))
+    // ADC lookup table from the query: dt[m][j] = subdist(q, cw_j, m).
+    val dtB = broadcast(e.where(col("vec_id") === id).crossJoin(cbB)
+      .select(transform(ms, m =>
+        transform(col("cb"), s =>
+          subdist(col("embedding"), s.getField("sv"), m))).as("dt")))
+    // Encode + estimate in one map-only projection: per subspace the
+    // argmin codeword (ties to the smaller j, DuckDB-identically),
+    // then the ADC estimate as PqM ascending-m table lookups.
+    val codes = transform(ms, m =>
+      array_min(transform(col("cb"), (cw, j) =>
+        struct(subdist(col("embedding"), cw.getField("sv"), m).as("d"),
+          j.as("j")))).getField("j"))
+    val pqTop = e.where(col("vec_id") =!= id).crossJoin(cbB).crossJoin(dtB)
+      .select(col("vec_id"), codes.as("codes"), col("dt"))
+      .select(col("vec_id"),
+        aggregate(ms, lit(0.0d), (acc, m) => acc +
+          element_at(element_at(col("dt"), m),
+            element_at(col("codes"), m) + 1)).as("est"))
+      .orderBy(col("est").asc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"), lit(1).as("hit"))
+    val q = e.where(col("vec_id") === id).select(col("embedding").as("qvec"))
+    val brute = e.where(col("vec_id") =!= id).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        dist2Builtin(col("embedding"), col("qvec")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"))
+    brute.join(broadcast(pqTop), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(lit(k.toLong).as("k"), col("n_brute"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+  }
+
   /** Materialize the LSH index: the corpus written PARTITIONED BY its
     * bucket code. At 100 TB this is the one-off batch index build;
     * after it, a probe is a partition-pruned read of ≤ (1 +
@@ -285,6 +359,7 @@ object Ann extends graft.QueryGroup {
     "q_ann_ivf" -> ((s, d) => ivfSearch(s, d)),
     "q_ann_knn_join" -> ((s, d) => annKnnJoin(s, d)),
     "q_ann_recall" -> ((s, d) => annRecall(s, d)),
+    "q_ann_pq" -> ((s, d) => pqRecall(s, d)),
   )
 
   private val bucketSql = Lsh.bucketCodeSql("v", planes)
@@ -292,7 +367,52 @@ object Ann extends graft.QueryGroup {
     (0 +: (0 until NumPlanes).map(1 << _)).map(m => s"xor(qb, $m)")
       .mkString("[", ", ", "]")
 
+  /** Subspace-m squared L2 between lists `a` and `b` as a DuckDB
+    * comprehension — same ascending-dimension fold as [[subdist]]. */
+  private def sqlSubdist(a: String, b: String, m: String): String =
+    s"""list_sum([($a[($m-1)*$PqSub + i] - $b[($m-1)*$PqSub + i])
+       | * ($a[($m-1)*$PqSub + i] - $b[($m-1)*$PqSub + i])
+       | for i in generate_series(1, $PqSub)])""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s0 AS (SELECT vec_id AS sid, v AS sv FROM e
+         |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |       LIMIT $PqK),
+         |sj AS (SELECT row_number() OVER (ORDER BY sid ASC) - 1 AS j, sv
+         |       FROM s0),
+         |sd AS (SELECT e.vec_id, g.m, s.j,
+         |              ${sqlSubdist("e.v", "s.sv", "g.m")} AS d
+         |       FROM e, sj s, generate_series(1, $PqM) AS g(m)
+         |       WHERE e.vec_id <> 0),
+         |codes AS (SELECT vec_id, m, j FROM (
+         |            SELECT vec_id, m, j,
+         |                   row_number() OVER (PARTITION BY vec_id, m
+         |                     ORDER BY d ASC, j ASC) AS rn
+         |            FROM sd) WHERE rn = 1),
+         |dt AS (SELECT g.m, s.j, ${sqlSubdist("q.v", "s.sv", "g.m")} AS d
+         |       FROM (SELECT v FROM e WHERE vec_id = 0) q, sj s,
+         |            generate_series(1, $PqM) AS g(m)),
+         |est AS (SELECT c.vec_id, list_sum(list(dt.d ORDER BY c.m)) AS est
+         |        FROM codes c JOIN dt ON c.m = dt.m AND c.j = dt.j
+         |        GROUP BY c.vec_id),
+         |pq AS (SELECT vec_id FROM est ORDER BY est ASC, vec_id ASC
+         |       LIMIT 10),
+         |brute AS (SELECT e.vec_id FROM e,
+         |            (SELECT v AS qv FROM e WHERE vec_id = 0) q
+         |          WHERE e.vec_id <> 0
+         |          ORDER BY list_sum([(e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])
+         |                             for i in generate_series(1, $Dim)]) ASC,
+         |                   e.vec_id ASC
+         |          LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k,
+         |       count(*) AS n_brute,
+         |       CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_hits,
+         |       round(CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0
+         |         END) AS DOUBLE) / 10, 6) AS recall
+         |FROM brute b LEFT JOIN pq p ON b.vec_id = p.vec_id""".stripMargin,
     "q_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |c AS (SELECT vec_id, v, $bucketSql AS bucket FROM e WHERE vec_id <> 0),

@@ -134,7 +134,80 @@ object TextAnalysis extends graft.QueryGroup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Denylist terms for the scrub audit — stand-ins for PII patterns
+    * (emails, phones) on this synthetic corpus; the operator shape
+    * (anchored regex → redact → account) is identical either way. */
+  val Denylist: Seq[String] = Seq("customer", "key", "value")
+  private val DenyPat = Denylist.mkString("\\b(", "|", ")\\b")
+
+  /** Redaction scrub: replace denylisted terms with a mask token and
+    * account for the damage per source — the PII-scrub pass of a
+    * training pipeline (regex redaction + audit trail). Map-only
+    * projection (regexp_count + regexp_replace are codegen'd
+    * expressions) feeding one small-key agg; at 100 TB the scrubbed
+    * text would be written back columnar while this same audit rolls
+    * up. */
+  def scrubDenylist(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("text"),
+        regexp_count(col("text"), lit(DenyPat)).as("hits"),
+        regexp_replace(col("text"), DenyPat, "[MASKED]").as("scrubbed"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_touched"),
+        sum(col("hits")).as("n_redactions"),
+        sum(length(col("text"))).cast("long").as("chars_in"),
+        sum(length(col("scrubbed"))).cast("long").as("chars_out"))
+      .orderBy(col("source").asc)
+
+  /** Repetition / boilerplate audit (Gopher-style quality signals):
+    * per-doc duplicate-word fraction and top-word fraction, pooled
+    * per source over exact integer counts (one division at the end —
+    * no float accumulation to drift cross-engine). The per-doc max
+    * word frequency folds over the SORTED token array with a
+    * run-length accumulator — map-only, no explode, no per-doc
+    * shuffle; the only exchange is the ~20-key source rollup. A doc
+    * flags as repetitious when over half its words are repeats
+    * (2·(n−distinct) > n, integer compare). */
+  /** Max frequency of any element in a token array, computed as the
+    * longest equal-run over the SORTED array — one map-side fold, no
+    * explode/shuffle (the spec cross-checks it against the
+    * explode → groupBy → max formulation). */
+  def maxWordFreq(toks: Column): Column = {
+    val acc0 = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"))
+    aggregate(sort_array(toks), acc0,
+      (a, w) => {
+        val run = when(a.getField("prev") === w, a.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best"))
+  }
+
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val best = maxWordFreq(tokens(col("text")))
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("nd"),
+        best.as("best"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("words"),
+        round((sum(col("n")) - sum(col("nd"))).cast("double") /
+          sum(col("n")), 6).as("dup_frac"),
+        round(sum(col("best")).cast("double") / sum(col("n")), 6)
+          .as("top_frac"),
+        sum(when(lit(2L) * (col("n") - col("nd")) > col("n"), 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scrub_denylist" -> ((s, d) => scrubDenylist(s, d)),
+    "q_repetition" -> ((s, d) => repetition(s, d)),
     "q_lang_id" -> ((s, d) => langId(s, d)),
     "q_quality_score" -> ((s, d) => qualityScore(s, d)),
     "q_token_count" -> ((s, d) => tokenCount(s, d)),
@@ -148,6 +221,44 @@ object TextAnalysis extends graft.QueryGroup {
     s"len(list_filter(str_split(text, ' '), t -> list_contains(${sqlList(ws)}, t))) AS hits_$l"
 
   val oracles: Map[String, String] = Map(
+    "q_scrub_denylist" -> {
+      val pat = Denylist.mkString("\\b(", "|", ")\\b")
+      s"""WITH t AS (
+         |  SELECT source, text,
+         |         len(regexp_extract_all(text, '$pat')) AS hits,
+         |         regexp_replace(text, '$pat', '[MASKED]', 'g') AS scrubbed
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS docs_touched,
+         |       CAST(sum(hits) AS BIGINT) AS n_redactions,
+         |       CAST(sum(len(text)) AS BIGINT) AS chars_in,
+         |       CAST(sum(len(scrubbed)) AS BIGINT) AS chars_out
+         |FROM t GROUP BY source ORDER BY source ASC""".stripMargin
+    },
+    "q_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, str_split(text, ' ') AS toks
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, source, len(toks) AS n,
+        |         len(list_distinct(toks)) AS nd
+        |  FROM d),
+        |mx AS (
+        |  SELECT doc_id, max(c) AS best FROM (
+        |    SELECT doc_id, t, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+        |    GROUP BY doc_id, t)
+        |  GROUP BY doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS words,
+        |       round(CAST(sum(n) - sum(nd) AS DOUBLE) / sum(n), 6)
+        |         AS dup_frac,
+        |       round(CAST(sum(best) AS DOUBLE) / sum(n), 6) AS top_frac,
+        |       CAST(sum(CASE WHEN 2 * (n - nd) > n THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_flagged
+        |FROM per JOIN mx USING (doc_id)
+        |GROUP BY source ORDER BY source ASC""".stripMargin,
     "q_lang_id" -> {
       val hitCols = StopwordSets.map { case (l, ws) => sqlHits(l, ws) }
         .mkString(",\n|         ")

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, TextAnalysis}
+
+/** Round-5 operators: product-quantization ADC recall audit,
+  * denylist redaction scrub, repetition quality signals. */
+class PqScrubSpec extends SparkSuite {
+
+  test("q_ann_pq: recall row is well-formed and deterministic") {
+    val r = Ann.pqRecall(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === 10L) // k
+    assert(row.getLong(1) === 10L) // n_brute
+    val hits = row.getLong(2)
+    assert(hits >= 0L && hits <= 10L)
+    assert(row.getDouble(3) === hits.toDouble / 10.0)
+    // Deterministic end to end (codebook, codes, ADC, tie-breaks).
+    assert(Ann.pqRecall(spark, sfDir).collect().toSeq === r.toSeq)
+  }
+
+  test("q_ann_pq: encode/ADC plan is broadcast-only (no corpus shuffle)") {
+    val plan = Ann.pqRecall(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"PQ must never sort-merge the corpus:\n$plan")
+  }
+
+  test("scrub regex semantics: word-anchored, all occurrences, masked") {
+    import spark.implicits._
+    val pat = TextAnalysis.Denylist.mkString("\\b(", "|", ")\\b")
+    val df = Seq(
+      ("key of the customer key", 3L),   // repeats all count
+      ("keys monkey", 0L),               // \b blocks partial matches
+      ("value", 1L),
+      ("nothing here", 0L))
+      .toDF("text", "want")
+      .select(col("want"),
+        regexp_count(col("text"), lit(pat)).as("got"),
+        regexp_replace(col("text"), pat, "[MASKED]").as("scrubbed"))
+    val re = pat.r
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("got") === r.getAs[Long]("want"))
+      assert(re.findFirstIn(r.getAs[String]("scrubbed")).isEmpty,
+        s"scrubbed text still matches: ${r.getAs[String]("scrubbed")}")
+    }
+  }
+
+  test("q_scrub_denylist: audit accounting is internally consistent") {
+    val rows = TextAnalysis.scrubDenylist(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, touched, red) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(touched <= nDocs)
+      assert(red >= touched) // every touched doc has ≥1 redaction
+    }
+    // The corpus genuinely exercises the scrub path.
+    assert(rows.map(_.getLong(3)).sum > 0L, "denylist never fired")
+  }
+
+  test("maxWordFreq run-length fold == explode/groupBy max, every doc") {
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val folded = docs.select(col("doc_id"),
+      TextAnalysis.maxWordFreq(col("toks")).as("best"))
+    val exploded = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t")).count()
+      .groupBy(col("doc_id")).agg(max(col("count")).as("best"))
+    assert(folded.join(exploded, Seq("doc_id"))
+      .where(folded("best") =!= exploded("best")).count() === 0L)
+  }
+
+  test("q_repetition: pooled fractions bounded and flags consistent") {
+    val rows = TextAnalysis.repetition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getDouble(3)
+      val top = r.getDouble(4)
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      assert(r.getLong(5) <= r.getLong(1)) // n_flagged ≤ n_docs
+    }
+  }
+}
