@@ -68,23 +68,26 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // 2-decimal seconds, trailing zeros trimmed ("0.40"→"0.4",
-    // "1.00"→"1"): the driver captures only the LAST ~2000 chars of
-    // stdout and parses the metric line out of that tail; at 66+
-    // queries full nanosecond precision pushed the line past the
-    // window and round 3 recorded `parsed: null`. 10 ms granularity
-    // + trimming keeps the line well clear of the window at 85+
-    // queries. Full precision goes to bench_out.json (below), which
-    // each round's git history preserves.
-    def s3(v: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // Per-query seconds at 1 decimal, trailing zeros trimmed
+    // ("0.40"→"0.4", "1.00"→"1"; the total keeps 2 decimals): the
+    // driver captures only the LAST ~2000 chars of stdout and parses
+    // the metric line out of that tail; at 66+ queries full
+    // nanosecond precision pushed the line past the window and round
+    // 3 recorded `parsed: null`. 0.1 s granularity keeps ~75 chars of
+    // headroom at 85 queries. Full precision goes to bench_out.json
+    // (below), which each round's git history preserves, and feeds
+    // BASELINE.md.
+    def trim(s: String): String =
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
-    }
+    def s1(v: Double): String =
+      trim(String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
+    def s3(v: Double): String =
+      trim(String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)))
     def s6(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    def jsonLine(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => s"${q(k)}:${fmt(v)}" }
+    def jsonLine(fmt: Double => String, fmtQ: Double => String): String = {
+      val qs = results.map { case (k, v) => s"${q(k)}:${fmtQ(v)}" }
         .mkString("{", ",", "}")
       val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }
         .mkString("{", ",", "}")
@@ -95,10 +98,10 @@ object Bench {
       val sfName = new java.io.File(sfDir).getName // "sf0.1" — path prefix is tail-budget
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errPart,"sf":${q(sfName)}}"""
     }
-    Files.writeString(Paths.get("bench_out.json"), jsonLine(s6) + "\n")
+    Files.writeString(Paths.get("bench_out.json"), jsonLine(s6, s6) + "\n")
     spark.stop()
     // Print LAST, after Spark shutdown, so only sbt's `[success]`
     // epilogue can land between the line and the end of the tail.
-    println(jsonLine(s3))
+    println(jsonLine(s3, s1))
   }
 }

@@ -244,8 +244,9 @@ object Relational extends graft.QueryGroup {
     * percentile is only 100 TB-safe because the measure is LOW
     * CARDINALITY (≤50 distinct quantities — the aggregate buffers a
     * value→count map, not the rows); for unbounded measures use the
-    * fixed-boundary histogram (q_quality_hist) or a mergeable
-    * quantile sketch instead. Quantities are integral and the
+    * fixed-boundary histogram (q_quality_hist) or the mergeable HDR
+    * quantile sketch ([[Sketches.hdrQuantile]]). Quantities are
+    * integral and the
     * quartile fractions dyadic, so the interpolated results are
     * exact doubles on both engines. */
   def percentiles(s: SparkSession, dir: String): DataFrame =

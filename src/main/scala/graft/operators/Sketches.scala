@@ -189,15 +189,118 @@ object Sketches extends graft.QueryGroup {
         sum(when(col("member"), col("n_rows")).otherwise(0L)).as("rows_true"))
   }
 
+  // ---------------------------------------------------------------
+  // HDR-histogram quantile sketch: log2 octave × 32 linear
+  // sub-buckets. The MERGEABLE quantile path q_percentile's doc
+  // promises for unbounded measures: bucket(v) = 32·⌊log2 v⌋ +
+  // ⌊(v−2^m)·32 / 2^m⌋ — ALL integer arithmetic (the octave via the
+  // minimal-width bin() rendering, the sub-bucket via shifts), so
+  // the sketch is hash-exact cross-engine, and counts merge by
+  // addition (proven in SketchesSpec). Relative error ≤ 1/32 ≈ 3%
+  // by construction. State: ≤ ~26 octaves × 32 cells per group.
+  // ---------------------------------------------------------------
+
+  private val HdrSub = 32
+  private val HdrQs = Seq(0.5, 0.9, 0.99)
+
+  /** Quantile estimates (p50/p90/p99) of order value in cents per
+    * priority from the HDR bucket counts, AUDITED against the corpus:
+    * `frac` is the realized rank of each estimate (count(v ≤ est)/n,
+    * a map-side conditional count against 15 broadcast thresholds —
+    * not a sort), which must land within 1/32 of the target q.
+    *
+    * Scale: the sketch build is one map-side-combining agg onto
+    * (group, bucket) keys — bounded cells, no skew; the cumulative
+    * walk and quantile pick run on the CELLS (≤ ~832/group), not the
+    * rows; the audit pass is map-only + small-key agg. Sharded
+    * corpora build cells per shard and merge by summing counts —
+    * the same plan at any scale. */
+  def hdrQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val o = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("prio"),
+      round(col("o_totalprice") * 100).cast("long").as("v"))
+    val cells = hdrCells(o)
+    val w = Window.partitionBy("prio")
+    val cum = cells
+      .withColumn("cum", sum(col("cnt")).over(w.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(w))
+    val est = cum.crossJoin(broadcast(HdrQs.toDF("q")))
+      .where(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("prio"), col("q"))
+      .agg(min(col("bucket")).as("qb"), max(col("n")).as("n"))
+      .select(col("prio"), col("q"), col("n"), expr(
+        s"""CAST(shiftleft(CAST(1 AS BIGINT), CAST(qb DIV $HdrSub AS INT))
+           | AS DOUBLE) * (1.0D + (CAST(qb % $HdrSub AS DOUBLE) + 0.5D)
+           | / $HdrSub.0D)""".stripMargin.replace("\n", ""))
+        .as("est"))
+    o.join(broadcast(est), Seq("prio"))
+      .groupBy(col("prio"), col("q"))
+      .agg(max(col("n")).as("n"), max(col("est")).as("est0"),
+        sum(when(col("v").cast("double") <= col("est"), 1L).otherwise(0L))
+          .as("le"))
+      .select(col("prio"), col("q"), col("n"),
+        round(col("est0"), 4).as("est"),
+        round(col("le").cast("double") / col("n"), 6).as("frac"))
+      .orderBy(col("prio").asc, col("q").asc)
+  }
+
+  /** The (prio, bucket, cnt) HDR cell build alone — the mergeable
+    * sketch state, exposed for the merge-equivalence spec. */
+  private[graft] def hdrCells(o: DataFrame): DataFrame =
+    o.select(col("prio"), (length(bin(col("v"))) - 1).as("m"), col("v"))
+      .select(col("prio"),
+        (col("m") * HdrSub + expr(
+          s"shiftright((v - shiftleft(CAST(1 AS BIGINT), m)) * $HdrSub, m)"))
+          .as("bucket"))
+      .groupBy(col("prio"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
     "q_cms_freq" -> ((s, d) => cmsFreq(s, d)),
     "q_bloom_semi" -> ((s, d) => bloomSemi(s, d)),
+    "q_hdr_quantile" -> ((s, d) => hdrQuantile(s, d)),
   )
 
   private def h60(e: String): String = MinHash.hash60Sql(e)
 
   val oracles: Map[String, String] = Map(
+    "q_hdr_quantile" ->
+      s"""WITH o AS (SELECT o_orderpriority AS prio,
+         |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |           FROM orders),
+         |bk AS (SELECT prio,
+         |              (length(bin(v)) - 1) * $HdrSub +
+         |              (((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1)))
+         |                * $HdrSub) >> (length(bin(v)) - 1)) AS bucket
+         |       FROM o),
+         |cells AS (SELECT prio, bucket, count(*) AS cnt FROM bk
+         |          GROUP BY prio, bucket),
+         |c AS (SELECT prio, bucket,
+         |             CAST(sum(cnt) OVER (PARTITION BY prio ORDER BY bucket
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |               AS BIGINT) AS cum,
+         |             CAST(sum(cnt) OVER (PARTITION BY prio) AS BIGINT) AS n
+         |      FROM cells),
+         |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE])
+         |         AS q),
+         |picked AS (SELECT prio, q, min(bucket) AS qb, max(n) AS n
+         |           FROM c, qs WHERE cum >= ceil(q * n)
+         |           GROUP BY prio, q),
+         |est AS (SELECT prio, q, n,
+         |               CAST((CAST(1 AS BIGINT) << (qb // $HdrSub)) AS DOUBLE)
+         |                 * (1.0 + (CAST(qb % $HdrSub AS DOUBLE) + 0.5)
+         |                    / $HdrSub.0) AS est
+         |        FROM picked)
+         |SELECT e.prio, e.q, e.n, round(e.est, 4) AS est,
+         |       round(CAST(sum(CASE WHEN CAST(o.v AS DOUBLE) <= e.est
+         |                          THEN 1 ELSE 0 END) AS DOUBLE) / e.n, 6)
+         |         AS frac
+         |FROM est e JOIN o ON o.prio = e.prio
+         |GROUP BY e.prio, e.q, e.n, e.est
+         |ORDER BY e.prio ASC, e.q ASC""".stripMargin,
     "q_hll_distinct" -> {
       val h = h60("'hll:' || CAST(l_orderkey AS VARCHAR)")
       s"""WITH b AS (

@@ -77,6 +77,32 @@ class SketchesSpec extends SparkSuite {
       s"bloom bit set must broadcast:\n$p")
   }
 
+  test("HDR quantile sketch: shard cells merge by addition to the full build") {
+    val o = Tables.orders(spark, sfDir).select(
+      col("o_orderpriority").as("prio"),
+      round(col("o_totalprice") * 100).cast("long").as("v"),
+      col("o_orderkey"))
+    val full = Sketches.hdrCells(o.select(col("prio"), col("v")))
+    val shardA = Sketches.hdrCells(
+      o.where(col("o_orderkey") % 2 === 0).select(col("prio"), col("v")))
+    val shardB = Sketches.hdrCells(
+      o.where(col("o_orderkey") % 2 =!= 0).select(col("prio"), col("v")))
+    val merged = shardA.unionAll(shardB)
+      .groupBy(col("prio"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    assert(merged.unionAll(full).distinct().count() === full.count(),
+      "summed shard cells must equal the single-pass cells exactly")
+  }
+
+  test("q_hdr_quantile: realized rank within the 1/32 design bound") {
+    val rows = Sketches.hdrQuantile(spark, sfDir).collect()
+    assert(rows.length === 15) // 5 priorities × 3 quantiles
+    rows.foreach { r =>
+      val (q, frac) = (r.getDouble(1), r.getDouble(4))
+      assert(math.abs(frac - q) <= 1.0 / 32 + 1e-9,
+        s"estimate for q=$q realized rank $frac — outside the error bound")
+    }
+  }
+
   test("q_pivot: declared values mean ONE scan and no discovery job") {
     val df = Relational.pivotAgg(spark, sfDir)
     val p = plan(df)
