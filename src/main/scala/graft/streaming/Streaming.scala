@@ -26,7 +26,38 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * are bounded and hash-partitioned across executors; the memory sink
   * here holds only the tiny aggregate, never events.
   */
+/** Max-accumulator: `value` = the largest Long ever added. Idempotent
+  * under task retries (max is order- and repeat-insensitive), so it
+  * is safe as a STATE-SIZE observability channel from inside
+  * stateful-stream functions. */
+final class MaxAccumulator
+    extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+  private var v = 0L
+  override def isZero: Boolean = v == 0L
+  override def copy(): MaxAccumulator = {
+    val a = new MaxAccumulator; a.v = v; a
+  }
+  override def reset(): Unit = v = 0L
+  override def add(x: Long): Unit = v = math.max(v, x)
+  override def merge(
+      o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+    v = math.max(v, o.value)
+  override def value: Long = v
+}
+
 object Streaming extends graft.QueryGroup {
+
+  /** Peak per-key state entry count of the last completed run of each
+    * sink's resolver — the bounded-state contract made measurable
+    * (StreamingSpec asserts pruned ≪ unpruned over the same replay). */
+  private[graft] val peakStateEntries =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def newPeakAcc(s: SparkSession): MaxAccumulator = {
+    val acc = new MaxAccumulator
+    s.sparkContext.register(acc, "graft.peakStateEntries")
+    acc
+  }
 
   /** Streaming reader over the events parquet with the same nano→
     * micro timestamp normalization as the batch reader
@@ -366,6 +397,7 @@ object Streaming extends graft.QueryGroup {
   private[graft] def streamAsofOver(s: SparkSession, in: DataFrame,
       sink: String): DataFrame = {
     import s.implicits._
+    val peakAcc = newPeakAcc(s)
     val events = in
       .where(col("event_type").isin("purchase", "click"))
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
@@ -402,10 +434,12 @@ object Streaming extends graft.QueryGroup {
             }
           }
           state.update(AsofState(purchases, clicks, emitted))
+          peakAcc.add(purchases.size + clicks.size + emitted.size)
           out.result().iterator
       }
 
     runToCompletion(matched.toDF(), sink, "append")
+    peakStateEntries.put(sink, peakAcc.value)
     // Idempotent sink read: matches only improve in (us, id) order,
     // so the row with the max (matched_us, matched_id) struct per
     // click is the final one; -1 decodes to null.
@@ -443,6 +477,7 @@ object Streaming extends graft.QueryGroup {
   private[graft] def streamAsofWmOver(s: SparkSession, in: DataFrame,
       sink: String, horizon: String = "2 hours"): DataFrame = {
     import s.implicits._
+    val peakAcc = newPeakAcc(s)
     val events = in
       .withWatermark("ts", horizon)
       .where(col("event_type").isin("purchase", "click"))
@@ -481,12 +516,14 @@ object Streaming extends graft.QueryGroup {
           val (frozen, live) = clicks.partition(_._1 < wmUs)
           val (oldP, newP) = purchases.partition(_._1 < wmUs)
           val keptP = (if (oldP.isEmpty) Nil else Seq(oldP.max)) ++ newP
-          state.update(AsofState(keptP, live,
-            emitted -- frozen.map(_._2)))
+          val kept = emitted -- frozen.map(_._2)
+          state.update(AsofState(keptP, live, kept))
+          peakAcc.add(keptP.size + live.size + kept.size)
           out.result().iterator
       }
 
     runToCompletion(matched.toDF(), sink, "append")
+    peakStateEntries.put(sink, peakAcc.value)
     s.table(sink)
       .groupBy(col("event_id"), col("user_id"), col("us"))
       .agg(max(struct(col("matched_us"), col("matched_id"), col("lag_us")))

@@ -164,6 +164,25 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("watermark pruning measurably bounds per-key as-of state") {
+    // Same bounded-disorder 30-day replay through BOTH resolvers; the
+    // MaxAccumulator inside each records the peak per-key state entry
+    // count (purchases + pending clicks + emitted map). The unpruned
+    // resolver accumulates every purchase/click a user ever produced;
+    // the watermark-pruned one holds only the 5-day horizon plus one
+    // collapsed prefix entry — the O(all-time) vs O(horizon) contract,
+    // observed rather than assumed.
+    Streaming.streamAsofOver(spark, boundedReplay("peak_plain"),
+      "graft_peak_plain").collect()
+    Streaming.streamAsofWmOver(spark, boundedReplay("peak_wm"),
+      "graft_peak_wm", horizon = "5 days").collect()
+    val plain = Streaming.peakStateEntries.get("graft_peak_plain")
+    val wm = Streaming.peakStateEntries.get("graft_peak_wm")
+    assert(plain > 0L && wm > 0L)
+    assert(wm * 2 <= plain,
+      s"pruned peak $wm not clearly below unpruned peak $plain")
+  }
+
   test("q_stream_sessionize_wm == batch (single-batch gate shape)") {
     val got = Streaming.streamSessionizeWm(spark, sfDir).collect().toSeq
     val want = Relational.sessionize(spark, sfDir).collect().toSeq

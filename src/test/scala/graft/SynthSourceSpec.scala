@@ -106,6 +106,38 @@ class SynthSourceSpec extends SparkSuite {
     assert(top.forall(r => math.abs(r.getDouble(1)) <= 1.000001))
   }
 
+  test("scale smoke: 500k synthetic vectors through the LSH ANN path") {
+    // The ANN index shape at 25x the sf0.1 corpus, zero storage:
+    // bucket 500k vectors map-only, probe one query's bucket ± all
+    // 1-bit neighbors, exact-rank only the candidates. Asserts the
+    // scan-fraction contract that makes the path viable at 100 TB —
+    // candidates are a few percent of the corpus, never a full scan.
+    import graft.functions.{Lsh, VectorFunctions}
+    val planes = Lsh.planes(8, 64)
+    val e = spark.read.format("graft-synth")
+      .option("shape", "embeddings").option("rows", 500000)
+      .option("parts", 32).load()
+    val corpus = e.where(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding"),
+        Lsh.bucketCode(col("embedding"), planes).as("bucket"))
+    val probes = e.where(col("vec_id") === 0L)
+      .select(col("embedding").as("qvec"),
+        Lsh.bucketCode(col("embedding"), planes).as("qb"))
+      .select(col("qvec"), explode(array((lit(0) +: (0 until 8)
+        .map(p => lit(1 << p))).map(m => col("qb").bitwiseXOR(m)): _*))
+        .as("bucket"))
+    val cand = corpus.join(broadcast(probes), Seq("bucket"))
+    val nCand = cand.count()
+    assert(nCand > 0L)
+    assert(nCand.toDouble / 500000 < 0.10,
+      s"probe scanned $nCand of 500k — bucketing isn't pruning")
+    val top = cand
+      .select(col("vec_id"),
+        VectorFunctions.cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(10).collect()
+    assert(top.length === 10)
+  }
+
   test("events shape: schema, time-bucket aggregation, JSON props") {
     val ev = spark.read.format("graft-synth")
       .option("shape", "events").option("rows", 10000)
