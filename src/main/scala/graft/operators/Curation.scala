@@ -264,7 +264,40 @@ object Curation extends graft.QueryGroup {
     quarts(d, "full").crossJoin(quarts(samp, "samp"))
   }
 
+  /** Sized BELOW the synthetic corpus's 31-token vocabulary so the
+    * OOV path actually exercises (a real corpus would use 30k+). */
+  private val VocabK = 20
+
+  /** Vocabulary coverage / OOV audit: build the top-[[VocabK]]
+    * corpus vocabulary by token frequency (ties to the
+    * lexicographically smaller token — deterministic boundary), then
+    * measure per source what fraction of token OCCURRENCES falls
+    * outside it — the tokenizer-coverage check run before committing
+    * a vocab/BPE budget.
+    *
+    * Scale: token counting is one map-side-combining agg (hot
+    * stopwords collapse map-side, same skew argument as the CMS
+    * build); the vocab cut is TakeOrdered (partition-local top-K);
+    * the coverage pass re-scans with the TINY vocab broadcast —
+    * corpus never shuffles, per-source rollup is a ~20-key agg. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(VocabK)
+      .select(col("t"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov"))
+      .select(col("source"), col("n_tokens"), col("oov"),
+        round(col("oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_cov" -> ((s, d) => vocabCoverage(s, d)),
     "q_quantile_sample" -> ((s, d) => quantileSample(s, d)),
     "q_outliers" -> ((s, d) => outliers(s, d)),
     "q_mix_weights" -> ((s, d) => mixWeights(s, d)),
@@ -277,6 +310,19 @@ object Curation extends graft.QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_cov" ->
+      s"""WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS t
+         |              FROM documents),
+         |vocab AS (SELECT t FROM (
+         |            SELECT t, count(*) AS c FROM toks GROUP BY t)
+         |          ORDER BY c DESC, t ASC LIMIT $VocabK)
+         |SELECT source, count(*) AS n_tokens,
+         |       CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS oov,
+         |       round(CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / count(*), 6) AS oov_rate
+         |FROM toks LEFT JOIN vocab v USING (t)
+         |GROUP BY source ORDER BY source ASC""".stripMargin,
     "q_quantile_sample" -> {
       val keep = MinHash.hash60Sql("'qs:' || CAST(doc_id AS VARCHAR)") +
         " % 10 < 3"

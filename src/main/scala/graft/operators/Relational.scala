@@ -346,7 +346,30 @@ object Relational extends graft.QueryGroup {
       .orderBy(col("user_id").asc, col("start_us").asc)
   }
 
+  /** Orders⋈customer revenue per market segment THROUGH the salted
+    * join ([[Skew.saltedJoin]]): every left row carries a
+    * deterministic xxhash64 salt, the broadcast-sized right side
+    * replicates 8×, and the join key becomes (custkey, salt) — a hot
+    * customer's rows spread over 8 reducers instead of one. The
+    * result is row-identical to the plain join (the oracle IS the
+    * plain join), so this row grades the skew-mitigation plan
+    * end-to-end: same answer, spread exchange. Exact cent-unit
+    * revenue so the aggregate is partition-order-independent. */
+  def saltedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    Skew.saltedJoin(orders, cust, "o_custkey", 8,
+      Seq(col("o_custkey"), col("cents")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> ((s, d) => saltedJoinAgg(s, d)),
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
     "q_pivot" -> ((s, d) => pivotAgg(s, d)),
     "q_percentile" -> ((s, d) => percentiles(s, d)),
@@ -381,6 +404,12 @@ object Relational extends graft.QueryGroup {
        |         AS BIGINT) AS "${st}_cents"""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""".stripMargin,
     "q_pivot" ->
       s"""SELECT o_orderpriority,
          |${PivotStatuses.map(pivotCell).mkString(",\n")}

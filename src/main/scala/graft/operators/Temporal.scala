@@ -123,10 +123,33 @@ object Temporal extends graft.QueryGroup {
       .orderBy(col("event_id").asc)
   }
 
+  /** SCD2 validity-interval versioning — the lakehouse dimension-
+    * history shape: each (user, event_type) event becomes a version
+    * valid from its own timestamp until the NEXT event of the same
+    * key (lead window); the latest version stays open (NULL
+    * valid_to). One window over a HIGH-CARDINALITY uniform key
+    * (users × types) — the scale-safe window shape: state is one
+    * lookahead row per task, keys spread across all reducers (unlike
+    * the ≤10-key windows TopKWindowRewrite exists to kill). */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("valid_to", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("us").as("valid_from"), col("valid_to"))
+      .orderBy(col("user_id").asc, col("event_type").asc,
+        col("valid_from").asc, col("event_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> ((s, d) => asofJoin(s, d)),
     "q_asof_join_native" -> ((s, d) => asofJoinNative(s, d)),
     "q_range_join" -> ((s, d) => rangeJoin(s, d)),
+    "q_scd2" -> ((s, d) => scd2(s, d)),
   )
 
   // Oracle formulations are deliberately DIFFERENT algorithms over
@@ -148,6 +171,15 @@ object Temporal extends graft.QueryGroup {
         |ORDER BY l.event_id ASC""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """SELECT user_id, event_type, event_id,
+        |       epoch_us(ts) AS valid_from,
+        |       lead(epoch_us(ts), 1) OVER (
+        |         PARTITION BY user_id, event_type
+        |         ORDER BY epoch_us(ts) ASC, event_id ASC) AS valid_to
+        |FROM events
+        |ORDER BY user_id ASC, event_type ASC, valid_from ASC,
+        |         event_id ASC""".stripMargin,
     "q_asof_join" -> asofOracle,
     // identical semantics through the native whole-operator path
     "q_asof_join_native" -> asofOracle,

@@ -72,6 +72,51 @@ class PqScrubSpec extends SparkSuite {
       .where(folded("best") =!= exploded("best")).count() === 0L)
   }
 
+  test("q_salted_join: salt reaches the join key; answer == plain join") {
+    val salted = graft.operators.Relational.saltedJoinAgg(spark, sfDir)
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"), s"join must key on the salt:\n$p")
+    val plain = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .orderBy(col("c_mktsegment").asc)
+    assert(salted.collect().toSeq === plain.collect().toSeq)
+  }
+
+  test("q_scd2: per-key intervals chain without gaps or overlaps") {
+    val rows = graft.operators.Temporal.scd2(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getLong(0), r.getString(1))).foreach {
+      case (_, vs) =>
+        val sorted = vs.sortBy(_.getLong(3))
+        // exactly one open (latest) version per key
+        assert(sorted.count(_.isNullAt(4)) === 1)
+        assert(sorted.last.isNullAt(4))
+        // each version closes exactly where the next one opens
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a.getLong(4) === b.getLong(3))
+          case _ => ()
+        }
+    }
+  }
+
+  test("q_vocab_cov: OOV path exercised, rates consistent with counts") {
+    val rows = graft.operators.Curation.vocabCoverage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, oov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov >= 0L && oov <= n)
+      assert(math.abs(rate - oov.toDouble / n) < 1e-6)
+    }
+    // K < vocabulary size, so OOV must genuinely occur somewhere.
+    assert(rows.map(_.getLong(2)).sum > 0L, "OOV never fired — K too big")
+  }
+
   test("q_repetition: pooled fractions bounded and flags consistent") {
     val rows = TextAnalysis.repetition(spark, sfDir).collect()
     assert(rows.nonEmpty)
