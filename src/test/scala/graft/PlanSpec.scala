@@ -160,4 +160,44 @@ class PlanSpec extends SparkSuite {
       s"assignment must not shuffle the corpus on vec_id:\n$p")
     assert(p.contains("nearest_cell"), "expected the fused argmin kernel")
   }
+
+  test("q_ann_pq: encoding never shuffles the corpus (broadcast codebook + ADC table)") {
+    val p = plan(Ann.pqRecall(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"),
+      s"PQ must not sort-merge the corpus:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"encoding must not shuffle the corpus on vec_id:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ADC top-k must be the partition-local heap")
+  }
+
+  test("q_repetition: map-only per-doc stats — no explode, no per-doc shuffle") {
+    val p = plan(TextAnalysis.repetition(spark, sfDir))
+    assert(!p.contains("Generate"),
+      s"per-doc stats must fold map-side, not explode:\n$p")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"nothing may shuffle on doc_id:\n$p")
+  }
+
+  test("q_scrub_denylist: one scan, no join, single small-key aggregation") {
+    val p = plan(TextAnalysis.scrubDenylist(spark, sfDir))
+    assert(!p.contains("Join"), s"scrub is a pure projection + agg:\n$p")
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("q_vocab_cov: coverage pass joins the vocab broadcast, never sort-merge") {
+    val p = plan(Curation.vocabCoverage(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab must broadcast to the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the coverage join:\n$p")
+  }
+
+  test("q_hdr_quantile: audit thresholds broadcast back over the corpus") {
+    val p = plan(Sketches.hdrQuantile(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 15-row threshold table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the audit pass must not shuffle orders:\n$p")
+  }
 }
