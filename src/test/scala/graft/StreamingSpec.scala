@@ -164,6 +164,91 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("300k synthetic events through the stateful sessionizer, zero storage") {
+    // 3x the sf0.1 events volume streamed from the graft-synth
+    // micro-batch source (5 batches, event times heavily disordered
+    // across batches) into the fMGWS sessionizer; the answer must
+    // equal an INDEPENDENT window-chain derivation over the same
+    // generator read as a batch. No files anywhere.
+    import org.apache.spark.sql.functions._
+    val opts = Map("shape" -> "events", "rows" -> "300000",
+      "parts" -> "8", "seed" -> "11", "rowsPerBatch" -> "60000")
+    val stream = opts.foldLeft(spark.readStream.format("graft-synth")) {
+      case (r, (k, v)) => r.option(k, v) }.load()
+    val got = Streaming.streamSessionizeOver(spark, stream,
+      "graft_synth_sess").collect().toSeq
+
+    val batch = opts.foldLeft(spark.read.format("graft-synth")) {
+      case (r, (k, v)) => r.option(k, v) }.load()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gapUs = 30L * 60L * 1000000L
+    val want = batch
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("is_new",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("is_new")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+      .orderBy(col("user_id").asc, col("sess_idx").asc)
+      .collect().toSeq
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
+  test("checkpoint restart: stateful dedup stays exactly-once across runs") {
+    // Run 1 processes two input files into a parquet sink with a
+    // persistent checkpoint; a third file lands; run 2 RESUMES from
+    // the checkpoint: the recovered dropDuplicates state must
+    // suppress keys already emitted in run 1, and the file-source log
+    // must not reprocess old files — final sink contents equal the
+    // batch distinct exactly (no dupes, no losses) across the
+    // stop/start boundary. This is the production restart contract.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft_rs_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_rs_out")
+      .toString + "/data"
+    val ck = java.nio.file.Files.createTempDirectory("graft_rs_ck").toString
+    tmpDirs ++= Seq(in, out, ck)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+    // Split by USER so the third file introduces genuinely new keys.
+    def addFile(f: Int): Unit =
+      ev.where(pmod(col("user_id"), lit(3)) === f)
+        .coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addFile(0); addFile(1)
+    runOnce()
+    val afterRun1 = spark.read.parquet(out).count()
+    assert(afterRun1 > 0L)
+    addFile(2)
+    runOnce()
+    val got = spark.read.parquet(out)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val want = ev.select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === want, "restart must neither duplicate nor lose keys")
+    assert(got.size > afterRun1.toInt,
+      "file 2 must have contributed new keys after the restart")
+  }
+
   test("watermark pruning measurably bounds per-key as-of state") {
     // Same bounded-disorder 30-day replay through BOTH resolvers; the
     // MaxAccumulator inside each records the peak per-key state entry
