@@ -36,9 +36,9 @@ object Ann extends graft.QueryGroup {
   val NumPlanes = 8 // 256 buckets
   val IvfCells = 16
   val NProbe = 2
-  val PqM = 4 // product-quantization subspaces
+  val PqM = 8 // product-quantization subspaces
   val PqSub = Dim / PqM // dims per subspace
-  val PqK = 16 // codewords per subspace → 4-bit codes, 16^4 cells
+  val PqK = 16 // codewords per subspace → 8 nibble codes, 16^8 cells
 
   private val planes = Lsh.planes(NumPlanes, Dim)
 
@@ -189,7 +189,7 @@ object Ann extends graft.QueryGroup {
   /** Product-quantization recall audit — the COMPRESSION tier of the
     * ANN story (LSH prunes candidates, IVF prunes cells; PQ shrinks
     * the residency cost of whatever still has to be scanned:
-    * Dim=64 doubles → PqM=4 nibble codes per vector, 128×, so a
+    * Dim=64 doubles → PqM=8 nibble codes per vector, 128×, so a
     * 100 TB vector corpus ADC-scans from ~0.8 TB of codes). Codebook:
     * the deterministic md5-ordered PqK-seed sample (the same
     * quantizer-seeding rule as IVF, sliced per subspace — a Lloyd
