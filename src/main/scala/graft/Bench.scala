@@ -68,8 +68,8 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Per-query seconds at 1 decimal, trailing zeros trimmed
-    // ("0.40"→"0.4", "1.00"→"1"; the total keeps 2 decimals): the
+    // Per-query seconds at 1 decimal, the total at 2; trailing zeros
+    // trimmed from both ("0.40"→"0.4", "8.10"→"8.1", "1.00"→"1"): the
     // driver captures only the LAST ~2000 chars of stdout and parses
     // the metric line out of that tail; at 66+ queries full
     // nanosecond precision pushed the line past the window and round

@@ -396,12 +396,15 @@ object Relational extends graft.QueryGroup {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
       "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
+  // COALESCE mirrors the Spark side's empty-cell coalesce: a cell
+  // with no orders is 0 in BOTH engines (sum(CASE...) alone would be
+  // NULL here while count(CASE...) is already 0).
   private def pivotCell(st: String): String =
     s"""       count(CASE WHEN o_orderstatus = '$st' THEN 1 END)
        |         AS "${st}_cnt",
-       |       CAST(sum(CASE WHEN o_orderstatus = '$st'
-       |                THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
-       |         AS BIGINT) AS "${st}_cents"""".stripMargin
+       |       CAST(COALESCE(sum(CASE WHEN o_orderstatus = '$st'
+       |                THEN CAST(round(o_totalprice * 100) AS BIGINT) END),
+       |            0) AS BIGINT) AS "${st}_cents"""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_salted_join" ->

@@ -207,7 +207,11 @@ object Sketches extends graft.QueryGroup {
     * priority from the HDR bucket counts, AUDITED against the corpus:
     * `frac` is the realized rank of each estimate (count(v ≤ est)/n,
     * a map-side conditional count against 15 broadcast thresholds —
-    * not a sort), which must land within 1/32 of the target q.
+    * not a sort). Guarantees: VALUE relative error ≤ 1/HdrSub by
+    * construction (bucket width is 2^m/HdrSub inside octave m); the
+    * RANK deviation |frac − q| is bounded by the mass fraction of
+    * the bucket the quantile lands in (≈ a few % on smooth data —
+    * SketchesSpec asserts the data-derived bound, not a constant).
     *
     * Scale: the sketch build is one map-side-combining agg onto
     * (group, bucket) keys — bounded cells, no skew; the cumulative
