@@ -122,9 +122,65 @@ object Rerank extends graft.QueryGroup {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** MMR weights as LITERALS shared verbatim with the oracle — never
+    * derive 0.3 as 1 − 0.7 (IEEE gives 0.30000000000000004 and the
+    * hash compare would see it). */
+  private val MmrLam = 0.7d
+  private val MmrPen = 0.3d
+
+  /** Maximal-marginal-relevance diversified top-k — the rerank tier
+    * that trades pure relevance for coverage: greedily pick the
+    * candidate maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), k
+    * times. Greedy selection is inherently sequential, so the loop
+    * runs as k−1 tiny broadcast joins over the DRIVER-BOUNDED
+    * candidate set (top-`nc` by relevance via TakeOrdered — the same
+    * retrieve-then-rerank cut as [[rerank]]); the corpus is touched
+    * exactly once, by the initial top-nc scan. Candidate embeddings
+    * and pairwise sims are localCheckpointed once (each iteration
+    * would otherwise replay the corpus scan k times). The oracle is
+    * an INDEPENDENT derivation: a DuckDB recursive CTE carrying the
+    * selected-id list through the recursion. */
+  def mmr(s: SparkSession, dir: String, k: Int = 5, nc: Int = 20)
+      : DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val cand = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        cosineSim(col("embedding"), col("qvec")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(nc)
+      .localCheckpoint()
+    val pairs = cand.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(broadcast(
+        cand.select(col("vec_id").as("ib"), col("embedding").as("vb"))))
+      .where(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), cosineSim(col("va"), col("vb")).as("s"))
+      .localCheckpoint()
+    var sel = cand
+      .select(col("vec_id"), (lit(MmrLam) * col("rel")).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(1)
+      .withColumn("rnk", lit(1))
+    for (t <- 2 to k) {
+      val penalty = pairs
+        .join(broadcast(sel.select(col("vec_id").as("ib"))), Seq("ib"))
+        .groupBy(col("ia")).agg(max(col("s")).as("pen"))
+      val next = cand.select(col("vec_id").as("ia"), col("rel"))
+        .join(broadcast(sel.select(col("vec_id").as("ia"))), Seq("ia"),
+          "left_anti")
+        .join(broadcast(penalty), Seq("ia"))
+        .select(col("ia").as("vec_id"),
+          (lit(MmrLam) * col("rel") - lit(MmrPen) * col("pen")).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(1)
+        .withColumn("rnk", lit(t))
+      sel = sel.unionByName(next)
+    }
+    sel.select(col("rnk"), col("vec_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("rnk").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rerank" -> ((s, d) => rerank(s, d)),
     "q_fusion" -> ((s, d) => fusion(s, d)),
+    "q_mmr" -> ((s, d) => mmr(s, d)),
   )
 
   // Trigram-set similarity SQL (same construction as Lexical's).
@@ -138,6 +194,35 @@ object Rerank extends graft.QueryGroup {
        | END)""".stripMargin.replace("\n", "")
 
   val oracles: Map[String, String] = Map(
+    "q_mmr" ->
+      s"""WITH RECURSIVE
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+         |      WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         |                list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+         |                  AS rel
+         |         FROM embeddings e, q WHERE e.vec_id <> 0
+         |         ORDER BY rel DESC, vec_id ASC LIMIT 20),
+         |pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |                 list_cosine_similarity(a.v, b.v) AS s
+         |          FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+         |sel AS (
+         |  SELECT 1 AS rnk, [c0.vec_id] AS ids, c0.vec_id, c0.score
+         |  FROM (SELECT vec_id, $MmrLam * rel AS score FROM cand
+         |        ORDER BY score DESC, vec_id ASC LIMIT 1) c0
+         |  UNION ALL
+         |  SELECT sel.rnk + 1, list_append(sel.ids, nxt.vec_id),
+         |         nxt.vec_id, nxt.score
+         |  FROM sel, LATERAL (
+         |    SELECT c.vec_id, $MmrLam * c.rel - $MmrPen * max(p.s) AS score
+         |    FROM cand c JOIN pairs p
+         |      ON p.ia = c.vec_id AND list_contains(sel.ids, p.ib)
+         |    WHERE NOT list_contains(sel.ids, c.vec_id)
+         |    GROUP BY c.vec_id, c.rel
+         |    ORDER BY score DESC, c.vec_id ASC LIMIT 1) nxt
+         |  WHERE sel.rnk < 5)
+         |SELECT rnk, vec_id, round(score, 6) AS score FROM sel
+         |ORDER BY rnk ASC""".stripMargin,
     "q_rerank" -> {
       val en = TextAnalysis.StopwordSets.head._2
         .map(w => s"'$w'").mkString("[", ", ", "]")

@@ -117,6 +117,36 @@ class PqScrubSpec extends SparkSuite {
     assert(rows.map(_.getLong(2)).sum > 0L, "OOV never fired — K too big")
   }
 
+  test("q_mmr: objective non-increasing and measurably more diverse than top-k") {
+    import graft.functions.VectorFunctions.cosineSim
+    val sel = graft.operators.Rerank.mmr(spark, sfDir).collect()
+    assert(sel.length === 5)
+    // Greedy MMR objective can only fall: each step maximizes over a
+    // smaller candidate set with at least as much penalty.
+    sel.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(2) >= b.getDouble(2) - 1e-9)
+      case _ => ()
+    }
+    // Diversity: mean pairwise similarity of the MMR set must not
+    // exceed that of the pure relevance top-5 (that's the point).
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val vs = e.where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("ia"), col("embedding").as("va"))
+      val vs2 = vs.select(col("ia").as("ib"), col("va").as("vb"))
+      vs.crossJoin(vs2).where(col("ia") < col("ib"))
+        .agg(avg(cosineSim(col("va"), col("vb")))).head().getDouble(0)
+    }
+    val top5 = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), cosineSim(col("embedding"), col("qvec")).as("s"))
+      .orderBy(col("s").desc, col("vec_id").asc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val mmrIds = sel.map(_.getLong(1)).toSeq
+    assert(meanPairSim(mmrIds) <= meanPairSim(top5) + 1e-9,
+      "MMR set is not more diverse than the pure top-k")
+  }
+
   test("q_repetition: pooled fractions bounded and flags consistent") {
     val rows = TextAnalysis.repetition(spark, sfDir).collect()
     assert(rows.nonEmpty)
