@@ -202,38 +202,58 @@ object Ann extends graft.QueryGroup {
     * Like [[annRecall]], the output is the recall@k of ADC top-k vs
     * the exact-L2 top-k — deterministic on both engines, so the
     * audit itself is a hash-exact oracle row. */
+  private val pqMs = sequence(lit(1), lit(PqM))
+
+  /** Codebook: PqK seed vectors by md5 order, one broadcast row;
+    * position j in the sid-sorted array IS the code value. */
+  private def pqCodebookArr(cb: DataFrame): DataFrame =
+    broadcast(cb.agg(
+      sort_array(collect_list(struct(col("sid"), col("sv")))).as("cb")))
+
+  private def pqSeeds(e: DataFrame): DataFrame =
+    e.orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(PqK)
+      .select(col("vec_id").as("sid"), col("embedding").as("sv"))
+
+  /** ADC lookup table from the query: dt[m][j] = subdist(q, cw_j, m);
+    * one broadcast row. */
+  private def pqDtArr(e: DataFrame, cbB: DataFrame, id: Long): DataFrame =
+    broadcast(e.where(col("vec_id") === id).crossJoin(cbB)
+      .select(transform(pqMs, m =>
+        transform(col("cb"), s =>
+          subdist(col("embedding"), s.getField("sv"), m))).as("dt")))
+
+  /** Per-subspace argmin codeword over `cb` (ties to the smaller j,
+    * DuckDB-identically) — the map-only encoder. */
+  private def pqCodes: Column = transform(pqMs, m =>
+    array_min(transform(col("cb"), (cw, j) =>
+      struct(subdist(col("embedding"), cw.getField("sv"), m).as("d"),
+        j.as("j")))).getField("j"))
+
+  /** ADC estimate from a `codes` column and the broadcast `dt`:
+    * PqM ascending-m table lookups. */
+  private def adcEst: Column =
+    aggregate(pqMs, lit(0.0d), (acc, m) => acc +
+      element_at(element_at(col("dt"), m),
+        element_at(col("codes"), m) + 1))
+
+  /** ADC top-k (vec_id, est) for query `id` — encode + estimate in
+    * one map-only projection, TakeOrdered top-k. */
+  def pqTopK(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cbB = pqCodebookArr(pqSeeds(e))
+    e.where(col("vec_id") =!= id).crossJoin(cbB)
+      .crossJoin(pqDtArr(e, cbB, id))
+      .select(col("vec_id"), pqCodes.as("codes"), col("dt"))
+      .select(col("vec_id"), adcEst.as("est"))
+      .orderBy(col("est").asc, col("vec_id").asc).limit(k)
+  }
+
   def pqRecall(s: SparkSession, dir: String, id: Long = 0L,
       k: Int = 10): DataFrame = {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    // Codebook: PqK seed vectors by md5 order, one broadcast row;
-    // position j in the sid-sorted array IS the code value.
-    val cbB = broadcast(
-      e.orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-        .limit(PqK)
-        .select(col("vec_id").as("sid"), col("embedding").as("sv"))
-        .agg(sort_array(collect_list(struct(col("sid"), col("sv"))))
-          .as("cb")))
-    val ms = sequence(lit(1), lit(PqM))
-    // ADC lookup table from the query: dt[m][j] = subdist(q, cw_j, m).
-    val dtB = broadcast(e.where(col("vec_id") === id).crossJoin(cbB)
-      .select(transform(ms, m =>
-        transform(col("cb"), s =>
-          subdist(col("embedding"), s.getField("sv"), m))).as("dt")))
-    // Encode + estimate in one map-only projection: per subspace the
-    // argmin codeword (ties to the smaller j, DuckDB-identically),
-    // then the ADC estimate as PqM ascending-m table lookups.
-    val codes = transform(ms, m =>
-      array_min(transform(col("cb"), (cw, j) =>
-        struct(subdist(col("embedding"), cw.getField("sv"), m).as("d"),
-          j.as("j")))).getField("j"))
-    val pqTop = e.where(col("vec_id") =!= id).crossJoin(cbB).crossJoin(dtB)
-      .select(col("vec_id"), codes.as("codes"), col("dt"))
-      .select(col("vec_id"),
-        aggregate(ms, lit(0.0d), (acc, m) => acc +
-          element_at(element_at(col("dt"), m),
-            element_at(col("codes"), m) + 1)).as("est"))
-      .orderBy(col("est").asc, col("vec_id").asc).limit(k)
-      .select(col("vec_id"), lit(1).as("hit"))
+    val pqTop = pqTopK(s, dir, id, k).select(col("vec_id"), lit(1).as("hit"))
     val q = e.where(col("vec_id") === id).select(col("embedding").as("qvec"))
     val brute = e.where(col("vec_id") =!= id).crossJoin(broadcast(q))
       .select(col("vec_id"),
@@ -245,6 +265,40 @@ object Ann extends graft.QueryGroup {
         sum(coalesce(col("hit"), lit(0))).as("n_hits"))
       .select(lit(k.toLong).as("k"), col("n_brute"), col("n_hits"),
         round(col("n_hits").cast("double") / k, 6).as("recall"))
+  }
+
+  /** Materialize the PQ index: the tiny codebook plus the corpus
+    * reduced to (vec_id, codes) — the DEPLOYMENT shape of PQ, where
+    * the ADC scan reads PqM small ints per vector instead of the
+    * Dim-double embedding column (128× less I/O; at 100 TB the codes
+    * table is the only thing a query touches). One map-only encode
+    * pass, no shuffle. */
+  def writePqIndex(s: SparkSession, dir: String, out: String): Unit = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    pqSeeds(e).write.mode("overwrite").parquet(s"$out/codebook")
+    val cbB = pqCodebookArr(
+      s.read.parquet(s"$out/codebook"))
+    e.crossJoin(cbB)
+      .select(col("vec_id"), pqCodes.as("codes"))
+      .write.mode("overwrite").parquet(s"$out/codes")
+  }
+
+  /** Probe the materialized PQ index: the query's ADC table comes
+    * from the stored codebook, and the corpus side reads ONLY the
+    * codes table (PlanSpec-style proof in AnnIndexSpec: the scan's
+    * ReadSchema carries no embedding column). Results equal
+    * [[pqTopK]] exactly — stored codes are the same ints the inline
+    * encoder produces, and the codebook's doubles round-trip parquet
+    * bit-exactly. */
+  def probePqIndex(s: SparkSession, dir: String, indexPath: String,
+      id: Long = 0L, k: Int = 10): DataFrame = {
+    val cbB = pqCodebookArr(s.read.parquet(s"$indexPath/codebook"))
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    s.read.parquet(s"$indexPath/codes")
+      .where(col("vec_id") =!= id)
+      .crossJoin(pqDtArr(e, cbB, id))
+      .select(col("vec_id"), adcEst.as("est"))
+      .orderBy(col("est").asc, col("vec_id").asc).limit(k)
   }
 
   /** Materialize the LSH index: the corpus written PARTITIONED BY its

@@ -49,6 +49,35 @@ class AnnIndexSpec extends SparkSuite {
     }
   }
 
+  test("PQ index probe reads only codes (no embedding column) and equals inline ADC") {
+    val out = Files.createTempDirectory("graft_pq_index").toString
+    try {
+      Ann.writePqIndex(spark, sfDir, out)
+
+      // The stored corpus is codes-only: 128x less than embeddings.
+      val codesSchema = spark.read.parquet(s"$out/codes").schema
+      assert(codesSchema.fieldNames.toSeq === Seq("vec_id", "codes"))
+
+      val probe = Ann.probePqIndex(spark, sfDir, out)
+      val p = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // The query-side scan reads one embedding row (pushdown); the
+      // corpus-side scan must be over the codes file, whose schema
+      // has no embedding column at all.
+      assert(p.contains("codes"), s"expected the codes scan:\n$p")
+      assert(p.contains("PushedFilters") && p.contains("vec_id"),
+        s"expected vec_id pushdown on the query scan:\n$p")
+
+      val viaIndex = probe.collect().toSeq
+      val inline = Ann.pqTopK(spark, sfDir).collect().toSeq
+      assert(viaIndex === inline,
+        "stored-codes ADC must equal the inline encoder exactly")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("IVF index probe is partition-pruned and equals the unmaterialized search") {
     val out = Files.createTempDirectory("graft_ivf_index").toString
     try {
