@@ -25,13 +25,15 @@ import graft.functions.VectorFunctions._
   *   Jaccard verify touches candidates only.
   * - SimHash: signature build is ONE narrow shuffle with bounded
   *   per-doc state ([[graft.plans.ElementwiseSum]], 32 longs); the
-  *   pair stage equi-joins on 8-bit signature bands (guaranteed
-  *   recall for Hamming ≤ 3, probabilistic above) instead of
-  *   all-pairs-within-source.
+  *   pair stage STAR-joins each 8-bit-band bucket's min-id rep with
+  *   its members (guaranteed recall for rep-member Hamming ≤ 3,
+  *   probabilistic above) — linear in bucket occupancy, never
+  *   all-pairs.
   * - Embedding near-dup: 32-plane random-hyperplane codes
-  *   ([[Lsh]]), banded 4×8 bits; candidates equi-join on band keys,
-  *   exact cosine verifies candidates only — the plan a coarse
-  *   quantizer gives you at 100 TB, not O(n²/blocks).
+  *   ([[Lsh]]), banded 4×8 bits; candidates are the band-bucket
+  *   STAR (rep ⋈ members), exact cosine verifies candidates only —
+  *   the plan a coarse quantizer gives you at 100 TB, not
+  *   O(n²/blocks) and not O(bucket²) under code collapse.
   *
   * All hashing is md5-derived (identical in Spark and DuckDB) so
   * every operator stays fully oracle-checkable; production would swap
@@ -87,11 +89,24 @@ object Dedup extends graft.QueryGroup {
     val keys = (0 until NumBands).map(b =>
       concat_ws(":", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
     val bands = sig.select(col("doc_id"), explode(array(keys: _*)).as("bk"))
-    val reps = bands.groupBy(col("bk")).agg(min(col("doc_id")).as("rep"))
-    bands.join(reps, Seq("bk"))
-      .where(col("doc_id") =!= col("rep"))
+    starCandidates(bands, "doc_id")
       .select(col("rep").as("did_a"), col("doc_id").as("did_b"))
       .distinct()
+  }
+
+  /** Bucket STAR join over ANY banded (id, bk, …) relation: each row
+    * joins its bucket's min-id representative (column `rep`), rep
+    * rows themselves dropped. This is THE candidate-generation shape
+    * for every banded dedup here — candidate volume is O(rows), i.e.
+    * linear in bucket occupancy, where the naive
+    * `a.bk = b.bk AND a.id < b.id` self-join is O(bucket²) and
+    * detonates on degenerate buckets (identical docs share identical
+    * MinHash bands, SimHash signatures AND hyperplane codes — sf0.1's
+    * ~2,500-doc clusters would emit ~3M pairs per bucket per band).
+    * Returns the input columns plus `rep`; callers project/verify. */
+  private[graft] def starCandidates(bands: DataFrame, id: String): DataFrame = {
+    val reps = bands.groupBy(col("bk")).agg(min(col(id)).as("rep"))
+    bands.join(reps, Seq("bk")).where(col(id) =!= col("rep"))
   }
 
   /** Hydrate candidate pairs with both endpoints' feature sets:
@@ -252,8 +267,11 @@ object Dedup extends graft.QueryGroup {
     * vectors are built map-side as 32-element arrays and tallied by
     * the bounded [[graft.plans.ElementwiseSum]] aggregate — one
     * narrow shuffle, no 32× row amplification. */
-  private def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(s, dir))
+
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), col("source"),
         explode(tokenSet(col("text"))).as("token"))
     // Native expression computing the ±1 vector straight from the
@@ -270,24 +288,38 @@ object Dedup extends graft.QueryGroup {
           lit(0.0d), (acc, x) => acc + x).cast("long").as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 8-bit-band candidate equi-join (within
-    * source), Hamming ≤ 10 verify, nearest 50 pairs. Banding
-    * guarantees every Hamming ≤ 3 pair and catches most above; the
-    * round-1 all-pairs-within-source join is gone. */
-  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 10,
-      topN: Int = 50): DataFrame = {
-    val sh = simhash(s, dir)
+  /** SimHash STAR candidates from a (doc_id, source, simhash)
+    * relation: 8-bit band keys (within source) → bucket min-id rep
+    * pairs each member — linear in bucket occupancy even when a
+    * duplicate cluster collapses to one signature (exactly where a
+    * simhash dedup matters). Returns
+    * (source, did_a, did_b, sh_b) with did_a = rep < did_b. */
+  private[graft] def simhashCandidates(sh: DataFrame): DataFrame = {
     val keys = (0 until SimHashBands).map(b =>
       concat_ws(":", col("source"), lit(b),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))))
     val bands = sh.select(col("doc_id"), col("source"), col("simhash"),
       explode(array(keys: _*)).as("bk"))
-    bands.as("a").join(bands.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.source").as("source"),
-        col("a.doc_id").as("did_a"), col("b.doc_id").as("did_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    starCandidates(bands, "doc_id")
+      .select(col("source"), col("rep").as("did_a"),
+        col("doc_id").as("did_b"), col("simhash").as("sh_b"))
       .distinct()
+  }
+
+  /** SimHash near-dup pairs: 8-bit-band STAR candidates (within
+    * source; bucket rep ⋈ members, see [[starCandidates]]), Hamming
+    * ≤ 10 verify, nearest 50 pairs. Banding guarantees every
+    * rep-member pair at Hamming ≤ 3 and catches most above; both the
+    * round-1 all-pairs-within-source join and the round-2..5
+    * all-pairs-WITHIN-BUCKET join are gone. */
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 10,
+      topN: Int = 50): DataFrame = {
+    val sh = simhash(s, dir)
+    simhashCandidates(sh)
+      .join(sh.select(col("doc_id").as("did_a"), col("simhash").as("sh_a")),
+        Seq("did_a"))
+      .select(col("source"), col("did_a"), col("did_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .orderBy(col("hamming").asc, col("did_a").asc, col("did_b").asc)
       .limit(topN)
@@ -295,20 +327,28 @@ object Dedup extends graft.QueryGroup {
 
   private val embPlanes = Lsh.planes(EmbPlanes, 64)
 
+  /** Hyperplane-code STAR candidates from a (vec_id, code) relation:
+    * 4×8-bit band keys → bucket min-id rep pairs each member. A
+    * near-dup-heavy corpus collapses many vectors onto one code —
+    * the star keeps the candidate volume linear there too. */
+  private[graft] def embeddingCandidates(coded: DataFrame): DataFrame = {
+    val keys = (0 until EmbBands).map(b =>
+      concat_ws(":", lit(b),
+        shiftright(col("code"), 8 * b).bitwiseAND(lit(255L))))
+    val bands = coded.select(col("vec_id"), explode(array(keys: _*)).as("bk"))
+    starCandidates(bands, "vec_id")
+      .select(col("rep").as("vid_a"), col("vec_id").as("vid_b"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-dup: 32-plane hyperplane codes, 4×8-bit
-    * band candidates, exact cosine verify, 50 closest pairs. */
+    * band STAR candidates (bucket rep ⋈ members), exact cosine
+    * verify, 50 closest pairs. */
   def embeddingNearDup(s: SparkSession, dir: String, topN: Int = 50): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         Lsh.bucketCode(col("embedding"), embPlanes).as("code"))
-    val keys = (0 until EmbBands).map(b =>
-      concat_ws(":", lit(b),
-        shiftright(col("code"), 8 * b).bitwiseAND(lit(255L))))
-    val bands = e.select(col("vec_id"), explode(array(keys: _*)).as("bk"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vid_a"), col("b.vec_id").as("vid_b"))
-      .distinct()
+    val cand = embeddingCandidates(e)
     val vecs = e.select(col("vec_id"), col("embedding"))
     cand
       .join(vecs.select(col("vec_id").as("vid_a"), col("embedding").as("va")),
@@ -467,11 +507,14 @@ object Dedup extends graft.QueryGroup {
          |                       THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |       FROM pos GROUP BY doc_id, source),
          |bands AS ($simBandKeys),
-         |pairs AS (SELECT DISTINCT a.source AS source, a.doc_id AS did_a,
-         |                 b.doc_id AS did_b,
-         |                 bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |          FROM bands a JOIN bands b
-         |            ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         |reps AS (SELECT bk, min(doc_id) AS rep FROM bands GROUP BY bk),
+         |cand AS (SELECT DISTINCT b.source, r.rep AS did_a,
+         |                b.doc_id AS did_b, b.simhash AS sh_b
+         |         FROM bands b JOIN reps r USING (bk)
+         |         WHERE b.doc_id <> r.rep),
+         |pairs AS (SELECT c.source, c.did_a, c.did_b,
+         |                 bit_count(xor(s.simhash, c.sh_b)) AS hamming
+         |          FROM cand c JOIN sh s ON c.did_a = s.doc_id)
          |SELECT source, did_a, did_b, hamming FROM pairs
          |WHERE hamming <= 10
          |ORDER BY hamming ASC, did_a ASC, did_b ASC LIMIT 50""".stripMargin,
@@ -480,9 +523,10 @@ object Dedup extends graft.QueryGroup {
          |c AS (SELECT vec_id, v, ${Lsh.bucketCodeSql("v", embPlanes)} AS code
          |      FROM e),
          |bands AS ($embBandKeys),
-         |cand AS (SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
-         |         FROM bands a JOIN bands b
-         |           ON a.bk = b.bk AND a.vec_id < b.vec_id),
+         |reps AS (SELECT bk, min(vec_id) AS rep FROM bands GROUP BY bk),
+         |cand AS (SELECT DISTINCT r.rep AS vid_a, b.vec_id AS vid_b
+         |         FROM bands b JOIN reps r USING (bk)
+         |         WHERE b.vec_id <> r.rep),
          |v AS (SELECT c.vid_a, c.vid_b,
          |             list_cosine_similarity(ea.v, eb.v) AS sim
          |      FROM cand c JOIN e ea ON c.vid_a = ea.vec_id

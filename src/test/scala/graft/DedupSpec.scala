@@ -31,6 +31,43 @@ class DedupSpec extends SparkSuite {
     assert(rows.forall(_.getInt(3) <= 10))
   }
 
+  test("simhash candidates stay linear on a degenerate bucket " +
+      "(1k identical docs)") {
+    // 1,000 byte-identical docs collapse to ONE simhash → one bucket
+    // per band. All-pairs within that bucket would be ~499,500 pairs
+    // per band; the star emits exactly n−1 distinct (rep, member)
+    // pairs. A few distinct docs ride along to keep the plan honest.
+    import spark.implicits._
+    val n = 1000
+    val docs = ((0 until n).map(i => (i.toLong, "s0",
+        "the same exact duplicated document text body")) ++
+      Seq((9000L, "s0", "completely different content one"),
+        (9001L, "s0", "another unrelated piece of text")))
+      .toDF("doc_id", "source", "text")
+    val nCand = Dedup.simhashCandidates(Dedup.simhashOf(docs)).count()
+    assert(nCand <= (n + 2) + 2 * Dedup.SimHashBands,
+      s"star candidates must be linear in cluster size, got $nCand")
+    assert(nCand >= n - 1, s"every cluster member must pair its rep: $nCand")
+  }
+
+  test("embedding candidates stay linear on a degenerate code bucket") {
+    // 1,000 identical vectors share one hyperplane code → one bucket
+    // per band; the star emits n−1 pairs, not ~n²/2.
+    import spark.implicits._
+    val n = 1000
+    val v = Array.tabulate(64)(i => (if (i % 2 == 0) 1.0d else -0.5d))
+    val w = Array.tabulate(64)(i => (if (i % 3 == 0) -1.0d else 0.25d))
+    val vecs = ((0 until n).map(i => (i.toLong, v)) ++
+      Seq((9000L, w))).toDF("vec_id", "embedding")
+    val coded = vecs.select(col("vec_id"),
+      graft.functions.Lsh.bucketCode(col("embedding"),
+        graft.functions.Lsh.planes(Dedup.EmbPlanes, 64)).as("code"))
+    val nCand = Dedup.embeddingCandidates(coded).count()
+    assert(nCand <= (n + 1) + Dedup.EmbBands,
+      s"star candidates must be linear in cluster size, got $nCand")
+    assert(nCand >= n - 1, s"every cluster member must pair its rep: $nCand")
+  }
+
   test("containment >= jaccard on any shared candidate pair") {
     // |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always.
     val cont = Dedup.containment(spark, sfDir).collect()
