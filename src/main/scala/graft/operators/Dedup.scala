@@ -161,7 +161,7 @@ object Dedup extends graft.QueryGroup {
     val sh = docs.select(col("doc_id"),
       transform(wordShingles(col("text"), 2),
         f => graft.functions.MinHash.hash60(f)).as("fs"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.cut)
     val feats = sh.select(col("doc_id"), explode(col("fs")).as("base"))
     jaccardVerify(bandCandidates(signatureFromBase(feats)), sh, topN)
   }
@@ -219,48 +219,104 @@ object Dedup extends graft.QueryGroup {
     * labels are min doc_ids, independent of execution order. */
   def dedupClusters(s: SparkSession, dir: String, topN: Int = 30): DataFrame = {
     val docs = Tables.documents(s, dir)
+    val und = verifiedEdges(docs)
+    clusterCounts(docs, sweep(und)(sweep(und)(initialLabels(und))), topN)
+  }
+
+  /** Symmetrized VERIFIED near-dup edges (a, b) from a documents
+    * relation. Edges are verified (Jaccard ≥ ClusterJac), not raw
+    * band collisions — candidates that fail the verify must not glue
+    * unrelated clusters together. Symmetrize via explode, not
+    * self-union — a union would clone the whole candidate+verify
+    * subtree into the plan twice. Then MATERIALIZE the edge set
+    * (eager lineage cut, [[graft.Checkpoints.cut]]): each sweep
+    * references its input twice, so without the cut the candidate
+    * chain re-executes ~2^sweeps times (the r3 plan audit showed 29
+    * parquet scans) — the standard checkpoint-per-iteration pattern
+    * of every iterative graph algorithm on Spark. */
+  private[graft] def verifiedEdges(docs: DataFrame): DataFrame = {
     val feats = docs.select(col("doc_id"), explode(tokenSet(col("text"))).as("f"))
     val sets = docs.select(col("doc_id"), tokenSet(col("text")).as("fs"))
-    // Edges are VERIFIED near-dups (Jaccard ≥ ClusterJac), not raw
-    // band collisions — candidates that fail the verify must not
-    // glue unrelated clusters together.
     val ed = withSets(bandCandidates(signature(feats)), sets)
       .where(jaccard(col("fs_a"), col("fs_b")) >= ClusterJac)
       .select(col("did_a"), col("did_b"))
-    // Symmetrize via explode, not self-union — a union would clone
-    // the whole candidate+verify subtree into the plan twice. Then
-    // MATERIALIZE the edge set (eager localCheckpoint): each sweep
-    // references its input twice, so without a lineage cut the
-    // candidate chain re-executes ~2^sweeps times (the plan audit
-    // showed 29 parquet scans) — the standard checkpoint-per-
-    // iteration pattern of every iterative graph algorithm on Spark.
-    val und = ed.select(explode(array(
+    ed.select(explode(array(
         struct(col("did_a").as("a"), col("did_b").as("b")),
         struct(col("did_b").as("a"), col("did_a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .localCheckpoint()
-    // Propagate ONLY over the edge-induced subgraph: docs with no
-    // verified neighbor keep their own label through every sweep
-    // (min over {self} = self), so the singleton majority never
-    // enters the iteration loop — at 100 TB the sweeps shuffle
-    // O(edges), not O(corpus).
-    val l0 = und.select(col("a").as("doc_id")).distinct()
+      .transform(graft.Checkpoints.cut)
+  }
+
+  /** Labels over the edge-induced subgraph ONLY: docs with no
+    * verified neighbor keep their own label through every sweep (min
+    * over {self} = self), so the singleton majority never enters the
+    * iteration loop — at 100 TB the sweeps shuffle O(edges), not
+    * O(corpus). */
+  private def initialLabels(und: DataFrame): DataFrame =
+    und.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lab"))
-    def sweep(lab: DataFrame): DataFrame =
-      und.join(lab.select(col("doc_id").as("b"), col("lab")), Seq("b"))
-        .select(col("a").as("doc_id"), col("lab"))
-        .unionAll(lab)
-        .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
+
+  /** One min-label propagation sweep: every doc takes the min label
+    * among itself and its neighbors — one equi-join + one min-agg,
+    * both on uniformly distributed doc ids, then a lineage cut. */
+  private def sweep(und: DataFrame)(lab: DataFrame): DataFrame =
+    und.join(lab.select(col("doc_id").as("b"), col("lab")), Seq("b"))
+      .select(col("a").as("doc_id"), col("lab"))
+      .unionAll(lab)
+      .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
+      .transform(graft.Checkpoints.cut)
+
+  /** Iterate [[sweep]] to the FIXPOINT with an explicit convergence
+    * check: stop when a sweep changes zero labels. This is the pass
+    * that actually canonicalizes a 100 TB corpus — chains of
+    * overlapping near-dup clusters propagate one hop per sweep, so
+    * any fixed sweep count under-merges some topology; iteration
+    * count is O(log(longest chain)) in practice for min-label over
+    * symmetrized edges (each sweep at least halves the number of
+    * non-converged chain segments' endpoints... conservatively it is
+    * bounded by graph diameter). Each iteration is one join + one
+    * min-agg + one O(labels) change-count action; every intermediate
+    * is lineage-cut (reliable under `graft.checkpoint.dir`, see
+    * [[graft.Checkpoints]]). Deterministic: labels are min doc_ids,
+    * independent of execution/iteration order. */
+  private[graft] def convergeLabels(und: DataFrame,
+      maxSweeps: Int = 64): DataFrame = {
+    var lab = initialLabels(und).transform(graft.Checkpoints.cut)
+    var changed = 1L
+    var n = 0
+    while (changed > 0 && n < maxSweeps) {
+      val next = sweep(und)(lab)
+      changed = next.join(lab.withColumnRenamed("lab", "prev"), Seq("doc_id"))
+        .where(col("lab") =!= col("prev")).count()
+      lab = next
+      n += 1
+    }
+    lab
+  }
+
+  /** Converged near-dup clustering — [[dedupClusters]]' semantics
+    * but iterated to the label fixpoint ([[convergeLabels]]); the
+    * DuckDB oracle computes the same fixpoint via a recursive
+    * reachability CTE, so the convergence loop itself is graded
+    * hash-exact. */
+  def convergedClusters(s: SparkSession, dir: String,
+      topN: Int = 30): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    clusterCounts(docs, convergeLabels(verifiedEdges(docs)), topN)
+  }
+
+  /** Left-join labels back onto the full corpus (singletons label
+    * themselves) and emit the top-N cluster size counts. */
+  private def clusterCounts(docs: DataFrame, lab: DataFrame,
+      topN: Int): DataFrame =
     docs.select(col("doc_id"))
-      .join(sweep(sweep(l0)), Seq("doc_id"), "left")
+      .join(lab, Seq("doc_id"), "left")
       .select(coalesce(col("lab"), col("doc_id")).as("lab"))
       .groupBy(col("lab"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("lab").as("cluster_id"), col("n_members"))
       .orderBy(col("n_members").desc, col("cluster_id").asc)
       .limit(topN)
-  }
 
   /** 32-bit SimHash: bit p of token t = ascii(md5(t)[p]) % 2; doc bit
     * = majority vote over distinct tokens. Per-token ±1 contribution
@@ -369,6 +425,7 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q_dedup_embedding" -> ((s, d) => embeddingNearDup(s, d)),
     "q_dedup_cluster" -> ((s, d) => dedupClusters(s, d)),
+    "q_dedup_converged" -> ((s, d) => convergedClusters(s, d)),
     "q_dedup_containment" -> ((s, d) => containment(s, d)),
     "q_dedup_latest" -> ((s, d) => dedupLatest(s, d)),
   )
@@ -481,6 +538,40 @@ object Dedup extends graft.QueryGroup {
          |         UNION ALL SELECT doc_id, lab FROM l1) GROUP BY doc_id)
          |SELECT lab AS cluster_id, count(*) AS n_members
          |FROM l2 GROUP BY lab
+         |ORDER BY n_members DESC, cluster_id ASC LIMIT 30""".stripMargin
+    },
+    "q_dedup_converged" -> {
+      val cand = candidateCtes(
+        """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs
+          |         FROM documents)""".stripMargin)
+      // The min-label fixpoint as a recursive reachability closure:
+      // every node collects the labels of everything that reaches it,
+      // takes the min. `WHERE r.lab < u.a` prunes the closure without
+      // changing the min — the component minimum reaches every member
+      // through a path on which it is smaller than every node id.
+      s"""WITH RECURSIVE $cand,
+         |ed AS (SELECT c.did_a, c.did_b
+         |       FROM cand c JOIN sets sa ON c.did_a = sa.doc_id
+         |                   JOIN sets sb ON c.did_b = sb.doc_id
+         |       WHERE CASE WHEN len(list_distinct(sa.fs || sb.fs)) = 0
+         |                  THEN 0.0
+         |                  ELSE len(list_intersect(sa.fs, sb.fs))
+         |                       / len(list_distinct(sa.fs || sb.fs))
+         |             END >= $ClusterJac),
+         |und AS (SELECT did_a AS a, did_b AS b FROM ed
+         |        UNION ALL SELECT did_b AS a, did_a AS b FROM ed),
+         |nodes AS (SELECT DISTINCT a AS doc_id FROM und),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS lab FROM nodes
+         |  UNION
+         |  SELECT u.a AS doc_id, r.lab
+         |  FROM und u JOIN reach r ON u.b = r.doc_id
+         |  WHERE r.lab < u.a),
+         |fix AS (SELECT doc_id, min(lab) AS lab FROM reach GROUP BY doc_id)
+         |SELECT lab AS cluster_id, count(*) AS n_members FROM (
+         |  SELECT coalesce(f.lab, d.doc_id) AS lab
+         |  FROM documents d LEFT JOIN fix f USING (doc_id))
+         |GROUP BY lab
          |ORDER BY n_members DESC, cluster_id ASC LIMIT 30""".stripMargin
     },
     "q_dedup_ngram_jaccard" -> minhashOracle(

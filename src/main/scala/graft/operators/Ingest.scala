@@ -65,10 +65,48 @@ object Ingest extends graft.QueryGroup {
           .as("avg_chars"))
       .orderBy(col("source").asc)
 
+  /** Keyed MERGE/upsert — the reference's batch write path
+    * (db/ingest_cards.py:120-152 `ON CONFLICT (oracle_id) DO
+    * UPDATE`, db/init.sql:88-116 upsert functions) as one relational
+    * pass: full-outer-join the current snapshot with an incoming
+    * batch on the key, classify every key as insert (batch-only) /
+    * update (both, content differs) / unchanged (both, identical) /
+    * carryover (snapshot-only), and emit the labeled new snapshot —
+    * the shape every incremental corpus refresh runs.
+    *
+    * The demo snapshot/batch derive deterministically from
+    * `documents` so the oracle can replicate them: snapshot = ids
+    * not divisible by 10, batch = ids divisible by 3 with revised
+    * text for ids divisible by 6 — all four classes populated.
+    *
+    * Scale: ONE shuffle of each side on the uniformly distributed
+    * key (no skew), map-side md5, no windows. At 100 TB the
+    * snapshot is stored bucketed by key, which turns this into a
+    * storage-partitioned join that shuffles only the (much smaller)
+    * batch; the classification itself is unchanged. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val snap = docs.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val batch = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 6 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h_new"))
+    snap.join(batch, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, lit("insert"))
+          .when(col("h_new").isNull, lit("carryover"))
+          .when(col("h_old") =!= col("h_new"), lit("update"))
+          .otherwise(lit("unchanged")).as("action"),
+        coalesce(col("h_new"), col("h_old")).as("content_hash"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_text" -> ((s, d) => embedText(s, d)),
     "q_ingest_dedup" -> ((s, d) => ingestDedup(s, d)),
     "q_doc_stats" -> ((s, d) => docStats(s, d)),
+    "q_merge_upsert" -> ((s, d) => mergeUpsert(s, d)),
   )
 
   private val normSql =
@@ -90,6 +128,23 @@ object Ingest extends graft.QueryGroup {
          |       count(*) AS n_copies
          |FROM documents GROUP BY content_id
          |ORDER BY content_id ASC""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH snap AS (
+        |  SELECT doc_id, md5(text) AS h_old FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |batch AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 6 = 0 THEN text || ' v2'
+        |                  ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT coalesce(s.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN s.doc_id IS NULL THEN 'insert'
+        |            WHEN b.doc_id IS NULL THEN 'carryover'
+        |            WHEN s.h_old <> b.h_new THEN 'update'
+        |            ELSE 'unchanged' END AS action,
+        |       coalesce(b.h_new, s.h_old) AS content_hash
+        |FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id
+        |ORDER BY doc_id ASC""".stripMargin,
     "q_doc_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT lang) AS n_langs,

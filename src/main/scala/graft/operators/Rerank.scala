@@ -148,13 +148,13 @@ object Rerank extends graft.QueryGroup {
       .select(col("vec_id"), col("embedding"),
         cosineSim(col("embedding"), col("qvec")).as("rel"))
       .orderBy(col("rel").desc, col("vec_id").asc).limit(nc)
-      .localCheckpoint()
+      .transform(graft.Checkpoints.cut)
     val pairs = cand.select(col("vec_id").as("ia"), col("embedding").as("va"))
       .crossJoin(broadcast(
         cand.select(col("vec_id").as("ib"), col("embedding").as("vb"))))
       .where(col("ia") =!= col("ib"))
       .select(col("ia"), col("ib"), cosineSim(col("va"), col("vb")).as("s"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.cut)
     var sel = cand
       .select(col("vec_id"), (lit(MmrLam) * col("rel")).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc).limit(1)

@@ -55,16 +55,22 @@ class CurationSpec extends SparkSuite {
       .select(size(split(col("text"), " ")).cast("long").as("tk"))
       .agg(sum(col("tk"))).head().getLong(0)
     val bins = Curation.packSequences(spark, sfDir).collect()
-    assert(bins.map(_.getLong(2)).sum === total) // n_docs sums to corpus
-    assert(bins.map(_.getLong(3)).sum === toksTotal) // tokens conserved
-    // Within a source, bins are contiguous doc-id ranges.
-    bins.groupBy(_.getString(0)).foreach { case (_, rs) =>
-      val sorted = rs.sortBy(_.getLong(1))
+    assert(bins.map(_.getLong(3)).sum === total) // n_docs sums to corpus
+    assert(bins.map(_.getLong(4)).sum === toksTotal) // tokens conserved
+    // Within a (source, shard), bins are contiguous doc-id ranges.
+    bins.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
       sorted.sliding(2).foreach {
-        case Array(a, b) => assert(a.getLong(5) < b.getLong(4))
+        case Array(a, b) => assert(a.getLong(6) < b.getLong(5))
         case _ =>
       }
     }
+    // Sharding spreads the packing: every source occupies >1 shard
+    // (the r5 weak plan serialized each source through one task).
+    val shardsPerSource = bins.groupBy(_.getString(0))
+      .map { case (_, rs) => rs.map(_.getLong(1)).distinct.length }
+    assert(shardsPerSource.forall(_ > 1),
+      s"expected multi-shard packing per source: $shardsPerSource")
   }
 
   test("contamination pairs share at least the threshold of shingles") {

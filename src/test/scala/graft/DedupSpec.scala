@@ -68,6 +68,40 @@ class DedupSpec extends SparkSuite {
     assert(nCand >= n - 1, s"every cluster member must pair its rep: $nCand")
   }
 
+  test("convergeLabels reaches the fixpoint on a chain where a fixed " +
+      "two-sweep prefix provably cannot") {
+    import spark.implicits._
+    // Path graph 0—1—…—9, symmetrized: the component min label 0
+    // needs 9 propagation hops to reach node 9. After k sweeps
+    // lab(i) = max(0, i − k), so ANY fixed sweep count under-merges
+    // a long enough chain; the convergence loop must not.
+    val und = (0 until 9)
+      .flatMap(i => Seq((i.toLong, i + 1L), (i + 1L, i.toLong)))
+      .toDF("a", "b")
+    val fix = Dedup.convergeLabels(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 9L).forall(fix(_) == 0L),
+      s"fixpoint must label the whole chain 0: $fix")
+    val two = Dedup.convergeLabels(und, maxSweeps = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(9L) == 7L,
+      s"two sweeps must leave the chain unconverged (got ${two(9L)})")
+  }
+
+  test("converged clustering equals two-sweep clustering when the " +
+      "corpus has no long chains, and never splits clusters") {
+    // On this synthetic corpus near-dup clusters are star-shaped, so
+    // the two results should agree — and if they ever differ, the
+    // converged one must be at least as merged (fewer, larger
+    // clusters), never more split.
+    val twoSweep = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val fix = Dedup.convergedClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fix.map(_._2).sum >= twoSweep.map(_._2).sum,
+      "fixpoint top-30 mass must be >= two-sweep prefix's")
+  }
+
   test("containment >= jaccard on any shared candidate pair") {
     // |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always.
     val cont = Dedup.containment(spark, sfDir).collect()

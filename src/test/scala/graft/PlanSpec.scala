@@ -118,11 +118,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_pack_sequences: one running-sum window, no joins") {
-    val p = plan(Curation.packSequences(spark, sfDir))
+  test("q_pack_sequences: one running-sum window partitioned on " +
+      "(source, shard), no joins") {
+    val df = Curation.packSequences(spark, sfDir)
+    val p = plan(df)
     assert(p.split("Window").length - 1 === 1,
       s"expected exactly one window:\n$p")
     assert(!p.contains("Join"), p)
+    // The packing window must partition on (source, shard): source
+    // alone caps parallelism at n_sources and streams each source
+    // through one reducer task.
+    val winSpec = p.linesIterator.find(_.contains("windowspecdefinition"))
+      .getOrElse(fail(s"no window spec in plan:\n$p"))
+    assert(winSpec.contains("source") && winSpec.contains("shard"),
+      s"window must partition on (source, shard):\n$winSpec")
   }
 
   test("q_dedup_latest: rn=1 window rewritten to the bounded aggregate") {
