@@ -62,7 +62,9 @@ class SynthSource extends TableProvider
       shape = Option(properties.get("shape")).getOrElse("documents"),
       rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
       parts = Option(properties.get("parts")).map(_.toInt).getOrElse(8),
-      seed = Option(properties.get("seed")).map(_.toLong).getOrElse(0L))
+      seed = Option(properties.get("seed")).map(_.toLong).getOrElse(0L),
+      centers = Option(properties.get("centers")).map(_.toInt).getOrElse(0),
+      sigma = Option(properties.get("sigma")).map(_.toDouble).getOrElse(0.15))
 }
 
 object SynthSource {
@@ -143,7 +145,8 @@ object SynthSource {
   }
 }
 
-final class SynthTable(shape: String, rows: Long, parts: Int, seed: Long)
+final class SynthTable(shape: String, rows: Long, parts: Int, seed: Long,
+    centers: Int = 0, sigma: Double = 0.15)
     extends Table with SupportsRead {
   override def name(): String =
     s"graft-synth($shape, $rows rows, $parts parts)"
@@ -154,11 +157,12 @@ final class SynthTable(shape: String, rows: Long, parts: Int, seed: Long)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SynthScanBuilder(shape, rows, parts, seed,
       Option(options.get("rowsperbatch")).map(_.toLong)
-        .getOrElse(math.max(1L, rows / 4)))
+        .getOrElse(math.max(1L, rows / 4)), centers, sigma)
 }
 
 final class SynthScanBuilder(shape: String, rows: Long, parts: Int,
-    seed: Long, rowsPerBatch: Long = Long.MaxValue) extends ScanBuilder
+    seed: Long, rowsPerBatch: Long = Long.MaxValue, centers: Int = 0,
+    sigma: Double = 0.15) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private val idCol = SynthSource.idColFor(shape)
@@ -205,15 +209,17 @@ final class SynthScanBuilder(shape: String, rows: Long, parts: Int,
 
   override def build(): Scan =
     new SynthScan(shape, rows, parts, seed, required, bounds._1, bounds._2,
-      rowsPerBatch)
+      rowsPerBatch, centers, sigma)
 }
 
 final case class SynthPartition(shape: String, start: Long, end: Long,
-    seed: Long) extends InputPartition
+    seed: Long, centers: Int = 0, sigma: Double = 0.15)
+    extends InputPartition
 
 final class SynthScan(shape: String, rows: Long, parts: Int, seed: Long,
     required: StructType, lo: Long, hi: Long,
-    rowsPerBatch: Long = Long.MaxValue) extends Scan with Batch {
+    rowsPerBatch: Long = Long.MaxValue, centers: Int = 0,
+    sigma: Double = 0.15) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -242,7 +248,8 @@ final class SynthScan(shape: String, rows: Long, parts: Int, seed: Long,
       .map(i => (i * per, math.min(rows, (i + 1) * per)))
       .filter { case (s, e) => s < e && e > lo && s < hi }
       .map { case (s, e) =>
-        SynthPartition(shape, math.max(s, lo), math.min(e, hi), seed)
+        SynthPartition(shape, math.max(s, lo), math.min(e, hi), seed,
+          centers, sigma)
       }
       .toArray[InputPartition]
   }
@@ -328,6 +335,12 @@ final class SynthReader(p: SynthPartition, required: StructType)
   private def u01(x: Long): Double =
     (mix(x) >>> 11).toDouble / (1L << 53).toDouble
 
+  /** Deterministic center assignment for the clustered embedding
+    * mixture (uniform over the `centers` option). */
+  private def centerOf(id: Long): Long =
+    java.lang.Long.remainderUnsigned(
+      mix(id ^ 0xce47e25L ^ mix(p.seed)), p.centers.toLong)
+
   override def get(): InternalRow = {
     // Rendered at most once per row even when both text and n_chars
     // are projected (and not at all when neither is).
@@ -344,16 +357,32 @@ final class SynthReader(p: SynthPartition, required: StructType)
         UTF8String.fromString(
           "src" + java.lang.Long.remainderUnsigned(mix(id + 17 + p.seed), 20L))
       case "n_chars" => text.length.toLong
-      // embeddings
+      // embeddings: isotropic by default; with centers = C > 0 the
+      // vectors are a C-component mixture (center + uniform noise of
+      // half-width sigma) and `label` becomes the center id — the
+      // cluster-structured manifold real embedding models produce,
+      // which is what gives an LSH/IVF index a realistic operating
+      // point (near-isotropic vectors have no structure to exploit).
       case "vec_id" => id
       case "label" =>
-        java.lang.Long.remainderUnsigned(mix(id ^ 0x5eedL ^ mix(p.seed)), 10L)
+        if (p.centers > 0) centerOf(id)
+        else java.lang.Long.remainderUnsigned(mix(id ^ 0x5eedL ^ mix(p.seed)), 10L)
       case "embedding" =>
         val a = new Array[Double](EmbDim)
         var j = 0
-        while (j < EmbDim) {
-          a(j) = u01(id * EmbDim + j + mix(p.seed)) * 2.0 - 1.0
-          j += 1
+        if (p.centers > 0) {
+          val c = centerOf(id)
+          while (j < EmbDim) {
+            val ctr = u01((c * EmbDim + j) ^ mix(p.seed ^ 0x5ca1eL)) * 2.0 - 1.0
+            val noise = u01(id * EmbDim + j + mix(p.seed)) * 2.0 - 1.0
+            a(j) = ctr + noise * p.sigma
+            j += 1
+          }
+        } else {
+          while (j < EmbDim) {
+            a(j) = u01(id * EmbDim + j + mix(p.seed)) * 2.0 - 1.0
+            j += 1
+          }
         }
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a)
       // events (micro timestamps over a 30-day window from epoch day
