@@ -131,15 +131,21 @@ object Rerank extends graft.QueryGroup {
   /** Maximal-marginal-relevance diversified top-k — the rerank tier
     * that trades pure relevance for coverage: greedily pick the
     * candidate maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), k
-    * times. Greedy selection is inherently sequential, so the loop
-    * runs as k−1 tiny broadcast joins over the DRIVER-BOUNDED
-    * candidate set (top-`nc` by relevance via TakeOrdered — the same
-    * retrieve-then-rerank cut as [[rerank]]); the corpus is touched
-    * exactly once, by the initial top-nc scan. Candidate embeddings
-    * and pairwise sims are localCheckpointed once (each iteration
-    * would otherwise replay the corpus scan k times). The oracle is
-    * an INDEPENDENT derivation: a DuckDB recursive CTE carrying the
-    * selected-id list through the recursion. */
+    * times. The corpus is touched exactly once, by the distributed
+    * top-`nc` relevance scan (the same retrieve-then-rerank cut as
+    * [[rerank]]); the pairwise candidate sims are computed
+    * distributed too (bit-identical cosine either way). The greedy
+    * selection itself then runs ON THE DRIVER over those ≤ nc rel
+    * values and ≤ nc² sims: greedy MMR is inherently sequential and
+    * the candidate set is driver-bounded BY CONSTRUCTION, so k−1
+    * rounds of tiny Spark jobs would spend ~8 scheduler round-trips
+    * per selected row on ≤ 20-row inputs (r5 bench: 1.4 s of pure
+    * job scheduling — the one place driver-side compute is the
+    * honest plan, not a scalability leak). Same double arithmetic
+    * (0.7·rel − 0.3·pen, IEEE max) as the distributed loop it
+    * replaces. The oracle is an INDEPENDENT derivation: a DuckDB
+    * recursive CTE carrying the selected-id list through the
+    * recursion. */
   def mmr(s: SparkSession, dir: String, k: Int = 5, nc: Int = 20)
       : DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -149,31 +155,37 @@ object Rerank extends graft.QueryGroup {
         cosineSim(col("embedding"), col("qvec")).as("rel"))
       .orderBy(col("rel").desc, col("vec_id").asc).limit(nc)
       .transform(graft.Checkpoints.cut)
-    val pairs = cand.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val rel = cand.select(col("vec_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim = cand.select(col("vec_id").as("ia"), col("embedding").as("va"))
       .crossJoin(broadcast(
         cand.select(col("vec_id").as("ib"), col("embedding").as("vb"))))
       .where(col("ia") =!= col("ib"))
       .select(col("ia"), col("ib"), cosineSim(col("va"), col("vb")).as("s"))
-      .transform(graft.Checkpoints.cut)
-    var sel = cand
-      .select(col("vec_id"), (lit(MmrLam) * col("rel")).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc).limit(1)
-      .withColumn("rnk", lit(1))
-    for (t <- 2 to k) {
-      val penalty = pairs
-        .join(broadcast(sel.select(col("vec_id").as("ib"))), Seq("ib"))
-        .groupBy(col("ia")).agg(max(col("s")).as("pen"))
-      val next = cand.select(col("vec_id").as("ia"), col("rel"))
-        .join(broadcast(sel.select(col("vec_id").as("ia"))), Seq("ia"),
-          "left_anti")
-        .join(broadcast(penalty), Seq("ia"))
-        .select(col("ia").as("vec_id"),
-          (lit(MmrLam) * col("rel") - lit(MmrPen) * col("pen")).as("score"))
-        .orderBy(col("score").desc, col("vec_id").asc).limit(1)
-        .withColumn("rnk", lit(t))
-      sel = sel.unionByName(next)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val selected = Seq.newBuilder[(Int, Long, Double)]
+    var chosen = List.empty[Long]
+    var remaining = rel.keys.toSeq.sorted
+    for (t <- 1 to k if remaining.nonEmpty) {
+      val scored = remaining.map { id =>
+        val score =
+          if (chosen.isEmpty) MmrLam * rel(id)
+          else MmrLam * rel(id) - MmrPen * chosen.map(c => sim((id, c))).max
+        (id, score)
+      }
+      // Tie-break identical to orderBy(score desc, vec_id asc):
+      // scored is id-ascending, so strict > keeps the smaller id.
+      val (bestId, bestScore) = scored.reduceLeft { (a, b) =>
+        if (b._2 > a._2) b else a
+      }
+      selected += ((t, bestId, bestScore))
+      chosen ::= bestId
+      remaining = remaining.filterNot(_ == bestId)
     }
-    sel.select(col("rnk"), col("vec_id"), round(col("score"), 6).as("score"))
+    import s.implicits._
+    selected.result().toDF("rnk", "vec_id", "score")
+      .select(col("rnk"), col("vec_id"), round(col("score"), 6).as("score"))
       .orderBy(col("rnk").asc)
   }
 
