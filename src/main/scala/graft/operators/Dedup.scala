@@ -85,13 +85,17 @@ object Dedup extends graft.QueryGroup {
     * candidates at O(docs × bands) while still linking every cluster
     * member to its canonical winner — the pairs a dedup actually
     * consumes. Two narrow shuffles of (band_key, doc_id) rows. */
-  private[graft] def bandCandidates(sig: DataFrame): DataFrame = {
-    val keys = (0 until NumBands).map(b =>
-      concat_ws(":", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
-    val bands = sig.select(col("doc_id"), explode(array(keys: _*)).as("bk"))
-    starCandidates(bands, "doc_id")
+  private[graft] def bandCandidates(sig: DataFrame): DataFrame =
+    starCandidates(bandKeys(sig), "doc_id")
       .select(col("rep").as("did_a"), col("doc_id").as("did_b"))
       .distinct()
+
+  /** (doc_id, bk) band-key relation from a MinHash signature: band b's
+    * key concatenates its two minhash rows. */
+  private def bandKeys(sig: DataFrame): DataFrame = {
+    val keys = (0 until NumBands).map(b =>
+      concat_ws(":", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
+    sig.select(col("doc_id"), explode(array(keys: _*)).as("bk"))
   }
 
   /** Bucket STAR join over ANY banded (id, bk, …) relation: each row
@@ -318,6 +322,59 @@ object Dedup extends graft.QueryGroup {
       .orderBy(col("n_members").desc, col("cluster_id").asc)
       .limit(topN)
 
+  val IncrJac = 0.8 // duplicate-verdict threshold for the incremental probe
+
+  /** INCREMENTAL dedup — the shape every production corpus refresh
+    * runs: an incoming batch probes the STANDING corpus's band-bucket
+    * index instead of re-deduplicating the world. The corpus side
+    * reduces to one min-id representative per band bucket (exactly
+    * what [[starCandidates]] materializes, and what a deployment
+    * stores as the dedup index: O(corpus × bands) small rows, built
+    * once, merged incrementally); each batch doc equi-joins those
+    * reps on its own band keys, the exact Jaccard verifies the
+    * candidates only, and every batch doc gets a dup/new verdict
+    * with its best-matching canonical rep. Batch here = ids
+    * divisible by 17 (deterministic, so the oracle can replicate);
+    * at 100 TB the batch is the small broadcast-able side and the
+    * per-batch cost is O(batch × bands) probe rows — independent of
+    * corpus size. */
+  def incrementalDedup(s: SparkSession, dir: String,
+      thresh: Double = IncrJac): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isBatch = col("doc_id") % 17 === 0
+    val sets = docs.select(col("doc_id"), tokenSet(col("text")).as("fs"))
+    def featsOf(side: DataFrame) = side.select(col("doc_id"),
+      explode(tokenSet(col("text"))).as("f"))
+    val reps = bandKeys(signature(featsOf(docs.where(!isBatch))))
+      .groupBy(col("bk")).agg(min(col("doc_id")).as("rep"))
+    val cand = bandKeys(signature(featsOf(docs.where(isBatch))))
+      .join(reps, Seq("bk"))
+      .select(col("doc_id"), col("rep")).distinct()
+    val v = cand
+      .join(sets.select(col("doc_id"), col("fs").as("fs_b")), Seq("doc_id"))
+      .join(sets.select(col("doc_id").as("rep"), col("fs").as("fs_r")),
+        Seq("rep"))
+      .select(col("doc_id"), col("rep"),
+        jaccard(col("fs_b"), col("fs_r")).as("jac"))
+    val best = v.groupBy(col("doc_id")).agg(max(col("jac")).as("best_jac"))
+    // Deterministic pick: among the ties at best_jac, the smallest rep.
+    val pick = v.as("v").join(best.as("b"),
+        col("v.doc_id") === col("b.doc_id") &&
+          col("v.jac") === col("b.best_jac"))
+      .groupBy(col("v.doc_id"), col("b.best_jac"))
+      .agg(min(col("v.rep")).as("best_rep"))
+    docs.where(isBatch).select(col("doc_id"))
+      .join(pick, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("best_jac"), lit(0.0d)) >= thresh, lit("dup"))
+          .otherwise(lit("new")).as("verdict"),
+        when(coalesce(col("best_jac"), lit(0.0d)) >= thresh, col("best_rep"))
+          .otherwise(lit(-1L)).as("best_rep"),
+        when(coalesce(col("best_jac"), lit(0.0d)) >= thresh,
+          round(col("best_jac"), 6)).otherwise(lit(0.0d)).as("best_jac"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** 32-bit SimHash: bit p of token t = ascii(md5(t)[p]) % 2; doc bit
     * = majority vote over distinct tokens. Per-token ±1 contribution
     * vectors are built map-side as 32-element arrays and tallied by
@@ -426,6 +483,7 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_embedding" -> ((s, d) => embeddingNearDup(s, d)),
     "q_dedup_cluster" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_converged" -> ((s, d) => convergedClusters(s, d)),
+    "q_dedup_incremental" -> ((s, d) => incrementalDedup(s, d)),
     "q_dedup_containment" -> ((s, d) => containment(s, d)),
     "q_dedup_latest" -> ((s, d) => dedupLatest(s, d)),
   )
@@ -434,10 +492,12 @@ object Dedup extends graft.QueryGroup {
 
   private val sigSelect = seeds.zipWithIndex
     .map { case (sd, i) => s"min(xor(base, $sd)) AS h$i" }.mkString(", ")
-  private val bandsUnion = (0 until NumBands).map(b =>
-    s"SELECT doc_id, '$b' || ':' || CAST(h${2 * b} AS VARCHAR) || ':' || " +
-      s"CAST(h${2 * b + 1} AS VARCHAR) AS bk FROM sig")
-    .mkString(" UNION ALL ")
+  private def bandsUnionFrom(tbl: String): String =
+    (0 until NumBands).map(b =>
+      s"SELECT doc_id, '$b' || ':' || CAST(h${2 * b} AS VARCHAR) || ':' || " +
+        s"CAST(h${2 * b + 1} AS VARCHAR) AS bk FROM $tbl")
+      .mkString(" UNION ALL ")
+  private val bandsUnion = bandsUnionFrom("sig")
 
   /** Candidate-generation CTE chain over a `sets(doc_id, fs)` CTE:
     * base-hash → xor-min signature → band keys → bucket STAR join
@@ -540,6 +600,48 @@ object Dedup extends graft.QueryGroup {
          |FROM l2 GROUP BY lab
          |ORDER BY n_members DESC, cluster_id ASC LIMIT 30""".stripMargin
     },
+    "q_dedup_incremental" ->
+      s"""WITH sets AS (SELECT doc_id,
+         |                     list_distinct(str_split(text, ' ')) AS fs
+         |              FROM documents),
+         |cfeats AS (SELECT doc_id, unnest(fs) AS f FROM sets
+         |           WHERE doc_id % 17 <> 0),
+         |cbase AS (SELECT doc_id, ${MinHash.hash60Sql("f")} AS base
+         |          FROM cfeats),
+         |csig AS (SELECT doc_id, $sigSelect FROM cbase GROUP BY doc_id),
+         |cbands AS (${bandsUnionFrom("csig")}),
+         |reps AS (SELECT bk, min(doc_id) AS rep FROM cbands GROUP BY bk),
+         |bfeats AS (SELECT doc_id, unnest(fs) AS f FROM sets
+         |           WHERE doc_id % 17 = 0),
+         |bbase AS (SELECT doc_id, ${MinHash.hash60Sql("f")} AS base
+         |          FROM bfeats),
+         |bsig AS (SELECT doc_id, $sigSelect FROM bbase GROUP BY doc_id),
+         |bbands AS (${bandsUnionFrom("bsig")}),
+         |cand AS (SELECT DISTINCT b.doc_id, r.rep
+         |         FROM bbands b JOIN reps r USING (bk)),
+         |v AS (SELECT c.doc_id, c.rep,
+         |             CASE WHEN len(list_distinct(sb.fs || sr.fs)) = 0
+         |                  THEN 0.0
+         |                  ELSE len(list_intersect(sb.fs, sr.fs))
+         |                       / len(list_distinct(sb.fs || sr.fs))
+         |             END AS jac
+         |      FROM cand c JOIN sets sb ON c.doc_id = sb.doc_id
+         |                  JOIN sets sr ON c.rep = sr.doc_id),
+         |best AS (SELECT doc_id, max(jac) AS best_jac FROM v
+         |         GROUP BY doc_id),
+         |pick AS (SELECT v.doc_id, b.best_jac, min(v.rep) AS best_rep
+         |         FROM v JOIN best b
+         |           ON v.doc_id = b.doc_id AND v.jac = b.best_jac
+         |         GROUP BY v.doc_id, b.best_jac)
+         |SELECT d.doc_id,
+         |       CASE WHEN coalesce(p.best_jac, 0.0) >= $IncrJac
+         |            THEN 'dup' ELSE 'new' END AS verdict,
+         |       CASE WHEN coalesce(p.best_jac, 0.0) >= $IncrJac
+         |            THEN p.best_rep ELSE CAST(-1 AS BIGINT) END AS best_rep,
+         |       CASE WHEN coalesce(p.best_jac, 0.0) >= $IncrJac
+         |            THEN round(p.best_jac, 6) ELSE 0.0 END AS best_jac
+         |FROM documents d LEFT JOIN pick p USING (doc_id)
+         |WHERE d.doc_id % 17 = 0 ORDER BY doc_id ASC""".stripMargin,
     "q_dedup_converged" -> {
       val cand = candidateCtes(
         """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs
