@@ -441,20 +441,80 @@ object Ann extends graft.QueryGroup {
         cosineSim(col("embedding"), col("qvec")).as("sim"))
       .transform(graft.Checkpoints.cut)
     val scanned = cand.count()
-    val approx = cand.groupBy(col("qid"))
+    val hits = topkIds(cand, k)
+      .join(exactTopK(coded, nQueries, k), Seq("qid", "vec_id")).count()
+    (hits.toDouble / (nQueries.toLong * k),
+      scanned.toDouble / (nQueries.toLong * n))
+  }
+
+  /** Per-query top-k ids from a scored candidate relation
+    * (qid, vec_id, sim) via the bounded TopKByScore aggregate. */
+  private def topkIds(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
       .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), k).as("tk"))
       .select(col("qid"), explode(col("tk")).as("h"))
       .select(col("qid"), col("h.id").as("vec_id"))
-    val exact = coded.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(qs.select(col("qid"), col("qvec"))))
+
+  /** Exact brute-force cosine top-k for queries vec_id < nQueries —
+    * the ground truth every operating-point audit compares against. */
+  private def exactTopK(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val qs = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    topkIds(
+      e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(qs))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          cosineSim(col("embedding"), col("qvec")).as("sim")), k)
+  }
+
+  /** IVF twin of [[lshOperatingPoint]]: build the deterministic
+    * coarse quantizer (md5-ordered `nCells` seed sample + one exact
+    * Lloyd step) over an arbitrary corpus, probe the `nProbe` cells
+    * nearest each query, and return (mean recall@k vs exact, mean
+    * corpus fraction scored per query). Expected scan fraction is
+    * ~nProbe/nCells on balanced cells — the dial a deployment turns
+    * against its measured recall. */
+  def ivfOperatingPoint(corpus: DataFrame, nCells: Int, nProbe: Int,
+      nQueries: Int, k: Int): (Double, Double) = {
+    val e = corpus.select(col("vec_id"), col("embedding"))
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val a0 = e.crossJoin(broadcast(asArray(seeds)))
+      .select(col("vec_id"), col("embedding"),
+        NearestCell(col("embedding"), col("cents")).as("cid"))
+    val cents = a0.select(col("cid"), microInts(col("embedding")).as("mi"))
+      .groupBy(col("cid"))
+      .agg(graft.plans.ElementwiseSum(col("mi"), Dim).as("ms"),
+        count(lit(1)).as("n"))
+      .select(col("cid"), microMean(col("ms"), col("n")).as("cvec"))
+    val centArr = broadcast(asArray(cents))
+    val a1 = e.crossJoin(centArr)
+      .select(col("vec_id"), col("embedding"),
+        NearestCell(col("embedding"), col("cents")).as("cell"))
+      .transform(graft.Checkpoints.cut)
+    val n = a1.count()
+    val qs = a1.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qcells = qs.crossJoin(centArr)
+      .select(col("qid"), explode(col("cents")).as("c"), col("qvec"))
+      .select(col("qid"), col("c.cid").as("cell"),
+        dist2Builtin(col("qvec"), col("c.cvec")).as("qd"))
+      .groupBy(col("qid"))
+      .agg(graft.plans.TopKByScore(-col("qd"), col("cell"), nProbe).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("h"))
+      .select(col("qid"), col("h.id").as("cell"))
+    val probes = qcells.join(qs, Seq("qid"))
+    val cand = a1.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosineSim(col("embedding"), col("qvec")).as("sim"))
-      .groupBy(col("qid"))
-      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), k).as("tk"))
-      .select(col("qid"), explode(col("tk")).as("h"))
-      .select(col("qid"), col("h.id").as("vec_id"))
-    val hits = approx.join(exact, Seq("qid", "vec_id")).count()
+      .transform(graft.Checkpoints.cut)
+    val scanned = cand.count()
+    val hits = topkIds(cand, k)
+      .join(exactTopK(e, nQueries, k), Seq("qid", "vec_id")).count()
     (hits.toDouble / (nQueries.toLong * k),
       scanned.toDouble / (nQueries.toLong * n))
   }

@@ -99,6 +99,24 @@ class AnnIndexSpec extends SparkSuite {
     assert(scanFrac < 0.10, f"scan fraction $scanFrac%.4f not under 10%%")
   }
 
+  test("clustered manifold: IVF operating point reaches recall@10 >= 0.8 " +
+      "at < 10% scan on 100k vectors") {
+    // The IVF twin of the LSH operating point: same clustered
+    // corpus, coarse quantizer of 128 cells, 4-cell probe — scan
+    // fraction ~nProbe/nCells on balanced cells.
+    val corpus = spark.read.format("graft-synth")
+      .option("shape", "embeddings")
+      .option("rows", 100000).option("parts", 16).option("seed", 42)
+      .option("centers", 64).option("sigma", 0.15)
+      .load()
+    val (recall, scanFrac) = Ann.ivfOperatingPoint(corpus,
+      nCells = 128, nProbe = 4, nQueries = 10, k = 10)
+    info(f"measured operating point: recall@10 = $recall%.3f, " +
+      f"scan fraction = $scanFrac%.4f")
+    assert(recall >= 0.8, f"recall@10 $recall%.3f below the 0.8 bar")
+    assert(scanFrac < 0.10, f"scan fraction $scanFrac%.4f not under 10%%")
+  }
+
   test("IVF index probe is partition-pruned and equals the unmaterialized search") {
     val out = Files.createTempDirectory("graft_ivf_index").toString
     try {
