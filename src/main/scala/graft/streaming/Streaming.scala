@@ -143,6 +143,58 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("event_type").asc)
   }
 
+  final case class UpEvent(user_id: Long, event_type: String,
+    event_id: Long, us: Long)
+  final case class UpWinner(us: Long, event_id: Long)
+  final case class UpOut(user_id: Long, event_type: String,
+    event_id: Long, us: Long)
+
+  /** Streaming CDC latest-wins compaction — the continuous half of
+    * the keyed upsert write path ([[graft.operators.Ingest
+    * .mergeUpsert]] applies a batch; this maintains the snapshot as
+    * events arrive) and the streaming twin of
+    * [[graft.operators.Dedup.dedupLatest]]. Custom state via
+    * `flatMapGroupsWithState`: per (user_id, event_type) key the
+    * state is ONLY the current winner (us, event_id) — two longs, the
+    * O(1)-per-key state bound a CDC compactor needs at 100 TB (no
+    * history, no horizon; contrast the sessionizer, whose semantics
+    * force an open-suffix buffer). A batch emits a row only when its
+    * max improves the winner; winners per key are therefore monotone
+    * across emissions, so the sink rollup (max per key) is exact
+    * under ANY micro-batch split or arrival order — max is
+    * associative, commutative, and replay-idempotent. */
+  def streamLatest(s: SparkSession, dir: String): DataFrame =
+    streamLatestOver(s, eventsStream(s, dir), "graft_stream_latest")
+
+  private[graft] def streamLatestOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    import s.implicits._
+    val events = in
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[UpEvent]
+    val winners = events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[UpWinner, UpOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((uid, et), evs, state: GroupState[UpWinner]) =>
+          val incoming = evs.map(e => (e.us, e.event_id)).max
+          val improved = state.getOption
+            .forall(w => Ordering[(Long, Long)].lt((w.us, w.event_id),
+              incoming))
+          if (improved) {
+            state.update(UpWinner(incoming._1, incoming._2))
+            Iterator.single(UpOut(uid, et, incoming._2, incoming._1))
+          } else Iterator.empty
+      }
+    runToCompletion(winners.toDF(), sink, "append")
+    s.table(sink)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("us"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("event_type"),
+        col("w.event_id").as("event_id"), col("w.us").as("us"))
+      .orderBy(col("user_id").asc, col("event_type").asc)
+  }
+
   /** Per-event input / versioned per-session output / carried state
     * for the custom-state sessionizer. State holds the per-user
     * (us, event_id) history plus the emission version — the finite
@@ -544,6 +596,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_asof" -> ((s, d) => streamAsof(s, d)),
     "q_stream_asof_wm" -> ((s, d) => streamAsofWm(s, d)),
     "q_stream_quality" -> ((s, d) => streamQuality(s, d)),
+    "q_stream_latest" -> ((s, d) => streamLatest(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -552,6 +605,9 @@ object Streaming extends graft.QueryGroup {
     // within the horizon), i.e. the same batch oracles.
     "q_stream_sessionize_wm" -> oraclesBase("q_stream_sessionize"),
     "q_stream_asof_wm" -> oraclesBase("q_stream_asof"),
+    // The streaming CDC compactor must equal the batch
+    // dedup-by-latest exactly — same oracle (Dedup group).
+    "q_stream_latest" -> graft.operators.Dedup.oracles("q_dedup_latest"),
   ) ++ oraclesBase
 
   private lazy val oraclesBase: Map[String, String] = Map(

@@ -209,4 +209,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the audit pass must not shuffle orders:\n$p")
   }
+
+  test("q_merge_upsert: one key-partitioned full-outer join, no " +
+      "nested-loop anywhere") {
+    val p = plan(Ingest.mergeUpsert(spark, sfDir))
+    assert(p.contains("FullOuter"),
+      s"the merge classification is a full-outer join on the key:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"merge must stay an equi-join at any scale:\n$p")
+  }
+
+  test("q_dedup_incremental: equi-join probe shapes only, no windows, " +
+      "no nested loops") {
+    val p = plan(Dedup.incrementalDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"the index probe is an equi-join on band keys:\n$p")
+    assert(!p.contains("Window"),
+      s"best-match pick must be aggregates, not a per-doc window:\n$p")
+  }
 }

@@ -94,6 +94,23 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("q_stream_latest (CDC latest-wins compactor) == batch dedup-by-latest") {
+    val streamRows = Streaming.streamLatest(spark, sfDir).collect().toSeq
+    val batchRows = graft.operators.Dedup.dedupLatest(spark, sfDir)
+      .collect().toSeq
+    assert(streamRows.nonEmpty)
+    assert(streamRows === batchRows)
+  }
+
+  test("stream latest stays exact under multi-batch out-of-order replay") {
+    val got = Streaming.streamLatestOver(spark, splitReplay("lat"),
+      "graft_split_lat").collect().toSeq
+    val want = graft.operators.Dedup.dedupLatest(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("stream dedup rollup stays exact under out-of-order replay") {
     import org.apache.spark.sql.functions._
     val got = Streaming.streamDedupOver(spark, splitReplay("ddp"),
