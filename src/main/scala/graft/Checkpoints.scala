@@ -18,15 +18,29 @@ object Checkpoints {
 
   val ConfKey = "graft.checkpoint.dir"
 
+  /** The [[ConfKey]] value last applied via `setCheckpointDir` —
+    * compared by EQUALITY so a reconfigured dir always takes effect
+    * (a substring check against the uuid-suffixed applied path would
+    * silently keep writing to a decommissioned location). */
+  @volatile private var applied: Option[String] = None
+
   /** Cut `df`'s lineage eagerly: reliable `checkpoint()` under
-    * [[ConfKey]] when configured, `localCheckpoint()` otherwise. */
+    * [[ConfKey]] when configured, `localCheckpoint()` otherwise.
+    *
+    * Retention: superseded cuts are reclaimed by Spark's
+    * ContextCleaner when their RDDs become unreachable (local
+    * blocks); reliable checkpoint FILES additionally need
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (or an
+    * external sweep of the dir) in a long-lived session — the
+    * default leaves every iteration's files behind. */
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty ||
-            !spark.sparkContext.getCheckpointDir.exists(_.contains(dir)))
+        if (!applied.contains(dir)) {
           spark.sparkContext.setCheckpointDir(dir)
+          applied = Some(dir)
+        }
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

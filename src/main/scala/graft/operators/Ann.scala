@@ -43,10 +43,12 @@ object Ann extends graft.QueryGroup {
   private val planes = Lsh.planes(NumPlanes, Dim)
 
   /** 1-bit multiprobe: a query's own bucket plus every single-bit
-    * neighbor — the ONE definition all probe sides share (the SQL
-    * twin is `probeXors`). */
-  private def multiprobe(qb: org.apache.spark.sql.Column) =
-    explode(array((lit(0) +: (0 until NumPlanes).map(p => lit(1 << p)))
+    * neighbor — the ONE definition all probe sides share, including
+    * the parametric operating-point audit (the SQL twin is
+    * `probeXors`). */
+  private def multiprobe(qb: org.apache.spark.sql.Column,
+      n: Int = NumPlanes) =
+    explode(array((lit(0) +: (0 until n).map(p => lit(1 << p)))
       .map(m => qb.bitwiseXOR(m)): _*))
 
   /** LSH-bucketed ANN search for query vec_id=0: bucket the corpus
@@ -103,15 +105,22 @@ object Ann extends graft.QueryGroup {
 
   /** Deterministic coarse-quantizer centroids (cid, cvec):
     * md5-ordered seed sample + one exact Lloyd step. */
-  def ivfCentroids(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+  def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    ivfCentroidsOf(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      IvfCells)
 
+  /** The quantizer build over ANY (vec_id, embedding) relation — the
+    * ONE definition the inline search, the materialized index and
+    * the operating-point audit all share (an audit measuring a
+    * different quantizer than the one served would be worthless). */
+  private[graft] def ivfCentroidsOf(e: DataFrame, nCells: Int): DataFrame = {
     // Deterministic pseudo-random seed sample (both engines sort the
     // same md5 strings) — driver-bounded the way a KMeans sample is.
-    // TakeOrdered: partition-local top-16, tiny driver merge.
+    // TakeOrdered: partition-local top-nCells, tiny driver merge.
     val seeds = e
       .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-      .limit(IvfCells)
+      .limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
 
     // Lloyd iteration 0: nearest seed per vector — map-only.
@@ -433,8 +442,7 @@ object Ann extends graft.QueryGroup {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("bucket").as("qb"))
     val probes = qs.select(col("qid"), col("qvec"),
-      explode(array((lit(0) +: (0 until nPlanes).map(p => lit(1 << p)))
-        .map(m => col("qb").bitwiseXOR(m)): _*)).as("bucket"))
+      multiprobe(col("qb"), nPlanes).as("bucket"))
     val cand = coded.join(broadcast(probes), Seq("bucket"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -478,19 +486,7 @@ object Ann extends graft.QueryGroup {
   def ivfOperatingPoint(corpus: DataFrame, nCells: Int, nProbe: Int,
       nQueries: Int, k: Int): (Double, Double) = {
     val e = corpus.select(col("vec_id"), col("embedding"))
-    val seeds = e
-      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-      .limit(nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val a0 = e.crossJoin(broadcast(asArray(seeds)))
-      .select(col("vec_id"), col("embedding"),
-        NearestCell(col("embedding"), col("cents")).as("cid"))
-    val cents = a0.select(col("cid"), microInts(col("embedding")).as("mi"))
-      .groupBy(col("cid"))
-      .agg(graft.plans.ElementwiseSum(col("mi"), Dim).as("ms"),
-        count(lit(1)).as("n"))
-      .select(col("cid"), microMean(col("ms"), col("n")).as("cvec"))
-    val centArr = broadcast(asArray(cents))
+    val centArr = broadcast(asArray(ivfCentroidsOf(e, nCells)))
     val a1 = e.crossJoin(centArr)
       .select(col("vec_id"), col("embedding"),
         NearestCell(col("embedding"), col("cents")).as("cell"))

@@ -108,10 +108,15 @@ object Dedup extends graft.QueryGroup {
     * MinHash bands, SimHash signatures AND hyperplane codes — sf0.1's
     * ~2,500-doc clusters would emit ~3M pairs per bucket per band).
     * Returns the input columns plus `rep`; callers project/verify. */
-  private[graft] def starCandidates(bands: DataFrame, id: String): DataFrame = {
-    val reps = bands.groupBy(col("bk")).agg(min(col(id)).as("rep"))
-    bands.join(reps, Seq("bk")).where(col(id) =!= col("rep"))
-  }
+  private[graft] def starCandidates(bands: DataFrame, id: String): DataFrame =
+    bands.join(bucketReps(bands, id), Seq("bk")).where(col(id) =!= col("rep"))
+
+  /** One min-id representative per band bucket — the canonical-rep
+    * rule shared by the intra-corpus star join and the standing
+    * incremental-dedup index (one definition: a rep-rule change must
+    * change both or they silently disagree on canonical docs). */
+  private[graft] def bucketReps(bands: DataFrame, id: String): DataFrame =
+    bands.groupBy(col("bk")).agg(min(col(id)).as("rep"))
 
   /** Hydrate candidate pairs with both endpoints' feature sets:
     * (did_a, did_b, fs_a, fs_b) — the single definition of the
@@ -275,14 +280,20 @@ object Dedup extends graft.QueryGroup {
     * that actually canonicalizes a 100 TB corpus — chains of
     * overlapping near-dup clusters propagate one hop per sweep, so
     * any fixed sweep count under-merges some topology; iteration
-    * count is O(log(longest chain)) in practice for min-label over
-    * symmetrized edges (each sweep at least halves the number of
-    * non-converged chain segments' endpoints... conservatively it is
-    * bounded by graph diameter). Each iteration is one join + one
-    * min-agg + one O(labels) change-count action; every intermediate
-    * is lineage-cut (reliable under `graft.checkpoint.dir`, see
-    * [[graft.Checkpoints]]). Deterministic: labels are min doc_ids,
-    * independent of execution/iteration order. */
+    * count is bounded by the GRAPH DIAMETER (min-label moves exactly
+    * one hop per sweep — the chain test in DedupSpec shows
+    * lab(i) = max(0, i − k) after k sweeps). Each iteration is one
+    * join + one min-agg + one O(labels) change-count action; every
+    * intermediate is lineage-cut (reliable under
+    * `graft.checkpoint.dir`, see [[graft.Checkpoints]]).
+    * Deterministic: labels are min doc_ids, independent of
+    * execution/iteration order.
+    *
+    * Throws if `maxSweeps` is reached while labels are still
+    * changing: the caller's oracle (and any downstream consumer)
+    * expects the FIXPOINT, so an under-converged result must fail
+    * loudly, never return silently — raise the cap for a corpus
+    * whose verified-edge graph legitimately has a larger diameter. */
   private[graft] def convergeLabels(und: DataFrame,
       maxSweeps: Int = 64): DataFrame = {
     var lab = initialLabels(und).transform(graft.Checkpoints.cut)
@@ -295,6 +306,10 @@ object Dedup extends graft.QueryGroup {
       lab = next
       n += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"label propagation still changing after $maxSweeps sweeps — " +
+          "verified-edge graph diameter exceeds the cap; raise maxSweeps")
     lab
   }
 
@@ -345,8 +360,8 @@ object Dedup extends graft.QueryGroup {
     val sets = docs.select(col("doc_id"), tokenSet(col("text")).as("fs"))
     def featsOf(side: DataFrame) = side.select(col("doc_id"),
       explode(tokenSet(col("text"))).as("f"))
-    val reps = bandKeys(signature(featsOf(docs.where(!isBatch))))
-      .groupBy(col("bk")).agg(min(col("doc_id")).as("rep"))
+    val reps = bucketReps(
+      bandKeys(signature(featsOf(docs.where(!isBatch)))), "doc_id")
     val cand = bandKeys(signature(featsOf(docs.where(isBatch))))
       .join(reps, Seq("bk"))
       .select(col("doc_id"), col("rep")).distinct()

@@ -176,8 +176,11 @@ object Rerank extends graft.QueryGroup {
       }
       // Tie-break identical to orderBy(score desc, vec_id asc):
       // scored is id-ascending, so strict > keeps the smaller id.
+      // Double.compare (not the > operator) reproduces Spark's total
+      // order on the degenerate values too: NaN greatest (a
+      // zero-magnitude embedding yields cosine 0/0), -0.0 < 0.0.
       val (bestId, bestScore) = scored.reduceLeft { (a, b) =>
-        if (b._2 > a._2) b else a
+        if (java.lang.Double.compare(b._2, a._2) > 0) b else a
       }
       selected += ((t, bestId, bestScore))
       chosen ::= bestId

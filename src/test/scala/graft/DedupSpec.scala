@@ -82,10 +82,12 @@ class DedupSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 9L).forall(fix(_) == 0L),
       s"fixpoint must label the whole chain 0: $fix")
-    val two = Dedup.convergeLabels(und, maxSweeps = 2).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(two(9L) == 7L,
-      s"two sweeps must leave the chain unconverged (got ${two(9L)})")
+    // A 2-sweep cap cannot converge a 9-hop chain — and an
+    // under-converged result must FAIL, not return silently.
+    val ex = intercept[IllegalStateException] {
+      Dedup.convergeLabels(und, maxSweeps = 2)
+    }
+    assert(ex.getMessage.contains("2 sweeps"))
   }
 
   test("converged clustering equals two-sweep clustering when the " +
