@@ -90,6 +90,34 @@ class DedupSpec extends SparkSuite {
     assert(ex.getMessage.contains("2 sweeps"))
   }
 
+  test("convergeLabels canonicalizes 200k nodes of chained stars " +
+      "(scale smoke, zero storage)") {
+    // 2,000 stars of 100 members; consecutive stars chained into
+    // blocks of 8 via rep-rep bridges — the overlapping-star
+    // topology the two-sweep prefix under-merges. Expected fixpoint
+    // label of node i is its block minimum (i DIV 800) * 800. The
+    // diameter (~9 hops: member → rep → …7 bridges… → member) keeps
+    // the sweep count small while the edge relation (~400k rows)
+    // exercises the distributed join path.
+    import org.apache.spark.sql.functions.expr
+    val n = 200000L
+    val ids = spark.range(n).toDF("id")
+    val starEdges = ids.where(col("id") % 100 =!= 0)
+      .select((col("id") - (col("id") % 100)).as("a"), col("id").as("b"))
+    val bridges = ids
+      .where(col("id") % 100 === 0 && expr("(id DIV 100) % 8") =!= 0)
+      .select((col("id") - lit(100)).as("a"), col("id").as("b"))
+    val half = starEdges.unionAll(bridges)
+    val und = half.unionAll(half.select(col("b").as("a"), col("a").as("b")))
+    val lab = Dedup.convergeLabels(und)
+    assert(lab.count() === n)
+    val bad = lab
+      .join(ids.select(col("id").as("doc_id"),
+        expr("(id DIV 800) * 800").as("want")), Seq("doc_id"))
+      .where(col("lab") =!= col("want")).count()
+    assert(bad === 0L, s"$bad nodes not canonicalized to their block min")
+  }
+
   test("converged clustering equals two-sweep clustering when the " +
       "corpus has no long chains, and never splits clusters") {
     // On this synthetic corpus near-dup clusters are star-shaped, so
