@@ -23,6 +23,7 @@ object SparkEntry {
     TextAnalysis,
     Ingest,
     Rerank,
+    Retrieval,
     graft.streaming.Streaming,
     graft.multimodal.Multimodal,
   )

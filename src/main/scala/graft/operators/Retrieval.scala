@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Full-text relevance ranking (BM25) and lexical+dense hybrid
+  * retrieval — the modern completion of the reference's search
+  * surface. The reference ranks lexically by trigram similarity
+  * (db/search_strategies.py:80-124) and semantically by pgvector
+  * cosine (db/init.sql:162-254), then mixes lists in
+  * search_with_reranker.py; production search engines instead rank
+  * text by BM25 and fuse the lexical and dense lists by weighted
+  * normalized scores ("hybrid search"). Both are implemented here as
+  * pure DataFrame plans.
+  *
+  * Scale design (100 TB):
+  *  - BM25 never materializes a full inverted index for a query: the
+  *    tokenized corpus is FILTERED to the query's terms before any
+  *    aggregation, so tf aggregates on (doc, term) for matching docs
+  *    only, df is one tiny per-term count derived from tf, and the
+  *    corpus-wide (N, Σdl) statistics are a single 1-row aggregate —
+  *    both broadcast. Total shuffle volume is O(matching docs), and
+  *    the final cut is a bounded TakeOrdered, never a global sort.
+  *  - Per-(doc, term) BM25 contributions are rounded to integer
+  *    MICRO-UNITS before the per-doc sum, so the score is an
+  *    order-independent integer aggregate — exactly reproducible
+  *    across partitionings, retries, and engines (the same trick the
+  *    centroid/streaming pipelines use; a raw double sum would
+  *    depend on reduction order).
+  *  - Hybrid fusion operates on two ≤k-row ranked lists (each a
+  *    scale-safe TakeOrdered cut); min-max normalization and the
+  *    weighted blend are driver-free arithmetic over those tiny
+  *    lists — union + one ≤2k-row hash-agg, no corpus re-scan.
+  */
+object Retrieval extends graft.QueryGroup {
+
+  /** Query terms: three common terms + one rare ("dup" appears in
+    * ~5% of docs), so idf genuinely discriminates. */
+  private[graft] val QueryTerms = Seq("vector", "scan", "merge", "dup")
+  private val K1 = 1.2d
+  private val B = 0.75d
+  private val TopK = 15
+  private val HybridK = 20
+  private val HybridFinalK = 10
+  private val WLex = 0.6d
+  private val WVec = 0.4d
+
+  /** BM25 contribution of one (term, tf, dl) posting given corpus
+    * stats (nd docs, sdl total tokens) and the term's df —
+    * idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), as micro-units.
+    * Operation order mirrors the oracle SQL exactly. */
+  private def bm25Units(tf: Column, df: Column, dl: Column, nd: Column,
+      sdl: Column): Column =
+    round(
+      log(lit(1.0d) + (nd.cast("double") - df + lit(0.5d)) /
+        (df + lit(0.5d))) *
+        (tf * lit(K1 + 1.0d)) /
+        (tf + lit(K1) * (lit(1.0d - B) + lit(B) * dl * nd / sdl)) *
+        lit(1e6)).cast("long")
+
+  /** Per-doc BM25 score against [[QueryTerms]]: (doc_id, n_terms,
+    * su) where su = Σ micro-unit contributions over matched terms. */
+  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    // One-row corpus statistics (N, Σdl) — broadcast, not recomputed
+    // per posting.
+    val stats = docs.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+    // Filter to query terms BEFORE aggregating: shuffle volume is
+    // O(docs containing a query term), not O(corpus tokens).
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df per query term, derived from tf (≤ |QueryTerms| rows).
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        bm25Units(col("tf"), col("df"), col("dl"), col("nd"), col("sdl"))
+          .as("u"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("u")).as("su"))
+  }
+
+  /** BM25 top-k: the full-text relevance ranking the reference's
+    * trigram tiers approximate. Integer-unit ordering end to end. */
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
+      .orderBy(col("su").desc, col("doc_id").asc)
+      .limit(TopK)
+      .select(col("doc_id"), col("n_terms"),
+        round(col("su").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+
+  /** Min-max normalize integer-unit scores within a ranked list; a
+    * doc missing from the list contributes 0, a degenerate list
+    * (max = min) normalizes to 1. */
+  private def norm(u: Column, lo: Column, hi: Column): Column =
+    when(u.isNull, lit(0.0d))
+      .otherwise(when(hi === lo, lit(1.0d))
+        .otherwise((u - lo).cast("double") / (hi - lo)))
+
+  /** Hybrid search: BM25 top-20 and dense-cosine top-20 (query =
+    * vec_id 0, the same query document the vector group searches),
+    * min-max normalized per list, blended 0.6·lex + 0.4·vec, top-10.
+    * The fusion input is two bounded lists, never the corpus. */
+  def hybrid(s: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Scored(s, dir)
+      .orderBy(col("su").desc, col("doc_id").asc)
+      .limit(HybridK)
+      .select(col("doc_id"), col("su"))
+    val e = Tables.embeddings(s, dir)
+    val qvec = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val vec = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qvec))
+      .select(col("vec_id").as("doc_id"),
+        round(cosineSim(col("embedding"), col("qvec")) * 1e6).cast("long")
+          .as("sv"))
+      .orderBy(col("sv").desc, col("doc_id").asc)
+      .limit(HybridK)
+    val lstat = lex.agg(min(col("su")).as("lmin"), max(col("su")).as("lmax"))
+    val vstat = vec.agg(min(col("sv")).as("vmin"), max(col("sv")).as("vmax"))
+    lex.select(col("doc_id"), col("su").as("u"), lit("lex").as("m"))
+      .unionAll(vec.select(col("doc_id"), col("sv").as("u"),
+        lit("vec").as("m")))
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("m") === "lex", col("u"))).as("lu"),
+        min(when(col("m") === "vec", col("u"))).as("vu"))
+      .crossJoin(broadcast(lstat))
+      .crossJoin(broadcast(vstat))
+      .select(col("doc_id"),
+        round(norm(col("lu"), col("lmin"), col("lmax")), 6).as("lex_norm"),
+        round(norm(col("vu"), col("vmin"), col("vmax")), 6).as("vec_norm"),
+        round(lit(WLex) * norm(col("lu"), col("lmin"), col("lmax")) +
+          lit(WVec) * norm(col("vu"), col("vmin"), col("vmax")), 6)
+          .as("hybrid"))
+      .orderBy(col("hybrid").desc, col("doc_id").asc)
+      .limit(HybridFinalK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> ((s, d) => bm25(s, d)),
+    "q_hybrid" -> ((s, d) => hybrid(s, d)),
+  )
+
+  private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** Shared oracle CTE prefix computing (doc_id, n_terms, su). */
+  private val bm25Cte =
+    s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+       |dl AS (SELECT doc_id, len(t) AS dl FROM d),
+       |st AS (SELECT count(*) AS nd, sum(dl) AS sdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(t) AS term FROM d)
+       |       WHERE term IN ($termList) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |c AS (SELECT tf.doc_id,
+       |             CAST(round(
+       |               ln(1.0 + (CAST(st.nd AS DOUBLE) - df.df + 0.5) /
+       |                        (df.df + 0.5)) *
+       |               (tf.tf * ${K1 + 1.0}) /
+       |               (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl * st.nd /
+       |                               st.sdl)) *
+       |               1e6) AS BIGINT) AS u
+       |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st),
+       |sc AS (SELECT doc_id, count(*) AS n_terms, sum(u) AS su
+       |       FROM c GROUP BY doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      s"""$bm25Cte
+         |SELECT doc_id, n_terms, round(CAST(su AS DOUBLE) / 1e6, 6) AS score
+         |FROM sc ORDER BY su DESC, doc_id ASC LIMIT $TopK""".stripMargin,
+    "q_hybrid" ->
+      s"""$bm25Cte,
+         |lex AS (SELECT doc_id, su FROM sc
+         |        ORDER BY su DESC, doc_id ASC LIMIT $HybridK),
+         |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+         |      WHERE vec_id = 0),
+         |vec AS (SELECT vec_id AS doc_id,
+         |               CAST(round(list_cosine_similarity(
+         |                 e.embedding::DOUBLE[], q.qv) * 1e6) AS BIGINT)
+         |                 AS sv
+         |        FROM embeddings e, q WHERE e.vec_id <> 0
+         |        ORDER BY sv DESC, doc_id ASC LIMIT $HybridK),
+         |ls AS (SELECT min(su) AS lmin, max(su) AS lmax FROM lex),
+         |vs AS (SELECT min(sv) AS vmin, max(sv) AS vmax FROM vec),
+         |m AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         |             lex.su AS lu, vec.sv AS vu
+         |      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+         |n AS (SELECT doc_id,
+         |             CASE WHEN lu IS NULL THEN 0.0
+         |                  WHEN lmax = lmin THEN 1.0
+         |                  ELSE CAST(lu - lmin AS DOUBLE) / (lmax - lmin)
+         |             END AS nl,
+         |             CASE WHEN vu IS NULL THEN 0.0
+         |                  WHEN vmax = vmin THEN 1.0
+         |                  ELSE CAST(vu - vmin AS DOUBLE) / (vmax - vmin)
+         |             END AS nv
+         |      FROM m, ls, vs)
+         |SELECT doc_id, round(nl, 6) AS lex_norm, round(nv, 6) AS vec_norm,
+         |       round($WLex * nl + $WVec * nv, 6) AS hybrid
+         |FROM n ORDER BY round($WLex * nl + $WVec * nv, 6) DESC, doc_id ASC
+         |LIMIT $HybridFinalK""".stripMargin,
+  )
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** Invariants of the BM25 / hybrid retrieval tier: score monotonicity
+  * in matched-term mass, idf discrimination of rare terms, hybrid
+  * blend bounds, and plan shape (filter-before-aggregate — the
+  * property that keeps BM25 shuffle volume O(matching docs)).
+  */
+class RetrievalSpec extends SparkSuite {
+
+  test("bm25 ranks by descending score with doc_id tiebreak") {
+    val rows = Retrieval.bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.length <= 15)
+    rows.sliding(2).foreach {
+      case Array((id1, _, s1), (id2, _, s2)) =>
+        assert(s1 > s2 || (s1 == s2 && id1 < id2),
+          s"order violated: ($id1,$s1) before ($id2,$s2)")
+      case _ =>
+    }
+    // Every hit matched at least one of the 4 query terms; scores
+    // are positive (the +1 idf form can't go negative).
+    rows.foreach { case (_, nTerms, score) =>
+      assert(nTerms >= 1 && nTerms <= Retrieval.QueryTerms.length)
+      assert(score > 0.0)
+    }
+  }
+
+  test("bm25 favors the rare query term: top hit contains 'dup'") {
+    // 'dup' appears in ~5% of docs → its idf dwarfs the common
+    // terms'; every top-15 hit should contain it at sf0.001's
+    // 50-doc corpus scale only if present at all — assert the #1
+    // doc does contain 'dup' (idf discrimination working).
+    val top = Retrieval.bm25(spark, sfDir).limit(1).collect()(0).getLong(0)
+    val txt = Tables.documents(spark, sfDir)
+      .where(col("doc_id") === top).select(col("text"))
+      .collect()(0).getString(0)
+    assert(txt.split(" ").contains("dup"),
+      s"top bm25 hit $top lacks the rare term 'dup'")
+  }
+
+  test("hybrid blend is bounded and ranked; norms in [0,1]") {
+    val rows = Retrieval.hybrid(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (id, ln_, vn, h) =>
+      assert(ln_ >= 0.0 && ln_ <= 1.0, s"lex_norm out of range for $id")
+      assert(vn >= 0.0 && vn <= 1.0, s"vec_norm out of range for $id")
+      assert(math.abs(h - (0.6 * ln_ + 0.4 * vn)) < 2e-6,
+        s"blend mismatch for $id")
+    }
+    rows.sliding(2).foreach {
+      case Array((id1, _, _, h1), (id2, _, _, h2)) =>
+        assert(h1 > h2 || (h1 == h2 && id1 < id2))
+      case _ =>
+    }
+  }
+
+  test("bm25 plan filters to query terms before any aggregation") {
+    // The term filter must sit below the tf aggregate: the first
+    // Aggregate above the scan must see a Filter with the isin
+    // predicate beneath it. Cheap proxy: the optimized plan contains
+    // the IN-list filter and it appears BELOW the first Aggregate
+    // node (text order: Aggregate printed above its child Filter).
+    val plan = Retrieval.bm25(spark, sfDir).queryExecution
+      .optimizedPlan.toString
+    val aggIdx = plan.indexOf("Aggregate")
+    val filtIdx = plan.indexOf("vector")
+    assert(aggIdx >= 0 && filtIdx >= 0)
+    assert(filtIdx > aggIdx,
+      "term IN-list filter should be planned under (printed after) " +
+        "the tf Aggregate")
+  }
+}
