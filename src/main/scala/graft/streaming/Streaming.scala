@@ -195,6 +195,46 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("user_id").asc, col("event_type").asc)
   }
 
+  /** Native watermarked STREAM-STREAM inner join — Spark's built-in
+    * symmetric-hash join operator (clicks ⋈ purchases by user within
+    * [click, click+1h]), the third join tier next to the batch
+    * temporal joins and the custom fMGWS as-of resolvers. Both sides
+    * carry a watermark and the join predicate carries the time-range
+    * bound, so each side's state retains only the
+    * watermark-plus-window suffix — O(horizon × arrival rate)
+    * entries, the bounded-state contract of a continuous join at
+    * 100 TB/day. An inner join emits a pair exactly when the later
+    * side arrives (no watermark-close latency), so the emitted pair
+    * set equals the batch join under any micro-batch split whose
+    * disorder stays inside the watermark delay — asserted against an
+    * adversarial out-of-order replay in StreamingSpec and against
+    * the batch-SQL oracle by the correctness gate. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame =
+    streamJoinOver(s, eventsStream(s, dir), "graft_stream_join")
+
+  private[graft] def streamJoinOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    val clicks = in.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "35 days")
+    val purchases = in.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "35 days")
+    val pairs = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_id"), col("user_id"), col("p_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+    runToCompletion(pairs, sink, "append")
+    // (c_id, p_id) pairs are unique by construction; the defensive
+    // distinct absorbs any epoch-replay duplication in the sink.
+    s.table(sink).distinct()
+      .orderBy(col("c_id").asc, col("p_id").asc)
+  }
+
   /** Per-event input / versioned per-session output / carried state
     * for the custom-state sessionizer. State holds the per-user
     * (us, event_id) history plus the emission version — the finite
@@ -597,6 +637,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_asof_wm" -> ((s, d) => streamAsofWm(s, d)),
     "q_stream_quality" -> ((s, d) => streamQuality(s, d)),
     "q_stream_latest" -> ((s, d) => streamLatest(s, d)),
+    "q_stream_join" -> ((s, d) => streamJoin(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -608,6 +649,19 @@ object Streaming extends graft.QueryGroup {
     // The streaming CDC compactor must equal the batch
     // dedup-by-latest exactly — same oracle (Dedup group).
     "q_stream_latest" -> graft.operators.Dedup.oracles("q_dedup_latest"),
+    // The native stream-stream join must emit exactly the batch
+    // interval join's pair set.
+    "q_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |c AS (SELECT event_id AS c_id, user_id, us AS c_us FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id, us AS p_us FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT c.c_id, c.user_id, p.p_id, p.p_us - c.c_us AS lag_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000
+        |ORDER BY c_id ASC, p_id ASC""".stripMargin,
   ) ++ oraclesBase
 
   private lazy val oraclesBase: Map[String, String] = Map(

@@ -94,6 +94,42 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  /** Batch truth for the stream-stream join: clicks ⋈ purchases by
+    * user with the purchase inside [click, click+1h]. */
+  private def batchJoinPairs: Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"),
+        col("us").as("c_us"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("us").as("p_us"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("p_us") >= col("c_us") &&
+        col("p_us") <= col("c_us") + 3600000000L)
+      .select(col("c_id"), col("user_id"), col("p_id"),
+        (col("p_us") - col("c_us")).as("lag_us"))
+      .orderBy(col("c_id").asc, col("p_id").asc)
+      .collect().toSeq
+  }
+
+  test("q_stream_join (native stream-stream join) == batch interval join") {
+    val got = Streaming.streamJoin(spark, sfDir).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === batchJoinPairs)
+  }
+
+  test("stream-stream join stays exact under multi-batch out-of-order " +
+      "replay") {
+    val got = Streaming.streamJoinOver(spark, splitReplay("ssj"),
+      "graft_split_ssj").collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === batchJoinPairs)
+  }
+
   test("q_stream_latest (CDC latest-wins compactor) == batch dedup-by-latest") {
     val streamRows = Streaming.streamLatest(spark, sfDir).collect().toSeq
     val batchRows = graft.operators.Dedup.dedupLatest(spark, sfDir)
