@@ -64,8 +64,13 @@ object Retrieval extends graft.QueryGroup {
 
   /** Per-doc BM25 score against [[QueryTerms]]: (doc_id, n_terms,
     * su) where su = Σ micro-unit contributions over matched terms. */
-  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame =
+    bm25ScoredOver(Tables.documents(s, dir))
+
+  /** The same scoring over ANY (doc_id, text) relation — the surface
+    * the scale smoke drives with the zero-storage synth connector. */
+  private[graft] def bm25ScoredOver(in: DataFrame): DataFrame = {
+    val docs = in
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
     // One-row corpus statistics (N, Σdl) — broadcast, not recomputed

@@ -195,6 +195,72 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("user_id").asc, col("event_type").asc)
   }
 
+  /** The latest-wins compactor on Spark 4's `transformWithState` —
+    * the CURRENT arbitrary-state API (StatefulProcessor + typed state
+    * handles over the RocksDB store; `flatMapGroupsWithState` is the
+    * legacy surface [[streamLatest]] keeps for comparison). Same
+    * contract: ValueState holds ONE (us, event_id) winner per
+    * (user_id, event_type) key — O(1) state — and a row emits only
+    * when the winner improves, so winners are monotone and the
+    * max-rollup sink read is exact under any split or disorder. At
+    * 100 TB/day the RocksDB store adds changelog checkpointing and
+    * out-of-heap state the HDFS-backed store lacks — this is the
+    * deployment-grade variant. */
+  final class LatestWinsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), UpEvent, UpOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues,
+      TTLConfig, ValueState}
+    @transient private var winner: ValueState[UpWinner] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      winner = getHandle.getValueState[UpWinner]("winner",
+        org.apache.spark.sql.Encoders.product[UpWinner], TTLConfig.NONE)
+    override def handleInputRows(key: (Long, String),
+        rows: Iterator[UpEvent], tv: TimerValues): Iterator[UpOut] = {
+      val incoming = rows.map(e => (e.us, e.event_id)).max
+      val improved = !winner.exists() ||
+        Ordering[(Long, Long)].lt(
+          (winner.get().us, winner.get().event_id), incoming)
+      if (improved) {
+        winner.update(UpWinner(incoming._1, incoming._2))
+        Iterator.single(UpOut(key._1, key._2, incoming._2, incoming._1))
+      } else Iterator.empty
+    }
+  }
+
+  def streamLatestTws(s: SparkSession, dir: String): DataFrame =
+    streamLatestTwsOver(s, eventsStream(s, dir), "graft_stream_latest_tws")
+
+  private[graft] def streamLatestTwsOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import s.implicits._
+    val events = in
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[UpEvent]
+    val winners = events.groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new LatestWinsProcessor,
+        TimeMode.None(), OutputMode.Append())
+    // transformWithState runs on the RocksDB state store; scope the
+    // provider to this query and restore the session default after.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try runToCompletion(winners.toDF(), sink, "append")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.table(sink)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("us"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("event_type"),
+        col("w.event_id").as("event_id"), col("w.us").as("us"))
+      .orderBy(col("user_id").asc, col("event_type").asc)
+  }
+
   /** Native watermarked STREAM-STREAM inner join — Spark's built-in
     * symmetric-hash join operator (clicks ⋈ purchases by user within
     * [click, click+1h]), the third join tier next to the batch
@@ -637,6 +703,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_asof_wm" -> ((s, d) => streamAsofWm(s, d)),
     "q_stream_quality" -> ((s, d) => streamQuality(s, d)),
     "q_stream_latest" -> ((s, d) => streamLatest(s, d)),
+    "q_stream_latest_tws" -> ((s, d) => streamLatestTws(s, d)),
     "q_stream_join" -> ((s, d) => streamJoin(s, d)),
   )
 
@@ -649,6 +716,9 @@ object Streaming extends graft.QueryGroup {
     // The streaming CDC compactor must equal the batch
     // dedup-by-latest exactly — same oracle (Dedup group).
     "q_stream_latest" -> graft.operators.Dedup.oracles("q_dedup_latest"),
+    // Same contract on the transformWithState API — same oracle.
+    "q_stream_latest_tws" ->
+      graft.operators.Dedup.oracles("q_dedup_latest"),
     // The native stream-stream join must emit exactly the batch
     // interval join's pair set.
     "q_stream_join" ->

@@ -60,6 +60,26 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("bm25 scales: 200k synthetic docs, zero storage, bounded cut") {
+    // The zero-storage scale smoke: the graft-synth connector
+    // generates 200k documents across 16 planned partitions; BM25
+    // must stream them through the filtered tf aggregate and a
+    // bounded TakeOrdered cut — no corpus-wide sort, no collect.
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 200000).option("parts", 16).option("seed", 7)
+      .load()
+    val top = graft.operators.Retrieval.bm25ScoredOver(docs)
+      .orderBy(col("su").desc, col("doc_id").asc).limit(15)
+      .collect()
+    assert(top.length === 15)
+    // Descending integer-unit scores, ids in range.
+    top.map(_.getLong(2)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+    assert(top.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 200000))
+  }
+
   test("bm25 plan filters to query terms before any aggregation") {
     // The term filter must sit below the tf aggregate: the first
     // Aggregate above the scan must see a Filter with the isin

@@ -138,6 +138,25 @@ class StreamingSpec extends SparkSuite
     assert(streamRows === batchRows)
   }
 
+  test("q_stream_latest_tws (transformWithState compactor) == batch " +
+      "dedup-by-latest") {
+    val streamRows = Streaming.streamLatestTws(spark, sfDir).collect().toSeq
+    val batchRows = graft.operators.Dedup.dedupLatest(spark, sfDir)
+      .collect().toSeq
+    assert(streamRows.nonEmpty)
+    assert(streamRows === batchRows)
+  }
+
+  test("transformWithState compactor stays exact under multi-batch " +
+      "out-of-order replay") {
+    val got = Streaming.streamLatestTwsOver(spark, splitReplay("twsl"),
+      "graft_split_twsl").collect().toSeq
+    val want = graft.operators.Dedup.dedupLatest(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("stream latest stays exact under multi-batch out-of-order replay") {
     val got = Streaming.streamLatestOver(spark, splitReplay("lat"),
       "graft_split_lat").collect().toSeq
