@@ -339,6 +339,12 @@ object Dedup extends graft.QueryGroup {
 
   val IncrJac = 0.8 // duplicate-verdict threshold for the incremental probe
 
+  /** Deterministic batch rule for BOTH incremental queries (here and
+    * [[Ann.ivfIncremental]]): ids divisible by [[IncrMod]] form the
+    * incoming batch, the rest the standing corpus — one constant so
+    * the twins (and their oracles) cannot drift apart. */
+  val IncrMod = 17
+
   /** INCREMENTAL dedup — the shape every production corpus refresh
     * runs: an incoming batch probes the STANDING corpus's band-bucket
     * index instead of re-deduplicating the world. The corpus side
@@ -356,7 +362,7 @@ object Dedup extends graft.QueryGroup {
   def incrementalDedup(s: SparkSession, dir: String,
       thresh: Double = IncrJac): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val isBatch = col("doc_id") % 17 === 0
+    val isBatch = col("doc_id") % IncrMod === 0
     val sets = docs.select(col("doc_id"), tokenSet(col("text")).as("fs"))
     def featsOf(side: DataFrame) = side.select(col("doc_id"),
       explode(tokenSet(col("text"))).as("f"))
@@ -620,14 +626,14 @@ object Dedup extends graft.QueryGroup {
          |                     list_distinct(str_split(text, ' ')) AS fs
          |              FROM documents),
          |cfeats AS (SELECT doc_id, unnest(fs) AS f FROM sets
-         |           WHERE doc_id % 17 <> 0),
+         |           WHERE doc_id % $IncrMod <> 0),
          |cbase AS (SELECT doc_id, ${MinHash.hash60Sql("f")} AS base
          |          FROM cfeats),
          |csig AS (SELECT doc_id, $sigSelect FROM cbase GROUP BY doc_id),
          |cbands AS (${bandsUnionFrom("csig")}),
          |reps AS (SELECT bk, min(doc_id) AS rep FROM cbands GROUP BY bk),
          |bfeats AS (SELECT doc_id, unnest(fs) AS f FROM sets
-         |           WHERE doc_id % 17 = 0),
+         |           WHERE doc_id % $IncrMod = 0),
          |bbase AS (SELECT doc_id, ${MinHash.hash60Sql("f")} AS base
          |          FROM bfeats),
          |bsig AS (SELECT doc_id, $sigSelect FROM bbase GROUP BY doc_id),
@@ -656,7 +662,7 @@ object Dedup extends graft.QueryGroup {
          |       CASE WHEN coalesce(p.best_jac, 0.0) >= $IncrJac
          |            THEN round(p.best_jac, 6) ELSE 0.0 END AS best_jac
          |FROM documents d LEFT JOIN pick p USING (doc_id)
-         |WHERE d.doc_id % 17 = 0 ORDER BY doc_id ASC""".stripMargin,
+         |WHERE d.doc_id % $IncrMod = 0 ORDER BY doc_id ASC""".stripMargin,
     "q_dedup_converged" -> {
       val cand = candidateCtes(
         """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs

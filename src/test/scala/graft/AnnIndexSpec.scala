@@ -141,4 +141,18 @@ class AnnIndexSpec extends SparkSuite {
       new Directory(new java.io.File(out)).deleteRecursively()
     }
   }
+
+  test("incremental IVF append partitions every vector exactly once") {
+    val rows = Ann.ivfIncremental(spark, sfDir).collect()
+    val nAll = Tables.embeddings(spark, sfDir).count()
+    val nBatch = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") % 17 === 0).count()
+    assert(rows.length === Ann.IvfCells)
+    assert(rows.map(_.getLong(1)).sum === nAll - nBatch) // n_corpus
+    assert(rows.map(_.getLong(2)).sum === nBatch)        // n_batch
+    rows.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1) + r.getLong(2))
+      assert(r.getDouble(4) >= 0.0) // mean squared distance
+    }
+  }
 }
