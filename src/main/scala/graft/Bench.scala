@@ -23,6 +23,11 @@ object Bench {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // Stateful streams size state partitions to state volume, not
+      // CPU count (the count is baked into each stream's checkpoint;
+      // see Streaming.StatePartitionsKey). 8 fits the testdata key
+      // spaces; a 100 TB deployment raises it with its key space.
+      .config(graft.streaming.Streaming.StatePartitionsKey, "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -75,6 +75,20 @@ object Streaming extends graft.QueryGroup {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** State-partition sizing for the streaming twins. A stateful
+    * operator BAKES the shuffle-partition count into its checkpoint
+    * at first start, so a deployment sizes it deliberately — to state
+    * volume (keys × stores per partition), not to the session's
+    * CPU-oriented batch setting — and must keep it constant across
+    * restarts of the same checkpoint. When this conf is set,
+    * [[runToCompletion]] scopes `spark.sql.shuffle.partitions` to it
+    * for the duration of the stream only (batch queries and the sink
+    * read-back keep the session setting). Measured on the
+    * stream-stream join (4 state stores per partition): 5.2 s at 32
+    * state partitions vs 2.0 s at 8 on the same sf0.1 input —
+    * per-partition store commit overhead, not data. */
+  val StatePartitionsKey = "graft.stream.statePartitions"
+
   private def runToCompletion(df: DataFrame, name: String,
       mode: String): Unit = {
     // No query here emits on watermark advancement (complete-mode
@@ -85,14 +99,20 @@ object Streaming extends graft.QueryGroup {
     val s = df.sparkSession
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.getOption(key)
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = s.conf.get(spKey)
     s.conf.set(key, "false")
+    s.conf.getOption(StatePartitionsKey).foreach(s.conf.set(spKey, _))
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    } finally {
+      s.conf.set(spKey, prevSp)
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   }
 

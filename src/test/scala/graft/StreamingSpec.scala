@@ -116,6 +116,21 @@ class StreamingSpec extends SparkSuite
       .collect().toSeq
   }
 
+  test("state-partition sizing conf: stream output unchanged, session " +
+      "setting restored") {
+    val spKey = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(spKey)
+    spark.conf.set(Streaming.StatePartitionsKey, "3")
+    try {
+      val got = Streaming.streamJoinOver(spark, splitReplay("sjp"),
+        "graft_split_sjp").collect().toSeq
+      assert(got.nonEmpty)
+      assert(got === batchJoinPairs)
+      assert(spark.conf.get(spKey) === before,
+        "session shuffle partitions must be restored after the stream")
+    } finally spark.conf.unset(Streaming.StatePartitionsKey)
+  }
+
   test("q_stream_join (native stream-stream join) == batch interval join") {
     val got = Streaming.streamJoin(spark, sfDir).collect().toSeq
     assert(got.nonEmpty)
