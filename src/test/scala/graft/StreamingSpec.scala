@@ -288,6 +288,44 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("300k synthetic events through the native stream-stream join, " +
+      "zero storage") {
+    // 3x the sf0.1 events volume from the graft-synth micro-batch
+    // source (5 batches, event times heavily disordered across
+    // batches) through Spark's symmetric-hash join, state partitions
+    // sized to state volume; the emitted pair set must equal the
+    // batch interval join over the same generator. No files anywhere.
+    import org.apache.spark.sql.functions._
+    val opts = Map("shape" -> "events", "rows" -> "300000",
+      "parts" -> "8", "seed" -> "19", "rowsPerBatch" -> "60000")
+    spark.conf.set(Streaming.StatePartitionsKey, "8")
+    val got = try {
+      val stream = opts.foldLeft(spark.readStream.format("graft-synth")) {
+        case (r, (k, v)) => r.option(k, v) }.load()
+      Streaming.streamJoinOver(spark, stream, "graft_synth_ssj")
+        .collect().toSeq
+    } finally spark.conf.unset(Streaming.StatePartitionsKey)
+
+    val batch = opts.foldLeft(spark.read.format("graft-synth")) {
+      case (r, (k, v)) => r.option(k, v) }.load()
+    val c = batch.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val p = batch.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"))
+    val want = c.join(p, col("user_id") === col("p_user") &&
+        col("p_us") >= col("c_us") &&
+        col("p_us") <= col("c_us") + 3600000000L)
+      .select(col("c_id"), col("user_id"), col("p_id"),
+        (col("p_us") - col("c_us")).as("lag_us"))
+      .orderBy(col("c_id").asc, col("p_id").asc)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
   test("checkpoint restart: stateful dedup stays exactly-once across runs") {
     // Run 1 processes two input files into a parquet sink with a
     // persistent checkpoint; a third file lands; run 2 RESUMES from
