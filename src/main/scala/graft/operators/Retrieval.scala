@@ -131,16 +131,24 @@ object Retrieval extends graft.QueryGroup {
           .as("sv"))
       .orderBy(col("sv").desc, col("doc_id").asc)
       .limit(HybridK)
-    val lstat = lex.agg(min(col("su")).as("lmin"), max(col("su")).as("lmax"))
-    val vstat = vec.agg(min(col("sv")).as("vmin"), max(col("sv")).as("vmax"))
+    // Per-list min/max come from a WINDOW over the fused ≤2k-row
+    // relation, not from separate aggregations of the lex/vec plans —
+    // a second aggregation would re-run each corpus-scale branch
+    // (TakeOrdered cuts sit above any reusable exchange), doubling
+    // the dense scoring pass.
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     lex.select(col("doc_id"), col("su").as("u"), lit("lex").as("m"))
       .unionAll(vec.select(col("doc_id"), col("sv").as("u"),
         lit("vec").as("m")))
       .groupBy(col("doc_id"))
       .agg(min(when(col("m") === "lex", col("u"))).as("lu"),
         min(when(col("m") === "vec", col("u"))).as("vu"))
-      .crossJoin(broadcast(lstat))
-      .crossJoin(broadcast(vstat))
+      .withColumn("lmin", min(col("lu")).over(whole))
+      .withColumn("lmax", max(col("lu")).over(whole))
+      .withColumn("vmin", min(col("vu")).over(whole))
+      .withColumn("vmax", max(col("vu")).over(whole))
       .select(col("doc_id"),
         round(norm(col("lu"), col("lmin"), col("lmax")), 6).as("lex_norm"),
         round(norm(col("vu"), col("vmin"), col("vmax")), 6).as("vec_norm"),

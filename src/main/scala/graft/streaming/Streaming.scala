@@ -138,24 +138,32 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("bucket").asc, col("event_type").asc)
   }
 
-  /** Streaming dedup: watermarked dropDuplicates on (user_id,
-    * event_type), then a batch rollup of the deduped sink — counts
-    * the distinct key set per event type, which is invariant to which
-    * duplicate survived, so the result is oracle-exact. */
+  /** Streaming dedup via `dropDuplicatesWithinWatermark` — the
+    * operator whose state actually EVICTS at the watermark (plain
+    * dropDuplicates without the event-time column in the key keeps
+    * its key set forever, which voids the O(horizon) claim); a key is
+    * re-emitted if it reappears after its state expired, which the
+    * distinct sink rollup absorbs. The 35-day delay covers the full
+    * disorder of the replay harness (same setting as the
+    * stream-stream join), so no input row is late-dropped and the
+    * rollup — the distinct key set per event type, invariant to which
+    * duplicate survived — is oracle-exact; a production deployment
+    * shortens the delay to its real disorder bound and state becomes
+    * O(horizon × arrival rate). */
   def streamDedup(s: SparkSession, dir: String): DataFrame =
     streamDedupOver(s, eventsStream(s, dir), "graft_stream_dedup")
 
   private[graft] def streamDedupOver(s: SparkSession, in: DataFrame,
       sink: String): DataFrame = {
     val dedup = in
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .withWatermark("ts", "35 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
     runToCompletion(dedup, sink, "append")
-    // Defensive distinct: watermark state eviction may legally
-    // re-emit a key whose last occurrence fell behind the watermark —
-    // the OUTPUT contract is the distinct key set, so dedupe the sink
-    // before rolling up rather than assuming single-emission.
+    // Defensive distinct: state expiry legally re-emits a key that
+    // reappears later — the OUTPUT contract is the distinct key set,
+    // so dedupe the sink before rolling up rather than assuming
+    // single-emission.
     s.table(sink).distinct()
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_keys"),
@@ -186,14 +194,32 @@ object Streaming extends graft.QueryGroup {
   def streamLatest(s: SparkSession, dir: String): DataFrame =
     streamLatestOver(s, eventsStream(s, dir), "graft_stream_latest")
 
+  /** Typed (user_id, event_type, event_id, us) event stream — the
+    * shared projection of both latest-wins compactors. */
+  private def upEvents(s: SparkSession,
+      in: DataFrame): org.apache.spark.sql.Dataset[UpEvent] = {
+    import s.implicits._
+    in.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[UpEvent]
+  }
+
+  /** Max-struct winner rollup of a latest-wins sink — idempotent
+    * under the compactors' monotone winner emissions; shared by both
+    * state-API variants (a drift here would let the fMGWS and
+    * transformWithState rows disagree against the same oracle). */
+  private def latestSinkRollup(s: SparkSession, sink: String): DataFrame =
+    s.table(sink)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("us"), col("event_id"))).as("w"))
+      .select(col("user_id"), col("event_type"),
+        col("w.event_id").as("event_id"), col("w.us").as("us"))
+      .orderBy(col("user_id").asc, col("event_type").asc)
+
   private[graft] def streamLatestOver(s: SparkSession, in: DataFrame,
       sink: String): DataFrame = {
     import s.implicits._
-    val events = in
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("us"))
-      .as[UpEvent]
-    val winners = events.groupByKey(e => (e.user_id, e.event_type))
+    val winners = upEvents(s, in).groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[UpWinner, UpOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((uid, et), evs, state: GroupState[UpWinner]) =>
@@ -207,12 +233,7 @@ object Streaming extends graft.QueryGroup {
           } else Iterator.empty
       }
     runToCompletion(winners.toDF(), sink, "append")
-    s.table(sink)
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(max(struct(col("us"), col("event_id"))).as("w"))
-      .select(col("user_id"), col("event_type"),
-        col("w.event_id").as("event_id"), col("w.us").as("us"))
-      .orderBy(col("user_id").asc, col("event_type").asc)
+    latestSinkRollup(s, sink)
   }
 
   /** The latest-wins compactor on Spark 4's `transformWithState` —
@@ -255,11 +276,7 @@ object Streaming extends graft.QueryGroup {
       sink: String): DataFrame = {
     import org.apache.spark.sql.streaming.TimeMode
     import s.implicits._
-    val events = in
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("us"))
-      .as[UpEvent]
-    val winners = events.groupByKey(e => (e.user_id, e.event_type))
+    val winners = upEvents(s, in).groupByKey(e => (e.user_id, e.event_type))
       .transformWithState(new LatestWinsProcessor,
         TimeMode.None(), OutputMode.Append())
     // transformWithState runs on the RocksDB state store; scope the
@@ -273,12 +290,7 @@ object Streaming extends graft.QueryGroup {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
-    s.table(sink)
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(max(struct(col("us"), col("event_id"))).as("w"))
-      .select(col("user_id"), col("event_type"),
-        col("w.event_id").as("event_id"), col("w.us").as("us"))
-      .orderBy(col("user_id").asc, col("event_type").asc)
+    latestSinkRollup(s, sink)
   }
 
   /** Native watermarked STREAM-STREAM inner join — Spark's built-in
@@ -463,7 +475,14 @@ object Streaming extends graft.QueryGroup {
         case (uid, evs, state: GroupState[SessStateWm]) =>
           val st = state.getOption.getOrElse(SessStateWm(0L, Nil, 0L))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val all = (st.events ++ evs.map(e => (e.us, e.event_id)))
+          // Explicit late-row guard: fMGWS under NoTimeout does NOT
+          // filter behind-watermark input (Spark applies that filter
+          // only under EventTimeTimeout), so enforce the contract
+          // here — a beyond-horizon row DROPS (the standard streaming
+          // degradation) instead of resequencing into state whose
+          // sessions were already emitted as final.
+          val all = (st.events ++ evs.filter(_.us >= wmUs)
+            .map(e => (e.us, e.event_id)))
             .sortBy(identity)
           // Sessionize the retained window; indices offset by the
           // already-finalized prefix.
@@ -572,6 +591,48 @@ object Streaming extends graft.QueryGroup {
     * test-injectable so the multi-micro-batch out-of-order replay
     * path (late purchases, re-emission) is exercised with split
     * input files (StreamingSpec). */
+  /** Resolve every click against the SORTED purchase list, emitting
+    * only matches that IMPROVE on what was already emitted — the ONE
+    * resolution rule both as-of resolvers share (a drift between the
+    * plain and wm variants would silently break the "wm equals
+    * keep-all within horizon" contract). Best = max (us, id) among
+    * purchases with us <= click us — the last qualifying entry of the
+    * sorted list. Emissions dedup on the full (us, id) match key: two
+    * equal-us purchases split across batches still re-emit when the
+    * higher id arrives (matched_id alone improves). Returns the
+    * emissions and the updated emitted-match map. */
+  private def resolveClicks(uid: Long, purchases: Seq[(Long, Long)],
+      clicks: Seq[(Long, Long)], emitted0: Map[Long, (Long, Long)])
+      : (Seq[AsofOut], Map[Long, (Long, Long)]) = {
+    val out = Seq.newBuilder[AsofOut]
+    var emitted = emitted0
+    for ((cus, cid) <- clicks) {
+      val i = purchases.lastIndexWhere(_._1 <= cus)
+      val (bus, bid) = if (i < 0) (-1L, -1L) else purchases(i)
+      if (!emitted.get(cid).contains((bus, bid))) {
+        out += AsofOut(cid, uid, cus, bus, bid,
+          if (i < 0) -1L else cus - bus)
+        emitted += (cid -> ((bus, bid)))
+      }
+    }
+    (out.result(), emitted)
+  }
+
+  /** Idempotent as-of sink read — matches only improve in (us, id)
+    * order, so the max (matched_us, matched_id) struct per click is
+    * final; -1 decodes to null. Shared by both resolvers. */
+  private def asofSinkRollup(s: SparkSession, sink: String): DataFrame =
+    s.table(sink)
+      .groupBy(col("event_id"), col("user_id"), col("us"))
+      .agg(max(struct(col("matched_us"), col("matched_id"), col("lag_us")))
+        .as("m"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        when(col("m.matched_us") < 0, lit(null).cast("long"))
+          .otherwise(col("m.matched_id")).as("matched_id"),
+        when(col("m.matched_us") < 0, lit(null).cast("long"))
+          .otherwise(col("m.lag_us")).as("lag_us"))
+      .orderBy(col("event_id").asc)
+
   private[graft] def streamAsofOver(s: SparkSession, in: DataFrame,
       sink: String): DataFrame = {
     import s.implicits._
@@ -594,43 +655,16 @@ object Streaming extends graft.QueryGroup {
               .map(e => (e.us, e.event_id))).sortBy(identity)
           val clicks = st.clicks ++ batch.filter(_.side == 1)
             .map(e => (e.us, e.event_id))
-          val out = Seq.newBuilder[AsofOut]
-          var emitted = st.emitted
-          for ((cus, cid) <- clicks) {
-            // Best = max (us, id) among purchases with us <= click us;
-            // purchases is sorted, so it's the last qualifying entry.
-            val i = purchases.lastIndexWhere(_._1 <= cus)
-            val (bus, bid) =
-              if (i < 0) (-1L, -1L) else purchases(i)
-            // Dedup on the full (us, id) match key: two equal-us
-            // purchases split across batches still re-emit when the
-            // higher id arrives (matched_id alone improves).
-            if (!emitted.get(cid).contains((bus, bid))) {
-              out += AsofOut(cid, uid, cus, bus, bid,
-                if (i < 0) -1L else cus - bus)
-              emitted += (cid -> ((bus, bid)))
-            }
-          }
+          val (out, emitted) = resolveClicks(uid, purchases, clicks,
+            st.emitted)
           state.update(AsofState(purchases, clicks, emitted))
           peakAcc.add(purchases.size + clicks.size + emitted.size)
-          out.result().iterator
+          out.iterator
       }
 
     runToCompletion(matched.toDF(), sink, "append")
     peakStateEntries.put(sink, peakAcc.value)
-    // Idempotent sink read: matches only improve in (us, id) order,
-    // so the row with the max (matched_us, matched_id) struct per
-    // click is the final one; -1 decodes to null.
-    s.table(sink)
-      .groupBy(col("event_id"), col("user_id"), col("us"))
-      .agg(max(struct(col("matched_us"), col("matched_id"), col("lag_us")))
-        .as("m"))
-      .select(col("event_id"), col("user_id"), col("us"),
-        when(col("m.matched_us") < 0, lit(null).cast("long"))
-          .otherwise(col("m.matched_id")).as("matched_id"),
-        when(col("m.matched_us") < 0, lit(null).cast("long"))
-          .otherwise(col("m.lag_us")).as("lag_us"))
-      .orderBy(col("event_id").asc)
+    asofSinkRollup(s, sink)
   }
 
   /** PRODUCTION variant of [[streamAsof]]: state pruned at the
@@ -671,23 +705,18 @@ object Streaming extends graft.QueryGroup {
           val st = state.getOption
             .getOrElse(AsofState(Nil, Nil, Map.empty))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val batch = evs.toSeq
+          // Same explicit late-row guard as the wm sessionizer: a
+          // beyond-horizon row must DROP, not resolve against the
+          // collapsed purchase prefix (which keeps only the prefix
+          // max once the watermark passes).
+          val batch = evs.filter(_.us >= wmUs).toSeq
           val purchases =
             (st.purchases ++ batch.filter(_.side == 0)
               .map(e => (e.us, e.event_id))).sortBy(identity)
           val clicks = st.clicks ++ batch.filter(_.side == 1)
             .map(e => (e.us, e.event_id))
-          val out = Seq.newBuilder[AsofOut]
-          var emitted = st.emitted
-          for ((cus, cid) <- clicks) {
-            val i = purchases.lastIndexWhere(_._1 <= cus)
-            val (bus, bid) = if (i < 0) (-1L, -1L) else purchases(i)
-            if (!emitted.get(cid).contains((bus, bid))) {
-              out += AsofOut(cid, uid, cus, bus, bid,
-                if (i < 0) -1L else cus - bus)
-              emitted += (cid -> ((bus, bid)))
-            }
-          }
+          val (out, emitted) = resolveClicks(uid, purchases, clicks,
+            st.emitted)
           // Prune: frozen clicks leave the state entirely; the
           // purchase prefix older than the watermark collapses to its
           // best entry (sorted order preserved: it is the prefix max).
@@ -697,21 +726,12 @@ object Streaming extends graft.QueryGroup {
           val kept = emitted -- frozen.map(_._2)
           state.update(AsofState(keptP, live, kept))
           peakAcc.add(keptP.size + live.size + kept.size)
-          out.result().iterator
+          out.iterator
       }
 
     runToCompletion(matched.toDF(), sink, "append")
     peakStateEntries.put(sink, peakAcc.value)
-    s.table(sink)
-      .groupBy(col("event_id"), col("user_id"), col("us"))
-      .agg(max(struct(col("matched_us"), col("matched_id"), col("lag_us")))
-        .as("m"))
-      .select(col("event_id"), col("user_id"), col("us"),
-        when(col("m.matched_us") < 0, lit(null).cast("long"))
-          .otherwise(col("m.matched_id")).as("matched_id"),
-        when(col("m.matched_us") < 0, lit(null).cast("long"))
-          .otherwise(col("m.lag_us")).as("lag_us"))
-      .orderBy(col("event_id").asc)
+    asofSinkRollup(s, sink)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

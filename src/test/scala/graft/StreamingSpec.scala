@@ -223,6 +223,37 @@ class StreamingSpec extends SparkSuite
       .parquet(tmp)
   }
 
+  test("wm sessionizer DROPS a beyond-horizon row instead of corrupting " +
+      "pruned state") {
+    // fMGWS under NoTimeout gets NO late-row filter from Spark — the
+    // resolvers enforce it themselves. Batch 1 carries a day-30 event
+    // (watermark advances to day 25 under the 5-day horizon); batch 2
+    // replays a day-0 event — 25 days beyond the horizon. The late
+    // row must DROP (output = sessions over the surviving event
+    // only), not resequence into state whose prefix was already
+    // emitted as final.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_late_sess").toString
+    tmpDirs += tmp
+    val day = 24L * 3600 * 1000000L
+    def ev(id: Long, us: Long) =
+      (1L, id, new java.sql.Timestamp(us / 1000L))
+    import spark.implicits._
+    val schemaDf = Seq(ev(2L, 30L * day)).toDF("user_id", "event_id", "ts")
+    schemaDf.coalesce(1).write.mode("append").parquet(tmp) // batch 1
+    Seq(ev(1L, 0L)).toDF("user_id", "event_id", "ts")
+      .coalesce(1).write.mode("append").parquet(tmp)       // batch 2, late
+    val stream = spark.readStream.schema(schemaDf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val got = Streaming.streamSessionizeWmOver(spark, stream,
+      "graft_late_sess", horizon = "5 days")
+      .select(col("user_id"), col("sess_idx"), col("n_events"),
+        col("start_us")).collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))) === Seq((1L, 1L, 1L, 30L * day)))
+  }
+
   test("watermark-pruned sessionize == batch under bounded-disorder replay, " +
       "with sessions actually finalized") {
     val sink = "graft_bounded_sesswm"
