@@ -110,7 +110,13 @@ object Bench {
       def key(k: String): String = if (compact) k.stripPrefix("q_") else k
       val qs = results.map { case (k, v) => s"${q(key(k))}:${fmtQ(v)}" }
         .mkString("{", ",", "}")
-      val errJson = errors.map { case (k, v) => s"${q(key(k))}:${q(v)}" }
+      // Stdout error messages are capped harder than bench_out's 200
+      // chars: one long exception message must not push the metric
+      // line past the driver's ~1927-char tail window (the remaining
+      // headroom at 98 queries is ~40 chars; a truncated message
+      // still identifies the failure, bench_out.json keeps the rest).
+      val errJson = errors.map { case (k, v) =>
+          s"${q(key(k))}:${q(if (compact) v.take(60) else v)}" }
         .mkString("{", ",", "}")
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       // Omit the errors object when empty — every byte of the stdout
