@@ -80,6 +80,15 @@ class RetrievalSpec extends SparkSuite {
     assert(top.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 200000))
   }
 
+  test("bm25 final cut plans as TakeOrdered, not a global sort") {
+    // The top-k cut must be the bounded partial-top-k operator —
+    // a Sort+Limit over the scored relation would total-sort the
+    // matching-doc set at scale.
+    val plan = Retrieval.bm25(spark, sfDir).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("bm25 plan filters to query terms before any aggregation") {
     // The term filter must sit below the tf aggregate: the first
     // Aggregate above the scan must see a Filter with the isin
