@@ -16,6 +16,13 @@ import java.nio.file.{Files, Paths}
   * reads as broken instead of as a fast one.
   */
 object Bench {
+  /** Compact-stdout family-prefix abbreviations, applied after the
+    * `q_` strip (first match wins; non-matching keys pass through).
+    * Full keys always live in bench_out.json. */
+  private[graft] val Abbrev: Seq[(String, String)] = Seq(
+    "dedup_" -> "dd_", "stream_" -> "st_", "multimodal_" -> "mm_",
+    "vec_" -> "v_", "ann_" -> "a_", "name_" -> "nm_")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -107,7 +114,17 @@ object Bench {
       // documents the mapping) and drops `"unit":"sec"` (seconds is the
       // contract; the verdict sanctioned dropping it). bench_out.json
       // keeps full keys, full precision, and the unit.
-      def key(k: String): String = if (compact) k.stripPrefix("q_") else k
+      // r7: rows 99+ would have clipped the tail window (42 chars of
+      // headroom at 98 queries), so compact keys also abbreviate the
+      // six family prefixes (~150 chars reclaimed). The mapping is
+      // documented in SURVEY §6 and BASELINE.md; bench_out.json keeps
+      // full keys.
+      def key(k: String): String = if (compact) {
+        val b = k.stripPrefix("q_")
+        Bench.Abbrev.collectFirst {
+          case (p, r) if b.startsWith(p) => r + b.substring(p.length)
+        }.getOrElse(b)
+      } else k
       val qs = results.map { case (k, v) => s"${q(key(k))}:${fmtQ(v)}" }
         .mkString("{", ",", "}")
       // Stdout error messages are capped harder than bench_out's 200
@@ -123,8 +140,11 @@ object Bench {
       // line spends tail-window budget.
       val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
       val unitPart = if (compact) "" else "\"unit\":\"sec\","
+      // Compact drops the sf suffix entirely (r6 verdict sanctioned
+      // this lever); bench_out.json still records it.
       val sfName = new java.io.File(sfDir).getName // "sf0.1" — path prefix is tail-budget
-      s"""{"metric":"total","value":${fmt(total)},${unitPart}"queries":$qs$errPart,"sf":${q(sfName)}}"""
+      val sfPart = if (compact) "" else s""","sf":${q(sfName)}"""
+      s"""{"metric":"total","value":${fmt(total)},${unitPart}"queries":$qs$errPart$sfPart}"""
     }
     Files.writeString(Paths.get("bench_out.json"),
       jsonLine(s6, s6, compact = false) + "\n")

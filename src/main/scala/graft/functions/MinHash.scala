@@ -34,6 +34,12 @@ object MinHash {
   def hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** Driver-side twin of [[hash60]] for strings known at plan time —
+    * used to turn literal query terms into index-bucket ids so a
+    * bucketed-index probe can partition-prune before any read. */
+  def hash60Local(s: String): Long =
+    java.lang.Long.parseLong(Lsh.md5hex(s).take(15), 16)
+
   /** Fixed 60-bit seeds, seed_i = first 15 hex chars of md5("seed:i"). */
   val seeds: Seq[Long] = (0 until NumHashes).map(i =>
     java.lang.Long.parseLong(Lsh.md5hex(s"seed:$i").take(15), 16))

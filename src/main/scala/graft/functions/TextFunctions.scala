@@ -81,4 +81,14 @@ object TextFunctions {
   /** The "name" of a document — lowercased 24-char prefix, standing
     * in for card_name in the reference's name-search tiers. */
   def docName(textCol: Column): Column = lower(substring(textCol, 1, 24))
+
+  /** Driver-side twin of [[trigrams]] for query strings known at plan
+    * time (the probe side of the trigram posting index): distinct
+    * character 3-grams of the lowercased string, order of first
+    * appearance. */
+  def trigramsOf(s: String): Seq[String] = {
+    val lc = s.toLowerCase
+    if (lc.length < 3) Seq.empty
+    else (0 to lc.length - 3).map(i => lc.substring(i, i + 3)).distinct
+  }
 }

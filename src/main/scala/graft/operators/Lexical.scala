@@ -14,10 +14,14 @@ import graft.functions.TextFunctions._
   *
   * Scale design: the query side (a handful of names) is broadcast;
   * each tier is a map-only scan over the corpus with partition-local
-  * top-k (TakeOrderedAndProject), so no corpus shuffle. Trigram sets
-  * are computed inline per row (no materialized index) — at 100 TB
-  * the same plan holds because the scan is embarrassingly parallel
-  * and only k×P candidate rows reach the driver merge.
+  * top-k (TakeOrderedAndProject), so no corpus shuffle. The trigram
+  * tier runs as a PREFILTER + verify: candidates = names sharing ≥ 1
+  * trigram with the query (the distributed form of the reference's
+  * GIN probe, db/init.sql:32), exact trigramSim only on candidates,
+  * and an explicit sim-0 fill so the result stays hash-identical to
+  * the full scan the oracle runs. The STORED form of the same index
+  * (partition-pruned posting buckets) is
+  * [[Retrieval.probeTrgmIndex]] / q_trgm_idx.
   */
 object Lexical extends graft.QueryGroup {
 
@@ -56,12 +60,31 @@ object Lexical extends graft.QueryGroup {
     * (reference: search_strategies.py:101-124). Top-10, no threshold,
     * so the result is non-empty at every scale factor. */
   val trigramQuery = "key agg row scna slow fa" // 'scan' typo'd
-  def nameTrigram(s: SparkSession, dir: String): DataFrame =
-    names(s, dir)
+
+  /** Trigram-prefiltered top-k (unrounded sim): exact trigramSim runs
+    * ONLY on names sharing ≥ 1 trigram with the query (the query's
+    * trigram set is a plan-time literal — the degenerate broadcast);
+    * non-candidates have sim exactly 0, so the top-k is completed by
+    * the k smallest-id non-candidates at sim 0 (the full scan's own
+    * tie order) — hash-identical to scanning everything, proven by
+    * the unchanged full-scan oracle. Both passes are map-only +
+    * TakeOrdered; the fill pass never computes a similarity. */
+  private def trgPrefilterTopK(n: DataFrame, q: String, k: Int): DataFrame = {
+    val isCand =
+      arrays_overlap(trigrams(col("name")), typedLit(trigramsOf(q)))
+    val top = n.where(isCand)
       .select(col("doc_id"), col("name"),
-        trigramSim(col("name"), lit(trigramQuery)).as("sim"))
-      .orderBy(col("sim").desc, col("doc_id").asc)
-      .limit(10)
+        trigramSim(col("name"), lit(q)).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc).limit(k)
+    val fill = n.where(!isCand)
+      .select(col("doc_id"), col("name"), lit(0.0d).as("sim"))
+      .orderBy(col("doc_id").asc).limit(k)
+    top.unionAll(fill)
+      .orderBy(col("sim").desc, col("doc_id").asc).limit(k)
+  }
+
+  def nameTrigram(s: SparkSession, dir: String): DataFrame =
+    trgPrefilterTopK(names(s, dir), trigramQuery, 10)
       .select(col("doc_id"), col("name"), round(col("sim"), 6).as("sim"))
 
   /** ILIKE containment filter (reference: README.md "Direct SQL
@@ -127,10 +150,7 @@ object Lexical extends graft.QueryGroup {
       .select(col("doc_id"), col("name"),
         trigramSim(col("name"), lit(q)).as("sim"), lit(2).as("tier"))
       .orderBy(col("sim").desc, col("doc_id").asc).limit(k)
-    val t3 = n
-      .select(col("doc_id"), col("name"),
-        trigramSim(col("name"), lit(q)).as("sim"), lit(3).as("tier"))
-      .orderBy(col("sim").desc, col("doc_id").asc).limit(k)
+    val t3 = trgPrefilterTopK(n, q, k).withColumn("tier", lit(3))
     // min(tier) over the ≤3k-row union as a global window: one pass
     // over the tier lists (an agg+join formulation recomputes all
     // three tier scans for the second consumer of u).
@@ -156,12 +176,13 @@ object Lexical extends graft.QueryGroup {
   )
 
   // DuckDB trigram-set similarity over distinct 3-grams of the
-  // lowercased string; guard len<3 → empty set.
-  private def tg(e: String): String =
+  // lowercased string; guard len<3 → empty set. Shared with the
+  // stored-index probes' oracles in Retrieval.
+  private[operators] def tg(e: String): String =
     s"""(CASE WHEN len($e) < 3 THEN [] ELSE
        | list_distinct([substr($e, i, 3) for i in generate_series(1, len($e) - 2)])
        | END)""".stripMargin.replace("\n", "")
-  private def tsim(a: String, b: String): String =
+  private[operators] def tsim(a: String, b: String): String =
     s"""(CASE WHEN len(list_distinct($a || $b)) = 0 THEN 0.0 ELSE
        | len(list_intersect($a, $b)) / len(list_distinct($a || $b))
        | END)""".stripMargin.replace("\n", "")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -176,7 +176,87 @@ object VectorSearch extends graft.QueryGroup {
       .orderBy(col("label").asc)
   }
 
+  private val RrfK = 60
+  private val MultiK = 10
+  private[graft] val MrlDim = 32
+
+  /** Multi-embedding-space search — the reference stores TWO
+    * embedding spaces per card (`mtg_card_embeddings` next to
+    * `mtg_card_nl_embeddings`, reference: db/init.sql:59-75) and
+    * searches either. Space A is the full 64-dim embedding; space B
+    * is its 32-dim Matryoshka prefix (MRL truncation — the standard
+    * way one stored vector yields a second, cheaper search space).
+    * Top-k per space, then reciprocal-rank fusion of the two ≤k-row
+    * lists (rank arithmetic over integers — exact cross-engine).
+    * Scale: each space's search is the same map-only scan +
+    * TakeOrdered as topK; fusion touches 2k rows. */
+  def multiSpace(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = MultiK): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val scored = e.where(col("vec_id") =!= id)
+      .crossJoin(broadcast(queryVec(s, dir, id)))
+    def ranked(space: Column => Column, tag: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      scored
+        .select(col("vec_id"),
+          cosineSim(space(col("embedding")), space(col("qvec"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc).limit(k)
+        .withColumn(s"rank_$tag", row_number().over(w))
+        .select(col("vec_id"), col(s"rank_$tag"),
+          round(col("sim"), 6).as(s"sim_$tag"))
+    }
+    val a = ranked(identity, "full")
+    val b = ranked(c => slice(c, 1, MrlDim), "mrl")
+    def rr(rank: Column): Column =
+      coalesce(lit(1.0d) / (lit(RrfK) + rank), lit(0.0d))
+    a.join(b, Seq("vec_id"), "full_outer")
+      .select(col("vec_id"), col("rank_full"), col("sim_full"),
+        col("rank_mrl"), col("sim_mrl"),
+        round(rr(col("rank_full")) + rr(col("rank_mrl")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("vec_id").asc)
+  }
+
+  private val ExpandHits = 5
+  private val ExpandRefs = 3
+
+  /** Cross-reference expansion — the reference's `related_rules` /
+    * `related_faces` arrays (reference: db/init.sql:38,134, populated
+    * by db/ingest_glossary.py, surfaced by the formatters at
+    * db/search_strategies.py:482-495): every search hit is expanded
+    * with the documents it references. The testdata carries no FK
+    * array, so each doc's references are derived from its CONTENT —
+    * its first [[ExpandRefs]] sorted distinct tokens, each hashed
+    * into the doc-id space (deterministic on both engines). The plan
+    * is the reference's shape regardless: explode the hit's ref
+    * array, equi-join the documents table. Scale: hits ≤ k, refs
+    * ≤ k×3 — the expansion side broadcasts; the documents side is a
+    * pushed-down equi-join probe. */
+  def relatedExpand(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = ExpandHits): DataFrame = {
+    import graft.functions.MinHash
+    import graft.functions.TextFunctions.tokenSet
+    val hits = topK(s, dir, id, k) // (vec_id, sim), rounded
+    val nd = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+    val refs = Tables.documents(s, dir)
+      .join(broadcast(hits), col("doc_id") === col("vec_id"))
+      .select(col("vec_id").as("hit_id"), col("sim"),
+        explode(slice(sort_array(tokenSet(col("text"))), 1, ExpandRefs))
+          .as("tok"))
+      .crossJoin(broadcast(nd))
+      .select(col("hit_id"), col("sim"), col("tok"),
+        pmod(MinHash.hash60(concat(lit("rel:"), col("tok"))), col("nd"))
+          .as("ref_id"))
+    Tables.documents(s, dir)
+      .join(broadcast(refs), col("doc_id") === col("ref_id"))
+      .select(col("hit_id"), col("sim"), col("tok"), col("ref_id"),
+        col("source").as("ref_source"), col("n_chars").as("ref_chars"))
+      .orderBy(col("hit_id").asc, col("tok").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_multispace" -> ((s, d) => multiSpace(s, d)),
+    "q_related_expand" -> ((s, d) => relatedExpand(s, d)),
     "q_vec_centroids" -> ((s, d) => labelCentroids(s, d)),
     "q_vec_topk" -> ((s, d) => topK(s, d)),
     "q_vec_topk_threshold" -> ((s, d) => topKThreshold(s, d)),
@@ -195,6 +275,48 @@ object VectorSearch extends graft.QueryGroup {
     "list_cosine_similarity(e.embedding::DOUBLE[], q.qv)"
 
   val oracles: Map[String, String] = Map(
+    "q_vec_multispace" ->
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |sa AS (SELECT e.vec_id, $cosExpr AS sim
+         |       FROM embeddings e, q WHERE e.vec_id <> 0
+         |       ORDER BY sim DESC, vec_id ASC LIMIT $MultiK),
+         |ra AS (SELECT vec_id,
+         |              CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+         |                AS INTEGER) AS rank_full,
+         |              round(sim, 6) AS sim_full FROM sa),
+         |sb AS (SELECT e.vec_id,
+         |              list_cosine_similarity((e.embedding::DOUBLE[])[1:$MrlDim],
+         |                                     q.qv[1:$MrlDim]) AS sim
+         |       FROM embeddings e, q WHERE e.vec_id <> 0
+         |       ORDER BY sim DESC, vec_id ASC LIMIT $MultiK),
+         |rb AS (SELECT vec_id,
+         |              CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+         |                AS INTEGER) AS rank_mrl,
+         |              round(sim, 6) AS sim_mrl FROM sb)
+         |SELECT coalesce(ra.vec_id, rb.vec_id) AS vec_id,
+         |       rank_full, sim_full, rank_mrl, sim_mrl,
+         |       round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + rank_full), 0) +
+         |             coalesce(CAST(1 AS DOUBLE) / ($RrfK + rank_mrl), 0), 6)
+         |         AS rrf
+         |FROM ra FULL OUTER JOIN rb ON ra.vec_id = rb.vec_id
+         |ORDER BY rrf DESC, vec_id ASC""".stripMargin,
+    "q_related_expand" -> {
+      val h = graft.functions.MinHash.hash60Sql("'rel:' || tok")
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, round($cosExpr, 6) AS sim
+         |      FROM embeddings e, q WHERE e.vec_id <> 0
+         |      ORDER BY $cosExpr DESC, e.vec_id ASC LIMIT $ExpandHits),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |r AS (SELECT s.vec_id AS hit_id, s.sim,
+         |             unnest(list_sort(list_distinct(
+         |               str_split(d.text, ' ')))[1:$ExpandRefs]) AS tok
+         |      FROM s JOIN documents d ON d.doc_id = s.vec_id),
+         |x AS (SELECT hit_id, sim, tok, $h % nd.nd AS ref_id FROM r, nd)
+         |SELECT x.hit_id, x.sim, x.tok, x.ref_id,
+         |       d.source AS ref_source, d.n_chars AS ref_chars
+         |FROM x JOIN documents d ON d.doc_id = x.ref_id
+         |ORDER BY x.hit_id ASC, x.tok ASC""".stripMargin
+    },
     "q_vec_centroids" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
         |d AS (SELECT label, g.i AS pos,
