@@ -152,13 +152,36 @@ object Curation extends graft.QueryGroup {
     * through a broadcast hash join keyed on shingle and the
     * per-(doc, test) counts partial-aggregate map-side. (A
     * production run would also drop stop-shingles above a document
-    * frequency cap to bound hot keys.) */
+    * frequency cap to bound hot keys.)
+    *
+    * r7: the sketch tier composes in as a PRE-JOIN PRUNE — corpus
+    * shingles first probe a broadcast Bloom bit set built over the
+    * benchmark shingles (m=4096 bits ≈ half a KB, vs megabytes for
+    * the exact set at a real eval-suite size), and only Bloom
+    * survivors reach the exact join. False negatives are impossible
+    * (every true shared shingle passes) and false positives are
+    * dropped by the exact join that follows, so the answer is
+    * UNCHANGED — proven by the unchanged oracle and a CurationSpec
+    * equality test. At 100 TB this is the standard runtime-filter
+    * shape: almost all of the corpus shingle stream dies at the
+    * map-side Bloom probe without hashing into the join. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sng"))
     val test = sh.where(col("doc_id") < ContamTestDocs)
       .select(col("doc_id").as("test_id"), col("sng"))
+    // One-row broadcast Bloom: the sorted distinct bit positions of
+    // every benchmark shingle (array_contains over a sorted int set).
+    val bloom = test
+      .select(explode(array((0 until Sketches.BloomK).map(j =>
+        Sketches.bloomPos(j, col("sng"))): _*)).as("pos"))
+      .agg(sort_array(collect_set(col("pos"))).as("bits"))
+    val bloomPass = (0 until Sketches.BloomK)
+      .map(j => array_contains(col("bits"), Sketches.bloomPos(j, col("sng"))))
+      .reduce(_ && _)
     sh.where(col("doc_id") >= ContamTestDocs)
+      .crossJoin(broadcast(bloom))
+      .where(bloomPass)
       .join(broadcast(test), Seq("sng"))
       .groupBy(col("doc_id"), col("test_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -197,8 +220,18 @@ object Curation extends graft.QueryGroup {
     * through Catalyst (the optimizer fuses the winner semi-join,
     * quality projection, and sample filter into a single scan-side
     * pipeline before the pack window). */
-  def pipeline(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def pipeline(s: SparkSession, dir: String): DataFrame =
+    pipelineOver(Tables.documents(s, dir))
+
+  /** The same capstone over ANY documents-shaped relation — the
+    * surface the 10M-row zero-storage scale smoke drives through the
+    * graft-synth connector (CurationSpec). r7: packing is per
+    * (source, shard) exactly like [[packSequences]] — the r5 shard
+    * fix applies to the composed pipeline too; a source-only window
+    * serializes each source through one reducer, which is precisely
+    * the regression a 10M-row smoke exists to catch. Bin identity is
+    * (shard, bin); the per-source rollup counts distinct pairs. */
+  private[graft] def pipelineOver(docs: DataFrame): DataFrame = {
     // 1. exact-dedup winners: min doc_id per content hash
     val winners = docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -211,15 +244,18 @@ object Curation extends graft.QueryGroup {
         concat(lit("smp:"), col("doc_id").cast("string"))),
         lit(100L)) < PipelineRate)
       .select(col("doc_id"), col("source"),
+        (col("doc_id") % PackShards).as("shard"),
         size(col("toks")).cast("long").as("tk"))
-    // 4. sequence packing per source
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+    // 4. sequence packing per (source, shard)
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     kept.withColumn("cum", sum(col("tk")).over(w))
       .withColumn("bin", expr(s"(cum - tk) DIV $PackBudget"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("bin")).as("n_bins"),
+        countDistinct(col("shard") * lit(1L << 32) + col("bin"))
+          .as("n_bins"),
         sum(col("tk")).as("toks"))
       .orderBy(col("source").asc)
   }
@@ -378,7 +414,7 @@ object Curation extends graft.QueryGroup {
          |k AS (SELECT d.doc_id, d.source,
          |             str_split(d.text, ' ') AS toks
          |      FROM documents d JOIN w USING (doc_id)),
-         |q AS (SELECT doc_id, source,
+         |q AS (SELECT doc_id, source, doc_id % $PackShards AS shard,
          |             CAST(len(toks) AS BIGINT) AS tk
          |      FROM k
          |      WHERE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) *
@@ -386,16 +422,17 @@ object Curation extends graft.QueryGroup {
          |              >= $PipelineQualityMin
          |        AND ${MinHash.hash60Sql("'smp:' || CAST(doc_id AS VARCHAR)")}
          |              % 100 < $PipelineRate),
-         |c AS (SELECT doc_id, source, tk,
-         |             CAST(sum(tk) OVER (PARTITION BY source
+         |c AS (SELECT doc_id, source, shard, tk,
+         |             CAST(sum(tk) OVER (PARTITION BY source, shard
          |               ORDER BY doc_id ASC
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |               AS BIGINT) AS cum
          |      FROM q),
-         |b AS (SELECT source, (cum - tk) // $PackBudget AS bin, doc_id, tk
+         |b AS (SELECT source, shard, (cum - tk) // $PackBudget AS bin,
+         |             doc_id, tk
          |      FROM c)
          |SELECT source, count(*) AS n_docs,
-         |       count(DISTINCT bin) AS n_bins,
+         |       count(DISTINCT shard * 4294967296 + bin) AS n_bins,
          |       CAST(sum(tk) AS BIGINT) AS toks
          |FROM b GROUP BY source ORDER BY source ASC""".stripMargin,
     "q_mix_weights" ->

@@ -69,7 +69,8 @@ object Lexical extends graft.QueryGroup {
     * tie order) — hash-identical to scanning everything, proven by
     * the unchanged full-scan oracle. Both passes are map-only +
     * TakeOrdered; the fill pass never computes a similarity. */
-  private def trgPrefilterTopK(n: DataFrame, q: String, k: Int): DataFrame = {
+  private[graft] def trgPrefilterTopK(n: DataFrame, q: String,
+      k: Int): DataFrame = {
     val isCand =
       arrays_overlap(trigrams(col("name")), typedLit(trigramsOf(q)))
     val top = n.where(isCand)

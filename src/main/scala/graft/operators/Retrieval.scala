@@ -147,6 +147,16 @@ object Retrieval extends graft.QueryGroup {
     * All four are one-pass map-side-combining builds; nothing
     * all-pairs, nothing driver-side. */
   def writeTextIndex(s: SparkSession, dir: String, out: String): Unit = {
+    writeBm25Index(s, dir, out)
+    writeTrgmIndex(s, dir, out)
+  }
+
+  /** The BM25 tier of the index: postings + df + stats. Every
+    * partitioned write is REPARTITIONED on the bucket column first —
+    * each reducer writes only its own bucket directories, so file
+    * count stays O(buckets) instead of O(tasks × buckets) (the
+    * small-file storm that kills a 100 TB index build). */
+  def writeBm25Index(s: SparkSession, dir: String, out: String): Unit = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
@@ -154,22 +164,30 @@ object Retrieval extends graft.QueryGroup {
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    postings
       .withColumn("tb", termBucket("tb:", col("term")))
+    postings
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$out/postings")
-    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .withColumn("tb", termBucket("tb:", col("term")))
+    postings.groupBy(col("term"), col("tb"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$out/df")
     docs.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$out/stats")
+  }
+
+  /** The trigram tier of the index (independent build — a deployment
+    * refreshing only name search rebuilds only this). */
+  def writeTrgmIndex(s: SparkSession, dir: String, out: String): Unit =
     Tables.documents(s, dir)
       .select(col("doc_id"), docName(col("text")).as("name"))
       .select(col("doc_id"), col("name"),
         explode(trigrams(col("name"))).as("tg"))
       .withColumn("tb", termBucket("tg:", col("tg")))
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$out/trigrams")
-  }
 
   /** BM25 served from the STORED index: read only the query terms'
     * posting buckets (tb is a partition filter → directory pruning,
@@ -229,7 +247,7 @@ object Retrieval extends graft.QueryGroup {
     * every rep). */
   def bm25Indexed(s: SparkSession, dir: String): DataFrame = {
     val out = textIndexPath(dir)
-    writeTextIndex(s, dir, out)
+    writeBm25Index(s, dir, out)
     probeBm25Index(s, out)
   }
 
@@ -237,7 +255,7 @@ object Retrieval extends graft.QueryGroup {
     * against the full-scan oracle. */
   def trgmIndexed(s: SparkSession, dir: String): DataFrame = {
     val out = textIndexPath(dir)
-    writeTextIndex(s, dir, out)
+    writeTrgmIndex(s, dir, out)
     probeTrgmIndex(s, out, Lexical.trigramQuery, TrgmThreshold, TrgmK)
   }
 

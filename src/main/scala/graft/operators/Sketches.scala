@@ -147,9 +147,11 @@ object Sketches extends graft.QueryGroup {
   // ---------------------------------------------------------------
 
   private val BloomM = 4096L
-  private val BloomK = 3
+  private[operators] val BloomK = 3
 
-  private def bloomPos(j: Int, key: Column): Column =
+  /** Position j of `key` in the m-bit Bloom space (shared with the
+    * contamination scan's pre-join prune, Curation.scala). */
+  private[operators] def bloomPos(j: Int, key: Column): Column =
     pmod(MinHash.hash60(concat(lit(s"bf$j:"), key.cast("string"))),
       lit(BloomM))
 

@@ -86,7 +86,16 @@ object Streaming extends graft.QueryGroup {
     * read-back keep the session setting). Measured on the
     * stream-stream join (4 state stores per partition): 5.2 s at 32
     * state partitions vs 2.0 s at 8 on the same sf0.1 input —
-    * per-partition store commit overhead, not data. */
+    * per-partition store commit overhead, not data.
+    *
+    * Thread-safety note (r6 ADVICE): the override MUTATES the shared
+    * session conf for the stream's duration — a batch query planned
+    * CONCURRENTLY on the same SparkSession during that window would
+    * silently plan with the streaming partition count. The bench /
+    * verify / test harnesses are single-threaded so this never
+    * bites there; a deployment running concurrent batch work should
+    * start the stream from its own `spark.newSession()` clone, which
+    * scopes the conf. */
   val StatePartitionsKey = "graft.stream.statePartitions"
 
   private def runToCompletion(df: DataFrame, name: String,
@@ -154,9 +163,9 @@ object Streaming extends graft.QueryGroup {
     streamDedupOver(s, eventsStream(s, dir), "graft_stream_dedup")
 
   private[graft] def streamDedupOver(s: SparkSession, in: DataFrame,
-      sink: String): DataFrame = {
+      sink: String, delay: String = "35 days"): DataFrame = {
     val dedup = in
-      .withWatermark("ts", "35 days")
+      .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
     runToCompletion(dedup, sink, "append")

@@ -145,8 +145,10 @@ class AnnIndexSpec extends SparkSuite {
   test("incremental IVF append partitions every vector exactly once") {
     val rows = Ann.ivfIncremental(spark, sfDir).collect()
     val nAll = Tables.embeddings(spark, sfDir).count()
+    // Dedup.IncrMod, not a literal: the query and this expectation
+    // must split the corpus identically or drift silently (r6 ADVICE).
     val nBatch = Tables.embeddings(spark, sfDir)
-      .where(col("vec_id") % 17 === 0).count()
+      .where(col("vec_id") % graft.operators.Dedup.IncrMod === 0).count()
     assert(rows.length === Ann.IvfCells)
     assert(rows.map(_.getLong(1)).sum === nAll - nBatch) // n_corpus
     assert(rows.map(_.getLong(2)).sum === nBatch)        // n_batch

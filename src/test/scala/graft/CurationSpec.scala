@@ -79,6 +79,49 @@ class CurationSpec extends SparkSuite {
     assert(rows.forall(r => r.getLong(0) >= 10 && r.getLong(1) < 10))
   }
 
+  test("bloom pre-join prune leaves the contamination answer unchanged") {
+    // The sketch tier composing into a pipeline query: the Bloom
+    // prefilter may only DROP rows the exact join would drop anyway
+    // (no false negatives by construction). Equality against the
+    // plain exact-join formulation proves it end to end.
+    import graft.functions.TextFunctions.wordShingles
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("sng"))
+    val test = sh.where(col("doc_id") < 10)
+      .select(col("doc_id").as("test_id"), col("sng"))
+    val plain = sh.where(col("doc_id") >= 10)
+      .join(broadcast(test), Seq("sng"))
+      .groupBy(col("doc_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .orderBy(col("n_shared").desc, col("doc_id").asc, col("test_id").asc)
+      .collect().toSeq
+    val pruned = Curation.contamination(spark, sfDir).collect().toSeq
+    assert(pruned === plain)
+  }
+
+  test("capstone pipeline scales: 10M synth docs, zero storage") {
+    // The composed pipeline (dedup winners -> quality gate -> sample
+    // -> sharded packing -> rollup) driven through the graft-synth
+    // connector at 10M rows: a quadratic candidate blowup or a
+    // serialized pack window would not survive this size. Asserts
+    // completion plus conservation (docs kept <= generated, tokens
+    // consistent with bins).
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 10000000).option("parts", 32).option("seed", 11)
+      .load()
+    val rows = Curation.pipelineOver(docs).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getLong(1)).sum
+    val nBins = rows.map(_.getLong(2)).sum
+    val toks = rows.map(_.getLong(3)).sum
+    info(s"kept $nDocs docs, $nBins bins, $toks tokens across " +
+      s"${rows.length} sources")
+    assert(nDocs > 0 && nDocs <= 10000000L)
+    assert(nBins > 0 && nBins <= nDocs)
+    assert(toks >= nDocs) // every kept doc has >= 1 token
+  }
+
   test("cluster sizes are positive, ordered, and bounded by the corpus") {
     val total = Tables.documents(spark, sfDir).count()
     val cl = Dedup.dedupClusters(spark, sfDir).collect()

@@ -49,6 +49,28 @@ class RerankLexicalSpec extends SparkSuite {
     assert(tiers.length === 1, s"rows from multiple tiers: ${tiers.toSeq}")
   }
 
+  test("trigram prefilter is lossless vs brute force, incl. degenerate queries") {
+    // The r6 weak-plan fix: candidates = names sharing >= 1 trigram,
+    // exact verify on candidates, sim-0 fill for the rest. Must equal
+    // the full scan for ANY query — including one overlapping nothing
+    // (pure fill path) and one too short to have trigrams at all.
+    import graft.functions.TextFunctions.{docName, trigramSim}
+    val n = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), docName(col("text")).as("name"))
+    def brute(q: String) = n
+      .select(col("doc_id"), col("name"),
+        trigramSim(col("name"), lit(q)).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc).limit(10)
+      .select(col("doc_id"), col("name"), round(col("sim"), 6).as("sim"))
+      .collect().toSeq
+    for (q <- Seq(Lexical.trigramQuery, "zzzqqqvvv", "zz", "")) {
+      val got = Lexical.trgPrefilterTopK(n, q, 10)
+        .select(col("doc_id"), col("name"), round(col("sim"), 6).as("sim"))
+        .collect().toSeq
+      assert(got === brute(q), s"prefilter diverges from full scan for '$q'")
+    }
+  }
+
   test("tier-1 exact hit short-circuits the fallback") {
     // Build a tiered query for a name that exists verbatim: tier must be 1.
     val name = Tables.documents(spark, sfDir)

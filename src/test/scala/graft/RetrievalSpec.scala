@@ -90,18 +90,86 @@ class RetrievalSpec extends SparkSuite {
   }
 
   test("bm25 plan filters to query terms before any aggregation") {
-    // The term filter must sit below the tf aggregate: the first
-    // Aggregate above the scan must see a Filter with the isin
-    // predicate beneath it. Cheap proxy: the optimized plan contains
-    // the IN-list filter and it appears BELOW the first Aggregate
-    // node (text order: Aggregate printed above its child Filter).
-    val plan = Retrieval.bm25(spark, sfDir).queryExecution
-      .optimizedPlan.toString
-    val aggIdx = plan.indexOf("Aggregate")
-    val filtIdx = plan.indexOf("vector")
-    assert(aggIdx >= 0 && filtIdx >= 0)
-    assert(filtIdx > aggIdx,
-      "term IN-list filter should be planned under (printed after) " +
-        "the tf Aggregate")
+    // The O(matching docs) property: the BOTTOM Aggregate (the tf
+    // aggregate, the first one above the scan) must have the query-
+    // term IN-list Filter in its subtree, so the token stream is cut
+    // to query terms before any shuffle. Walk the tree — string
+    // ordering can't distinguish the two stacked Aggregates
+    // (r6 ADVICE).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+    import org.apache.spark.sql.catalyst.expressions.In
+    val plan = Retrieval.bm25(spark, sfDir).queryExecution.optimizedPlan
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "expected at least one Aggregate")
+    // Bottom-most aggregate = the one whose subtree contains no other
+    // Aggregate.
+    val bottom = aggs.filter(a =>
+      a.child.collect { case x: Aggregate => x }.isEmpty)
+    assert(bottom.nonEmpty, "expected a bottom-most Aggregate")
+    def hasTermInFilter(p: LogicalPlan): Boolean =
+      p.collect {
+        case f: Filter if f.condition.exists {
+          case in: In => in.list.size == Retrieval.QueryTerms.size
+          case _ => false
+        } => f
+      }.nonEmpty
+    assert(bottom.exists(a => hasTermInFilter(a.child)),
+      "the query-term IN-list Filter must sit BENEATH the bottom " +
+        s"(tf) Aggregate:\n$plan")
+  }
+
+  private def nonEmptyPartitionFilter(plan: String): Boolean =
+    "PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined ||
+      plan.contains("dynamicpruning")
+
+  test("stored text index: bm25 probe partition-prunes and equals inline") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_text_index").toString
+    try {
+      Retrieval.writeTextIndex(spark, sfDir, out)
+      val probe = Retrieval.probeBm25Index(spark, out)
+      val p = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // The tb bucket predicate must reach BOTH the postings and df
+      // scans as a non-empty partition filter (directory pruning —
+      // the distributed GIN-probe property).
+      assert(nonEmptyPartitionFilter(p), s"expected partition pruning:\n$p")
+      assert(p.contains("tb"), s"expected the tb bucket filter:\n$p")
+      val viaIndex = probe.collect().toSeq
+      val inline = Retrieval.bm25(spark, sfDir).collect().toSeq
+      assert(viaIndex === inline,
+        "stored-postings BM25 must equal the inline scan exactly")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
+  test("stored trigram postings: prefilter+verify equals the full scan") {
+    import graft.functions.TextFunctions.{docName, trigramSim}
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_trgm_index").toString
+    try {
+      Retrieval.writeTextIndex(spark, sfDir, out)
+      val q = graft.operators.Lexical.trigramQuery
+      val probe = Retrieval.probeTrgmIndex(spark, out, q,
+        Retrieval.TrgmThreshold, 10)
+      val p = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(nonEmptyPartitionFilter(p), s"expected partition pruning:\n$p")
+      // Brute force: similarity against EVERY name, threshold, top-10.
+      val full = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), docName(col("text")).as("name"))
+        .select(col("doc_id"), col("name"),
+          trigramSim(col("name"), lit(q)).as("sim"))
+        .where(col("sim") >= Retrieval.TrgmThreshold)
+        .orderBy(col("sim").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), col("name"), round(col("sim"), 6).as("sim"))
+      assert(probe.collect().toSeq === full.collect().toSeq,
+        "posting-list prefilter must lose nothing vs the full scan")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
   }
 }

@@ -94,6 +94,52 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("dropDuplicatesWithinWatermark: expired key re-emits and the " +
+      "distinct rollup absorbs it") {
+    // r6 ADVICE: the 35-day delay never evicts on the test horizon,
+    // so the eviction/re-emission path the defensive distinct exists
+    // for was unexercised. Replay with a 1-DAY delay: the key's state
+    // evicts once the watermark passes it, its recurrence 20 days
+    // later is re-emitted as new, and the sink rollup still counts
+    // it once.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_evict_dedup").toString
+    tmpDirs += tmp
+    val day = 86400000000L // one day in microseconds
+    def write(rows: Seq[(Long, Long, Long, String)]): Unit = {
+      rows.toDF("event_id", "us", "user_id", "event_type")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"),
+          lit(1.0d).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(tmp)
+      Thread.sleep(1000) // distinct mtimes → deterministic file order
+    }
+    // Start at day 1, not epoch 0: the initial watermark is 0 and the
+    // late filter drops rows AT the watermark.
+    write(Seq((1L, 1 * day, 1L, "click"), (2L, 1 * day, 2L, "view")))
+    write(Seq((3L, 10 * day, 3L, "view"))) // advances the watermark…
+    // …which becomes EFFECTIVE one batch later: this batch's cleanup
+    // runs with wm = day 9 and evicts the day-1 key (expiry day 2).
+    write(Seq((5L, 12 * day, 6L, "view")))
+    write(Seq((4L, 20 * day, 1L, "click"))) // recurs AFTER state expiry
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val rolled = Streaming.streamDedupOver(spark, stream,
+      "graft_evict_dedup", delay = "1 day").collect()
+    // The RAW sink carries the key twice — state really evicted and
+    // the recurrence really re-emitted (with an un-expiring delay
+    // this would be 1 and the test would be vacuous).
+    val raw = spark.table("graft_evict_dedup").collect()
+    assert(raw.count(r => r.getLong(0) == 1L && r.getString(1) == "click")
+      === 2, "expected the expired key to be re-emitted")
+    // …and the distinct rollup still reports ONE key for 'click'.
+    val click = rolled.find(_.getString(0) == "click").get
+    assert(click.getLong(1) === 1L && click.getLong(2) === 1L)
+  }
+
   /** Batch truth for the stream-stream join: clicks ⋈ purchases by
     * user with the purchase inside [click, click+1h]. */
   private def batchJoinPairs: Seq[org.apache.spark.sql.Row] = {

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SURVEY.md §2 is the judge-facing coverage contract — this spec
@@ -39,5 +41,24 @@ class SurveySyncSpec extends AnyFunSuite {
     assert(n.contains(SparkEntry.queries.size),
       s"STATUS claims ${n.getOrElse(-1)} rows; registry has " +
         s"${SparkEntry.queries.size}")
+  }
+
+  test("SURVEY's test-count claim matches the suite") {
+    // r6 found §2 and §7 drifting (173 vs 174 vs reality). Pin the
+    // claim the same way the row count is pinned: every test in this
+    // project is a static `test("…")` registration, so the file count
+    // equals what `sbt test` runs.
+    val testDir = java.nio.file.Paths.get("src/test/scala/graft")
+    val actual = java.nio.file.Files.list(testDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => "(?m)^\\s*test\\(".r
+        .findAllIn(new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)).size)
+      .sum
+    val claimed = "runs (\\d+) test cases".r
+      .findFirstMatchIn(surveyText).map(_.group(1).toInt)
+    assert(claimed.contains(actual),
+      s"SURVEY claims ${claimed.getOrElse(-1)} test cases; the specs " +
+        s"register $actual")
   }
 }
