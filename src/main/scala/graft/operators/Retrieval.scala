@@ -156,8 +156,30 @@ object Retrieval extends graft.QueryGroup {
     * each reducer writes only its own bucket directories, so file
     * count stays O(buckets) instead of O(tasks × buckets) (the
     * small-file storm that kills a 100 TB index build). */
-  def writeBm25Index(s: SparkSession, dir: String, out: String): Unit = {
-    val docs = Tables.documents(s, dir)
+  def writeBm25Index(s: SparkSession, dir: String, out: String): Unit =
+    writeBm25IndexOver(Tables.documents(s, dir), out)
+
+  /** [[writeBm25Index]] over ANY documents-shaped relation. The
+    * index is APPEND-ONLY by design: df and stats rows are ADDITIVE
+    * deltas (the probe sums them per term / overall), so an ingest
+    * batch refreshes the index by [[appendBm25Delta]] — one
+    * O(batch)-cost append job, no rebuild, no read-modify-write —
+    * the LSM shape a 100 TB index maintenance job needs. (Postings
+    * rows are naturally append-safe: each (doc, term) posting
+    * appears once per ingest of that doc.) */
+  def writeBm25IndexOver(in: DataFrame, out: String): Unit =
+    buildBm25Parts(in, out, "overwrite")
+
+  /** Append an ingest batch's postings/df/stats DELTAS to a standing
+    * index. Cost is O(batch) regardless of corpus size; the probe's
+    * additive df/stats aggregation makes the result identical to a
+    * full rebuild (proven in RetrievalSpec). */
+  def appendBm25Delta(in: DataFrame, out: String): Unit =
+    buildBm25Parts(in, out, "append")
+
+  private def buildBm25Parts(in: DataFrame, out: String,
+      mode: String): Unit = {
+    val docs = in
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
     val postings = docs
@@ -167,15 +189,15 @@ object Retrieval extends graft.QueryGroup {
       .withColumn("tb", termBucket("tb:", col("term")))
     postings
       .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb")
+      .write.mode(mode).partitionBy("tb")
       .parquet(s"$out/postings")
     postings.groupBy(col("term"), col("tb"))
       .agg(count(lit(1)).as("df"))
       .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$out/df")
+      .write.mode(mode).partitionBy("tb").parquet(s"$out/df")
     docs.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$out/stats")
+      .write.mode(mode).parquet(s"$out/stats")
   }
 
   /** The trigram tier of the index (independent build — a deployment
@@ -200,10 +222,14 @@ object Retrieval extends graft.QueryGroup {
     val tbs = terms.map(t => MinHash.hash60Local("tb:" + t) % TermBuckets)
     val p = s.read.parquet(s"$indexPath/postings")
       .where(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+    // df and stats are ADDITIVE delta rows (one set per write/append
+    // job) — sum them so an appended batch delta reads identically
+    // to a full rebuild.
     val dfT = s.read.parquet(s"$indexPath/df")
       .where(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
-      .select(col("term"), col("df"))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val stats = s.read.parquet(s"$indexPath/stats")
+      .agg(sum(col("nd")).as("nd"), sum(col("sdl")).as("sdl"))
     bm25Cut(
       p.join(broadcast(dfT), Seq("term"))
         .crossJoin(broadcast(stats))
@@ -240,6 +266,34 @@ object Retrieval extends graft.QueryGroup {
 
   private[graft] val TrgmThreshold = 0.15
   private val TrgmK = 10
+
+  /** q_text_incremental — incremental text-index maintenance audit
+    * (the text twin of q_dedup_incremental / q_ann_incremental,
+    * completing the triad: every index family has an O(batch)
+    * refresh). The corpus splits into the STANDING corpus and an
+    * ingest batch (doc_id % [[Dedup.IncrMod]] == 0); because the
+    * index is append-only with ADDITIVE df/stats (see
+    * [[appendBm25Delta]]), a refresh is one O(batch) append job.
+    * This row reports per query term the standing/batch/merged df
+    * and the merged tf mass; the ORACLE computes the same numbers
+    * from the full corpus in one pass, so the hash match proves
+    * delta-merge ≡ full rebuild at the stats level (the stored-index
+    * twin of the proof — real append, then probe ≡ inline — runs in
+    * RetrievalSpec). */
+  def textIncremental(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .where(col("term").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("is_batch", (col("doc_id") % Dedup.IncrMod) === 0)
+      .groupBy(col("term"))
+      .agg(sum(when(col("is_batch"), 0L).otherwise(1L)).as("df_standing"),
+        sum(when(col("is_batch"), 1L).otherwise(0L)).as("df_batch"),
+        count(lit(1)).as("df_total"),
+        sum(col("tf")).as("tf_total"))
+      .orderBy(col("term").asc)
 
   /** q_bm25_indexed: build the index, serve BM25 from it. The build
     * is deliberately inside the timed query (the honest deployment
@@ -318,6 +372,7 @@ object Retrieval extends graft.QueryGroup {
     "q_bm25" -> ((s, d) => bm25(s, d)),
     "q_bm25_indexed" -> ((s, d) => bm25Indexed(s, d)),
     "q_trgm_idx" -> ((s, d) => trgmIndexed(s, d)),
+    "q_text_incremental" -> ((s, d) => textIncremental(s, d)),
     "q_hybrid" -> ((s, d) => hybrid(s, d)),
   )
 
@@ -356,6 +411,22 @@ object Retrieval extends graft.QueryGroup {
   val oracles: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
     "q_bm25_indexed" -> bm25Sql,
+    // Full-corpus one-pass computation of the same stats the Spark
+    // side derives standing + delta: hash equality proves the
+    // additive merge reconstructs the rebuild.
+    "q_text_incremental" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+         |            FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+         |                  FROM documents)
+         |            WHERE term IN ($termList) GROUP BY doc_id, term)
+         |SELECT term,
+         |       CAST(sum(CASE WHEN doc_id % ${Dedup.IncrMod} = 0
+         |                     THEN 0 ELSE 1 END) AS BIGINT) AS df_standing,
+         |       CAST(sum(CASE WHEN doc_id % ${Dedup.IncrMod} = 0
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS df_batch,
+         |       count(*) AS df_total,
+         |       CAST(sum(tf) AS BIGINT) AS tf_total
+         |FROM tf GROUP BY term ORDER BY term ASC""".stripMargin,
     // Full-scan trigram similarity with threshold: the Spark side is
     // the partition-pruned posting probe; hash equality proves
     // prefilter+verify ≡ full scan.

@@ -145,6 +145,30 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("append-only index: standing write + batch delta == full rebuild") {
+    // The O(batch) refresh path: build the index over the standing
+    // corpus, APPEND the ingest batch's delta (postings + additive
+    // df/stats rows), and the probe must equal the inline BM25 over
+    // the whole corpus — no rebuild, no read-modify-write.
+    import graft.operators.Dedup
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_text_incr").toString
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      Retrieval.writeBm25IndexOver(
+        docs.where(col("doc_id") % Dedup.IncrMod =!= 0), out)
+      Retrieval.appendBm25Delta(
+        docs.where(col("doc_id") % Dedup.IncrMod === 0), out)
+      val viaIndex = Retrieval.probeBm25Index(spark, out).collect().toSeq
+      val inline = Retrieval.bm25(spark, sfDir).collect().toSeq
+      assert(viaIndex === inline,
+        "standing + appended delta must serve the full-corpus answer")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("stored trigram postings: prefilter+verify equals the full scan") {
     import graft.functions.TextFunctions.{docName, trigramSim}
     val out = java.nio.file.Files
