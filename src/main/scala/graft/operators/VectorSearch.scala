@@ -210,7 +210,20 @@ object VectorSearch extends graft.QueryGroup {
     val b = ranked(c => slice(c, 1, MrlDim), "mrl")
     def rr(rank: Column): Column =
       coalesce(lit(1.0d) / (lit(RrfK) + rank), lit(0.0d))
-    a.join(b, Seq("vec_id"), "full_outer")
+    // Fuse via union + one tiny hash-agg, not a full-outer join —
+    // Spark cannot broadcast a FullOuter build side, so the join
+    // formulation would shuffle-sort both lists (same reasoning as
+    // hybrid's fusion; the agg touches ≤ 2k rows).
+    val u = a
+      .select(col("vec_id"), col("rank_full").as("rk"),
+        col("sim_full").as("sm"), lit("full").as("m"))
+      .unionAll(b.select(col("vec_id"), col("rank_mrl"),
+        col("sim_mrl"), lit("mrl")))
+    u.groupBy(col("vec_id"))
+      .agg(min(when(col("m") === "full", col("rk"))).as("rank_full"),
+        min(when(col("m") === "full", col("sm"))).as("sim_full"),
+        min(when(col("m") === "mrl", col("rk"))).as("rank_mrl"),
+        min(when(col("m") === "mrl", col("sm"))).as("sim_mrl"))
       .select(col("vec_id"), col("rank_full"), col("sim_full"),
         col("rank_mrl"), col("sim_mrl"),
         round(rr(col("rank_full")) + rr(col("rank_mrl")), 6).as("rrf"))

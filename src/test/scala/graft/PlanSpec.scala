@@ -229,4 +229,42 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"),
       s"best-match pick must be aggregates, not a per-doc window:\n$p")
   }
+
+  test("q_vec_multispace: each space search is a bounded TakeOrdered cut") {
+    val p = plan(VectorSearch.multiSpace(spark, sfDir))
+    // Two corpus-scale rankings (one per space) must both be
+    // partition-local top-k heaps, never a global sort of scored
+    // vectors; the fusion join runs over two <= k-row lists.
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"both space searches must plan TakeOrdered cuts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fusing two tiny ranked lists must not shuffle-sort:\n$p")
+  }
+
+  test("q_related_expand: expansion joins broadcast, corpus never shuffles") {
+    val p = plan(VectorSearch.relatedExpand(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"hit list and ref list must broadcast against documents:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-side shuffle join in the expansion:\n$p")
+  }
+
+  test("q_bm25_indexed probe: no corpus-scale artifacts — postings read " +
+      "is pruned, cut is bounded") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_plan_textidx").toString
+    try {
+      Retrieval.writeBm25Index(spark, sfDir, out)
+      val p = plan(Retrieval.probeBm25Index(spark, out))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"the probe's final cut must be bounded:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"df slice + stats must broadcast into the postings stream:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"no shuffle join in the probe:\n$p")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
 }
