@@ -177,6 +177,26 @@ object Retrieval extends graft.QueryGroup {
   def appendBm25Delta(in: DataFrame, out: String): Unit =
     buildBm25Parts(in, out, "append")
 
+  /** Compact an appended index into `to`: postings files merge
+    * per bucket, df/stats delta rows collapse to one row per term /
+    * one row overall. Append-only keeps refreshes O(batch); periodic
+    * compaction bounds the read amplification those appends
+    * accumulate (the LSM maintenance pair). Probe results are
+    * identical before and after (RetrievalSpec). */
+  def compactBm25Index(s: SparkSession, from: String, to: String): Unit = {
+    s.read.parquet(s"$from/postings")
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$to/postings")
+    s.read.parquet(s"$from/df")
+      .groupBy(col("term"), col("tb")).agg(sum(col("df")).as("df"))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$to/df")
+    s.read.parquet(s"$from/stats")
+      .agg(sum(col("nd")).as("nd"), sum(col("sdl")).as("sdl"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$to/stats")
+  }
+
   private def buildBm25Parts(in: DataFrame, out: String,
       mode: String): Unit = {
     val docs = in

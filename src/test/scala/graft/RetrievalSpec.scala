@@ -163,6 +163,21 @@ class RetrievalSpec extends SparkSuite {
       val inline = Retrieval.bm25(spark, sfDir).collect().toSeq
       assert(viaIndex === inline,
         "standing + appended delta must serve the full-corpus answer")
+      // Compaction (the LSM maintenance pair of the append): delta
+      // rows collapse, probe unchanged.
+      val compacted = out + "_compact"
+      Retrieval.compactBm25Index(spark, out, compacted)
+      try {
+        assert(spark.read.parquet(s"$compacted/stats").count() === 1,
+          "stats deltas must collapse to one row")
+        val viaCompacted =
+          Retrieval.probeBm25Index(spark, compacted).collect().toSeq
+        assert(viaCompacted === inline,
+          "compaction must not change the served answer")
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(compacted)).deleteRecursively()
+      }
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(out)).deleteRecursively()
