@@ -184,6 +184,46 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("streaming ingest maintains the text index: per-micro-batch " +
+      "appends serve the batch answer") {
+    // The CONTINUOUS form of appendBm25Delta: a documents stream
+    // lands in the index one O(batch) append per micro-batch
+    // (foreachBatch), and the probe over the accumulated index
+    // equals the inline batch BM25 — the text twin of the
+    // reference's re-upsert-on-every-ingest loop, running on
+    // Structured Streaming.
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_stream_ingest_src").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_ingest_idx").toString
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      (0 until 3).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.Retrieval.appendBm25Delta(batch, out)
+        }
+        .option("checkpointLocation", s"$src/_ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val viaIndex = Retrieval.probeBm25Index(spark, out).collect().toSeq
+      val inline = Retrieval.bm25(spark, sfDir).collect().toSeq
+      assert(viaIndex === inline,
+        "streamed per-batch appends must serve the batch answer")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(src)).deleteRecursively()
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("stored trigram postings: prefilter+verify equals the full scan") {
     import graft.functions.TextFunctions.{docName, trigramSim}
     val out = java.nio.file.Files
