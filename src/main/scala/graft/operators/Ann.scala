@@ -431,8 +431,11 @@ object Ann extends graft.QueryGroup {
     * same machinery honestly reports ~0.3 (q_ann_recall), which is
     * the audit telling you NOT to replace the exact scan. */
   def lshOperatingPoint(corpus: DataFrame, nPlanes: Int, nQueries: Int,
-      k: Int): (Double, Double) = {
-    val ps = Lsh.planes(nPlanes, Dim)
+      k: Int, dim: Int = Dim): (Double, Double) = {
+    // dim parametric (r7): the same index machinery measures any
+    // embedding space — incl. the 32-dim Matryoshka prefix space of
+    // q_vec_multispace (AnnIndexSpec proves its operating point).
+    val ps = Lsh.planes(nPlanes, dim)
     val coded = corpus
       .select(col("vec_id"), col("embedding"),
         Lsh.bucketCode(col("embedding"), ps).as("bucket"))

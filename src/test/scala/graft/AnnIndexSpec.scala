@@ -117,6 +117,28 @@ class AnnIndexSpec extends SparkSuite {
     assert(scanFrac < 0.10, f"scan fraction $scanFrac%.4f not under 10%%")
   }
 
+  test("Matryoshka prefix space is indexable: LSH operating point in " +
+      "32 dims reaches recall@10 >= 0.8 at < 10% scan") {
+    // q_vec_multispace searches a second, truncated space; this
+    // proves the ANN scale path exists THERE too — the same LSH
+    // machinery, planes drawn in 32 dims, corpus sliced to the
+    // prefix. Recall is measured against exact top-10 IN that space.
+    import graft.operators.VectorSearch
+    val corpus = spark.read.format("graft-synth")
+      .option("shape", "embeddings")
+      .option("rows", 100000).option("parts", 16).option("seed", 42)
+      .option("centers", 64).option("sigma", 0.15)
+      .load()
+      .select(col("vec_id"), col("label"),
+        slice(col("embedding"), 1, VectorSearch.MrlDim).as("embedding"))
+    val (recall, scanFrac) = Ann.lshOperatingPoint(corpus,
+      nPlanes = 12, nQueries = 10, k = 10, dim = VectorSearch.MrlDim)
+    info(f"measured MRL-space operating point: recall@10 = $recall%.3f, " +
+      f"scan fraction = $scanFrac%.4f")
+    assert(recall >= 0.8, f"recall@10 $recall%.3f below the 0.8 bar")
+    assert(scanFrac < 0.10, f"scan fraction $scanFrac%.4f not under 10%%")
+  }
+
   test("IVF index probe is partition-pruned and equals the unmaterialized search") {
     val out = Files.createTempDirectory("graft_ivf_index").toString
     try {
