@@ -39,4 +39,27 @@ class TextFunctionsSpec extends SparkSuite {
     assert(r.getDouble(0) === r.getDouble(1))
     assert(r.getDouble(0) > 0.0 && r.getDouble(0) < 1.0)
   }
+
+  test("driver-side twins match their Column kernels (index-probe safety)") {
+    // trigramsOf and hash60Local feed the stored-index probes'
+    // plan-time bucket pruning: if either drifts from its Column
+    // twin, probes prune the WRONG buckets and silently miss rows.
+    // Pin them over adversarial strings (repeats, spaces, case,
+    // len<3, empty, digits, punctuation).
+    val rng = new scala.util.Random(7)
+    val cases = Seq("", "a", "ab", "abc", "aaaa", "key agg row scna",
+      "AbC dEf", "  x  ", "zz zz zz", "a1b2c3", "don't-stop.now") ++
+      (0 until 30).map(_ => (0 until rng.nextInt(12))
+        .map(_ => "abAB z12.'"(rng.nextInt(10))).mkString)
+    for (s <- cases) {
+      val fromCol = spark.range(1)
+        .select(trigrams(lit(s)).as("t"), graft.functions.MinHash
+          .hash60(lit(s)).as("h"))
+        .head()
+      assert(fromCol.getSeq[String](0).toSet === trigramsOf(s).toSet,
+        s"trigramsOf drift for '$s'")
+      assert(fromCol.getLong(1) === graft.functions.MinHash.hash60Local(s),
+        s"hash60Local drift for '$s'")
+    }
+  }
 }
