@@ -60,14 +60,21 @@ object TextFunctions {
   def trigramSimBuiltin(a: Column, b: Column): Column =
     jaccard(trigrams(a), trigrams(b))
 
-  /** Distinct word n-gram shingle set (n >= 2). Built by zipping the
-    * token array with its shifted selves — higher-order functions are
-    * interpreted (no codegen), and `zip_with` iterates the arrays
-    * directly where a `transform` + `element_at(t, i)` formulation
-    * pays per-element eval dispatch (~6× slower measured). zip_with
-    * pads the shorter side with null, which null-propagates through
-    * concat; the final slice drops those tail slots. */
-  def wordShingles(c: Column, n: Int): Column = {
+  /** Distinct word n-gram shingle set (n >= 2) — native fused kernel
+    * ([[graft.plans.WordShingles]], whole-stage codegen, one pass,
+    * no intermediate arrays); bit-identical to
+    * [[wordShinglesBuiltin]] (TextFunctionsSpec + KernelProperties).
+    */
+  def wordShingles(c: Column, n: Int): Column =
+    graft.plans.WordShingles(c, n)
+
+  /** Composed-HOF reference formulation of [[wordShingles]] — kept
+    * for the cross-check (the HOF tree is interpreted and allocates
+    * several arrays per row: zip_with shifts + array_distinct +
+    * slice; zip_with pads the shorter side with null, which
+    * null-propagates through concat, and the final slice drops those
+    * tail slots). */
+  def wordShinglesBuiltin(c: Column, n: Int): Column = {
     val t = tokens(c)
     val joined = (1 until n).foldLeft(t) { (acc, j) =>
       zip_with(acc, slice(t, lit(j + 1), greatest(size(t) - j, lit(1))),

@@ -47,6 +47,27 @@ object KernelProperties extends Properties("graft.kernels") {
       ab == ba && ab >= 0.0 && ab <= 1.0
     }
 
+  // ---- WordShinglesUtil ----
+
+  private val spaceyString: Gen[String] =
+    Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', ' ', ' ', 'z')).map(_.mkString))
+
+  private def refShingles(s: String, n: Int): Seq[String] = {
+    val t = s.split(" ", -1).toSeq
+    if (t.length < n) Seq.empty
+    else t.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  property("wordShingles kernel == sliding-window reference") =
+    forAll(spaceyString, Gen.chooseNum(2, 4)) { (s, n) =>
+      val got = graft.plans.WordShinglesUtil
+        .shingles(UTF8String.fromString(s), n)
+        .toArray[UTF8String](
+          org.apache.spark.sql.types.StringType).toSeq.map(_.toString)
+      got == refShingles(s, n)
+    }
+
   // ---- NearestCellUtil ----
 
   private val vec: Gen[Array[Double]] =

@@ -40,6 +40,28 @@ class TextFunctionsSpec extends SparkSuite {
     assert(r.getDouble(0) > 0.0 && r.getDouble(0) < 1.0)
   }
 
+  test("native wordShingles == composed HOF form, codegen and interpreted") {
+    // The shingle kernel under minhash dedup / contamination: the
+    // fused expression must reproduce the HOF tree's exact output
+    // (order included) — adversarial inputs hit multi-space (empty
+    // tokens), repeats (distinct), and short strings (< n tokens).
+    val cases = Seq("", " ", "  ", "a", "a b", "a b c d", "x x x x x",
+      "a  b   c", "one two three two one", "trailing space ",
+      " leading", "a b c a b c a b")
+    for (n <- Seq(2, 3); s <- cases) {
+      def run() = spark.range(1)
+        .select(wordShingles(lit(s), n).as("nat"),
+          wordShinglesBuiltin(lit(s), n).as("ref"))
+        .head()
+      val r = run()
+      assert(r.getSeq[String](0) === r.getSeq[String](1),
+        s"native/HOF drift for '$s' n=$n (codegen)")
+      val ri = withCodegenOff(run())
+      assert(ri.getSeq[String](0) === ri.getSeq[String](1),
+        s"native/HOF drift for '$s' n=$n (interpreted)")
+    }
+  }
+
   test("driver-side twins match their Column kernels (index-probe safety)") {
     // trigramsOf and hash60Local feed the stored-index probes'
     // plan-time bucket pruning: if either drifts from its Column
