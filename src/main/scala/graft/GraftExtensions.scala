@@ -56,6 +56,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.plans.WordShingles].getName,
+        "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 && args(1).isInstanceOf[Literal],
+          "word_shingles(string, n literal)")
+        graft.plans.WordShingles(args(0),
+          args(1).eval().asInstanceOf[Int])
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
       (args: Seq[Expression]) => {

@@ -46,6 +46,16 @@ class ExtensionsSpec extends SparkSuite {
       java.lang.Double.doubleToLongBits(c))
   }
 
+  test("word_shingles resolves in SQL and matches the Column API") {
+    val r = spark.sql("SELECT word_shingles('one two three two one', 3)")
+      .head().getSeq[String](0)
+    val c = Seq("one two three two one").toDF("t")
+      .select(graft.functions.TextFunctions.wordShingles(col("t"), 3))
+      .head().getSeq[String](0)
+    assert(r === c)
+    assert(r === Seq("one two three", "two three two", "three two one"))
+  }
+
   test("nearest_cell resolves in SQL and matches the Column API") {
     val r = spark.sql(
       """SELECT nearest_cell(array(0.9d, 0.1d),
