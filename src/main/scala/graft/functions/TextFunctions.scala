@@ -25,12 +25,19 @@ object TextFunctions {
   /** Distinct token set. */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
-  /** Distinct character 3-gram set of a lowercased string. Built by
-    * zipping the char array with its shifted selves (same reasoning
-    * as [[wordShingles]]: interpreted HOFs, and per-element
-    * `substr(i, 3)` pays eval dispatch that array iteration
-    * doesn't). */
-  def trigrams(c: Column): Column = {
+  /** Distinct character 3-gram set of a lowercased string — native
+    * fused kernel ([[graft.plans.Trigrams]], whole-stage codegen);
+    * bit-identical (content AND order) to [[trigramsBuiltin]]
+    * (TextFunctionsSpec). Feeds the trigram prefilter's
+    * `arrays_overlap` and the trigram posting-index build. */
+  def trigrams(c: Column): Column = graft.plans.Trigrams(c)
+
+  /** Composed-HOF reference formulation of [[trigrams]] — kept for
+    * the cross-check and as [[trigramSimBuiltin]]'s building block
+    * (built by zipping the char array with its shifted selves; the
+    * per-element `substr(i, 3)` alternative pays eval dispatch that
+    * array iteration doesn't). */
+  def trigramsBuiltin(c: Column): Column = {
     val lc = lower(c)
     val ch = split(lc, "")
     val n = length(lc)
@@ -58,7 +65,7 @@ object TextFunctions {
     * interpreted and allocates several arrays per row; the native
     * expression exists for the hot paths). */
   def trigramSimBuiltin(a: Column, b: Column): Column =
-    jaccard(trigrams(a), trigrams(b))
+    jaccard(trigramsBuiltin(a), trigramsBuiltin(b))
 
   /** Distinct word n-gram shingle set (n >= 2) — native fused kernel
     * ([[graft.plans.WordShingles]], whole-stage codegen, one pass,

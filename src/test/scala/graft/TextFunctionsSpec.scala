@@ -40,6 +40,24 @@ class TextFunctionsSpec extends SparkSuite {
     assert(r.getDouble(0) > 0.0 && r.getDouble(0) < 1.0)
   }
 
+  test("native trigrams == composed HOF form, codegen and interpreted") {
+    // Content AND order must match: the stored trigram index and the
+    // prefilter derive bucket hashes from these exact strings.
+    val cases = Seq("", "ab", "abc", "ABCd", "aaaa", "key agg row scna",
+      "a b c", "  x  ", "mixed CASE here", "don't-stop.now", "abécd")
+    for (s <- cases) {
+      def run() = spark.range(1)
+        .select(trigrams(lit(s)).as("nat"), trigramsBuiltin(lit(s)).as("ref"))
+        .head()
+      val r = run()
+      assert(r.getSeq[String](0) === r.getSeq[String](1),
+        s"native/HOF trigram drift for '$s' (codegen)")
+      val ri = withCodegenOff(run())
+      assert(ri.getSeq[String](0) === ri.getSeq[String](1),
+        s"native/HOF trigram drift for '$s' (interpreted)")
+    }
+  }
+
   test("native wordShingles == composed HOF form, codegen and interpreted") {
     // The shingle kernel under minhash dedup / contamination: the
     // fused expression must reproduce the HOF tree's exact output
