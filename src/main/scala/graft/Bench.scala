@@ -21,7 +21,12 @@ object Bench {
     * Full keys always live in bench_out.json. */
   private[graft] val Abbrev: Seq[(String, String)] = Seq(
     "dedup_" -> "dd_", "stream_" -> "st_", "multimodal_" -> "mm_",
-    "vec_" -> "v_", "ann_" -> "a_", "name_" -> "nm_")
+    "vec_" -> "v_", "ann_" -> "a_", "name_" -> "nm_",
+    // r7b: 106 rows left ~36 chars of headroom; five more families
+    // reclaim ~58 (fingerprint_ before fingerprint: first match wins)
+    "fingerprint_" -> "fp_", "fingerprint" -> "fp", "quality_" -> "ql_",
+    "window_" -> "w_", "top_n_" -> "tn_", "rule_" -> "rl_",
+    "glossary_" -> "gl_")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

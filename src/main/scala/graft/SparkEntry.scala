@@ -22,6 +22,7 @@ object SparkEntry {
     Sketches,
     TextAnalysis,
     Ingest,
+    RulesParse,
     Rerank,
     Retrieval,
     graft.streaming.Streaming,

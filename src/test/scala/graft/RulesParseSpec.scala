@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RulesParse
+
+/** The rulesCleaning tier: hierarchical parse, combined assembly,
+  * reference extraction (parse_rules_both_versions.py /
+  * glossary_parser.py semantics). The DuckDB hash gate proves
+  * cross-engine equality; these specs pin the SEMANTICS against
+  * independent driver-side recomputation, and the plan shapes. */
+class RulesParseSpec extends SparkSuite {
+
+  test("q_rule_hierarchy: parse fields reconstruct the line, types consistent") {
+    val rows = RulesParse.ruleHierarchy(spark, sfDir).collect()
+    assert(rows.length == 500)
+    for (r <- rows) {
+      val num = r.getAs[String]("rule_number")
+      val typ = r.getAs[String]("rule_type")
+      val parent = r.getAs[String]("parent_rule")
+      val secPar = r.getAs[String]("section_parent")
+      // classification == letter suffix, parent strips exactly it
+      if (num.last.isLetter) {
+        assert(typ == "subrule" && parent == num.dropRight(1), num)
+      } else {
+        assert(typ == "main_rule" && parent == null, num)
+      }
+      // section parent is the before-dot prefix; number is its digit
+      assert(secPar == num.takeWhile(_ != '.'))
+      assert(r.getAs[String]("section_number") == secPar.take(1))
+      // embed text renders every derived field
+      val et = r.getAs[String]("embed_text")
+      assert(et.startsWith(s"Rule $num\nType: $typ\nSection: "))
+      assert(et.contains(s"\nParent: ${if (parent == null) "None" else parent}\n"))
+    }
+    // the synthetic render produces both classes
+    assert(rows.count(_.getAs[String]("rule_type") == "subrule") > 100)
+    assert(rows.count(_.getAs[String]("rule_type") == "main_rule") > 50)
+  }
+
+  test("q_rule_combined: ordered assembly matches a driver-side regroup") {
+    val indiv = RulesParse.ruleHierarchy(spark, sfDir).collect()
+    val combined = RulesParse.ruleCombined(spark, sfDir).collect()
+    // independent reimplementation of create_combined_rules over the
+    // individual parse: group subs by parent, keep min-doc main,
+    // sort subs by (rule_number, doc_id)
+    val mains = indiv.filter(_.getAs[String]("rule_type") == "main_rule")
+      .groupBy(_.getAs[String]("rule_number"))
+      .map { case (num, rs) => num -> rs.minBy(_.getAs[Long]("doc_id")) }
+    val subs = indiv.filter(_.getAs[String]("rule_type") == "subrule")
+      .groupBy(_.getAs[String]("parent_rule"))
+    assert(combined.length == mains.size,
+      "one output row per distinct main rule, sub-only groups dropped")
+    for (c <- combined) {
+      val num = c.getAs[String]("rule_number")
+      val main = mains(num)
+      assert(c.getAs[Long]("main_doc") == main.getAs[Long]("doc_id"))
+      val expectSubs = subs.getOrElse(num, Array.empty)
+        .sortBy(r => (r.getAs[String]("rule_number"), r.getAs[Long]("doc_id")))
+      assert(c.getAs[Long]("n_subrules") == expectSubs.length)
+      val expectText = s"Rule $num\nSection: ${main.getAs[String]("section_name")}" +
+        s"\nText: ${main.getAs[String]("rule_text")}" +
+        (if (expectSubs.isEmpty) ""
+         else "\nSubrules:\n" + expectSubs.map(r =>
+           s"${r.getAs[String]("rule_number")}: ${r.getAs[String]("rule_text")}")
+           .mkString("\n"))
+      assert(c.getAs[String]("combined_text") == expectText, num)
+    }
+  }
+
+  test("q_glossary_refs: extraction matches hash60Local recomputation") {
+    import graft.functions.MinHash.hash60Local
+    val rows = RulesParse.glossaryRefs(spark, sfDir).collect()
+    assert(rows.length == 500)
+    var empties = 0
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      def h(tag: String) = hash60Local(s"$tag$id")
+      val got = r.getSeq[String](r.fieldIndex("related_rules"))
+      if (h("has:") % 8 == 0) { empties += 1; assert(got.isEmpty, s"doc $id") }
+      else {
+        val r1 = ((h("r1:") % 9 + 1) * 100 + h("r1b:") % 20).toString
+        val r2 = s"${(h("r2:") % 9 + 1) * 100 + h("r2b:") % 20}.${h("r2c:") % 10}"
+        val ltr = "abc".charAt((h("r3l:") % 3).toInt)
+        val r3 = s"${(h("r3:") % 9 + 1) * 100 + h("r3b:") % 20}.${h("r3c:") % 10}$ltr"
+        val s1 = (h("s1:") % 9 + 1).toString
+        val expect = (Seq(r1, r2, r3) ++
+          (if (h("hasS:") % 2 == 1) Seq(s1) else Nil)).distinct.sorted
+        assert(got == expect, s"doc $id: $got vs $expect")
+      }
+      assert(r.getAs[Int]("n_refs") == got.length)
+    }
+    // the no-reference path is actually exercised
+    assert(empties > 20, s"expected ~1/8 empty ref lists, got $empties")
+  }
+
+  test("parse and extraction plans are map-only; assembly is equi-join only") {
+    val ph = RulesParse.ruleHierarchy(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // orderBy is presentation; the parse itself must add no shuffle
+    // beyond that single output sort
+    assert(!ph.contains("HashAggregate") && !ph.contains("Join"),
+      s"hierarchy parse must be a single scan:\n$ph")
+    val pg = RulesParse.glossaryRefs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!pg.contains("HashAggregate") && !pg.contains("Join"),
+      s"reference extraction must be a single scan:\n$pg")
+    val pc = RulesParse.ruleCombined(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("CartesianProduct"),
+      "assembly joins group-level sides on the rule key")
+    assert(!pc.contains("Window"),
+      "assembly orders inside the agg buffer, not via a window")
+  }
+}
