@@ -88,6 +88,33 @@ object Lexical extends graft.QueryGroup {
     trgPrefilterTopK(names(s, dir), trigramQuery, 10)
       .select(col("doc_id"), col("name"), round(col("sim"), 6).as("sim"))
 
+  /** Measured operating point of the trigram prefilter tier — the
+    * text twin of [[Ann.lshOperatingPoint]]: over an arbitrary
+    * (doc_id, name) corpus, returns (candidate fraction = names
+    * sharing ≥ 1 trigram with the query / all names, prefilter
+    * top-k ≡ full-scan top-k). The fraction is the per-query verify
+    * cost the prefilter leaves (what the stored q_trgm_idx probe
+    * scores after its partition-pruned posting read); unlike ANN
+    * recall there is no accuracy dial — the prefilter is lossless at
+    * every selectivity, so the fraction is purely a COST number: a
+    * deployment measures it per query class and routes stopword-like
+    * queries (fraction ≈ 1) to the scan it would have done anyway. */
+  def trgmOperatingPoint(names: DataFrame, q: String,
+      k: Int = 10): (Double, Boolean) = {
+    val n0 = graft.Checkpoints.cut(names)
+    val n = n0.count()
+    val isCand =
+      arrays_overlap(trigrams(col("name")), typedLit(trigramsOf(q)))
+    val candFrac = n0.where(isCand).count().toDouble / n
+    val pre = trgPrefilterTopK(n0, q, k).collect().toSeq
+    val full = n0
+      .select(col("doc_id"), col("name"),
+        trigramSim(col("name"), lit(q)).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc).limit(k)
+      .collect().toSeq
+    (candFrac, pre == full)
+  }
+
   /** ILIKE containment filter (reference: README.md "Direct SQL
     * Queries" `card_name ILIKE '%dragon%'`). */
   def textIlike(s: SparkSession, dir: String): DataFrame =

@@ -71,6 +71,43 @@ class RerankLexicalSpec extends SparkSuite {
     }
   }
 
+  test("trigram prefilter operating point at 1M names: selective query " +
+      "prunes, stopword query measured honest, both lossless") {
+    // The text twin of the ANN operating-point audits: 1M synthetic
+    // names (zero storage), two query classes. A typo'd rare word
+    // ("custmer") shares trigrams with only the customer/merge-ish
+    // slice of the corpus; the multi-word tier-3 query is built from
+    // common vocab + spaces and degrades toward a full verify — the
+    // measurement is what tells a deployment which class the index
+    // serves. Losslessness (prefilter ≡ full scan) must hold at BOTH
+    // selectivities.
+    import graft.functions.MinHash.hash60Local
+    import graft.functions.TextFunctions.{docName, trigramsOf}
+    val names = spark.read.format("graft-synth")
+      .option("rows", 1000000).option("parts", 16).option("seed", 7)
+      .load()
+      .select(col("doc_id"), docName(col("text")).as("name"))
+    val (selFrac, selEq) = Lexical.trgmOperatingPoint(names, "custmer")
+    val buckets = trigramsOf("custmer")
+      .map(t => hash60Local("tg:" + t) % 64L).distinct.size
+    info(f"selective 'custmer': candidate fraction = $selFrac%.4f, " +
+      f"stored-probe read = $buckets/64 posting buckets")
+    assert(selEq, "prefilter must equal the full scan (selective)")
+    assert(selFrac < 0.5, f"typo'd rare word should prune: $selFrac%.4f")
+    assert(buckets <= trigramsOf("custmer").size)
+    val (stopFrac, stopEq) =
+      Lexical.trgmOperatingPoint(names, Lexical.trigramQuery)
+    info(f"stopword-like tier-3 query: candidate fraction = $stopFrac%.4f")
+    assert(stopEq, "prefilter must equal the full scan (degraded)")
+    // 24-char names carry ~4 vocab words, so even the common-vocab
+    // query leaves ~2.5x the selective query's verify set (measured
+    // 0.69 vs 0.28 at 1M) — the spread between query classes is the
+    // routing signal.
+    assert(stopFrac > 2 * selFrac,
+      f"common-vocab query should verify far more than the typo'd " +
+        f"rare word: $stopFrac%.4f vs $selFrac%.4f")
+  }
+
   test("tier-1 exact hit short-circuits the fallback") {
     // Build a tiered query for a name that exists verbatim: tier must be 1.
     val name = Tables.documents(spark, sfDir)
