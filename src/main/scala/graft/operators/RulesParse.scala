@@ -45,12 +45,18 @@ import graft.functions.MinHash
   */
 object RulesParse extends graft.QueryGroup {
 
-  /** Sections 1..9 (the reference's section_names table). */
-  private val NumSections = 9
+  /** Sections 1..9 (the reference's section_names table).
+    * `private[graft]` (like Dedup.IncrMod) so specs re-derive from
+    * THESE values — a constant change moves query and test together. */
+  private[graft] val NumSections = 9
   /** Sub-numbers per section main rule: "100.0".."100.24". */
-  private val GroupsPerSec = 25
+  private[graft] val GroupsPerSec = 25
   /** 0 → main rule; 1..3 → subrule letter a/b/c. */
-  private val LetterMod = 4
+  private[graft] val LetterMod = 4
+  /** Modulus for the bare / dotted reference-number offsets. */
+  private[graft] val RefOffMod = 20
+  /** ~1/[[NoRefMod]] of rendered definitions carry no references. */
+  private[graft] val NoRefMod = 8
 
   // ---- shared deterministic derivation (Spark side) ----
 
@@ -168,12 +174,12 @@ object RulesParse extends graft.QueryGroup {
     * exercises dedup, case-insensitivity, and the empty path. */
   private def definition: Column = {
     val r1 = ((pmod(h("r1:"), lit(NumSections)) + 1) * 100 +
-      pmod(h("r1b:"), lit(20))).cast("string")
+      pmod(h("r1b:"), lit(RefOffMod))).cast("string")
     val r2 = concat(((pmod(h("r2:"), lit(NumSections)) + 1) * 100 +
-      pmod(h("r2b:"), lit(20))).cast("string"),
+      pmod(h("r2b:"), lit(RefOffMod))).cast("string"),
       lit("."), pmod(h("r2c:"), lit(10)).cast("string"))
     val r3 = concat(((pmod(h("r3:"), lit(NumSections)) + 1) * 100 +
-      pmod(h("r3b:"), lit(20))).cast("string"),
+      pmod(h("r3b:"), lit(RefOffMod))).cast("string"),
       lit("."), pmod(h("r3c:"), lit(10)).cast("string"),
       letter(pmod(h("r3l:"), lit(3)) + 1))
     val s1 = (pmod(h("s1:"), lit(NumSections)) + 1).cast("string")
@@ -183,7 +189,7 @@ object RulesParse extends graft.QueryGroup {
         concat(lit("; see also section "), s1)).otherwise(lit("")),
       lit(" and rule "), r2, lit(")"))
     concat(substring(col("text"), 1, 50),
-      when(pmod(h("has:"), lit(8)) === 0, lit("")).otherwise(refBlock))
+      when(pmod(h("has:"), lit(NoRefMod)) === 0, lit("")).otherwise(refBlock))
   }
 
   private val RulePat = "(?i)rule\\s+(\\d+(?:\\.\\d+[a-z]*)?)"
@@ -291,18 +297,18 @@ object RulesParse extends graft.QueryGroup {
          |         CAST(split_part(m.rule_number, '.', 2) AS INT)""".stripMargin,
     "q_glossary_refs" -> {
       val r1 = s"CAST((${hSql("r1:")} % $NumSections + 1) * 100 + " +
-        s"${hSql("r1b:")} % 20 AS VARCHAR)"
+        s"${hSql("r1b:")} % $RefOffMod AS VARCHAR)"
       val r2 = s"CAST((${hSql("r2:")} % $NumSections + 1) * 100 + " +
-        s"${hSql("r2b:")} % 20 AS VARCHAR) || '.' || " +
+        s"${hSql("r2b:")} % $RefOffMod AS VARCHAR) || '.' || " +
         s"CAST(${hSql("r2c:")} % 10 AS VARCHAR)"
       val r3 = s"CAST((${hSql("r3:")} % $NumSections + 1) * 100 + " +
-        s"${hSql("r3b:")} % 20 AS VARCHAR) || '.' || " +
+        s"${hSql("r3b:")} % $RefOffMod AS VARCHAR) || '.' || " +
         s"CAST(${hSql("r3c:")} % 10 AS VARCHAR) || " +
         letterSql(s"${hSql("r3l:")} % 3 + 1")
       val s1 = s"CAST(${hSql("s1:")} % $NumSections + 1 AS VARCHAR)"
       s"""WITH defs AS (
          |  SELECT doc_id, substr(text, 1, 50) ||
-         |    CASE WHEN ${hSql("has:")} % 8 = 0 THEN ''
+         |    CASE WHEN ${hSql("has:")} % $NoRefMod = 0 THEN ''
          |         ELSE ' (see Rule ' || $r1 || ' and rule ' || $r2 ||
          |              '. Compare rule ' || $r3 ||
          |              CASE WHEN ${hSql("hasS:")} % 2 = 1

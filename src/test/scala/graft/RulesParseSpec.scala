@@ -73,17 +73,21 @@ class RulesParseSpec extends SparkSuite {
     val rows = RulesParse.glossaryRefs(spark, sfDir).collect()
     assert(rows.length == 500)
     var empties = 0
+    // shared constants, not literals (the r6 IncrMod lesson): if the
+    // derivation moduli change, query and expectation move together
+    val (nSec, offMod, noRef) =
+      (RulesParse.NumSections, RulesParse.RefOffMod, RulesParse.NoRefMod)
     for (r <- rows) {
       val id = r.getAs[Long]("doc_id")
       def h(tag: String) = hash60Local(s"$tag$id")
       val got = r.getSeq[String](r.fieldIndex("related_rules"))
-      if (h("has:") % 8 == 0) { empties += 1; assert(got.isEmpty, s"doc $id") }
+      if (h("has:") % noRef == 0) { empties += 1; assert(got.isEmpty, s"doc $id") }
       else {
-        val r1 = ((h("r1:") % 9 + 1) * 100 + h("r1b:") % 20).toString
-        val r2 = s"${(h("r2:") % 9 + 1) * 100 + h("r2b:") % 20}.${h("r2c:") % 10}"
+        val r1 = ((h("r1:") % nSec + 1) * 100 + h("r1b:") % offMod).toString
+        val r2 = s"${(h("r2:") % nSec + 1) * 100 + h("r2b:") % offMod}.${h("r2c:") % 10}"
         val ltr = "abc".charAt((h("r3l:") % 3).toInt)
-        val r3 = s"${(h("r3:") % 9 + 1) * 100 + h("r3b:") % 20}.${h("r3c:") % 10}$ltr"
-        val s1 = (h("s1:") % 9 + 1).toString
+        val r3 = s"${(h("r3:") % nSec + 1) * 100 + h("r3b:") % offMod}.${h("r3c:") % 10}$ltr"
+        val s1 = (h("s1:") % nSec + 1).toString
         val expect = (Seq(r1, r2, r3) ++
           (if (h("hasS:") % 2 == 1) Seq(s1) else Nil)).distinct.sorted
         assert(got == expect, s"doc $id: $got vs $expect")
