@@ -135,8 +135,11 @@ object RulesParse extends graft.QueryGroup {
     * semantics made order-free; subrule groups whose main rule never
     * appears are dropped, exactly as :188-192 attaches only to
     * existing parents. */
-  def ruleCombined(s: SparkSession, dir: String): DataFrame = {
-    val p = parsed(s, dir)
+  /** The assembly core over a parsed-lines frame: dedup mains by
+    * key, fold subrules ordered inside the agg buffer, left-join and
+    * render. Whole groups in → whole combined rows out, so the same
+    * core serves the full rebuild and the affected-group refresh. */
+  private def assembled(p: DataFrame): DataFrame = {
     val mains = p.filter(col("rule_type") === "main_rule")
       .groupBy(col("rule_number"))
       .agg(min_by(col("rule_text"), col("doc_id")).as("main_text"),
@@ -161,8 +164,42 @@ object RulesParse extends graft.QueryGroup {
           when(col("sub_block").isNotNull,
             concat(lit("\nSubrules:\n"), col("sub_block")))
             .otherwise(lit(""))).as("combined_text"))
-      .orderBy(split(col("rule_number"), "\\.").getItem(0).cast("int").asc,
-        split(col("rule_number"), "\\.").getItem(1).cast("int").asc)
+  }
+
+  private def sortKeyOrder(df: DataFrame): DataFrame =
+    df.orderBy(split(col("rule_number"), "\\.").getItem(0).cast("int").asc,
+      split(col("rule_number"), "\\.").getItem(1).cast("int").asc)
+
+  def ruleCombined(s: SparkSession, dir: String): DataFrame =
+    sortKeyOrder(assembled(parsed(s, dir)))
+
+  /** q_rule_incremental — incremental maintenance of the combined
+    * corpus (the 4th member of the O(batch)-refresh family next to
+    * q_dedup_incremental / q_ann_incremental / q_text_incremental:
+    * every derived table a deployment materializes refreshes without
+    * a rebuild). Ids divisible by [[Dedup.IncrMod]] form the ingest
+    * batch; a batch line invalidates exactly its parent group, so
+    * the refresh re-assembles ONLY affected groups: the corpus is
+    * key-filtered by a broadcast semi-join BELOW both grouping
+    * aggregations (plan-asserted in RulesParseSpec), making the
+    * refresh shuffle O(affected groups' lines) — corpus-size
+    * independent for a bounded batch. The oracle recomputes the same
+    * groups from the full corpus, so the hash match proves
+    * refresh ≡ rebuild; n_batch_docs audits why each group is in
+    * the refresh. */
+  def ruleIncremental(s: SparkSession, dir: String): DataFrame = {
+    val p = parsed(s, dir)
+    val key = coalesce(col("parent_rule"), col("rule_number"))
+    val batchCounts = p
+      .where(pmod(col("doc_id"), lit(Dedup.IncrMod)) === 0)
+      .groupBy(key.as("pk")).agg(count(lit(1)).as("n_batch_docs"))
+    val affected = p.join(broadcast(batchCounts.select(col("pk"))),
+      key === col("pk"), "left_semi")
+    sortKeyOrder(
+      assembled(affected)
+        .join(broadcast(batchCounts), col("rule_number") === col("pk"))
+        .select(col("rule_number"), col("section_name"), col("main_doc"),
+          col("n_subrules"), col("n_batch_docs"), col("combined_text")))
   }
 
   // ---- glossary reference extraction ----
@@ -213,6 +250,7 @@ object RulesParse extends graft.QueryGroup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rule_hierarchy" -> ((s, d) => ruleHierarchy(s, d)),
     "q_rule_combined" -> ((s, d) => ruleCombined(s, d)),
+    "q_rule_incremental" -> ((s, d) => ruleIncremental(s, d)),
     "q_glossary_refs" -> ((s, d) => glossaryRefs(s, d)),
   )
 
@@ -293,6 +331,31 @@ object RulesParse extends graft.QueryGroup {
          |            THEN chr(10) || 'Subrules:' || chr(10) || sa.sub_block
          |            ELSE '' END AS combined_text
          |FROM m LEFT JOIN sa ON sa.parent_rule = m.rule_number
+         |ORDER BY CAST(split_part(m.rule_number, '.', 1) AS INT),
+         |         CAST(split_part(m.rule_number, '.', 2) AS INT)""".stripMargin,
+    "q_rule_incremental" ->
+      s"""WITH $parsedCtes,
+         |bc AS (SELECT coalesce(parent_rule, rule_number) AS pk,
+         |              count(*) AS n_batch_docs
+         |       FROM g WHERE doc_id % ${Dedup.IncrMod} = 0 GROUP BY 1),
+         |m AS (SELECT rule_number, arg_min(rule_text, doc_id) AS main_text,
+         |             min(doc_id) AS main_doc,
+         |             min(section_name) AS section_name
+         |      FROM g WHERE rule_type = 'main_rule' GROUP BY rule_number),
+         |sa AS (SELECT parent_rule, count(*) AS n_subrules,
+         |              string_agg(rule_number || ': ' || rule_text, chr(10)
+         |                ORDER BY rule_number, doc_id) AS sub_block
+         |       FROM g WHERE rule_type = 'subrule' GROUP BY parent_rule)
+         |SELECT m.rule_number, m.section_name, m.main_doc,
+         |       coalesce(sa.n_subrules, 0) AS n_subrules, bc.n_batch_docs,
+         |       'Rule ' || m.rule_number || chr(10) ||
+         |       'Section: ' || m.section_name || chr(10) ||
+         |       'Text: ' || m.main_text ||
+         |       CASE WHEN sa.sub_block IS NOT NULL
+         |            THEN chr(10) || 'Subrules:' || chr(10) || sa.sub_block
+         |            ELSE '' END AS combined_text
+         |FROM m JOIN bc ON bc.pk = m.rule_number
+         |       LEFT JOIN sa ON sa.parent_rule = m.rule_number
          |ORDER BY CAST(split_part(m.rule_number, '.', 1) AS INT),
          |         CAST(split_part(m.rule_number, '.', 2) AS INT)""".stripMargin,
     "q_glossary_refs" -> {

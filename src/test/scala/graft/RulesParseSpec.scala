@@ -68,6 +68,53 @@ class RulesParseSpec extends SparkSuite {
     }
   }
 
+  test("q_rule_incremental: refresh == rebuild restricted to affected groups") {
+    val combined = RulesParse.ruleCombined(spark, sfDir).collect()
+      .map(r => r.getAs[String]("rule_number") -> r).toMap
+    val indiv = RulesParse.ruleHierarchy(spark, sfDir).collect()
+    // affected keys: the parent group of every batch doc
+    val affected = indiv
+      .filter(_.getAs[Long]("doc_id") % graft.operators.Dedup.IncrMod == 0)
+      .map(r => Option(r.getAs[String]("parent_rule"))
+        .getOrElse(r.getAs[String]("rule_number")))
+    val expectKeys = affected.distinct.filter(combined.contains).sorted
+    val inc = RulesParse.ruleIncremental(spark, sfDir).collect()
+    assert(inc.map(_.getAs[String]("rule_number")).sorted.toSeq
+      === expectKeys.toSeq,
+      "refresh must cover exactly the batch-touched groups with a main")
+    val batchPerKey = affected.groupBy(identity).view.mapValues(_.length)
+    for (r <- inc) {
+      val num = r.getAs[String]("rule_number")
+      val full = combined(num)
+      // whole groups in, whole rows out: every column equals the rebuild
+      assert(r.getAs[String]("combined_text") ==
+        full.getAs[String]("combined_text"), num)
+      assert(r.getAs[Long]("n_subrules") == full.getAs[Long]("n_subrules"))
+      assert(r.getAs[Long]("main_doc") == full.getAs[Long]("main_doc"))
+      assert(r.getAs[Long]("n_batch_docs") == batchPerKey(num).toLong, num)
+    }
+  }
+
+  test("q_rule_incremental plan: the key filter sits BELOW both grouping " +
+      "aggregations") {
+    // The production property: the refresh shuffles only affected
+    // groups' lines, so the broadcast semi-join on the batch keys
+    // must be under the mains/subs aggregates, not over their output.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = RulesParse.ruleIncremental(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val groupAggs = plan.collect {
+      case a: Aggregate if a.groupingExpressions.nonEmpty => a
+    }
+    // mains, subs, and the batch-count agg itself
+    assert(groupAggs.size >= 3, s"expected 3 grouping aggs:\n$plan")
+    val withSemiBelow = groupAggs.count(a =>
+      a.child.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty)
+    assert(withSemiBelow >= 2,
+      s"mains+subs aggs must sit above the semi key filter:\n$plan")
+  }
+
   test("q_glossary_refs: extraction matches hash60Local recomputation") {
     import graft.functions.MinHash.hash60Local
     val rows = RulesParse.glossaryRefs(spark, sfDir).collect()
