@@ -19,6 +19,26 @@ class PlanSpec extends SparkSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("registry sweep: NO query plans a CartesianProduct") {
+    // The one plan shape that can never survive 100 TB. Individual
+    // audits pin specific queries; this sweep pins the INVARIANT for
+    // every present and future registry row. Tiny broadcast sides
+    // plan as BroadcastNestedLoopJoin — allowed; an unhinted
+    // CartesianProduct is always a bug. Stream rows are excluded
+    // (building them runs a micro-batch pipeline; their stream-side
+    // plans are audited in StreamingSpec).
+    val skip = (n: String) => n.startsWith("q_stream_")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"queries planning a cartesian product: $offenders")
+  }
+
   test("q_vec_topk: filter pushed to parquet scan, TakeOrderedAndProject top-k") {
     val p = formatted(VectorSearch.topK(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),
