@@ -72,10 +72,14 @@ object RulesParse extends graft.QueryGroup {
 
   /** Render each doc as a raw rules-file line: main rules
     * "100.1. Text" (trailing period), subrules "100.1a Text" — the
-    * exact format parse_rules_both_versions.py:52-64 splits. */
-  private def ruleLines(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), sec.as("sec"), grp.as("grp"), ltr.as("ltr"),
+    * exact format parse_rules_both_versions.py:52-64 splits.
+    * `groupsPerSec` widens the rule-number space for scale smokes
+    * (the oracle rows always use [[GroupsPerSec]]). */
+  private[graft] def ruleLinesOver(docs: DataFrame,
+      groupsPerSec: Int = GroupsPerSec): DataFrame =
+    docs
+      .select(col("doc_id"), sec.as("sec"),
+        pmod(h("grp:"), lit(groupsPerSec)).as("grp"), ltr.as("ltr"),
         substring(col("text"), 1, 40).as("body"))
       .select(col("doc_id"),
         concat((col("sec") * 100).cast("string"), lit("."),
@@ -83,6 +87,9 @@ object RulesParse extends graft.QueryGroup {
           when(col("ltr") === 0, lit(". "))
             .otherwise(concat(letter(col("ltr")), lit(" "))),
           col("body")).as("line"))
+
+  private def ruleLines(s: SparkSession, dir: String): DataFrame =
+    ruleLinesOver(Tables.documents(s, dir))
 
   private val SectionCase: Column => Column = n =>
     when(n === "1", "Game Concepts").when(n === "2", "Parts of a Card")
@@ -97,9 +104,12 @@ object RulesParse extends graft.QueryGroup {
     * first space, strip the trailing period, classify main/sub by
     * letter suffix, derive parent rule + section, render the
     * per-rule embedding text (:210-219). */
-  private def parsed(s: SparkSession, dir: String): DataFrame = {
+  private def parsed(s: SparkSession, dir: String): DataFrame =
+    parsedOver(ruleLines(s, dir))
+
+  private[graft] def parsedOver(lines: DataFrame): DataFrame = {
     val subrule = col("rule_number").rlike("[a-z]$")
-    ruleLines(s, dir)
+    lines
       .select(col("doc_id"),
         regexp_replace(regexp_extract(col("line"), "^([^ ]+) ", 1),
           "\\.$", "").as("rule_number"),
@@ -139,7 +149,7 @@ object RulesParse extends graft.QueryGroup {
     * key, fold subrules ordered inside the agg buffer, left-join and
     * render. Whole groups in → whole combined rows out, so the same
     * core serves the full rebuild and the affected-group refresh. */
-  private def assembled(p: DataFrame): DataFrame = {
+  private[graft] def assembled(p: DataFrame): DataFrame = {
     val mains = p.filter(col("rule_type") === "main_rule")
       .groupBy(col("rule_number"))
       .agg(min_by(col("rule_text"), col("doc_id")).as("main_text"),

@@ -145,6 +145,31 @@ class RulesParseSpec extends SparkSuite {
     assert(empties > 20, s"expected ~1/8 empty ref lists, got $empties")
   }
 
+  test("combined assembly scale smoke: 1M docs, ~10k groups, conservation") {
+    // The size where a serialized concat or an all-pairs regression
+    // would show (the q_pipeline 10M smoke's assembly sibling):
+    // zero-storage synth corpus rendered at a realistic fanout
+    // (9 sections x 1200 sub-numbers ~ 10.8k groups, ~90 docs each),
+    // parsed and assembled. Asserts completion + conservation:
+    // every subrule of a surviving group is in exactly one Subrules
+    // block, group count bounded by the key space.
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 1000000).option("parts", 32).option("seed", 13)
+      .load().select(col("doc_id"), col("text"))
+    val p = RulesParse.parsedOver(RulesParse.ruleLinesOver(docs, 1200))
+    val out = RulesParse.assembled(p)
+      .agg(count(lit(1)).as("groups"), sum(col("n_subrules")).as("subs"))
+      .head()
+    val groups = out.getLong(0)
+    assert(groups > 9000 && groups <= 9L * 1200,
+      s"group count $groups outside the key space")
+    // subs attached = subrules whose parent has >=1 main; with ~90
+    // docs per group every group has one, so ALL subrules attach
+    val totalSubs = p.filter(col("rule_type") === "subrule").count()
+    assert(out.getLong(1) == totalSubs,
+      s"attached ${out.getLong(1)} of $totalSubs subrules")
+  }
+
   test("parse and extraction plans are map-only; assembly is equi-join only") {
     val ph = RulesParse.ruleHierarchy(spark, sfDir)
       .queryExecution.executedPlan.toString
