@@ -311,6 +311,31 @@ object RulesParse extends graft.QueryGroup {
        |               WHEN '9' THEN 'Casual Variants'
        |               ELSE 'Unknown' END AS section_name FROM e)""".stripMargin
 
+  /** The oracle twin of [[assembled]]: main dedup + ordered subrule
+    * fold + rendered combined text — shared by the rebuild and the
+    * incremental oracle so the two can't drift. */
+  private val assemblyCtes: String =
+    s"""m AS (SELECT rule_number, arg_min(rule_text, doc_id) AS main_text,
+       |             min(doc_id) AS main_doc,
+       |             min(section_name) AS section_name
+       |      FROM g WHERE rule_type = 'main_rule' GROUP BY rule_number),
+       |sa AS (SELECT parent_rule, count(*) AS n_subrules,
+       |              string_agg(rule_number || ': ' || rule_text, chr(10)
+       |                ORDER BY rule_number, doc_id) AS sub_block
+       |       FROM g WHERE rule_type = 'subrule' GROUP BY parent_rule)""".stripMargin
+
+  private val combinedTextSql: String =
+    """'Rule ' || m.rule_number || chr(10) ||
+      |       'Section: ' || m.section_name || chr(10) ||
+      |       'Text: ' || m.main_text ||
+      |       CASE WHEN sa.sub_block IS NOT NULL
+      |            THEN chr(10) || 'Subrules:' || chr(10) || sa.sub_block
+      |            ELSE '' END AS combined_text""".stripMargin
+
+  private val sortKeySql: String =
+    """ORDER BY CAST(split_part(m.rule_number, '.', 1) AS INT),
+      |         CAST(split_part(m.rule_number, '.', 2) AS INT)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_rule_hierarchy" ->
       s"""WITH $parsedCtes
@@ -324,50 +349,24 @@ object RulesParse extends graft.QueryGroup {
          |FROM g ORDER BY doc_id""".stripMargin,
     "q_rule_combined" ->
       s"""WITH $parsedCtes,
-         |m AS (SELECT rule_number, arg_min(rule_text, doc_id) AS main_text,
-         |             min(doc_id) AS main_doc,
-         |             min(section_name) AS section_name
-         |      FROM g WHERE rule_type = 'main_rule' GROUP BY rule_number),
-         |sa AS (SELECT parent_rule, count(*) AS n_subrules,
-         |              string_agg(rule_number || ': ' || rule_text, chr(10)
-         |                ORDER BY rule_number, doc_id) AS sub_block
-         |       FROM g WHERE rule_type = 'subrule' GROUP BY parent_rule)
+         |$assemblyCtes
          |SELECT m.rule_number, m.section_name, m.main_doc,
          |       coalesce(sa.n_subrules, 0) AS n_subrules,
-         |       'Rule ' || m.rule_number || chr(10) ||
-         |       'Section: ' || m.section_name || chr(10) ||
-         |       'Text: ' || m.main_text ||
-         |       CASE WHEN sa.sub_block IS NOT NULL
-         |            THEN chr(10) || 'Subrules:' || chr(10) || sa.sub_block
-         |            ELSE '' END AS combined_text
+         |       $combinedTextSql
          |FROM m LEFT JOIN sa ON sa.parent_rule = m.rule_number
-         |ORDER BY CAST(split_part(m.rule_number, '.', 1) AS INT),
-         |         CAST(split_part(m.rule_number, '.', 2) AS INT)""".stripMargin,
+         |$sortKeySql""".stripMargin,
     "q_rule_incremental" ->
       s"""WITH $parsedCtes,
          |bc AS (SELECT coalesce(parent_rule, rule_number) AS pk,
          |              count(*) AS n_batch_docs
          |       FROM g WHERE doc_id % ${Dedup.IncrMod} = 0 GROUP BY 1),
-         |m AS (SELECT rule_number, arg_min(rule_text, doc_id) AS main_text,
-         |             min(doc_id) AS main_doc,
-         |             min(section_name) AS section_name
-         |      FROM g WHERE rule_type = 'main_rule' GROUP BY rule_number),
-         |sa AS (SELECT parent_rule, count(*) AS n_subrules,
-         |              string_agg(rule_number || ': ' || rule_text, chr(10)
-         |                ORDER BY rule_number, doc_id) AS sub_block
-         |       FROM g WHERE rule_type = 'subrule' GROUP BY parent_rule)
+         |$assemblyCtes
          |SELECT m.rule_number, m.section_name, m.main_doc,
          |       coalesce(sa.n_subrules, 0) AS n_subrules, bc.n_batch_docs,
-         |       'Rule ' || m.rule_number || chr(10) ||
-         |       'Section: ' || m.section_name || chr(10) ||
-         |       'Text: ' || m.main_text ||
-         |       CASE WHEN sa.sub_block IS NOT NULL
-         |            THEN chr(10) || 'Subrules:' || chr(10) || sa.sub_block
-         |            ELSE '' END AS combined_text
+         |       $combinedTextSql
          |FROM m JOIN bc ON bc.pk = m.rule_number
          |       LEFT JOIN sa ON sa.parent_rule = m.rule_number
-         |ORDER BY CAST(split_part(m.rule_number, '.', 1) AS INT),
-         |         CAST(split_part(m.rule_number, '.', 2) AS INT)""".stripMargin,
+         |$sortKeySql""".stripMargin,
     "q_glossary_refs" -> {
       val r1 = s"CAST((${hSql("r1:")} % $NumSections + 1) * 100 + " +
         s"${hSql("r1b:")} % $RefOffMod AS VARCHAR)"
