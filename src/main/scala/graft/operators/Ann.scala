@@ -224,6 +224,11 @@ object Ann extends graft.QueryGroup {
       .limit(PqK)
       .select(col("vec_id").as("sid"), col("embedding").as("sv"))
 
+  /** Codebook row for an arbitrary (vec_id, embedding) corpus —
+    * exposed for the PqEncodeSpec parity harness. */
+  private[graft] def pqCodebookFor(e: DataFrame): DataFrame =
+    pqCodebookArr(pqSeeds(e))
+
   /** ADC lookup table from the query: dt[m][j] = subdist(q, cw_j, m);
     * one broadcast row. */
   private def pqDtArr(e: DataFrame, cbB: DataFrame, id: Long): DataFrame =
@@ -233,8 +238,17 @@ object Ann extends graft.QueryGroup {
           subdist(col("embedding"), s.getField("sv"), m))).as("dt")))
 
   /** Per-subspace argmin codeword over `cb` (ties to the smaller j,
-    * DuckDB-identically) — the map-only encoder. */
-  private def pqCodes: Column = transform(pqMs, m =>
+    * DuckDB-identically) — the map-only encoder, as the fused native
+    * kernel ([[graft.plans.PqEncode]]; whole-stage codegen, one loop
+    * instead of PqM×PqK interpreted folds — the corpus-wide encode
+    * pass is the PQ tier's hot path at 100 TB). Bit-identical to
+    * [[pqCodesBuiltin]] (PqEncodeSpec). */
+  private[graft] def pqCodes: Column =
+    graft.plans.PqEncode(col("embedding"), col("cb"), PqM, PqSub)
+
+  /** Composed-HOF reference formulation of [[pqCodes]] — kept for
+    * the bit-parity cross-check. */
+  private[graft] def pqCodesBuiltin: Column = transform(pqMs, m =>
     array_min(transform(col("cb"), (cw, j) =>
       struct(subdist(col("embedding"), cw.getField("sv"), m).as("d"),
         j.as("j")))).getField("j"))
