@@ -14,7 +14,11 @@ import graft.functions.MinHash
   * hierarchy columns (reference: rulesCleaning/
   * parse_rules_both_versions.py:34-147 — rule number split, trailing
   * period strip, main-rule vs subrule classification by letter
-  * suffix, parent/section derivation, section-name lookup), (b)
+  * suffix, parent/section derivation, section-name lookup; the
+  * per-rule embed_text is the same assembly db/ingest_rules.py:13-33
+  * create_rule_embedding_text feeds the embedder — rule number,
+  * type, section, parent, text — and the whole parse+embed+assemble
+  * sequencing is db/ingest_all.py's pipeline), (b)
   * assembling a "combined" corpus where every subrule is nested
   * under its main rule in `(main, sub, letter)` order with a
   * rendered Subrules block (same file, :149-235

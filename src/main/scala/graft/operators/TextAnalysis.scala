@@ -122,17 +122,28 @@ object TextAnalysis extends graft.QueryGroup {
     * fingerprint differently (the content hash in [[fingerprint]]
     * can't see order through normalization-stable permutations).
     * Map-only; the sequential fold is per-row, not cross-row. */
-  def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val B = 1000003L
-    val M = 2147483647L // 2^31-1; acc·B + x < 2^52, no overflow
-    val tokHash = transform(tokens(col("text")),
-      t => graft.functions.MinHash.hash60(t) % lit(1048576L))
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        aggregate(tokHash, lit(0L),
-          (acc, x) => (acc * lit(B) + x) % lit(M)).as("rfp"))
+      .select(col("doc_id"), col("source"), rollingFp.as("rfp"))
       .orderBy(col("doc_id").asc)
-  }
+
+  private[graft] val RfpB = 1000003L
+  private[graft] val RfpM = 2147483647L // 2^31-1; acc·B + x < 2^52
+  private[graft] val RfpHashMod = 1048576L
+
+  /** The per-doc fold as the fused native kernel
+    * ([[graft.plans.RollingFp]] — one pass, whole-stage codegen).
+    * Bit-identical to [[rollingFpBuiltin]] (TokenKernelsSpec). */
+  private[graft] def rollingFp: Column =
+    graft.plans.RollingFp(tokens(col("text")), RfpHashMod, RfpB, RfpM)
+
+  /** Composed-HOF reference formulation of [[rollingFp]] — kept for
+    * the bit-parity cross-check (two interpreted HOFs per token). */
+  private[graft] def rollingFpBuiltin: Column =
+    aggregate(
+      transform(tokens(col("text")),
+        t => graft.functions.MinHash.hash60(t) % lit(RfpHashMod)),
+      lit(0L), (acc, x) => (acc * lit(RfpB) + x) % lit(RfpM))
 
   /** Denylist terms for the scrub audit — stand-ins for PII patterns
     * (emails, phones) on this synthetic corpus; the operator shape
@@ -169,11 +180,18 @@ object TextAnalysis extends graft.QueryGroup {
     * shuffle; the only exchange is the ~20-key source rollup. A doc
     * flags as repetitious when over half its words are repeats
     * (2·(n−distinct) > n, integer compare). */
-  /** Max frequency of any element in a token array, computed as the
-    * longest equal-run over the SORTED array — one map-side fold, no
-    * explode/shuffle (the spec cross-checks it against the
-    * explode → groupBy → max formulation). */
-  def maxWordFreq(toks: Column): Column = {
+  /** Max frequency of any element in a token array — one map-side
+    * kernel call, no explode/shuffle (the spec cross-checks it
+    * against the explode → groupBy → max formulation AND the
+    * composed sorted-run fold). Native ([[graft.plans.MaxTokenFreq]],
+    * one hash-map pass inside whole-stage codegen); value-identical
+    * to [[maxWordFreqBuiltin]]. */
+  def maxWordFreq(toks: Column): Column = graft.plans.MaxTokenFreq(toks)
+
+  /** Composed reference formulation of [[maxWordFreq]]: the longest
+    * equal-run over the SORTED array — an interpreted struct fold
+    * per token, kept for the parity cross-check. */
+  private[graft] def maxWordFreqBuiltin(toks: Column): Column = {
     val acc0 = struct(lit("").as("prev"), lit(0L).as("run"),
       lit(0L).as("best"))
     aggregate(sort_array(toks), acc0,
