@@ -175,6 +175,73 @@ object Dedup extends graft.QueryGroup {
     jaccardVerify(bandCandidates(signatureFromBase(feats)), sh, topN)
   }
 
+  /** Span length (in tokens) for substring-level dedup — the
+    * deduplicated unit of the exact-substring pass. Production runs
+    * use ~50 BPE tokens (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"); 8 whitespace tokens keeps the
+    * synthetic corpus's duplicated spans detectable. */
+  val SpanW = 8
+
+  /** Span-level EXACT substring dedup — the pass doc-level dedup
+    * cannot do: a document that copies an 8-token span from another
+    * document (boilerplate, license headers, quoted text) is invisible
+    * to whole-doc hashing and diluted below every near-dup threshold,
+    * but is exactly what substring dedup removes from a training
+    * corpus. Distributed shape of the suffix-array method: every
+    * sliding W-token span hashes once (md5-prefix, oracle-identical),
+    * a span is DUPLICATED when it occurs ≥ 2 times corpus-wide
+    * (within- or cross-doc, as in the paper), and each doc reports
+    * its duplicated-span fraction — the signal a curation pipeline
+    * thresholds on.
+    *
+    * Scale: span hashes are O(tokens) rows per doc; both aggregations
+    * are map-side-combining on uniform 60-bit keys; the only join
+    * carries (h, occ) against (h, doc_id, k) — no all-pairs anywhere,
+    * no skew (a corpus-hot span concentrates on one key but its
+    * per-doc counts are already combined before the shuffle). The
+    * per-span md5 over the joined slice is O(n·W) chars per doc;
+    * a production swap to a rolling polynomial hash (the
+    * [[graft.plans.RollingFp]] recurrence) makes it O(n) with no
+    * structural change — md5 is kept so DuckDB verifies bit-exactly. */
+  def substringDedup(s: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val toks = tokens(col("text"))
+    val nSpans = size(toks) - (SpanW - 1)
+    val spans = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(when(nSpans > 0,
+          transform(sequence(lit(1), nSpans),
+            p => MinHash.hash60(concat_ws(" ", slice(toks, p, lit(SpanW))))))
+          .otherwise(array().cast("array<long>"))).as("h"))
+    // ONE exchange serves the whole h-keyed pipeline: hash-partition
+    // the span postings by h once — HashPartitioning(h) satisfies the
+    // clustered distribution of the (h, doc_id) aggregate, the h
+    // aggregate AND both sides of the h join, so none of them inserts
+    // its own shuffle. The partitioned counts are materialized ONCE
+    // (lineage cut): the plan consumes them twice (occurrence rollup
+    // + join probe side) and without the cut Catalyst re-runs the
+    // whole scan+explode+md5 lineage for each consumer — the
+    // dominant cost, twice. Only hashes with occ >= 2 survive to the
+    // join's build side (the duplicated minority; the full occ
+    // relation is O(distinct spans) and must never be broadcast).
+    // Net: 2 shuffle exchanges total, plan-asserted in DedupSpec.
+    val byDocHash = spans.repartition(col("h"))
+      .groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("k"))
+      .transform(graft.Checkpoints.cut)
+    val dup = byDocHash.groupBy(col("h")).agg(sum(col("k")).as("occ"))
+      .where(col("occ") >= 2)
+    byDocHash.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_spans"),
+        sum(when(col("occ").isNotNull, col("k")).otherwise(0L))
+          .as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_frac"))
+      .orderBy(col("dup_frac").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
   /** Dedup-by-latest: keep each (user, event_type) key's most recent
     * event — the snapshot-compaction shape every CDC/versioned-corpus
     * pipeline runs. WRITTEN as the natural `row_number() = 1` window
@@ -501,6 +568,7 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_minhash" -> ((s, d) => minhashLsh(s, d)),
     "q_dedup_simhash" -> ((s, d) => simhashPairs(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "q_dedup_substring" -> ((s, d) => substringDedup(s, d)),
     "q_dedup_embedding" -> ((s, d) => embeddingNearDup(s, d)),
     "q_dedup_cluster" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_converged" -> ((s, d) => convergedClusters(s, d)),
@@ -571,6 +639,27 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_minhash" -> minhashOracle(
       """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs
         |         FROM documents)""".stripMargin, 20),
+    "q_dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
+         |           FROM documents),
+         |pos AS (SELECT doc_id, toks,
+         |               unnest(generate_series(1, len(toks) - ${SpanW - 1}))
+         |                 AS p
+         |        FROM t WHERE len(toks) >= $SpanW),
+         |sp AS (SELECT doc_id,
+         |  ${MinHash.hash60Sql(s"array_to_string(toks[p:p+${SpanW - 1}], ' ')")}
+         |    AS h
+         |       FROM pos),
+         |dh AS (SELECT h, doc_id, count(*) AS k FROM sp GROUP BY h, doc_id),
+         |occ AS (SELECT h, CAST(sum(k) AS BIGINT) AS occ FROM dh
+         |        GROUP BY h),
+         |pd AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_spans,
+         |              CAST(sum(CASE WHEN occ >= 2 THEN k ELSE 0 END)
+         |                AS BIGINT) AS n_dup_spans
+         |       FROM dh JOIN occ USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_spans, n_dup_spans,
+         |       round(n_dup_spans / n_spans, 6) AS dup_frac
+         |FROM pd ORDER BY dup_frac DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_dedup_latest" ->
       """WITH r AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,

@@ -223,13 +223,27 @@ object Retrieval extends graft.QueryGroup {
   /** The trigram tier of the index (independent build — a deployment
     * refreshing only name search rebuilds only this). */
   def writeTrgmIndex(s: SparkSession, dir: String, out: String): Unit =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), docName(col("text")).as("name"))
+    buildTrgmPart(Tables.documents(s, dir), out, "overwrite")
+
+  /** Append an ingest batch's trigram postings to a standing trigram
+    * index — the tier's O(batch) refresh (completing the triad with
+    * [[appendBm25Delta]] and the dedup/IVF incremental paths: EVERY
+    * index family here refreshes without a rebuild). Trigram rows
+    * are naturally append-safe — each (doc, trigram) posting appears
+    * once per ingest of that doc, and the probe's `distinct()` on
+    * (doc_id, name) absorbs a re-ingested doc — so the probe over
+    * standing+delta is identical to a full rebuild (RetrievalSpec). */
+  def appendTrgmDelta(in: DataFrame, out: String): Unit =
+    buildTrgmPart(in, out, "append")
+
+  private def buildTrgmPart(in: DataFrame, out: String,
+      mode: String): Unit =
+    in.select(col("doc_id"), docName(col("text")).as("name"))
       .select(col("doc_id"), col("name"),
         explode(trigrams(col("name"))).as("tg"))
       .withColumn("tb", termBucket("tg:", col("tg")))
       .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$out/trigrams")
+      .write.mode(mode).partitionBy("tb").parquet(s"$out/trigrams")
 
   /** BM25 served from the STORED index: read only the query terms'
     * posting buckets (tb is a partition filter → directory pruning,

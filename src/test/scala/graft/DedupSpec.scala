@@ -132,6 +132,88 @@ class DedupSpec extends SparkSuite {
       "fixpoint top-30 mass must be >= two-sweep prefix's")
   }
 
+  test("substring dedup: hashed-span counts equal a raw-string span " +
+      "recomputation on the real corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    // Independent recomputation grouping on the span STRINGS (no
+    // md5): any hash-collision artifact or off-by-one in the sliding
+    // window would diverge. The corpus has >1k duplicated spans, so
+    // the comparison exercises the occ >= 2 path for real.
+    val W = Dedup.SpanW
+    val toks = tokens(col("text"))
+    val n = size(toks) - (W - 1)
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(when(n > 0, transform(sequence(lit(1), n),
+          p => concat_ws(" ", slice(toks, p, lit(W)))))
+          .otherwise(array().cast("array<string>"))).as("s"))
+    val byDocSpan = raw.groupBy(col("s"), col("doc_id"))
+      .agg(count(lit(1)).as("k"))
+    val occ = byDocSpan.groupBy(col("s")).agg(sum(col("k")).as("occ"))
+    val expected = byDocSpan.join(occ, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("ns"),
+        sum(when(col("occ") >= 2, col("k")).otherwise(0L)).as("nd"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(expected.values.exists(_._2 > 0),
+      "corpus must contain duplicated spans for the test to bite")
+    val got = Dedup.substringDedup(spark, sfDir, topN = 1000000).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, (ns, nd, frac)) =>
+      assert((ns, nd) === expected(id), s"span counts drift for doc $id")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+  }
+
+  test("substring dedup plans exactly two shuffles: one h exchange " +
+      "serves both aggregates and the join") {
+    // HashPartitioning(h) satisfies the clustered distributions of
+    // the (h, doc_id) aggregate, the h aggregate and the h join, so
+    // the explicit repartition(h) plus the final doc_id aggregate are
+    // the ONLY exchanges — the property that keeps the span-postings
+    // relation (O(total tokens) rows at 100 TB) from shuffling twice
+    // more.
+    val p = Dedup.substringDedup(spark, sfDir).queryExecution
+      .executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n === 2, s"expected exactly 2 shuffle exchanges, got $n:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size <= 1,
+      s"the corpus must be scanned at most once (lineage cut):\n$p")
+  }
+
+  test("substring dedup catches a copied span that whole-doc hashing " +
+      "misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Two docs sharing one 8-token run but nothing else: no exact-dup,
+    // Jaccard far below any near-dup bar, yet the span pass flags both.
+    val span = (1 to Dedup.SpanW).map(i => s"copied$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"alpha beta gamma delta $span epsilon zeta"),
+      (2L, s"one two three four five $span six seven"),
+      (3L, "entirely unrelated filler words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_substring").toString
+    try {
+      rows.write.parquet(s"$dir/documents.parquet")
+      val out = Dedup.substringDedup(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val byId = out.map(t => t._1 -> t).toMap
+      assert(byId(1L)._3 >= 1 && byId(2L)._3 >= 1,
+        s"both span-sharing docs must report duplicated spans: $out")
+      assert(byId(3L)._3 === 0L,
+        s"the unrelated doc must report zero duplicated spans: $out")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("containment >= jaccard on any shared candidate pair") {
     // |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always.
     val cont = Dedup.containment(spark, sfDir).collect()

@@ -224,6 +224,38 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("append-only trigram tier: standing write + batch delta == " +
+      "full rebuild") {
+    // The trigram twin of the bm25 append proof: build over the
+    // standing corpus, append the ingest batch's postings, and the
+    // probe must equal the probe of a full rebuild — the tier's
+    // O(batch) refresh.
+    import graft.operators.Dedup
+    val incr = java.nio.file.Files
+      .createTempDirectory("graft_trgm_incr").toString
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_trgm_full").toString
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      Retrieval.appendTrgmDelta(
+        docs.where(col("doc_id") % Dedup.IncrMod =!= 0), incr)
+      Retrieval.appendTrgmDelta(
+        docs.where(col("doc_id") % Dedup.IncrMod === 0), incr)
+      Retrieval.writeTrgmIndex(spark, sfDir, full)
+      val q = graft.operators.Lexical.trigramQuery
+      val viaIncr = Retrieval.probeTrgmIndex(spark, incr, q,
+        Retrieval.TrgmThreshold, 10).collect().toSeq
+      val viaFull = Retrieval.probeTrgmIndex(spark, full, q,
+        Retrieval.TrgmThreshold, 10).collect().toSeq
+      assert(viaIncr === viaFull,
+        "standing + appended trigram delta must serve the rebuild answer")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(incr)).deleteRecursively()
+      new Directory(new java.io.File(full)).deleteRecursively()
+    }
+  }
+
   test("stored trigram postings: prefilter+verify equals the full scan") {
     import graft.functions.TextFunctions.{docName, trigramSim}
     val out = java.nio.file.Files
