@@ -203,10 +203,15 @@ object Dedup extends graft.QueryGroup {
     * a production swap to a rolling polynomial hash (the
     * [[graft.plans.RollingFp]] recurrence) makes it O(n) with no
     * structural change — md5 is kept so DuckDB verifies bit-exactly. */
-  def substringDedup(s: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+  def substringDedup(s: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    substringDedupOver(Tables.documents(s, dir), topN)
+
+  /** [[substringDedup]] over ANY documents-shaped relation (the
+    * zero-storage scale smoke feeds graft-synth through it). */
+  def substringDedupOver(docs: DataFrame, topN: Int): DataFrame = {
     val toks = tokens(col("text"))
     val nSpans = size(toks) - (SpanW - 1)
-    val spans = Tables.documents(s, dir)
+    val spans = docs
       .select(col("doc_id"),
         explode(when(nSpans > 0,
           transform(sequence(lit(1), nSpans),

@@ -202,11 +202,22 @@ object Retrieval extends graft.QueryGroup {
     val docs = in
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    // ONE corpus scan: the postings relation is materialized (lineage
+    // cut) and the df and stats tiers derive from IT — without the
+    // cut each of the three writes re-ran the whole
+    // scan+tokenize+explode+agg lineage (3× the dominant cost; at
+    // 100 TB, three full corpus scans for one index build). Derived
+    // from postings: df = per-term posting count; nd/sdl via the
+    // per-doc (doc_id, dl) projection (dl is denormalized into every
+    // posting row). NOT a read-back of the written postings dir —
+    // that would be wrong under mode=append, where df/stats must be
+    // batch-only deltas.
     val postings = docs
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", termBucket("tb:", col("term")))
+      .transform(graft.Checkpoints.cut)
     postings
       .repartition(col("tb"))
       .write.mode(mode).partitionBy("tb")
@@ -215,7 +226,8 @@ object Retrieval extends graft.QueryGroup {
       .agg(count(lit(1)).as("df"))
       .repartition(col("tb"))
       .write.mode(mode).partitionBy("tb").parquet(s"$out/df")
-    docs.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+    postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
       .coalesce(1)
       .write.mode(mode).parquet(s"$out/stats")
   }

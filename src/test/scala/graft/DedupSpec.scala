@@ -214,6 +214,27 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("substring dedup scales: 200k synthetic docs, zero storage") {
+    // Same zero-storage smoke shape as the bm25/cluster ones: 200k
+    // synth docs through the full span pipeline. The synth corpus
+    // repeats template phrases, so duplicated spans exist at volume;
+    // the checks are structural (bounded cut, sane fractions) — a
+    // quadratic regression would blow the runtime, not the assert.
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 200000).option("parts", 16).option("seed", 11)
+      .load()
+    val top = Dedup.substringDedupOver(docs, topN = 25).collect()
+    assert(top.length === 25)
+    top.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) <= r.getLong(1))
+      val f = r.getDouble(3)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    assert(top.exists(_.getLong(2) > 0),
+      "the synth corpus must surface duplicated spans")
+  }
+
   test("containment >= jaccard on any shared candidate pair") {
     // |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always.
     val cont = Dedup.containment(spark, sfDir).collect()
