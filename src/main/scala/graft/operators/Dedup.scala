@@ -209,9 +209,16 @@ object Dedup extends graft.QueryGroup {
   /** [[substringDedup]] over ANY documents-shaped relation (the
     * zero-storage scale smoke feeds graft-synth through it). */
   def substringDedupOver(docs: DataFrame, topN: Int): DataFrame = {
-    val toks = tokens(col("text"))
+    // Tokenize in ITS OWN projection: referencing the tokens
+    // expression directly inside the span lambda would inline it —
+    // re-splitting the text once per span position, O(spans × tokens)
+    // per doc (quadratic in doc length; a 100k-token doc would pay
+    // 10^10 char ops). As a projected attribute it evaluates once
+    // per row.
+    val toks = col("toks")
     val nSpans = size(toks) - (SpanW - 1)
     val spans = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(when(nSpans > 0,
           transform(sequence(lit(1), nSpans),

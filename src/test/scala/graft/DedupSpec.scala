@@ -183,6 +183,11 @@ class DedupSpec extends SparkSuite {
     assert(n === 2, s"expected exactly 2 shuffle exchanges, got $n:\n$p")
     assert("FileScan parquet".r.findAllIn(p).size <= 1,
       s"the corpus must be scanned at most once (lineage cut):\n$p")
+    // Tokenization must stay a projected attribute: if CollapseProject
+    // re-inlined it, split(text) would re-run once per span position
+    // (O(spans × tokens) per doc). One occurrence = the projection.
+    assert("split\\(".r.findAllIn(p).size <= 1,
+      s"split must be evaluated once per row, not per span:\n$p")
   }
 
   test("substring dedup catches a copied span that whole-doc hashing " +
