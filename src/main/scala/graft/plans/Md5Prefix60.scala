@@ -52,6 +52,23 @@ object Md5Prefix60Expr {
     val md = digest.get()
     md.reset()
     val d = md.digest(s.getBytes)
+    prefix60(d)
+  }
+
+  /** The thread's digest instance, for callers hashing many ranges
+    * in a row ([[TokenKernelsUtil.spanHashes]]) — one ThreadLocal
+    * lookup per ROW instead of per span. */
+  def ranged(): MessageDigest = digest.get()
+
+  /** [[compute]] over a byte RANGE — no per-call slice copy. */
+  def computeRange(md: MessageDigest, b: Array[Byte], from: Int,
+      len: Int): Long = {
+    md.reset()
+    md.update(b, from, len)
+    prefix60(md.digest())
+  }
+
+  private def prefix60(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared kernels for the per-token array folds — the last
   * interpreted higher-order functions that ran once per token over
@@ -43,6 +44,51 @@ object TokenKernelsUtil {
       i += 1
     }
     best.toLong
+  }
+
+  /** Sliding W-token span hashes over a raw text column — semantics
+    * of `transform(sequence(1, n-W+1), p -> md5_prefix60(
+    * concat_ws(' ', slice(split(text, ' '), p, W))))`. Key identity:
+    * splitting on a single space and rejoining with a single space
+    * reconstructs ANY string exactly (empty tokens from doubled
+    * spaces round-trip), so every span STRING is a byte-range
+    * substring of the original text between token boundaries — the
+    * kernel scans the UTF-8 bytes once for space positions (0x20
+    * never occurs inside a multibyte sequence) and feeds each span's
+    * byte range straight to the digest: zero per-span string
+    * allocation where the composed form built every span via an
+    * interpreted slice + concat per position. */
+  def spanHashes(text: UTF8String, w: Int): ArrayData = {
+    val b = text.getBytes
+    // Token starts: 0 plus every position after a space.
+    var spaces = 0
+    var i = 0
+    while (i < b.length) { if (b(i) == ' ') spaces += 1; i += 1 }
+    val n = spaces + 1
+    val nSpans = n - w + 1
+    if (nSpans <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    starts(0) = 0
+    var t = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = b.length
+    val md = Md5Prefix60Expr.ranged()
+    val out = new Array[Long](nSpans)
+    i = 0
+    while (i < nSpans) {
+      out(i) = Md5Prefix60Expr.computeRange(
+        md, b, starts(i), ends(i + w - 1) - starts(i))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   /** Rabin-Karp fold over the token array — semantics of the
@@ -142,5 +188,44 @@ object RollingFp {
   def apply(toks: Column, hashMod: Long, b: Long, m: Long): Column =
     GraftBridge.column(
       RollingFp(GraftBridge.expression(toks), hashMod, b, m))
+}
+
+/** Native sliding-span hashes: `span_hashes(text, w)` — the span
+  * enumeration under substring-level dedup as one byte-scan + W-token
+  * range digests per row (the composed form paid an interpreted
+  * slice + concat_ws + md5 per span position). Bit-identical to the
+  * composed form (TokenKernelsSpec). */
+case class SpanHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  require(w >= 1, "span width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(text: Any): Any =
+    TokenKernelsUtil.spanHashes(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TokenKernelsUtil.spanHashes($c, $w)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SpanHashes = copy(child = newChild)
+
+  override def prettyName: String = "span_hashes"
+}
+
+object SpanHashes {
+  def apply(text: Column, w: Int): Column =
+    GraftBridge.column(SpanHashes(GraftBridge.expression(text), w))
 }
 
