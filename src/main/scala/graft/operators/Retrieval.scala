@@ -414,12 +414,60 @@ object Retrieval extends graft.QueryGroup {
       .limit(HybridFinalK)
   }
 
+  /** Per-source result budgets, mirroring the reference's federated
+    * entry point search_all_sources(cards_k=10, rules_k=10,
+    * glossary_k=5) (reference: db/search_with_reranker.py:249-262 —
+    * each corpus searched with its OWN k, results grouped by
+    * source). */
+  private[graft] val FederatedBudgets: Seq[(String, Int)] =
+    Seq("src0" -> 10, "src1" -> 10, "src2" -> 5)
+
+  /** q_federated — multi-source budgeted search: dense-cosine search
+    * (query = vec 0, as the vector group) over each budgeted source,
+    * top-k_source per source, one union grouped by (source, rank).
+    *
+    * Plan shape: the budget sources prune the corpus FIRST (broadcast
+    * semi-join — at 100 TB only the searched corpora are scanned),
+    * the per-source cut is the bounded TopKRows aggregate
+    * (TopKWindowRewrite fires on the rn <= maxK filter: no per-source
+    * sort, O(maxK) state per source), and the per-source budget trim
+    * joins the ≤ sources×maxK cut AFTER the bounded aggregate — the
+    * trim must sit above a join so the rewrite still sees its clean
+    * Filter(rn <= literal, Window) pattern. */
+  def federated(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = s.createDataFrame(FederatedBudgets).toDF("source", "k")
+    val e = Tables.embeddings(s, dir)
+    val qvec = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val maxK = FederatedBudgets.map(_._2).max
+    val cut = Tables.documents(s, dir)
+      .join(broadcast(budgets.select(col("source"))), Seq("source"),
+        "left_semi")
+      .where(col("doc_id") =!= 0)
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .crossJoin(broadcast(qvec))
+      .select(col("source"), col("doc_id"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("sim").desc, col("doc_id").asc)))
+      .where(col("rank") <= maxK)
+    cut.join(broadcast(budgets), Seq("source"))
+      .where(col("rank") <= col("k"))
+      .select(col("source"), col("rank"), col("doc_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("source").asc, col("rank").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> ((s, d) => bm25(s, d)),
     "q_bm25_indexed" -> ((s, d) => bm25Indexed(s, d)),
     "q_trgm_idx" -> ((s, d) => trgmIndexed(s, d)),
     "q_text_incremental" -> ((s, d) => textIncremental(s, d)),
     "q_hybrid" -> ((s, d) => hybrid(s, d)),
+    "q_federated" -> ((s, d) => federated(s, d)),
   )
 
   private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
@@ -457,6 +505,28 @@ object Retrieval extends graft.QueryGroup {
   val oracles: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
     "q_bm25_indexed" -> bm25Sql,
+    "q_federated" -> {
+      val vals = FederatedBudgets
+        .map { case (src, k) => s"('$src', $k)" }.mkString(", ")
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+         |           WHERE vec_id = 0),
+         |b AS (SELECT * FROM (VALUES $vals) t(source, k)),
+         |sc AS (SELECT d.source, d.doc_id,
+         |              list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+         |                AS sim
+         |       FROM documents d
+         |       JOIN embeddings e ON d.doc_id = e.vec_id, q
+         |       WHERE d.doc_id <> 0
+         |         AND d.source IN (SELECT source FROM b)),
+         |r AS (SELECT source, doc_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY source
+         |               ORDER BY sim DESC, doc_id ASC) AS INTEGER) AS rank
+         |      FROM sc)
+         |SELECT r.source, r.rank, r.doc_id, round(r.sim, 6) AS sim
+         |FROM r JOIN b ON r.source = b.source
+         |WHERE r.rank <= b.k
+         |ORDER BY r.source ASC, r.rank ASC""".stripMargin
+    },
     // Full-corpus one-pass computation of the same stats the Spark
     // side derives standing + delta: hash equality proves the
     // additive merge reconstructs the rebuild.

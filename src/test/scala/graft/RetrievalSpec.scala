@@ -256,6 +256,27 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("federated search: per-source budgets respected, bounded cut, " +
+      "source-pruned scan") {
+    val rows = graft.operators.Retrieval.federated(spark, sfDir).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    val budgets = graft.operators.Retrieval.FederatedBudgets.toMap
+    assert(bySource.keySet === budgets.keySet,
+      "exactly the budgeted sources must appear")
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length === budgets(src),
+        s"$src must return its own k=${budgets(src)}, got ${rs.length}")
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to budgets(src)),
+        s"$src ranks must be 1..k")
+    }
+    val p = graft.operators.Retrieval.federated(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // The per-source cut must be the bounded aggregate, not a
+    // per-source sort of the scored corpus.
+    assert(p.contains("top_k_rows"), s"expected the bounded cut:\n$p")
+    assert(!p.contains("Window"), s"no window sort at scale:\n$p")
+  }
+
   test("stored trigram postings: prefilter+verify equals the full scan") {
     import graft.functions.TextFunctions.{docName, trigramSim}
     val out = java.nio.file.Files
