@@ -28,6 +28,37 @@ object Bench {
     "window_" -> "w_", "top_n_" -> "tn_", "rule_" -> "rl_",
     "glossary_" -> "gl_")
 
+  /** r7c: 111 rows pushed the stdout line to 1930 chars — PAST the
+    * ~1927-char tail window (measured r5) — so prefix families alone
+    * no longer fit. Second stage: segment abbreviations applied to
+    * the prefix-abbreviated key (each replaced wherever it occurs;
+    * list order = application order). ~170 chars reclaimed at 111
+    * rows. The full-key mapping stays recoverable: bench_out.json
+    * always records full keys, and BASELINE.md documents the scheme. */
+  private[graft] val Seg: Seq[(String, String)] = Seq(
+    "incremental" -> "incr", "sessionize" -> "sess",
+    "session_window" -> "sess_w", "contamination" -> "contam",
+    "containment" -> "contain", "array_contains" -> "arr",
+    "ngram_jaccard" -> "njac", "pack_sequences" -> "pack",
+    "quantile" -> "qtl", "threshold" -> "thr", "per_label" -> "lbl",
+    "stratified" -> "strat", "framesample" -> "frames",
+    "levenshtein" -> "lev", "repetition" -> "repet",
+    "federated" -> "fed", "percentile" -> "pctl",
+    "merge_upsert" -> "upsert", "scrub_denylist" -> "deny",
+    "related_expand" -> "rel_exp")
+
+  /** The one compact-key definition (stdout flavor): `q_` strip →
+    * family-prefix abbreviation → segment abbreviation. The
+    * uniqueness spec (SurveySyncSpec) pins this exact function, so
+    * bench and spec cannot drift. */
+  private[graft] def compactKey(k: String): String = {
+    val b = k.stripPrefix("q_")
+    val pre = Abbrev.collectFirst {
+      case (p, r) if b.startsWith(p) => r + b.substring(p.length)
+    }.getOrElse(b)
+    Seg.foldLeft(pre) { case (s, (from, to)) => s.replace(from, to) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -124,12 +155,7 @@ object Bench {
       // six family prefixes (~150 chars reclaimed). The mapping is
       // documented in SURVEY §6 and BASELINE.md; bench_out.json keeps
       // full keys.
-      def key(k: String): String = if (compact) {
-        val b = k.stripPrefix("q_")
-        Bench.Abbrev.collectFirst {
-          case (p, r) if b.startsWith(p) => r + b.substring(p.length)
-        }.getOrElse(b)
-      } else k
+      def key(k: String): String = if (compact) Bench.compactKey(k) else k
       val qs = results.map { case (k, v) => s"${q(key(k))}:${fmtQ(v)}" }
         .mkString("{", ",", "}")
       // Stdout error messages are capped harder than bench_out's 200

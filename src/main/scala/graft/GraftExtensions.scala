@@ -67,6 +67,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("json_strip_keys"),
+      new ExpressionInfo(classOf[graft.plans.JsonStripKeys].getName,
+        "json_strip_keys"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2 && args.tail.forall(_.isInstanceOf[Literal]),
+          "json_strip_keys(json, key literals...)")
+        graft.plans.JsonStripKeys(args.head,
+          args.tail.map(_.eval().toString))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
       (args: Seq[Expression]) => {

@@ -65,6 +65,58 @@ object Ingest extends graft.QueryGroup {
           .as("avg_chars"))
       .orderBy(col("source").asc)
 
+  /** Cross-table coverage statistics — the second half of
+    * query_example.py's "database statistics" panel (reference:
+    * db/query_example.py:142-171 counts each document table NEXT TO
+    * its embedding table; the interesting number is the gap). Per
+    * source: document count, how many have an embedding row, and the
+    * missing count — the audit every ingest run ends with.
+    *
+    * Scale: equi-join on the uniformly distributed doc_id key (at
+    * 100 TB both sides shuffle-partition on the key; no skew, no
+    * window), then a bounded-key aggregate with map-side combine. */
+  def sourceStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val embs = Tables.embeddings(s, dir).select(col("vec_id"))
+    docs.join(embs, docs("doc_id") === embs("vec_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("vec_id")).as("n_embedded"),
+        (count(lit(1)) - count(col("vec_id"))).as("n_missing"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Pre-ingest JSON cleaning — the reference's cardsCleaning stage
+    * (reference: cardsCleaning/cleanCardJson.py:3-16 pops a fixed
+    * denylist of keys from every card object; :19-44 rewrites the
+    * corpus). Re-expressed schema-free: build the card-shaped JSON
+    * doc, strip the denylist with the native [[graft.plans
+    * .JsonStripKeys]] kernel (one Jackson pass, codegen), then audit
+    * the result per brand — surviving key count, denylist leaks
+    * (must be 0), and two kept-value integrity sums proving the
+    * cleaner touched nothing else. Numbers-only output so the
+    * oracle compares semantics, not serializer whitespace.
+    *
+    * Scale: map-only projection + bounded-key hash-agg. */
+  def jsonClean(s: SparkSession, dir: String): DataFrame = {
+    val denylist = Seq("p_retailprice", "p_type")
+    val raw = to_json(struct(col("p_partkey"), col("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")))
+    Tables.part(s, dir)
+      .select(col("p_brand"), col("p_name"), col("p_size"),
+        graft.plans.JsonStripKeys(raw, denylist).as("cleaned"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(size(json_object_keys(col("cleaned")))).as("kept_keys"),
+        sum(when(get_json_object(col("cleaned"), "$.p_retailprice")
+          .isNotNull, 1).otherwise(0)).as("leaked"),
+        sum(get_json_object(col("cleaned"), "$.p_size").cast("long"))
+          .as("sum_size"),
+        sum(when(get_json_object(col("cleaned"), "$.p_name")
+          === col("p_name"), 1).otherwise(0)).as("names_intact"))
+      .orderBy(col("p_brand").asc)
+  }
+
   /** Keyed MERGE/upsert — the reference's batch write path
     * (db/ingest_cards.py:120-152 `ON CONFLICT (oracle_id) DO
     * UPDATE`, db/init.sql:88-116 upsert functions) as one relational
@@ -106,6 +158,8 @@ object Ingest extends graft.QueryGroup {
     "q_embed_text" -> ((s, d) => embedText(s, d)),
     "q_ingest_dedup" -> ((s, d) => ingestDedup(s, d)),
     "q_doc_stats" -> ((s, d) => docStats(s, d)),
+    "q_source_stats" -> ((s, d) => sourceStats(s, d)),
+    "q_json_clean" -> ((s, d) => jsonClean(s, d)),
     "q_merge_upsert" -> ((s, d) => mergeUpsert(s, d)),
   )
 
@@ -153,5 +207,32 @@ object Ingest extends graft.QueryGroup {
         |       max(n_chars) AS max_chars,
         |       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
         |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin,
+    "q_source_stats" ->
+      """SELECT d.source, count(*) AS n_docs,
+        |       count(e.vec_id) AS n_embedded,
+        |       count(*) - count(e.vec_id) AS n_missing
+        |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY d.source ORDER BY d.source ASC""".stripMargin,
+    "q_json_clean" ->
+      """WITH j AS (
+        |  SELECT p_brand, p_name,
+        |         json_merge_patch(
+        |           to_json(struct_pack(p_partkey := p_partkey,
+        |                               p_name := p_name, p_brand := p_brand,
+        |                               p_type := p_type, p_size := p_size,
+        |                               p_retailprice := p_retailprice)),
+        |           '{"p_retailprice":null,"p_type":null}') AS cleaned
+        |  FROM part)
+        |SELECT p_brand, count(*) AS n,
+        |       CAST(sum(len(json_keys(cleaned))) AS BIGINT) AS kept_keys,
+        |       CAST(sum(CASE WHEN json_extract(cleaned, '$.p_retailprice')
+        |                     IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS leaked,
+        |       CAST(sum(CAST(json_extract_string(cleaned, '$.p_size')
+        |                     AS BIGINT)) AS BIGINT) AS sum_size,
+        |       CAST(sum(CASE WHEN json_extract_string(cleaned, '$.p_name')
+        |                     = p_name THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS names_intact
+        |FROM j GROUP BY p_brand ORDER BY p_brand ASC""".stripMargin,
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ingest
+import graft.plans.JsonStripKeys
+
+/** The cardsCleaning tier (reference: cardsCleaning/cleanCardJson.py)
+  * and the ingest coverage audit (query_example.py:142-171). */
+class JsonCleanSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("json_strip_keys removes denylist keys, keeps order and values") {
+    val in = """{"a":1,"edhrecRank":5,"b":"x y","purchaseUrls":{"u":"z"},"c":[1,2]}"""
+    val out = Seq(in).toDF("js")
+      .select(JsonStripKeys(col("js"),
+        Seq("edhrecRank", "purchaseUrls")).as("c"))
+      .as[String].head()
+    assert(out === """{"a":1,"b":"x y","c":[1,2]}""")
+  }
+
+  test("json_strip_keys: missing keys no-op, non-object passthrough, malformed null") {
+    val df = Seq(
+      ("""{"a":1}""", "miss"),
+      ("""[1,2,3]""", "arr"),
+      ("""{"a": oops""", "bad")).toDF("js", "tag")
+      .select(col("tag"), JsonStripKeys(col("js"), Seq("zzz")).as("c"))
+      .as[(String, String)].collect().toMap
+    assert(df("miss") === """{"a":1}""")
+    assert(df("arr") === """[1,2,3]""")
+    assert(df("bad") === null)
+  }
+
+  test("json_strip_keys matches interpreted eval (codegen parity)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))).as("js"))
+    def run() = docs
+      .select(JsonStripKeys(col("js"), Seq("source", "n_chars")).as("c"))
+      .as[String].collect().toSeq
+    val gen = run()
+    val interp = withCodegenOff(run())
+    assert(gen === interp)
+    assert(gen.head.contains("doc_id") && !gen.head.contains("n_chars"))
+  }
+
+  test("json_strip_keys is SQL-exposed via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT json_strip_keys('{"k":1,"drop":2}', 'drop') AS c""")
+      .as[String].head()
+    assert(r === """{"k":1}""")
+  }
+
+  test("q_json_clean: zero denylist leaks, every kept field intact") {
+    val rows = Ingest.jsonClean(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("leaked") === 0L)
+      // 4 surviving keys per doc (6 built - 2 denylisted).
+      assert(r.getAs[Long]("kept_keys") === 4 * n)
+      assert(r.getAs[Long]("names_intact") === n)
+    }
+  }
+
+  test("q_source_stats: coverage counts are consistent") {
+    val rows = Ingest.sourceStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_embedded") + r.getAs[Long]("n_missing")
+        === r.getAs[Long]("n_docs"))
+    }
+  }
+}

@@ -66,13 +66,7 @@ class SurveySyncSpec extends AnyFunSuite {
     // Two registry keys collapsing to one compact key would emit a
     // duplicate JSON key on the bench stdout line — the driver's
     // parse would silently keep one of the two timings.
-    def compact(k: String): String = {
-      val b = k.stripPrefix("q_")
-      Bench.Abbrev.collectFirst {
-        case (p, r) if b.startsWith(p) => r + b.substring(p.length)
-      }.getOrElse(b)
-    }
-    val byCompact = SparkEntry.queries.keySet.groupBy(compact)
+    val byCompact = SparkEntry.queries.keySet.groupBy(Bench.compactKey)
     val collisions = byCompact.filter(_._2.size > 1)
     assert(collisions.isEmpty, s"compact-key collisions: $collisions")
   }
