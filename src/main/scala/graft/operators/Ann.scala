@@ -99,9 +99,34 @@ object Ann extends graft.QueryGroup {
   /** One broadcast array row of (cid, cvec) structs, sorted for
     * deterministic iteration (argmin itself is order-independent:
     * ties break to the smaller cid). */
-  private def asArray(c: DataFrame): DataFrame =
+  private[graft] def asArray(c: DataFrame): DataFrame =
     c.agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
       .as("cents"))
+
+  /** The standing serving side of the STREAMING ANN twin
+    * ([[graft.streaming.Streaming.streamAnn]]): the corpus' final
+    * cell assignment plus the one-row centroid array, built by the
+    * exact quantizer q_ann_ivf serves from — one definition, so the
+    * streaming probe provably searches the same index. */
+  private[graft] def ivfServingSide(e: DataFrame): (DataFrame, DataFrame) = {
+    val centArr = asArray(ivfCentroidsOf(e, IvfCells))
+    val a1 = e.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"),
+        NearestCell(col("embedding"), col("cents")).as("cell"))
+    (a1, centArr)
+  }
+
+  /** Map-only top-2 probe cells for a query vector against the
+    * broadcast centroid array: nearest cell, then nearest among the
+    * rest — identical to ranking all cells by (distance asc, cid
+    * asc) and taking NProbe=2, but expressible per-row with no
+    * aggregation, which is what a STREAM-side probe needs (the
+    * batch probe's orderBy/limit would be a per-batch shuffle). */
+  private[graft] def probeCellsTop2(qvec: Column, cents: Column): Column = {
+    val c1 = NearestCell(qvec, cents)
+    array(c1, NearestCell(qvec,
+      filter(cents, c => !(c.getField("cid") === c1))))
+  }
 
   /** Deterministic coarse-quantizer centroids (cid, cvec):
     * md5-ordered seed sample + one exact Lloyd step. */

@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, Trigger}
 
+import graft.Tables
+import graft.functions.VectorFunctions.cosineSim
+import graft.operators.Ann
+
 /** Structured Streaming twins of the batch event queries — the
   * reference ingests in batch (reference: db/ingest_cards.py), but a
   * 100 TB deployment ingests continuously; these queries prove the
@@ -561,6 +565,86 @@ object Streaming extends graft.QueryGroup {
     s.table("graft_stream_quality").orderBy(col("doc_id").asc)
   }
 
+  /** Streaming reader over the embeddings parquet, vector pre-cast
+    * to array<double> like the batch reader ([[graft.Tables
+    * .embeddings]]) so stream-side similarities are double-exact. */
+  private def embeddingsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+  }
+
+  /** Query vectors with vec_id ≡ 0 (mod this) stream in as the
+    * online side of [[streamAnn]]; the rest are the standing corpus. */
+  val StreamAnnQMod = 25L
+
+  /** ONLINE ANN SERVING — the streaming twin of q_ann_ivf and the
+    * live face of the reference's search path (reference:
+    * db/search_strategies.py:217-255 search_ambiguous runs one
+    * vector query per user request against the standing pgvector
+    * index; db/init.sql:50-52). Queries arrive as a STREAM of
+    * vectors; the standing side is the IVF index q_ann_ivf serves
+    * from ([[graft.operators.Ann.ivfServingSide]] — same quantizer
+    * definition, so stream results are provably results of the same
+    * index).
+    *
+    * Per micro-batch, everything before the final top-k is
+    * STATELESS and map-only: each query row computes its own
+    * NProbe=2 probe cells against the broadcast centroid array
+    * ([[graft.operators.Ann.probeCellsTop2]] — a per-row argmin
+    * chain, no aggregation), explodes to (qid, cell), and
+    * stream-static equi-joins the celled corpus — the candidate
+    * read is ∝ probed-cell occupancy, exactly like the batch probe.
+    * The only state is the per-qid bounded top-k buffer
+    * ([[graft.plans.TopKByScore]], ≤ k entries per active query).
+    * Complete output mode because the memory-sink harness re-emits
+    * the full result set per batch; a production deployment runs
+    * update mode and each query's row goes out when its batch
+    * commits. At 100 TB the corpus side is the partition-pruned
+    * stored index ([[graft.operators.Ann.writeIvfIndex]]); the
+    * stream side's per-batch work is queries × probe-cell occupancy,
+    * corpus-scan-free. */
+  def streamAnn(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    streamAnnOver(s, embeddingsStream(s, dir),
+      e.where(col("vec_id") % StreamAnnQMod =!= 0), "graft_stream_ann", k)
+  }
+
+  /** `in`: any stream with the embeddings schema; `corpus`: any
+    * (vec_id, embedding array<double>) relation (replay harness and
+    * scale-smoke injection points). The query rows are selected from
+    * the stream by [[StreamAnnQMod]]. */
+  private[graft] def streamAnnOver(s: SparkSession, in: DataFrame,
+      corpus: DataFrame, sink: String, k: Int = 10): DataFrame = {
+    val (a1, centArr) = Ann.ivfServingSide(corpus)
+
+    val queries = in
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .where(col("vec_id") % StreamAnnQMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // Constant-key equi-join against the one-row broadcast centroid
+    // array (spells "stream-static broadcast join" in a form the
+    // streaming planner always accepts).
+    val probed = queries.withColumn("one", lit(1))
+      .join(broadcast(centArr.withColumn("one", lit(1))), "one")
+      .select(col("qid"), col("qvec"),
+        explode(Ann.probeCellsTop2(col("qvec"), col("cents"))).as("cell"))
+    val scored = probed.join(a1, Seq("cell"))
+      .select(col("qid"),
+        col("vec_id"), cosineSim(col("embedding"), col("qvec")).as("sim"))
+    val topk = scored.groupBy(col("qid"))
+      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), k).as("tk"))
+    runToCompletion(topk, sink, "complete")
+    s.table(sink)
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("vec_id"),
+        round(col("col.score"), 6).as("sim"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("qid").asc, col("rnk").asc)
+  }
+
   /** Streaming as-of state/rows. `matched_us = -1` encodes "no prior
     * purchase yet"; matches only ever improve (matched_us is
     * monotonically non-decreasing per click), which is what makes
@@ -754,6 +838,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_latest" -> ((s, d) => streamLatest(s, d)),
     "q_stream_latest_tws" -> ((s, d) => streamLatestTws(s, d)),
     "q_stream_join" -> ((s, d) => streamJoin(s, d)),
+    "q_stream_ann" -> ((s, d) => streamAnn(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -781,6 +866,61 @@ object Streaming extends graft.QueryGroup {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000
         |ORDER BY c_id ASC, p_id ASC""".stripMargin,
+    // Online ANN serving: the stream must return exactly what the
+    // batch IVF probe returns for every query id — quantizer built
+    // on the corpus (non-query ids), NProbe=2, top-10 per query.
+    "q_stream_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |corp AS (SELECT * FROM e WHERE vec_id % $StreamAnnQMod <> 0),
+         |qs AS (SELECT vec_id AS qid, v AS qv FROM e
+         |       WHERE vec_id % $StreamAnnQMod = 0),
+         |seeds AS (SELECT vec_id AS sid, v AS sv FROM corp
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |          LIMIT ${Ann.IvfCells}),
+         |d0 AS (SELECT corp.vec_id, s.sid,
+         |              list_sum([(corp.v[i] - s.sv[i]) * (corp.v[i] - s.sv[i])
+         |                        for i in generate_series(1, ${Ann.Dim})]) AS d
+         |       FROM corp, seeds s),
+         |a0 AS (SELECT vec_id, sid AS cid FROM (
+         |         SELECT vec_id, sid,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY d ASC, sid ASC) AS rn
+         |         FROM d0) WHERE rn = 1),
+         |dims AS (SELECT a0.cid, g.i AS pos,
+         |                CAST(round(corp.v[g.i] * 1e6) AS BIGINT) AS m
+         |         FROM a0 JOIN corp USING (vec_id),
+         |              generate_series(1, ${Ann.Dim}) AS g(i)),
+         |cdim AS (SELECT cid, pos, CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
+         |         FROM dims GROUP BY cid, pos),
+         |cent AS (SELECT cid, list(c ORDER BY pos) AS cv
+         |         FROM cdim GROUP BY cid),
+         |d1 AS (SELECT corp.vec_id, t.cid,
+         |              list_sum([(corp.v[i] - t.cv[i]) * (corp.v[i] - t.cv[i])
+         |                        for i in generate_series(1, ${Ann.Dim})]) AS d
+         |       FROM corp, cent t),
+         |a1 AS (SELECT vec_id, cid AS cell FROM (
+         |         SELECT vec_id, cid,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY d ASC, cid ASC) AS rn
+         |         FROM d1) WHERE rn = 1),
+         |qd AS (SELECT q.qid, q.qv, t.cid AS cell,
+         |              list_sum([(q.qv[i] - t.cv[i]) * (q.qv[i] - t.cv[i])
+         |                        for i in generate_series(1, ${Ann.Dim})]) AS d
+         |       FROM qs q, cent t),
+         |qc AS (SELECT qid, qv, cell FROM (
+         |         SELECT qid, qv, cell,
+         |                row_number() OVER (PARTITION BY qid
+         |                  ORDER BY d ASC, cell ASC) AS rn
+         |         FROM qd) WHERE rn <= ${Ann.NProbe}),
+         |res AS (SELECT qc.qid, a1.vec_id,
+         |               list_cosine_similarity(corp.v, qc.qv) AS sim
+         |        FROM a1 JOIN qc USING (cell) JOIN corp USING (vec_id)),
+         |r AS (SELECT qid, vec_id, sim,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY sim DESC, vec_id ASC) AS rnk
+         |      FROM res)
+         |SELECT qid, vec_id, round(sim, 6) AS sim, rnk FROM r
+         |WHERE rnk <= 10 ORDER BY qid ASC, rnk ASC""".stripMargin,
   ) ++ oraclesBase
 
   private lazy val oraclesBase: Map[String, String] = Map(

@@ -67,6 +67,34 @@ class StreamingSpec extends SparkSuite
       .parquet(tmp)
   }
 
+  test("online ANN serving stays exact under multi-batch query replay") {
+    // Queries arriving across three micro-batches (interleaved by
+    // vec_id mod 3, so every batch holds queries from the whole id
+    // range) must produce exactly what the single-batch run
+    // produces — per-qid top-k state is independent across queries
+    // and complete mode re-emits the full result set.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_split_ann").toString
+    tmpDirs += tmp
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until 3).foreach { i =>
+      e.where(pmod(col("vec_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") % Streaming.StreamAnnQMod =!= 0)
+    val got = Streaming.streamAnnOver(spark, stream, corpus,
+      "graft_split_ann").collect().toSeq
+    val want = Streaming.streamAnn(spark, sfDir).collect().toSeq
+    assert(got.size === 200) // 20 query ids × k=10
+    assert(got === want)
+  }
+
   test("stream sessionize stays exact under multi-batch out-of-order replay") {
     val stream = splitReplay("sess")
     val got = Streaming.streamSessionizeOver(spark, stream,
@@ -326,6 +354,59 @@ class StreamingSpec extends SparkSuite
       .collect().toSeq
     assert(got.nonEmpty)
     assert(got === want)
+  }
+
+  test("200k synthetic vectors served by the streaming ANN path, zero storage") {
+    // Online serving at 10x the sf corpus, zero storage: 10 query
+    // vectors stream against a standing 192k-vector IVF serving
+    // side. Asserts (a) the scan-fraction contract — each query
+    // reads only its 2 probed cells' occupancy, never the corpus —
+    // and (b) one query's streamed top-10 equals an independent
+    // exact rank over its candidate set (orderBy/limit, not
+    // TopKByScore).
+    import org.apache.spark.sql.functions._
+    val opts = Map("shape" -> "embeddings", "rows" -> "200000",
+      "parts" -> "16", "seed" -> "7", "rowsPerBatch" -> "50000")
+    val batch = opts.foldLeft(spark.read.format("graft-synth")) {
+      case (r, (k, v)) => r.option(k, v) }.load()
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val corpus = batch.where(col("vec_id") % Streaming.StreamAnnQMod =!= 0)
+    // 10 query ids (multiples of 20000 are multiples of QMod=25, so
+    // they pass streamAnnOver's own query filter).
+    val stream = opts.foldLeft(spark.readStream.format("graft-synth")) {
+      case (r, (k, v)) => r.option(k, v) }.load()
+      .where(col("vec_id") % 20000 === 0)
+    val got = Streaming.streamAnnOver(spark, stream, corpus,
+      "graft_synth_ann").collect().toSeq
+    assert(got.map(_.getLong(0)).distinct.size === 10)
+    assert(got.size === 100)
+
+    // (a) scan fraction: probed-cell occupancy over the corpus.
+    val (a1, centArr) = graft.operators.Ann.ivfServingSide(corpus)
+    val probed = batch.where(col("vec_id") % 20000 === 0)
+      .withColumn("one", lit(1))
+      .join(broadcast(centArr.withColumn("one", lit(1))), "one")
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        explode(graft.operators.Ann.probeCellsTop2(col("embedding"),
+          col("cents"))).as("cell"))
+    val cand = probed.join(a1.select(col("cell"), col("vec_id"),
+      col("embedding")), Seq("cell"))
+    val nCand = cand.count()
+    val nCorpus = corpus.count()
+    assert(nCand.toDouble / (10 * nCorpus) < 0.25,
+      s"queries scanned $nCand of 10x$nCorpus — cells aren't pruning")
+
+    // (b) independent exact rank for qid 40000.
+    val want = cand.where(col("qid") === 40000L)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosineSim(col("embedding"),
+          col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(10)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    val gotQ = got.filter(_.getLong(0) === 40000L)
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(gotQ.map(_._1) === want.map(_._1))
   }
 
   test("300k synthetic events through the stateful sessionizer, zero storage") {
