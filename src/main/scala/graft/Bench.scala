@@ -45,7 +45,8 @@ object Bench {
     "levenshtein" -> "lev", "repetition" -> "repet",
     "federated" -> "fed", "percentile" -> "pctl",
     "merge_upsert" -> "upsert", "scrub_denylist" -> "deny",
-    "related_expand" -> "rel_exp")
+    "related_expand" -> "rel_exp", "filter_funnel" -> "funnel",
+    "chunk_text" -> "chunk_t")
 
   /** The one compact-key definition (stdout flavor): `q_` strip →
     * family-prefix abbreviation → segment abbreviation. The

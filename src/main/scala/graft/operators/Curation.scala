@@ -345,7 +345,129 @@ object Curation extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  /** Flag threshold for [[lmScore]]: mean bigram probability below
+    * 0.02 (20000 ppm) marks a doc as out-of-distribution. */
+  private[graft] val LmFlagPpm = 20000L
+
+  /** Bigram rows (doc_id, w1, w2) for every adjacent token pair —
+    * the SAME relation feeds the model build and the scoring probe,
+    * both keyed on (w1, w2): when the corpus is big enough that the
+    * joins shuffle, Catalyst reuses one bigram exchange for both
+    * sides (ReusedExchange — asserted in CurationSpec with
+    * broadcasts disabled, the 100 TB shape); at small sizes AQE
+    * swaps in broadcast joins instead, which is also right. */
+  private def bigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(slice(col("toks"), lit(2), size(col("toks")) - 1)))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("pos") + 1).as("w1"),
+        col("col").as("w2"))
+
+  /** Statistical-LM quality scoring (the CCNet/Gopher perplexity
+    * filter re-expressed exactly): a word-bigram model is estimated
+    * from the corpus itself — p(w2|w1) = c(w1,w2) / c(w1·) in
+    * integer micro-units — and every doc is scored by its mean
+    * bigram probability; improbable token sequences (boilerplate
+    * mangles, OCR noise, wrong-domain text) score low and flag. The
+    * reference curates by hand (30k cards); this is the statistical
+    * stand-in a 100 TB pipeline runs instead, with the corpus as its
+    * own background model.
+    *
+    * Determinism: per-bigram probabilities are fixed-point BIGINT
+    * ppm (one correctly-rounded double division each, same operation
+    * order both engines), per-doc aggregation is an INTEGER sum
+    * (order-independent), and the mean stays in integer ppm —
+    * (2·sum + n) DIV 2n — so no float accumulates or rounds
+    * cross-engine.
+    *
+    * Scale: bigram extraction is map-only; counts aggregate on
+    * (w1, w2) with map-side combine absorbing Zipf skew; the scoring
+    * join is keyed on the same (w1, w2), so in the shuffle-join
+    * regime the probe reuses the count exchange (plan-asserted with
+    * broadcasts off). The per-doc rollup keys on doc_id — unbounded
+    * cardinality, no skew. Nothing is O(vocab²): only OBSERVED
+    * bigrams exist as rows. A deployment would estimate the model
+    * once on a sample, store it like the PQ/text index tables, and
+    * broadcast-probe it; deriving it inline here keeps the query
+    * self-contained. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val bg = bigrams(s, dir)
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val model = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        round(lit(1e6) * col("c2") / col("c1")).cast("long").as("p_ppm"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sp"))
+      // The mean stays in integer ppm — (2·sum + n) DIV 2n is
+      // round-half-up in EXACT arithmetic (a double division here
+      // hits .5-representation ties that round differently per
+      // engine).
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(2 * sp + n_bigrams) DIV (2 * n_bigrams)").as("avg_ppm"),
+        when(col("sp") * lit(1000000L / LmFlagPpm) <
+          col("n_bigrams") * lit(1000000L), 1L).otherwise(0L)
+          .as("flagged"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  private[graft] val FunnelMinTok = 10L
+  private[graft] val FunnelMaxTok = 1000L
+
+  /** Filter-funnel audit: the cumulative survivor counts of the
+    * quality cascade a training pipeline runs (the observability
+    * view next to q_pipeline's survivors-only output) — per source,
+    * how many docs remain after each successive gate:
+    * language (en wins the stopword vote), length
+    * ([[FunnelMinTok]]–[[FunnelMaxTok]] tokens), lexical diversity
+    * (distinct ratio ≥ 0.3), repetition (top word ≤ 20%), and
+    * exact dedup (doc is its fingerprint's min-id representative).
+    * Stage predicates reuse the SAME expressions as the standalone
+    * queries (TextAnalysis.hits / maxWordFreq / normExpr), so the
+    * funnel can't drift from the filters it audits; all compares are
+    * integer (ratio thresholds cross-multiplied).
+    *
+    * Scale: one map-only projection computes every per-doc flag; the
+    * only joins are the fp→min-id rep lookup (keyed on fp — uniform,
+    * the exact-dedup shuffle q_dedup_exact already pays) and the
+    * ~20-key source rollup with map-side combine. */
+  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import TextAnalysis.{StopwordSets, hits, maxWordFreq, normExpr}
+    val toks = tokens(col("text"))
+    val perDoc = Tables.documents(s, dir)
+      .select(Seq(col("doc_id"), col("source"), md5(normExpr).as("fp"),
+        size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("nd"),
+        maxWordFreq(toks).as("best")) ++
+        StopwordSets.map { case (l, ws) => hits(toks, ws).as(s"hits_$l") }: _*)
+    val reps = perDoc.groupBy(col("fp")).agg(min(col("doc_id")).as("rep"))
+    val langOk = StopwordSets.tail
+      .map(p => col("hits_en") >= col(s"hits_${p._1}"))
+      .reduce(_ && _) && col("hits_en") > 0
+    val stages: Seq[(String, Column)] = Seq(
+      "pass_lang" -> langOk,
+      "pass_len" -> (col("n") >= FunnelMinTok && col("n") <= FunnelMaxTok),
+      "pass_quality" -> (col("nd") * 10L >= col("n") * 3L),
+      "pass_repetition" -> (col("best") * 5L <= col("n")),
+      "pass_dedup" -> (col("doc_id") === col("rep")))
+    val cumulative = stages.scanLeft(lit(true): Column) {
+      case (acc, (_, p)) => acc && p
+    }.tail
+    perDoc.join(reps, "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        stages.map(_._1).zip(cumulative).map { case (name, c) =>
+          sum(when(c, 1L).otherwise(0L)).as(name)
+        }: _*)
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_score" -> ((s, d) => lmScore(s, d)),
+    "q_filter_funnel" -> ((s, d) => filterFunnel(s, d)),
     "q_vocab_cov" -> ((s, d) => vocabCoverage(s, d)),
     "q_quantile_sample" -> ((s, d) => quantileSample(s, d)),
     "q_outliers" -> ((s, d) => outliers(s, d)),
@@ -359,6 +481,77 @@ object Curation extends graft.QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
+         |           FROM documents),
+         |bg AS (SELECT doc_id,
+         |         unnest([toks[i] FOR i IN
+         |                 generate_series(1, len(toks) - 1)]) AS w1,
+         |         unnest([toks[i + 1] FOR i IN
+         |                 generate_series(1, len(toks) - 1)]) AS w2
+         |       FROM t),
+         |c AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+         |u AS (SELECT w1, sum(c2) AS c1 FROM c GROUP BY w1),
+         |m AS (SELECT w1, w2, CAST(round(1e6 * c2 / c1) AS BIGINT)
+         |        AS p_ppm
+         |      FROM c JOIN u USING (w1)),
+         |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_ppm) AS sp
+         |       FROM bg JOIN m USING (w1, w2) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |       CAST((2 * sp + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+         |         AS avg_ppm,
+         |       CAST(CASE WHEN sp * ${1000000L / LmFlagPpm} <
+         |                      n_bigrams * 1000000 THEN 1 ELSE 0 END
+         |            AS BIGINT) AS flagged
+         |FROM sc ORDER BY doc_id ASC""".stripMargin,
+    "q_filter_funnel" -> {
+      import TextAnalysis.StopwordSets
+      def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      val hitCols = StopwordSets.map { case (l, ws) =>
+        s"len(list_filter(toks, t -> list_contains(${lst(ws)}, t))) AS hits_$l"
+      }.mkString(",\n|         ")
+      val langOk = StopwordSets.tail
+        .map(p => s"hits_en >= hits_${p._1}")
+        .mkString("(", " AND ", " AND hits_en > 0)")
+      s"""WITH d AS (
+         |  SELECT doc_id, source, str_split(text, ' ') AS toks,
+         |         md5(trim(regexp_replace(regexp_replace(lower(text),
+         |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, source, fp, len(toks) AS n,
+         |         len(list_distinct(toks)) AS nd,
+         |         $hitCols
+         |  FROM d),
+         |mx AS (
+         |  SELECT doc_id, max(c) AS best FROM (
+         |    SELECT doc_id, t, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+         |    GROUP BY doc_id, t)
+         |  GROUP BY doc_id),
+         |r AS (SELECT fp, min(doc_id) AS rep FROM d GROUP BY fp),
+         |f AS (
+         |  SELECT h.source,
+         |         $langOk AS s1,
+         |         (n >= $FunnelMinTok AND n <= $FunnelMaxTok) AS s2,
+         |         (nd * 10 >= n * 3) AS s3,
+         |         (best * 5 <= n) AS s4,
+         |         (h.doc_id = r.rep) AS s5
+         |  FROM h JOIN mx ON h.doc_id = mx.doc_id
+         |         JOIN r USING (fp))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS pass_lang,
+         |  CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS pass_len,
+         |  CAST(sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS pass_quality,
+         |  CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS pass_repetition,
+         |  CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 AND s5
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS pass_dedup
+         |FROM f GROUP BY source ORDER BY source ASC""".stripMargin
+    },
     "q_vocab_cov" ->
       s"""WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS t
          |              FROM documents),

@@ -30,7 +30,7 @@ object TextAnalysis extends graft.QueryGroup {
     "es" -> Seq("el", "los", "las", "y", "es"),
   )
 
-  private def hits(toksCol: Column, words: Seq[String]): Column =
+  private[graft] def hits(toksCol: Column, words: Seq[String]): Column =
     size(filter(toksCol, t => t.isin(words: _*)))
 
   /** Stopword-occurrence language ID: count marker-word occurrences
@@ -104,12 +104,18 @@ object TextAnalysis extends graft.QueryGroup {
         round(sum(col("ws")).cast("double") / count(lit(1)), 6).as("avg_ws"))
       .orderBy(col("source").asc)
 
+  /** The normalized content (lowercase, alnum+space only, collapsed/
+    * trimmed whitespace) — the canonical form [[fingerprint]] hashes
+    * and the funnel's dedup stage reuses
+    * ([[Curation.filterFunnel]]). */
+  private[graft] def normExpr: Column = trim(regexp_replace(
+    regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Document fingerprint: md5 of the normalized content (lowercase,
     * alnum+space only, collapsed/trimmed whitespace) plus a length
     * band — the exact-dedup key a 100 TB ingest would bucket on. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val norm = normExpr
     Tables.documents(s, dir)
       .select(col("doc_id"), md5(norm).as("fp"),
         (length(norm).cast("long") / lit(100L)).cast("long").as("len_band"))
@@ -223,7 +229,41 @@ object TextAnalysis extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  private[graft] val ChunkWindow = 32
+  private[graft] val ChunkStride = 24
+
+  /** Overlapping sliding-window text chunking — the RAG-ingestion /
+    * long-document training prep the reference performs implicitly
+    * by embedding whole (short) cards (db/ingest_cards.py:13-49
+    * renders one embedding text per card; a 100 TB corpus has
+    * book-length docs that must be split before embedding). Each doc
+    * becomes ceil(n_tokens / stride) chunks of ≤ [[ChunkWindow]]
+    * tokens, consecutive chunks overlapping by window − stride
+    * tokens so no span is lost at a boundary.
+    *
+    * Scale: map-only — chunk starts come from `sequence`, chunks
+    * from `slice` (both codegen'd); the only exchange in the plan is
+    * the range sort that fixes the OUTPUT order for the dump (plan-
+    * asserted in CurationSpec: no hash exchange anywhere), output
+    * rows ∝ tokens/stride. This is the shape that feeds
+    * q_embed_text / the embedding UDF batch at 100 TB: chunking
+    * itself never repartitions the corpus. */
+  def chunkText(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1,
+          lit(ChunkStride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_tok"),
+        slice(col("toks"), col("col") + 1, lit(ChunkWindow)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_text" -> ((s, d) => chunkText(s, d)),
     "q_scrub_denylist" -> ((s, d) => scrubDenylist(s, d)),
     "q_repetition" -> ((s, d) => repetition(s, d)),
     "q_lang_id" -> ((s, d) => langId(s, d)),
@@ -239,6 +279,20 @@ object TextAnalysis extends graft.QueryGroup {
     s"len(list_filter(str_split(text, ' '), t -> list_contains(${sqlList(ws)}, t))) AS hits_$l"
 
   val oracles: Map[String, String] = Map(
+    "q_chunk_text" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
+         |           FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        unnest(generate_series(0, len(toks) - 1, $ChunkStride))
+         |          AS st
+         |      FROM t)
+         |SELECT doc_id, CAST(st // $ChunkStride AS BIGINT) AS chunk_id,
+         |       CAST(st AS BIGINT) AS start_tok,
+         |       CAST(len(toks[st + 1 : st + $ChunkWindow]) AS BIGINT)
+         |         AS n_tok,
+         |       array_to_string(toks[st + 1 : st + $ChunkWindow], ' ')
+         |         AS chunk_text
+         |FROM c ORDER BY doc_id ASC, chunk_id ASC""".stripMargin,
     "q_scrub_denylist" -> {
       val pat = Denylist.mkString("\\b(", "|", ")\\b")
       s"""WITH t AS (

@@ -122,6 +122,131 @@ class CurationSpec extends SparkSuite {
     assert(toks >= nDocs) // every kept doc has >= 1 token
   }
 
+  test("chunk_text: stride-prefixes reconstruct every doc; no hash exchange") {
+    import graft.operators.TextAnalysis.{ChunkStride, ChunkWindow}
+    val df = graft.operators.TextAnalysis.chunkText(spark, sfDir)
+    val chunks = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .groupBy(_._1)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    assert(chunks.keySet === docs.keySet) // every doc chunks
+    docs.foreach { case (id, toks) =>
+      val cs = chunks(id).sortBy(_._2)
+      // starts stride-spaced from 0; windows full except the tail
+      cs.zipWithIndex.foreach { case ((_, cid, start, n, text), i) =>
+        assert(cid === i.toLong)
+        assert(start === i.toLong * ChunkStride)
+        assert(n === math.min(ChunkWindow.toLong, toks.size - start))
+        assert(text === toks.slice(start.toInt,
+          start.toInt + ChunkWindow).mkString(" "))
+      }
+      // the first `stride` tokens of each chunk plus the final
+      // chunk's tail reconstruct the doc exactly — no boundary loss
+      val rebuilt = cs.init.flatMap(
+        _._5.split(" ", -1).take(ChunkStride)) ++
+        cs.last._5.split(" ", -1)
+      assert(rebuilt.toSeq === toks, s"doc $id")
+    }
+    // the transform is map-only: the one exchange is the output sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan.take(800))
+  }
+
+  test("lm_score matches a full independent recomputation") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val bgs = docs.map { case (id, t) => id -> t.zip(t.drop(1)) }
+    val c2 = bgs.flatMap(_._2).groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) =>
+      w1 -> m.values.sum }
+    val ppm = c2.map { case (bg, c) =>
+      bg -> math.round(1e6 * c / c1(bg._1)) }
+    val want = bgs.filter(_._2.nonEmpty).map { case (id, bg) =>
+      val sp = bg.map(ppm).sum
+      val n = bg.size.toLong
+      (id, n, (2 * sp + n) / (2 * n),
+        if (sp * 50 < n * 1000000L) 1L else 0L)
+    }.sortBy(_._1).toSeq
+    val got = Curation.lmScore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === want)
+  }
+
+  test("lm_score reuses the bigram exchange in the shuffle-join regime") {
+    // With broadcasts off and AQE's runtime re-planning disabled —
+    // the plan shape a 100 TB corpus forces — the model build and
+    // the scoring probe must share ONE bigram exchange on (w1, w2).
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Curation.lmScore(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), plan.take(1200))
+      // and the shuffle-join plan is value-identical to the default
+      val got = df.collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      val want = Curation.lmScore(spark, sfDir).collect().map(_.toSeq).toSeq
+      assert(got === want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("filter_funnel is cumulative and matches a per-doc recomputation") {
+    import graft.operators.TextAnalysis.StopwordSets
+    val rows = Curation.filterFunnel(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    rows.foreach { case (_, n, s1, s2, s3, s4, s5) =>
+      assert(n >= s1 && s1 >= s2 && s2 >= s3 && s3 >= s4 && s4 >= s5)
+    }
+    // independent driver-side recomputation of every stage
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fpOf = docs.map { case (id, _, text) =>
+      val norm = text.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+        .replaceAll(" +", " ").trim
+      id -> md5hex(norm)
+    }.toMap
+    val rep = fpOf.groupBy(_._2).map { case (fp, m) => fp -> m.keys.min }
+    val want = docs.map { case (id, src, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val hits = StopwordSets.map { case (_, ws) =>
+        toks.count(ws.contains) }
+      val n = toks.size.toLong
+      val nd = toks.distinct.size.toLong
+      val best = toks.groupBy(identity).values.map(_.size).max.toLong
+      val flags = Seq(
+        hits.tail.forall(hits.head >= _) && hits.head > 0,
+        n >= 10L && n <= 1000L,
+        nd * 10 >= n * 3,
+        best * 5 <= n,
+        rep(fpOf(id)) == id)
+      val cum = flags.scanLeft(true)(_ && _).tail
+      (src, cum)
+    }.groupBy(_._1).map { case (src, ds) =>
+      (src, ds.size.toLong,
+        ds.count(_._2(0)).toLong, ds.count(_._2(1)).toLong,
+        ds.count(_._2(2)).toLong, ds.count(_._2(3)).toLong,
+        ds.count(_._2(4)).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === want)
+  }
+
   test("cluster sizes are positive, ordered, and bounded by the corpus") {
     val total = Tables.documents(spark, sfDir).count()
     val cl = Dedup.dedupClusters(spark, sfDir).collect()
