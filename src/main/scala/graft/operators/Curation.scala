@@ -356,8 +356,8 @@ object Curation extends graft.QueryGroup {
     * sides (ReusedExchange — asserted in CurationSpec with
     * broadcasts disabled, the 100 TB shape); at small sizes AQE
     * swaps in broadcast joins instead, which is also right. */
-  private def bigrams(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private def bigrams(in: DataFrame): DataFrame =
+    in
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         posexplode(slice(col("toks"), lit(2), size(col("toks")) - 1)))
@@ -392,8 +392,13 @@ object Curation extends graft.QueryGroup {
     * once on a sample, store it like the PQ/text index tables, and
     * broadcast-probe it; deriving it inline here keeps the query
     * self-contained. */
-  def lmScore(s: SparkSession, dir: String): DataFrame = {
-    val bg = bigrams(s, dir)
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreOver(Tables.documents(s, dir))
+
+  /** `in`: any (doc_id, text) relation (scale-smoke injection
+    * point). */
+  private[graft] def lmScoreOver(in: DataFrame): DataFrame = {
+    val bg = bigrams(in)
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val model = c2.join(c1, "w1")
@@ -434,10 +439,15 @@ object Curation extends graft.QueryGroup {
     * only joins are the fp→min-id rep lookup (keyed on fp — uniform,
     * the exact-dedup shuffle q_dedup_exact already pays) and the
     * ~20-key source rollup with map-side combine. */
-  def filterFunnel(s: SparkSession, dir: String): DataFrame = {
+  def filterFunnel(s: SparkSession, dir: String): DataFrame =
+    filterFunnelOver(Tables.documents(s, dir))
+
+  /** `in`: any (doc_id, source, text) relation (scale-smoke
+    * injection point). */
+  private[graft] def filterFunnelOver(in: DataFrame): DataFrame = {
     import TextAnalysis.{StopwordSets, hits, maxWordFreq, normExpr}
     val toks = tokens(col("text"))
-    val perDoc = Tables.documents(s, dir)
+    val perDoc = in
       .select(Seq(col("doc_id"), col("source"), md5(normExpr).as("fp"),
         size(toks).cast("long").as("n"),
         size(array_distinct(toks)).cast("long").as("nd"),

@@ -249,7 +249,15 @@ object TextAnalysis extends graft.QueryGroup {
     * q_embed_text / the embedding UDF batch at 100 TB: chunking
     * itself never repartitions the corpus. */
   def chunkText(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    chunkTextOver(Tables.documents(s, dir))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+
+  /** The chunking transform alone — NO output sort, so the plan is
+    * exchange-free end to end (what a 100 TB run feeds straight into
+    * the embed stage). `in`: any (doc_id, text) relation (scale-
+    * smoke injection point); [[chunkText]] adds the dump order. */
+  private[graft] def chunkTextOver(in: DataFrame): DataFrame =
+    in
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(0), size(col("toks")) - 1,
@@ -260,7 +268,6 @@ object TextAnalysis extends graft.QueryGroup {
       .select(col("doc_id"), col("chunk_id"), col("start_tok"),
         size(col("chunk")).cast("long").as("n_tok"),
         array_join(col("chunk"), " ").as("chunk_text"))
-      .orderBy(col("doc_id").asc, col("chunk_id").asc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_text" -> ((s, d) => chunkText(s, d)),

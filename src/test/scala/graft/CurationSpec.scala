@@ -247,6 +247,63 @@ class CurationSpec extends SparkSuite {
     assert(rows.toSeq === want)
   }
 
+  test("10M synth docs through the chunker, zero storage, zero exchanges") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 10000000).option("parts", 32).option("seed", 13)
+      .load()
+    val chunks = TextAnalysis.chunkTextOver(docs)
+    // the transform plan has NO exchange at all — it composes into
+    // a 100 TB embed stage without repartitioning the corpus
+    assert(!chunks.queryExecution.executedPlan.toString
+      .contains("Exchange"))
+    val n = chunks.count()
+    val expected = docs
+      .select(ceil(size(split(col("text"), " ")).cast("double") /
+        TextAnalysis.ChunkStride).cast("long").as("c"))
+      .agg(sum(col("c"))).collect()(0).getLong(0)
+    info(s"$n chunks from 10M docs (expected $expected)")
+    assert(n === expected)
+  }
+
+  test("1M synth docs through the bigram-LM scorer, zero storage") {
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 1000000).option("parts", 32).option("seed", 17)
+      .load()
+    val rows = Curation.lmScoreOver(docs)
+    val stats = rows.agg(
+      count(lit(1)), sum(col("flagged")),
+      min(col("avg_ppm")), max(col("avg_ppm"))).collect()(0)
+    val (n, flagged) = (stats.getLong(0), stats.getLong(1))
+    info(s"$n docs scored, $flagged flagged, " +
+      s"avg_ppm in [${stats.getLong(2)}, ${stats.getLong(3)}]")
+    assert(n === 1000000L) // every doc has >= 2 tokens -> scored
+    assert(stats.getLong(2) >= 0L && stats.getLong(3) <= 1000000L)
+    assert(flagged < n) // the corpus cannot be all-outlier vs itself
+  }
+
+  test("5M synth docs through the filter funnel, zero storage") {
+    // The funnel is one map-only flag projection + a fp-keyed rep
+    // join + a ~20-key rollup; at 5M rows a per-stage re-scan or an
+    // unkeyed rep join would show immediately. Asserts the funnel's
+    // defining invariant: stage counts are monotone non-increasing.
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 5000000).option("parts", 32).option("seed", 19)
+      .load()
+    val rows = Curation.filterFunnelOver(docs).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs === 5000000L)
+    rows.foreach { r =>
+      val chain = (1 to 6).map(r.getLong) // n_docs then 5 cumulative stages
+      assert(chain.zip(chain.tail).forall { case (a, b) => a >= b },
+        s"funnel not monotone for ${r.getString(0)}: $chain")
+      assert(chain.last >= 0L)
+    }
+    info(rows.map(r => s"${r.getString(0)}: " +
+      (1 to 6).map(r.getLong).mkString(">=")).mkString("; "))
+  }
+
   test("cluster sizes are positive, ordered, and bounded by the corpus") {
     val total = Tables.documents(spark, sfDir).count()
     val cl = Dedup.dedupClusters(spark, sfDir).collect()
