@@ -46,7 +46,7 @@ object Bench {
     "federated" -> "fed", "percentile" -> "pctl",
     "merge_upsert" -> "upsert", "scrub_denylist" -> "deny",
     "related_expand" -> "rel_exp", "filter_funnel" -> "funnel",
-    "chunk_text" -> "chunk_t")
+    "chunk_text" -> "chunk_t", "shard_shuffle" -> "shards")
 
   /** The one compact-key definition (stdout flavor): `q_` strip →
     * family-prefix abbreviation → segment abbreviation. The

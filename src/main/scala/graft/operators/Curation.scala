@@ -313,6 +313,48 @@ object Curation extends graft.QueryGroup {
     quarts(d, "full").crossJoin(quarts(samp, "samp"))
   }
 
+  private[graft] val ShuffleShards = 8L
+
+  /** Global deterministic shard shuffle — the final WRITE stage of a
+    * training-data build (reference analogue: the ingest scripts'
+    * batch writes, db/ingest_all.py; at 100 TB the build ends by
+    * scattering survivors into N training shards read sequentially
+    * by data loaders). Each doc is hash-assigned to one of
+    * [[ShuffleShards]] shards and given an INDEPENDENT 60-bit order
+    * key, so consecutive rows of any shard are a decorrelated
+    * source/time mix — the "global shuffle" training needs, without
+    * `rand()`: reruns are byte-identical and resumable. The query
+    * emits the shard MANIFEST shipped next to the data (per shard:
+    * doc/token totals, how many sources interleave, order-key span);
+    * the data write itself is `.repartition(shard)
+    * .sortWithinPartitions(ord)` — the same single exchange this
+    * rollup's shuffle proves out.
+    *
+    * Scale: one map-only projection (two native md5-prefix hashes
+    * per row), then an [[ShuffleShards]]-key rollup; the distinct-
+    * source count expands to (shard, source) partials first — still
+    * O(shards × sources) keys with map-side combine. No window, no
+    * join, no skew (shard keys are uniform by construction). */
+  def shardShuffle(s: SparkSession, dir: String): DataFrame =
+    shardShuffleOver(Tables.documents(s, dir))
+
+  /** `in`: any (doc_id, source, text) relation (scale-smoke
+    * injection point). */
+  private[graft] def shardShuffleOver(in: DataFrame): DataFrame =
+    in.select(col("source"),
+        size(tokens(col("text"))).cast("long").as("tk"),
+        pmod(MinHash.hash60(concat(lit("shard:"),
+          col("doc_id").cast("string"))), lit(ShuffleShards)).as("shard"),
+        MinHash.hash60(concat(lit("ord:"),
+          col("doc_id").cast("string"))).as("ord"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("tk")).as("n_toks"),
+        min(col("ord")).as("ord_min"),
+        max(col("ord")).as("ord_max"))
+      .orderBy(col("shard").asc)
+
   /** Sized BELOW the synthetic corpus's 31-token vocabulary so the
     * OOV path actually exercises (a real corpus would use 30k+). */
   private val VocabK = 20
@@ -480,6 +522,7 @@ object Curation extends graft.QueryGroup {
     "q_filter_funnel" -> ((s, d) => filterFunnel(s, d)),
     "q_vocab_cov" -> ((s, d) => vocabCoverage(s, d)),
     "q_quantile_sample" -> ((s, d) => quantileSample(s, d)),
+    "q_shard_shuffle" -> ((s, d) => shardShuffle(s, d)),
     "q_outliers" -> ((s, d) => outliers(s, d)),
     "q_mix_weights" -> ((s, d) => mixWeights(s, d)),
     "q_pipeline" -> ((s, d) => pipeline(s, d)),
@@ -590,6 +633,20 @@ object Curation extends graft.QueryGroup {
          |    AS p50_samp,
          |  (SELECT quantile_cont(n_chars, 0.75) FROM documents WHERE $keep)
          |    AS p75_samp""".stripMargin
+    },
+    "q_shard_shuffle" -> {
+      val shard = MinHash.hash60Sql("'shard:' || CAST(doc_id AS VARCHAR)") +
+        s" % $ShuffleShards"
+      val ord = MinHash.hash60Sql("'ord:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH t AS (
+         |  SELECT CAST($shard AS BIGINT) AS shard, $ord AS ord,
+         |         source, len(str_split(text, ' ')) AS tk
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs,
+         |       count(DISTINCT source) AS n_sources,
+         |       CAST(sum(tk) AS BIGINT) AS n_toks,
+         |       min(ord) AS ord_min, max(ord) AS ord_max
+         |FROM t GROUP BY shard ORDER BY shard ASC""".stripMargin
     },
     "q_outliers" ->
       """WITH st AS (

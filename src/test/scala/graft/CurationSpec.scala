@@ -304,6 +304,27 @@ class CurationSpec extends SparkSuite {
       (1 to 6).map(r.getLong).mkString(">=")).mkString("; "))
   }
 
+  test("shard shuffle: conserves the corpus, interleaves sources, rand()-free") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = Curation.shardShuffle(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq ===
+      rows.map(_.getLong(0)).sorted.toSeq)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.forall(r => r.getLong(0) >= 0 &&
+      r.getLong(0) < Curation.ShuffleShards))
+    // conservation: every doc and every token lands in exactly one shard
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    val totalToks = docs
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(3)).sum === totalToks)
+    // the point of the shuffle: every shard is a source MIX, not a
+    // source-contiguous slice (20 sources over 8 shards)
+    assert(rows.forall(_.getLong(2) > 1))
+    assert(rows.forall(r => r.getLong(4) <= r.getLong(5)))
+    // deterministic: a rerun is byte-identical (no rand() anywhere)
+    assert(Curation.shardShuffle(spark, sfDir).collect().toSeq === rows.toSeq)
+  }
+
   test("cluster sizes are positive, ordered, and bounded by the corpus") {
     val total = Tables.documents(spark, sfDir).count()
     val cl = Dedup.dedupClusters(spark, sfDir).collect()
