@@ -28,15 +28,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** The events parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default. Read nanos as long (legacy
-    * conf, runtime-settable) and convert to a microsecond timestamp —
-    * the generator emits whole microseconds, so ts DIV 1000 is
-    * lossless. */
+  /** Normalize an events-shaped relation's `ts` to a session-zone
+    * TimestampType regardless of how the generator wrote the column —
+    * the physical type has changed across driver testdata
+    * generations, and the readers must serve both:
+    * - TIMESTAMP(NANOS) parquet arrives as a nanos BIGINT under the
+    *   legacy nanosAsLong conf; the generator emits whole
+    *   microseconds, so `ts DIV 1000` is lossless.
+    * - micro-precision TIMESTAMP arrives as TIMESTAMP_NTZ (Spark 4
+    *   infers NTZ for isAdjustedToUTC=false); every session here
+    *   runs UTC, so the LTZ cast preserves the instant. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** Events with `ts` normalized via [[normalizeTs]] (the legacy
+    * nanos conf is set first so a NANOS file reads as long instead
+    * of erroring). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")

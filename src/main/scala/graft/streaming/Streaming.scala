@@ -63,20 +63,21 @@ object Streaming extends graft.QueryGroup {
     acc
   }
 
-  /** Streaming reader over the events parquet with the same nano→
-    * micro timestamp normalization as the batch reader
-    * ([[graft.Tables.events]]). The schema comes from a footer-only
-    * batch read (driver metadata, not data). */
+  /** Streaming reader over the events parquet with the same
+    * timestamp normalization as the batch reader
+    * ([[graft.Tables.normalizeTs]] — serves both the nanos-long and
+    * TIMESTAMP_NTZ testdata generations). The schema comes from a
+    * footer-only batch read (driver metadata, not data). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
     // The streaming file source wants a directory; point it at the sf
     // dir and glob-filter to the events file(s).
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normalizeTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** State-partition sizing for the streaming twins. A stateful
