@@ -247,6 +247,145 @@ object Dedup extends graft.QueryGroup {
       .limit(topN)
   }
 
+  /** Segment width (tokens) for the REWRITE pass — non-overlapping
+    * units, so a removal decision maps 1:1 onto a text slice. */
+  val SegW = 8
+
+  /** (doc_id, n_seg, p, seg) non-overlapping [[SegW]]-token segments
+    * of every document, in order (the last segment may be short).
+    * One projection + explode — O(tokens / SegW) rows, map-only. */
+  private def segmentsOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    t.select(col("doc_id"),
+        ceil(size(col("toks")) / lit(SegW.toDouble)).cast("long").as("n_seg"),
+        col("toks"))
+      .select(col("doc_id"), col("n_seg"),
+        explode(transform(sequence(lit(0L), col("n_seg") - 1),
+          p => struct(p.as("p"),
+            concat_ws(" ", slice(col("toks"),
+              (p * SegW + 1).cast("int"), lit(SegW))).as("seg")))).as("s"))
+      .select(col("doc_id"), col("n_seg"),
+        col("s.p").as("p"), col("s.seg").as("seg"))
+  }
+
+  /** Segment-level duplicate REMOVAL with document reassembly — the
+    * C4/RefinedWeb cleaning pass that [[substringDedup]] only audits:
+    * every non-overlapping [[SegW]]-token segment keeps its globally
+    * FIRST occurrence (min (doc_id, position), within- or cross-doc)
+    * and every later occurrence is deleted; each document is then
+    * reassembled from its surviving segments in original order. The
+    * reference dedups whole docs by oracle id at ingest
+    * (db/ingest_cards.py:95-105); this is the sub-document rewrite a
+    * training-corpus build runs after it. Output pins the REWRITE
+    * itself, not just counts: clean_md5 digests the reassembled text,
+    * so a wrong keep/drop decision or a reordered segment anywhere in
+    * the top-N docs breaks the hash.
+    *
+    * Scale: segments are O(tokens/SegW) rows; ONE h-exchange serves
+    * both the first-occurrence min-agg and the keep join (same
+    * one-exchange shape as [[substringDedupOver]], materialized once
+    * because two consumers share it); reassembly is one doc_id
+    * shuffle carrying the surviving text — the unavoidable write
+    * volume of any corpus rewrite. No all-pairs, no skew (a
+    * corpus-hot segment's rows combine map-side before the h
+    * exchange feeds the min-agg). */
+  def segDedup(s: SparkSession, dir: String, topN: Int = 20): DataFrame =
+    segDedupOver(Tables.documents(s, dir), topN)
+
+  /** [[segDedup]] over ANY documents-shaped relation (the zero-storage
+    * scale smoke feeds graft-synth through it). */
+  def segDedupOver(docs: DataFrame, topN: Int): DataFrame = {
+    val segs = segmentsOf(docs)
+      .select(col("doc_id"), col("p"), col("seg"),
+        MinHash.hash60(col("seg")).as("h"),
+        (col("doc_id") * 100000L + col("p")).as("ok"))
+    val byH = segs.repartition(col("h"))
+      .transform(graft.Checkpoints.cut)
+    val win = byH.groupBy(col("h")).agg(min(col("ok")).as("win"))
+    val kept = byH.join(win, Seq("h")).where(col("ok") === col("win"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("seg")))),
+            x => x.getField("seg")), " ")).as("clean_md5"))
+    docs.select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / lit(SegW.toDouble))
+          .cast("long").as("n_seg"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_seg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round((col("n_seg") - coalesce(col("n_kept"), lit(0L)))
+          .cast("double") / col("n_seg"), 6).as("removed_frac"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy(col("removed_frac").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
+  /** Validation share of the hash split: doc is 'val' iff
+    * hash60("split:" ++ doc_id) ≡ 0 (mod [[SplitMod]]) — ~10%,
+    * deterministic, content-independent (the split must not correlate
+    * with anything the model sees). */
+  val SplitMod = 10
+  val LeakJac = 0.8 // near-dup threshold for a cross-split leak
+
+  /** Doc ids with their split assignment and source. */
+  private def splitOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      (pmod(MinHash.hash60(concat(lit("split:"),
+        col("doc_id").cast("string"))), lit(SplitMod.toLong)) === 0)
+        .as("is_val"))
+
+  /** Train/validation SPLIT-LEAKAGE audit — the check a training
+    * pipeline runs after hash-splitting a corpus: a validation doc is
+    * LEAKED when a near-duplicate of it sits in the training split
+    * (the eval score is then memorization, not generalization; the
+    * cross-SPLIT twin of [[Curation]]'s cross-CORPUS q_contamination).
+    * Candidates are split-aware band stars: per band bucket, the
+    * min-id TRAIN member is the bucket's probe rep, and each VAL
+    * member pairs with it — any val doc sharing ≥ 1 LSH band with any
+    * train doc gets a candidate, exact Jaccard verifies, and a val
+    * doc with a verified ≥ [[LeakJac]] train neighbor counts as
+    * leaked. Reports per-source leak rates — the number that decides
+    * whether the split is usable.
+    *
+    * Scale: identical candidate geometry to [[minhashLsh]] (O(docs ×
+    * bands) band rows, star joins, verify on candidates only); the
+    * split adds one map-side hash predicate, no extra shuffle. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakageOver(Tables.documents(s, dir))
+
+  /** [[splitLeakage]] over ANY (doc_id, source, text) relation. */
+  def splitLeakageOver(docs: DataFrame): DataFrame = {
+    val sets = docs.select(col("doc_id"), tokenSet(col("text")).as("fs"))
+    val split = splitOf(docs)
+    val feats = docs.select(col("doc_id"),
+      explode(tokenSet(col("text"))).as("f"))
+    val bands = bandKeys(signature(feats))
+      .join(split.select(col("doc_id"), col("is_val")), Seq("doc_id"))
+    val trainReps = bands.where(!col("is_val"))
+      .groupBy(col("bk")).agg(min(col("doc_id")).as("rep"))
+    val cand = bands.where(col("is_val")).join(trainReps, Seq("bk"))
+      .select(col("doc_id").as("val_id"), col("rep")).distinct()
+    val leaked = cand
+      .join(sets.select(col("doc_id").as("val_id"), col("fs").as("fs_v")),
+        Seq("val_id"))
+      .join(sets.select(col("doc_id").as("rep"), col("fs").as("fs_t")),
+        Seq("rep"))
+      .select(col("val_id"), jaccard(col("fs_v"), col("fs_t")).as("jac"))
+      .groupBy(col("val_id")).agg(max(col("jac")).as("best"))
+      .where(col("best") >= LeakJac)
+    split.where(col("is_val"))
+      .join(leaked.select(col("val_id").as("doc_id"), lit(1L).as("lk")),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_val"),
+        sum(coalesce(col("lk"), lit(0L))).as("n_leaked"))
+      .select(col("source"), col("n_val"), col("n_leaked"),
+        round(col("n_leaked").cast("double") / col("n_val"), 6)
+          .as("leak_rate"))
+      .orderBy(col("source").asc)
+  }
+
   /** Dedup-by-latest: keep each (user, event_type) key's most recent
     * event — the snapshot-compaction shape every CDC/versioned-corpus
     * pipeline runs. WRITTEN as the natural `row_number() = 1` window
@@ -574,6 +713,8 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_simhash" -> ((s, d) => simhashPairs(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q_dedup_substring" -> ((s, d) => substringDedup(s, d)),
+    "q_dedup_seg" -> ((s, d) => segDedup(s, d)),
+    "q_split_leak" -> ((s, d) => splitLeakage(s, d)),
     "q_dedup_embedding" -> ((s, d) => embeddingNearDup(s, d)),
     "q_dedup_cluster" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_converged" -> ((s, d) => convergedClusters(s, d)),
@@ -665,6 +806,69 @@ object Dedup extends graft.QueryGroup {
          |SELECT doc_id, n_spans, n_dup_spans,
          |       round(n_dup_spans / n_spans, 6) AS dup_frac
          |FROM pd ORDER BY dup_frac DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_dedup_seg" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
+         |           FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |             CAST(ceil(len(toks) / $SegW.0) AS BIGINT) AS n_seg
+         |      FROM t),
+         |pos AS (SELECT doc_id, n_seg, toks,
+         |               unnest(generate_series(0, n_seg - 1)) AS p
+         |        FROM n),
+         |sg AS (SELECT doc_id, p,
+         |  array_to_string(toks[(p * $SegW + 1):(p * $SegW + $SegW)], ' ')
+         |    AS seg
+         |       FROM pos),
+         |hh AS (SELECT doc_id, p, seg, ${MinHash.hash60Sql("seg")} AS h,
+         |              doc_id * 100000 + p AS ok
+         |       FROM sg),
+         |win AS (SELECT h, min(ok) AS win FROM hh GROUP BY h),
+         |kept AS (SELECT doc_id, p, seg FROM hh JOIN win USING (h)
+         |         WHERE ok = win),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |               md5(string_agg(seg, ' ' ORDER BY p)) AS clean_md5
+         |        FROM kept GROUP BY doc_id)
+         |SELECT n.doc_id, n.n_seg, coalesce(a.n_kept, 0) AS n_kept,
+         |       round((n.n_seg - coalesce(a.n_kept, 0)) / n.n_seg, 6)
+         |         AS removed_frac,
+         |       coalesce(a.clean_md5, md5('')) AS clean_md5
+         |FROM n LEFT JOIN agg a USING (doc_id)
+         |ORDER BY removed_frac DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_split_leak" ->
+      s"""WITH sets AS (SELECT doc_id,
+         |                     list_distinct(str_split(text, ' ')) AS fs
+         |              FROM documents),
+         |sp AS (SELECT doc_id, source,
+         |  (${MinHash.hash60Sql("'split:' || CAST(doc_id AS VARCHAR)")}
+         |     % $SplitMod = 0) AS is_val
+         |       FROM documents),
+         |feats AS (SELECT doc_id, unnest(fs) AS f FROM sets),
+         |base AS (SELECT doc_id, ${MinHash.hash60Sql("f")} AS base
+         |         FROM feats),
+         |sig AS (SELECT doc_id, $sigSelect FROM base GROUP BY doc_id),
+         |bands AS ($bandsUnion),
+         |sb AS (SELECT b.doc_id, b.bk, s.is_val
+         |       FROM bands b JOIN sp s USING (doc_id)),
+         |tr AS (SELECT bk, min(doc_id) AS rep FROM sb
+         |       WHERE NOT is_val GROUP BY bk),
+         |cand AS (SELECT DISTINCT v.doc_id AS val_id, t.rep
+         |         FROM sb v JOIN tr t USING (bk) WHERE v.is_val),
+         |v AS (SELECT c.val_id,
+         |             CASE WHEN len(list_distinct(sv.fs || st.fs)) = 0
+         |                  THEN 0.0
+         |                  ELSE len(list_intersect(sv.fs, st.fs))
+         |                       / len(list_distinct(sv.fs || st.fs))
+         |             END AS jac
+         |      FROM cand c JOIN sets sv ON c.val_id = sv.doc_id
+         |                  JOIN sets st ON c.rep = st.doc_id),
+         |lk AS (SELECT val_id FROM v GROUP BY val_id
+         |       HAVING max(jac) >= $LeakJac)
+         |SELECT s.source, count(*) AS n_val,
+         |       count(l.val_id) AS n_leaked,
+         |       round(count(l.val_id) / count(*), 6) AS leak_rate
+         |FROM sp s LEFT JOIN lk l ON s.doc_id = l.val_id
+         |WHERE s.is_val
+         |GROUP BY s.source ORDER BY s.source ASC""".stripMargin,
     "q_dedup_latest" ->
       """WITH r AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,

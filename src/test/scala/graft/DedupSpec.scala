@@ -240,6 +240,123 @@ class DedupSpec extends SparkSuite {
       "the synth corpus must surface duplicated spans")
   }
 
+  private def md5str(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("segment dedup equals a segment-string recomputation: first " +
+      "global occurrence wins, reassembly preserves order") {
+    // Independent driver-side recompute grouping on the segment
+    // STRINGS (no md5 in the winner rule) and rebuilding each doc's
+    // cleaned text by hand — an off-by-one in the slicing, a wrong
+    // keep/drop decision, or a reordered segment in the reassembly
+    // all diverge on clean_md5.
+    val W = Dedup.SegW
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val segs = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(W).zipWithIndex
+        .map { case (g, p) => (id, p.toLong, g.mkString(" ")) }
+    }
+    val win = segs.groupBy(_._3).map { case (s, occ) =>
+      s -> occ.map(t => (t._1, t._2)).min
+    }
+    val keptBy = segs.filter(t => win(t._3) == ((t._1, t._2)))
+      .groupBy(_._1)
+    val nSegBy = segs.groupBy(_._1).map { case (id, ss) => id -> ss.length }
+    val expected = docs.map { case (id, _) =>
+      val ks = keptBy.getOrElse(id, Array.empty[(Long, Long, String)])
+        .sortBy(_._2)
+      id -> ((nSegBy(id).toLong, ks.length.toLong,
+        md5str(ks.map(_._3).mkString(" "))))
+    }.toMap
+    assert(expected.exists { case (_, (n, k, _)) => k < n },
+      "corpus must contain removable duplicate segments to bite")
+    val got = Dedup.segDedup(spark, sfDir, topN = 1000000).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, g) =>
+      assert(g === expected(id), s"segment rewrite drifts for doc $id")
+    }
+  }
+
+  test("segment dedup: a full copy reassembles to the empty string; " +
+      "the first occurrence is untouched") {
+    import spark.implicits._
+    val words = (1 to 24).map(i => s"w$i").mkString(" ") // exactly 3 segments
+    val docs = Seq(
+      (1L, words), (2L, words),
+      (3L, "unique content entirely different body of words"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segDedupOver(docs, 10).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(1L) === ((3L, 3L, md5str(words))),
+      "the globally-first copy must survive byte-identical")
+    assert(out(2L)._1 === 3L && out(2L)._2 === 0L &&
+      out(2L)._3 === md5str(""),
+      s"the later copy must lose every segment: ${out(2L)}")
+    assert(out(3L)._2 === out(3L)._1, "unique doc must keep everything")
+  }
+
+  test("split leakage flags a planted cross-split near-dup and " +
+      "nothing else") {
+    import spark.implicits._
+    def isVal(id: Long) =
+      graft.functions.MinHash.hash60Local(s"split:$id") %
+        Dedup.SplitMod == 0
+    val valIds = (0L to 2000L).filter(isVal).take(2)
+    val trainIds = (0L to 2000L).filterNot(isVal).take(2)
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (valIds(0), "s0", txt), // leaked: identical twin in train
+      (trainIds(0), "s0", txt),
+      (valIds(1), "s1", "totally different words nothing shared here"),
+      (trainIds(1), "s1", "unrelated training content body of text"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.splitLeakageOver(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("s0") === ((1L, 1L, 1.0d)),
+      s"planted leak must be flagged: ${out.get("s0")}")
+    assert(out("s1") === ((1L, 0L, 0.0d)),
+      s"clean split must report zero leaks: ${out.get("s1")}")
+  }
+
+  test("split leakage on the corpus: val counts match the driver " +
+      "hash split; every reported leak is a true near-dup (soundness)") {
+    def isVal(id: Long) =
+      graft.functions.MinHash.hash60Local(s"split:$id") %
+        Dedup.SplitMod == 0
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).toSet))
+    val nVal = docs.filter(d => isVal(d._1)).groupBy(_._2)
+      .map { case (s, ds) => s -> ds.length.toLong }
+    // Brute-force superset: val docs with ANY train doc at >= LeakJac
+    // (the query's rep-star candidates are a subset of all pairs, so
+    // reported leaks can never exceed this).
+    val train = docs.filterNot(d => isVal(d._1))
+    def jac(a: Set[String], b: Set[String]): Double =
+      if ((a ++ b).isEmpty) 0.0
+      else (a & b).size.toDouble / (a ++ b).size
+    val bruteLeak = docs.filter(d => isVal(d._1))
+      .filter(d => train.exists(t => jac(d._3, t._3) >= Dedup.LeakJac))
+      .groupBy(_._2).map { case (s, ds) => s -> ds.length.toLong }
+    val got = Dedup.splitLeakage(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === nVal.keySet)
+    got.foreach { case (s, (nv, nl)) =>
+      assert(nv === nVal(s), s"val count drifts for source $s")
+      assert(nl <= bruteLeak.getOrElse(s, 0L),
+        s"source $s reports $nl leaks but brute force finds only " +
+          s"${bruteLeak.getOrElse(s, 0L)}")
+    }
+  }
+
   test("containment >= jaccard on any shared candidate pair") {
     // |A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always.
     val cont = Dedup.containment(spark, sfDir).collect()
