@@ -281,42 +281,53 @@ object Dedup extends graft.QueryGroup {
     * so a wrong keep/drop decision or a reordered segment anywhere in
     * the top-N docs breaks the hash.
     *
-    * Scale: segments are O(tokens/SegW) rows; ONE h-exchange serves
-    * both the first-occurrence min-agg and the keep join (same
-    * one-exchange shape as [[substringDedupOver]], materialized once
-    * because two consumers share it); reassembly is one doc_id
-    * shuffle carrying the surviving text — the unavoidable write
-    * volume of any corpus rewrite. No all-pairs, no skew (a
-    * corpus-hot segment's rows combine map-side before the h
-    * exchange feeds the min-agg). */
+    * Scale: the SEGMENT TEXT CROSSES THE WIRE EXACTLY ONCE. The
+    * winner election runs on (h, ok) LONG PAIRS only — order keys
+    * ok = doc_id·10⁵ + position encode (doc, position), so the
+    * global min-agg on h (map-side combined, uniform 60-bit keys)
+    * decides every keep/drop without moving a byte of text; the
+    * winning ok values decode back to per-doc position sets (one
+    * light shuffle of winner longs). The text moves only in the
+    * single doc_id exchange that serves BOTH the keep join and the
+    * reassembly aggregate (co-partitioned, no second exchange) — vs
+    * the naive plan that shuffles the full text by h for the keep
+    * join and again by doc_id for reassembly. The corpus is scanned
+    * twice (hash branch + rebuild branch); a second columnar scan is
+    * far cheaper than a second full-text shuffle. No all-pairs, no
+    * skew (a corpus-hot segment combines to one (h, min-ok) row per
+    * map partition before its shuffle). */
   def segDedup(s: SparkSession, dir: String, topN: Int = 20): DataFrame =
     segDedupOver(Tables.documents(s, dir), topN)
 
   /** [[segDedup]] over ANY documents-shaped relation (the zero-storage
     * scale smoke feeds graft-synth through it). */
   def segDedupOver(docs: DataFrame, topN: Int): DataFrame = {
-    val segs = segmentsOf(docs)
-      .select(col("doc_id"), col("p"), col("seg"),
-        MinHash.hash60(col("seg")).as("h"),
-        (col("doc_id") * 100000L + col("p")).as("ok"))
-    val byH = segs.repartition(col("h"))
-      .transform(graft.Checkpoints.cut)
-    val win = byH.groupBy(col("h")).agg(min(col("ok")).as("win"))
-    val kept = byH.join(win, Seq("h")).where(col("ok") === col("win"))
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
+    val OkBase = 100000L // positions per doc; ok = doc_id·OkBase + p
+    // Branch 1: winner election on long pairs — no text past the scan.
+    val winners = segmentsOf(docs)
+      .select(MinHash.hash60(col("seg")).as("h"),
+        (col("doc_id") * OkBase + col("p")).as("ok"))
+      .groupBy(col("h")).agg(min(col("ok")).as("win"))
+      .select(expr(s"win DIV $OkBase").as("doc_id"), // exact long div
+        pmod(col("win"), lit(OkBase)).as("p"))
+    val winsByDoc = winners.groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("ps"))
+    // Branch 2: re-derive segments (split+slice, no hashing), join the
+    // winner position sets on doc_id, rebuild in one co-partitioned agg.
+    val keptFlag = col("ps").isNotNull && array_contains(col("ps"), col("p"))
+    segmentsOf(docs)
+      .join(winsByDoc, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_seg")).as("n_seg"),
+        count(when(keptFlag, lit(1))).as("n_kept"),
         md5(array_join(
-          transform(array_sort(collect_list(struct(col("p"), col("seg")))),
+          transform(array_sort(collect_list(
+            when(keptFlag, struct(col("p"), col("seg"))))),
             x => x.getField("seg")), " ")).as("clean_md5"))
-    docs.select(col("doc_id"),
-        ceil(size(split(col("text"), " ")) / lit(SegW.toDouble))
-          .cast("long").as("n_seg"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_seg"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        round((col("n_seg") - coalesce(col("n_kept"), lit(0L)))
-          .cast("double") / col("n_seg"), 6).as("removed_frac"),
-        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .select(col("doc_id"), col("n_seg"), col("n_kept"),
+        round((col("n_seg") - col("n_kept")).cast("double") /
+          col("n_seg"), 6).as("removed_frac"),
+        col("clean_md5"))
       .orderBy(col("removed_frac").desc, col("doc_id").asc)
       .limit(topN)
   }

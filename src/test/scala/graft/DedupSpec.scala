@@ -301,6 +301,48 @@ class DedupSpec extends SparkSuite {
     assert(out(3L)._2 === out(3L)._1, "unique doc must keep everything")
   }
 
+  test("segment dedup: the segment text crosses exactly one shuffle " +
+      "(winner election runs on long pairs)") {
+    // The scale property of the rewrite plan: keep/drop is decided on
+    // (h, ok) longs, so the only exchange whose rows carry the segment
+    // string is the single doc_id shuffle that serves both the keep
+    // join and the reassembly aggregate. A regression that routes the
+    // text through the h exchange doubles the wire volume of the
+    // dominant relation.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.segDedup(spark, sfDir).queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, "sanity: the plan does shuffle somewhere")
+      val textShuffles = shuffles.filter(_.output.exists(a =>
+        a.dataType == org.apache.spark.sql.types.StringType))
+      assert(textShuffles.size <= 1,
+        s"segment text must shuffle at most once:\n" +
+          textShuffles.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("segment dedup scales: 200k synthetic docs, zero storage") {
+    // Template-heavy synth docs share many 8-token segments, so the
+    // removal pass bites at volume; checks are structural — a plan
+    // regression that shuffles the text twice (or goes quadratic)
+    // shows up as runtime, not as a wrong answer.
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 200000).option("parts", 16).option("seed", 12)
+      .load()
+    val top = Dedup.segDedupOver(docs, 25).collect()
+    assert(top.length === 25)
+    top.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) <= r.getLong(1))
+      val f = r.getDouble(3)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    assert(top.exists(r => r.getLong(2) < r.getLong(1)),
+      "the synth corpus must surface removable duplicate segments")
+  }
+
   test("split leakage flags a planted cross-split near-dup and " +
       "nothing else") {
     import spark.implicits._
