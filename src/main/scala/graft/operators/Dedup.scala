@@ -332,6 +332,62 @@ object Dedup extends graft.QueryGroup {
       .limit(topN)
   }
 
+  /** INCREMENTAL segment dedup — [[segDedup]]'s O(batch) refresh:
+    * the standing corpus (ids not divisible by [[IncrMod]], same
+    * batch rule as every maintenance twin) has already claimed its
+    * segment hashes; an incoming batch keeps a segment only if its
+    * hash is unclaimed AND it is the batch's own first occurrence,
+    * then each batch doc is reassembled exactly as the full pass
+    * would. Semantics are ARRIVAL-ORDER first-come (the standing
+    * corpus ingested first, so its claims stand even against a
+    * smaller batch ok) — the real append-only contract; when batch
+    * ids follow corpus ids, this equals the full rebuild restricted
+    * to the batch (proven in DedupSpec).
+    *
+    * Scale: the claimed-hash set is O(corpus segments) LONGS — the
+    * materialized form is a bucketed single-column table, and the
+    * probe is a left-anti equi-join on h costing O(batch + claimed)
+    * with no text on the wire (the long-pairs trick of
+    * [[segDedupOver]]: election on (h, ok), text moves once by
+    * doc_id for reassembly). Per refresh nothing rescans the
+    * corpus text. */
+  def segIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isBatch = col("doc_id") % IncrMod === 0
+    segIncrementalOver(docs.where(!isBatch), docs.where(isBatch))
+  }
+
+  /** [[segIncremental]] over explicit corpus/batch relations. */
+  def segIncrementalOver(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val OkBase = 100000L
+    val claimed = segmentsOf(corpus)
+      .select(MinHash.hash60(col("seg")).as("h")).distinct()
+    val winners = segmentsOf(batch)
+      .select(MinHash.hash60(col("seg")).as("h"),
+        (col("doc_id") * OkBase + col("p")).as("ok"))
+      .join(claimed, Seq("h"), "left_anti")
+      .groupBy(col("h")).agg(min(col("ok")).as("win"))
+      .select(expr(s"win DIV $OkBase").as("doc_id"),
+        pmod(col("win"), lit(OkBase)).as("p"))
+    val winsByDoc = winners.groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("ps"))
+    val keptFlag = col("ps").isNotNull && array_contains(col("ps"), col("p"))
+    segmentsOf(batch)
+      .join(winsByDoc, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_seg")).as("n_seg"),
+        count(when(keptFlag, lit(1))).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(
+            when(keptFlag, struct(col("p"), col("seg"))))),
+            x => x.getField("seg")), " ")).as("clean_md5"))
+      .select(col("doc_id"), col("n_seg"), col("n_kept"),
+        round((col("n_seg") - col("n_kept")).cast("double") /
+          col("n_seg"), 6).as("removed_frac"),
+        col("clean_md5"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Validation share of the hash split: doc is 'val' iff
     * hash60("split:" ++ doc_id) ≡ 0 (mod [[SplitMod]]) — ~10%,
     * deterministic, content-independent (the split must not correlate
@@ -725,6 +781,7 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "q_dedup_substring" -> ((s, d) => substringDedup(s, d)),
     "q_dedup_seg" -> ((s, d) => segDedup(s, d)),
+    "q_seg_incremental" -> ((s, d) => segIncremental(s, d)),
     "q_split_leak" -> ((s, d) => splitLeakage(s, d)),
     "q_dedup_embedding" -> ((s, d) => embeddingNearDup(s, d)),
     "q_dedup_cluster" -> ((s, d) => dedupClusters(s, d)),
@@ -735,6 +792,29 @@ object Dedup extends graft.QueryGroup {
   )
 
   // ---- oracle SQL (mirrors the candidate generation exactly) ----
+
+  /** Shared CTE chain enumerating every doc's non-overlapping
+    * [[SegW]]-token segments with hash and order key:
+    * `hh(doc_id, n_seg, p, seg, h, ok)` (plus `n(doc_id, n_seg, …)`)
+    * — the DuckDB twin of [[segmentsOf]], used by both segment
+    * oracles so the enumeration cannot drift between them. */
+  private def segCtes: String =
+    s"""t AS (SELECT doc_id, str_split(text, ' ') AS toks
+       |      FROM documents),
+       |n AS (SELECT doc_id, toks,
+       |             CAST(ceil(len(toks) / $SegW.0) AS BIGINT) AS n_seg
+       |      FROM t),
+       |pos AS (SELECT doc_id, n_seg, toks,
+       |               unnest(generate_series(0, n_seg - 1)) AS p
+       |        FROM n),
+       |sg AS (SELECT doc_id, n_seg, p,
+       |  array_to_string(toks[(p * $SegW + 1):(p * $SegW + $SegW)], ' ')
+       |    AS seg
+       |       FROM pos),
+       |hh AS (SELECT doc_id, n_seg, p, seg,
+       |              ${MinHash.hash60Sql("seg")} AS h,
+       |              doc_id * 100000 + p AS ok
+       |       FROM sg)""".stripMargin
 
   private val sigSelect = seeds.zipWithIndex
     .map { case (sd, i) => s"min(xor(base, $sd)) AS h$i" }.mkString(", ")
@@ -818,21 +898,7 @@ object Dedup extends graft.QueryGroup {
          |       round(n_dup_spans / n_spans, 6) AS dup_frac
          |FROM pd ORDER BY dup_frac DESC, doc_id ASC LIMIT 20""".stripMargin,
     "q_dedup_seg" ->
-      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
-         |           FROM documents),
-         |n AS (SELECT doc_id, toks,
-         |             CAST(ceil(len(toks) / $SegW.0) AS BIGINT) AS n_seg
-         |      FROM t),
-         |pos AS (SELECT doc_id, n_seg, toks,
-         |               unnest(generate_series(0, n_seg - 1)) AS p
-         |        FROM n),
-         |sg AS (SELECT doc_id, p,
-         |  array_to_string(toks[(p * $SegW + 1):(p * $SegW + $SegW)], ' ')
-         |    AS seg
-         |       FROM pos),
-         |hh AS (SELECT doc_id, p, seg, ${MinHash.hash60Sql("seg")} AS h,
-         |              doc_id * 100000 + p AS ok
-         |       FROM sg),
+      s"""WITH $segCtes,
          |win AS (SELECT h, min(ok) AS win FROM hh GROUP BY h),
          |kept AS (SELECT doc_id, p, seg FROM hh JOIN win USING (h)
          |         WHERE ok = win),
@@ -845,6 +911,29 @@ object Dedup extends graft.QueryGroup {
          |       coalesce(a.clean_md5, md5('')) AS clean_md5
          |FROM n LEFT JOIN agg a USING (doc_id)
          |ORDER BY removed_frac DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q_seg_incremental" ->
+      s"""WITH $segCtes,
+         |claimed AS (SELECT DISTINCT h FROM hh
+         |            WHERE doc_id % $IncrMod <> 0),
+         |b AS (SELECT * FROM hh WHERE doc_id % $IncrMod = 0),
+         |un AS (SELECT h, ok FROM b
+         |       WHERE NOT EXISTS (SELECT 1 FROM claimed c
+         |                         WHERE c.h = b.h)),
+         |win AS (SELECT h, min(ok) AS win FROM un GROUP BY h),
+         |wp AS (SELECT win // 100000 AS doc_id, win % 100000 AS p
+         |       FROM win),
+         |kept AS (SELECT b.doc_id, b.p, b.seg FROM b
+         |         JOIN wp ON b.doc_id = wp.doc_id AND b.p = wp.p),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |               md5(string_agg(seg, ' ' ORDER BY p)) AS clean_md5
+         |        FROM kept GROUP BY doc_id),
+         |nb AS (SELECT DISTINCT doc_id, n_seg FROM b)
+         |SELECT nb.doc_id, nb.n_seg, coalesce(a.n_kept, 0) AS n_kept,
+         |       round((nb.n_seg - coalesce(a.n_kept, 0)) / nb.n_seg, 6)
+         |         AS removed_frac,
+         |       coalesce(a.clean_md5, md5('')) AS clean_md5
+         |FROM nb LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_split_leak" ->
       s"""WITH sets AS (SELECT doc_id,
          |                     list_distinct(str_split(text, ' ')) AS fs

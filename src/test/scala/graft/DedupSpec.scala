@@ -323,6 +323,39 @@ class DedupSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("incremental segment dedup == full rebuild on the batch when " +
+      "arrival order matches id order") {
+    import spark.implicits._
+    // Batch ids strictly follow corpus ids, so arrival-order
+    // first-come (the incremental contract) coincides with min-ok
+    // first-come (the full rebuild): the O(batch) probe must
+    // reproduce the rebuild's keep/drop and reassembly exactly.
+    val span = (1 to 8).map(i => s"c$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$span alpha beta gamma delta eps zeta eta theta"),
+      (2L, "plain corpus body with its own words entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"$span one two three four five six seven eight"),
+      (101L, "fresh batch content nothing previously claimed here"),
+      (101L + 1, s"$span $span"))
+      .toDF("doc_id", "text")
+    val incr = Dedup.segIncrementalOver(corpus, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+      .sortBy(_._1)
+    val rebuild = Dedup.segDedupOver(corpus.unionAll(batch), 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+      .filter(_._1 >= 100L).sortBy(_._1)
+    assert(incr === rebuild,
+      s"incremental drifts from rebuild:\n$incr\nvs\n$rebuild")
+    val byId = incr.map(t => t._1 -> t).toMap
+    assert(byId(100L)._3 < byId(100L)._2,
+      "the claimed span must be dropped from the batch doc")
+    assert(byId(101L)._3 === byId(101L)._2,
+      "fresh content must keep everything")
+  }
+
   test("segment dedup scales: 200k synthetic docs, zero storage") {
     // Template-heavy synth docs share many 8-token segments, so the
     // removal pass bites at volume; checks are structural — a plan
