@@ -39,6 +39,31 @@ class PlanSpec extends SparkSuite {
       s"queries planning a cartesian product: $offenders")
   }
 
+  test("registry sweep: every query is run-to-run deterministic " +
+      "(two executions hash equal)") {
+    // The single-run DuckDB gate proves a result is RIGHT; this sweep
+    // proves it is STABLE — a tie broken by partition arrival order,
+    // an un-ordered limit, or a rand() sneaking in produces a result
+    // that can pass the gate one run and fail it the next. Every
+    // non-stream row executes twice and the canonicalized results
+    // (toJSON: schema-ordered fields, base64 binary, row-sorted) must
+    // be byte-equal. Stream rows are excluded: each build runs a
+    // micro-batch pipeline, and their determinism is already pinned
+    // by the stream==batch twin specs plus this sweep on the batch
+    // side.
+    val skip = (n: String) => n.startsWith("q_stream_")
+    def canon(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir)
+        .toJSON.collect().sorted.mkString("\n")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { name =>
+        if (canon(name) == canon(name)) None else Some(name)
+      }
+    assert(offenders.isEmpty,
+      s"queries with run-to-run nondeterminism: $offenders")
+  }
+
   test("q_vec_topk: filter pushed to parquet scan, TakeOrderedAndProject top-k") {
     val p = formatted(VectorSearch.topK(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),
