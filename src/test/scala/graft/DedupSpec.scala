@@ -376,6 +376,31 @@ class DedupSpec extends SparkSuite {
       "the synth corpus must surface removable duplicate segments")
   }
 
+  test("incremental segment dedup scales: 1M synthetic docs, " +
+      "zero storage") {
+    // ~941k corpus docs claim their segments; the ~59k-doc batch
+    // (ids % IncrMod == 0) probes the claimed set. The probe is
+    // long-pairs only, so a regression that drags text into the
+    // anti-join or rescans the corpus per batch doc shows up as
+    // runtime; the asserts pin batch completeness and sane fractions.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 1000000).option("parts", 32).option("seed", 13)
+      .load()
+    val isBatch = col("doc_id") % Dedup.IncrMod === 0
+    val out = Dedup.segIncrementalOver(
+      docs.where(!isBatch), docs.where(isBatch))
+    val rows = out.agg(count(lit(1)), sum(col("n_kept")), sum(col("n_seg")),
+      min(col("removed_frac")), max(col("removed_frac"))).collect()(0)
+    val expectedBatch = docs.where(isBatch).count()
+    assert(rows.getLong(0) === expectedBatch,
+      "every batch doc must be reported exactly once")
+    assert(rows.getLong(1) <= rows.getLong(2))
+    assert(rows.getDouble(3) >= 0.0 && rows.getDouble(4) <= 1.0)
+    assert(rows.getLong(1) < rows.getLong(2),
+      "the template-heavy synth corpus must claim some batch segments")
+  }
+
   test("split leakage flags a planted cross-split near-dup and " +
       "nothing else") {
     import spark.implicits._
