@@ -302,7 +302,11 @@ object Dedup extends graft.QueryGroup {
   /** [[segDedup]] over ANY documents-shaped relation (the zero-storage
     * scale smoke feeds graft-synth through it). */
   def segDedupOver(docs: DataFrame, topN: Int): DataFrame = {
-    val OkBase = 100000L // positions per doc; ok = doc_id·OkBase + p
+    // ok = doc_id·OkBase + p. Bound: a doc with ≥ OkBase segments
+    // (800k+ tokens) would alias — a deployment keys the election on
+    // a (doc_id, p) struct instead; the long encoding exists so the
+    // DuckDB oracle can reproduce the min bit-exactly.
+    val OkBase = 100000L
     // Branch 1: winner election on long pairs — no text past the scan.
     val winners = segmentsOf(docs)
       .select(MinHash.hash60(col("seg")).as("h"),
