@@ -517,7 +517,51 @@ object Curation extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  /** Curated seed source for [[seedQuality]] — the pipeline's "known
+    * good" sample (a real run points this at a vetted corpus slice). */
+  val SeedSource = "src0"
+
+  /** Seed-centroid quality scoring — the embedding-prototype filter
+    * (the CCNet/fastText-classifier role, classifier-free): average
+    * the curated seed slice's embeddings into one prototype vector,
+    * score EVERY embedded doc by cosine to it, and report the
+    * per-source score distribution that calibrates the keep
+    * threshold. Complements [[lmScore]] (lexical fluency) with a
+    * semantic relevance signal, and composes with the same funnel.
+    *
+    * Scale: the centroid is ONE bounded aggregate — exact fixed-point
+    * micro-int elementwise sums ([[graft.plans.ElementwiseSum]], 64
+    * longs of state) so the mean is order-independent, then a
+    * one-row broadcast; scoring is map-only against it; the rollup
+    * aggregates on O(sources) keys with the fixed-point mean trick
+    * (exact long sums, divide once at the end) so not one double in
+    * the output depends on partial-aggregation order. */
+  def seedQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineSim, microInts, microMean}
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val e = Tables.embeddings(s, dir)
+    val cent = e.join(docs.where(col("source") === SeedSource), Seq("vec_id"))
+      .select(microInts(col("embedding")).as("mi"))
+      .agg(graft.plans.ElementwiseSum(col("mi"), 64).as("ms"),
+        count(lit(1)).as("sn"))
+      .select(microMean(col("ms"), col("sn")).as("cv"))
+    e.join(docs, Seq("vec_id"))
+      .crossJoin(broadcast(cent))
+      .select(col("source"), cosineSim(col("embedding"), col("cv")).as("sim"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("sim") * 1e6).cast("long")).as("sf"),
+        round(min(col("sim")), 6).as("min_sim"),
+        round(max(col("sim")), 6).as("max_sim"))
+      .select(col("source"), col("n"),
+        round(col("sf").cast("double") / col("n") / 1e6, 6).as("avg_sim"),
+        col("min_sim"), col("max_sim"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_seed" -> ((s, d) => seedQuality(s, d)),
     "q_lm_score" -> ((s, d) => lmScore(s, d)),
     "q_filter_funnel" -> ((s, d) => filterFunnel(s, d)),
     "q_vocab_cov" -> ((s, d) => vocabCoverage(s, d)),
@@ -534,6 +578,27 @@ object Curation extends graft.QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quality_seed" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |sd AS (SELECT e.v FROM e JOIN documents d ON e.vec_id = d.doc_id
+         |       WHERE d.source = '$SeedSource'),
+         |dm AS (SELECT g.i AS pos,
+         |              CAST(round(v[g.i] * 1e6) AS BIGINT) AS m
+         |       FROM sd, generate_series(1, 64) AS g(i)),
+         |cd AS (SELECT pos, CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
+         |       FROM dm GROUP BY pos),
+         |cv AS (SELECT list(c ORDER BY pos) AS cv FROM cd),
+         |sc AS (SELECT d.source,
+         |              list_cosine_similarity(e.v, (SELECT cv FROM cv))
+         |                AS sim
+         |       FROM e JOIN documents d ON e.vec_id = d.doc_id)
+         |SELECT source, count(*) AS n,
+         |       round(CAST(sum(CAST(round(sim * 1e6) AS BIGINT)) AS DOUBLE)
+         |             / count(*) / 1e6, 6) AS avg_sim,
+         |       round(min(sim), 6) AS min_sim,
+         |       round(max(sim), 6) AS max_sim
+         |FROM sc GROUP BY source ORDER BY source ASC""".stripMargin,
     "q_lm_score" ->
       s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
          |           FROM documents),

@@ -337,4 +337,54 @@ class CurationSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("seed-centroid quality matches a driver-side recomputation " +
+      "and ranks the seed source first") {
+    import org.apache.spark.sql.functions._
+    // Full independent recompute: centroid from micro-int sums, then
+    // per-source cosine stats — catches a wrong join side, a
+    // drifting fixed-point path, or an order-dependent mean. The
+    // semantic sanity: the curated slice itself must score highest,
+    // or the prototype carries no signal.
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .filter(v => src.contains(v._1))
+    val seed = vecs.filter(v => src(v._1) == Curation.SeedSource)
+    assert(seed.nonEmpty)
+    val micro = seed.map(_._2.map(x => math.round(x * 1e6)))
+    val cent = (0 until 64).map(i =>
+      micro.map(_(i)).sum.toDouble / seed.length / 1e6).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bySrc = vecs.groupBy(v => src(v._1))
+    val expected = bySrc.map { case (s, vs) =>
+      val sims = vs.map(v => cos(v._2, cent))
+      val avg = sims.map(x => math.round(x * 1e6)).sum.toDouble /
+        sims.length / 1e6
+      s -> ((vs.length.toLong, avg, sims.min, sims.max))
+    }
+    val got = Curation.seedQuality(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (s, (n, avg, mn, mx)) =>
+      val (en, eavg, emn, emx) = expected(s)
+      assert(n === en, s"count drifts for $s")
+      assert(math.abs(avg - eavg) < 2e-6, s"avg drifts for $s")
+      assert(math.abs(mn - emn) < 2e-6 && math.abs(mx - emx) < 2e-6,
+        s"min/max drift for $s")
+    }
+    val best = got.maxBy(_._2._2)._1
+    assert(best === Curation.SeedSource,
+      s"the curated slice must score highest, got $best")
+  }
 }
