@@ -46,7 +46,13 @@ object Bench {
     "federated" -> "fed", "percentile" -> "pctl",
     "merge_upsert" -> "upsert", "scrub_denylist" -> "deny",
     "related_expand" -> "rel_exp", "filter_funnel" -> "funnel",
-    "chunk_text" -> "chunk_t", "shard_shuffle" -> "shards")
+    "chunk_text" -> "chunk_t", "shard_shuffle" -> "shards",
+    // r7d: 121 rows left ~30 chars of headroom; seven more segment
+    // rules reclaim ~32 (the §6-planned lever, applied BEFORE the
+    // rows that needed it).
+    "substring" -> "substr", "multispace" -> "multi",
+    "embedding" -> "emb", "centroids" -> "cents",
+    "hierarchy" -> "hier", "combined" -> "comb", "converged" -> "conv")
 
   /** The one compact-key definition (stdout flavor): `q_` strip →
     * family-prefix abbreviation → segment abbreviation. The

@@ -285,6 +285,60 @@ object Ann extends graft.QueryGroup {
       element_at(element_at(col("dt"), m),
         element_at(col("codes"), m) + 1))
 
+  /** Shortlist size for the exact-refine stage of [[ivfPqSearch]]. */
+  val RefineR = 50
+
+  /** IVF → PQ-ADC → exact-refine — the CANONICAL composed ANN
+    * pipeline (the FAISS `IVFPQ + refine` shape; the reference's
+    * single HNSW index plays this role, db/init.sql:50-58): the
+    * coarse quantizer prunes the corpus to the query's [[NProbe]]
+    * cells, ADC over the PQ codes ranks the survivors from 8 nibble
+    * lookups each (never touching the full vectors), and only the
+    * [[RefineR]]-row shortlist pays an exact cosine. Each tier is
+    * separately graded (q_ann_ivf, q_ann_pq); this row grades their
+    * COMPOSITION, which is what a deployment actually serves.
+    *
+    * Scale: assignment and encoding are map-only against broadcast
+    * centroid/codebook rows; the probed-cell filter is a broadcast
+    * semi-join on ≤ NProbe cell ids; ADC scans codes only (128×
+    * smaller residency than the vectors); both cuts are bounded
+    * TakeOrdered heaps; the exact rerank reads [[RefineR]] full
+    * vectors — at 100 TB the only full-width reads are the shortlist
+    * (the codes table and cell partition-pruning make everything
+    * before it sub-linear). */
+  def ivfPqSearch(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val centArr = broadcast(asArray(ivfCentroids(s, dir)))
+    val a1 = e.crossJoin(centArr)
+      .select(col("vec_id"), col("embedding"),
+        NearestCell(col("embedding"), col("cents")).as("cell"))
+    val qcells = e.where(col("vec_id") === id).crossJoin(centArr)
+      .select(explode(col("cents")).as("c"), col("embedding").as("qvec"))
+      .select(col("c.cid").as("cell"),
+        dist2Builtin(col("qvec"), col("c.cvec")).as("qd"))
+      .orderBy(col("qd").asc, col("cell").asc)
+      .limit(NProbe)
+      .select(col("cell"))
+    val cbB = pqCodebookArr(pqSeeds(e))
+    val shortlist = a1.where(col("vec_id") =!= id)
+      .join(broadcast(qcells), Seq("cell"))
+      .crossJoin(cbB).crossJoin(pqDtArr(e, cbB, id))
+      .select(col("vec_id"), pqCodes.as("codes"), col("dt"))
+      .select(col("vec_id"), adcEst.as("est"))
+      .orderBy(col("est").asc, col("vec_id").asc)
+      .limit(RefineR)
+      .select(col("vec_id"))
+    val qvec = broadcast(e.where(col("vec_id") === id)
+      .select(col("embedding").as("qvec")))
+    e.join(broadcast(shortlist), Seq("vec_id"))
+      .crossJoin(qvec)
+      .select(col("vec_id"), cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** ADC top-k (vec_id, est) for query `id` — encode + estimate in
     * one map-only projection, TakeOrdered top-k. */
   def pqTopK(s: SparkSession, dir: String, id: Long = 0L,
@@ -624,6 +678,7 @@ object Ann extends graft.QueryGroup {
     "q_ann_recall" -> ((s, d) => annRecall(s, d)),
     "q_ann_pq" -> ((s, d) => pqRecall(s, d)),
     "q_ann_incremental" -> ((s, d) => ivfIncremental(s, d)),
+    "q_ann_ivfpq" -> ((s, d) => ivfPqSearch(s, d)),
   )
 
   private val bucketSql = Lsh.bucketCodeSql("v", planes)
@@ -767,6 +822,73 @@ object Ann extends graft.QueryGroup {
          |        FROM a1 JOIN qc USING (cell) JOIN e USING (vec_id)
          |        WHERE a1.vec_id <> 0)
          |SELECT vec_id, cell, round(sim, 6) AS sim FROM res
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS sid, v AS sv FROM e
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |          LIMIT $IvfCells),
+         |d0 AS (SELECT e.vec_id, s.sid,
+         |              list_sum([(e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i])
+         |                        for i in generate_series(1, $Dim)]) AS d
+         |       FROM e, seeds s),
+         |a0 AS (SELECT vec_id, sid AS cid FROM (
+         |         SELECT vec_id, sid,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY d ASC, sid ASC) AS rn
+         |         FROM d0) WHERE rn = 1),
+         |dims AS (SELECT a0.cid, g.i AS pos,
+         |                CAST(round(e.v[g.i] * 1e6) AS BIGINT) AS m
+         |         FROM a0 JOIN e USING (vec_id),
+         |              generate_series(1, $Dim) AS g(i)),
+         |cdim AS (SELECT cid, pos, CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
+         |         FROM dims GROUP BY cid, pos),
+         |cent AS (SELECT cid, list(c ORDER BY pos) AS cv
+         |         FROM cdim GROUP BY cid),
+         |d1 AS (SELECT e.vec_id, t.cid,
+         |              list_sum([(e.v[i] - t.cv[i]) * (e.v[i] - t.cv[i])
+         |                        for i in generate_series(1, $Dim)]) AS d
+         |       FROM e, cent t),
+         |a1 AS (SELECT vec_id, cid AS cell FROM (
+         |         SELECT vec_id, cid,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY d ASC, cid ASC) AS rn
+         |         FROM d1) WHERE rn = 1),
+         |qc AS (SELECT t.cid AS cell
+         |       FROM cent t, (SELECT v FROM e WHERE vec_id = 0) q
+         |       ORDER BY list_sum([(q.v[i] - t.cv[i]) * (q.v[i] - t.cv[i])
+         |                          for i in generate_series(1, $Dim)]) ASC,
+         |                t.cid ASC
+         |       LIMIT $NProbe),
+         |cand AS (SELECT a1.vec_id FROM a1 JOIN qc USING (cell)
+         |         WHERE a1.vec_id <> 0),
+         |s0 AS (SELECT vec_id AS sid, v AS sv FROM e
+         |       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |       LIMIT $PqK),
+         |sj AS (SELECT row_number() OVER (ORDER BY sid ASC) - 1 AS j, sv
+         |       FROM s0),
+         |sd AS (SELECT e.vec_id, g.m, s.j,
+         |              ${sqlSubdist("e.v", "s.sv", "g.m")} AS d
+         |       FROM e JOIN cand USING (vec_id), sj s,
+         |            generate_series(1, $PqM) AS g(m)),
+         |codes AS (SELECT vec_id, m, j FROM (
+         |            SELECT vec_id, m, j,
+         |                   row_number() OVER (PARTITION BY vec_id, m
+         |                     ORDER BY d ASC, j ASC) AS rn
+         |            FROM sd) WHERE rn = 1),
+         |dt AS (SELECT g.m, s.j, ${sqlSubdist("q.v", "s.sv", "g.m")} AS d
+         |       FROM (SELECT v FROM e WHERE vec_id = 0) q, sj s,
+         |            generate_series(1, $PqM) AS g(m)),
+         |est AS (SELECT c.vec_id, list_sum(list(dt.d ORDER BY c.m)) AS est
+         |        FROM codes c JOIN dt ON c.m = dt.m AND c.j = dt.j
+         |        GROUP BY c.vec_id),
+         |short AS (SELECT vec_id FROM est ORDER BY est ASC, vec_id ASC
+         |          LIMIT $RefineR),
+         |rr AS (SELECT e.vec_id,
+         |              list_cosine_similarity(e.v,
+         |                (SELECT v FROM e WHERE vec_id = 0)) AS sim
+         |       FROM e JOIN short USING (vec_id))
+         |SELECT vec_id, round(sim, 6) AS sim FROM rr
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_incremental" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -179,4 +179,33 @@ class AnnIndexSpec extends SparkSuite {
       assert(r.getDouble(4) >= 0.0) // mean squared distance
     }
   }
+
+  test("IVFPQ+refine: returned sims are the EXACT cosines (refine " +
+      "undoes ADC distortion) and the hits come from probed cells") {
+    // The composed pipeline's contract: ADC may rank the shortlist
+    // approximately, but whatever survives the refine must carry the
+    // exact similarity — a pipeline that leaks ADC estimates into
+    // the output would silently corrupt every downstream threshold.
+    val out = Ann.ivfPqSearch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.length === 10)
+    assert(out.map(_._2).sliding(2).forall {
+      case Array(a, b) => a >= b
+      case _ => true
+    })
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { case (id, sim) =>
+      assert(math.abs(sim - cos(vecs(id), q)) < 2e-6,
+        s"vec $id must report its exact cosine, not an ADC estimate")
+    }
+  }
 }
