@@ -117,6 +117,34 @@ class AnnIndexSpec extends SparkSuite {
     assert(scanFrac < 0.10, f"scan fraction $scanFrac%.4f not under 10%%")
   }
 
+  test("clustered manifold: composed IVFPQ+refine operating point — " +
+      "IVF-grade recall with ~33x fewer full-width reads") {
+    // The composed pipeline's measured story: ADC scans the same
+    // cell-pruned candidate set as plain IVF, but only the 100-row
+    // shortlist per query touches a full vector — the full-width
+    // read fraction drops from the 3.3% scan fraction to refineR/n
+    // = 0.1%. Configuration is the measured winner of the codebook
+    // grid (see ivfPqOperatingPoint's doc): RESIDUAL encoding,
+    // PqM=16 subspaces × 8-bit codewords, one Lloyd step — the
+    // FAISS-conventional PQ16x8 — after the shared-global-codebook
+    // 4-bit config measured recall@10 = 0.07 here.
+    val corpus = spark.read.format("graft-synth")
+      .option("shape", "embeddings")
+      .option("rows", 100000).option("parts", 16).option("seed", 42)
+      .option("centers", 64).option("sigma", 0.15)
+      .load()
+    val refineR = 100
+    val (recall, scanFrac, refineFrac) = Ann.ivfPqOperatingPoint(corpus,
+      nCells = 128, nProbe = 4, refineR = refineR,
+      nQueries = 10, k = 10, pqK = 256, lloyd = true, pqM = 16)
+    info(f"measured: recall@10 = $recall%.3f, ADC scan = $scanFrac%.4f, " +
+      f"exact-scored = $refineFrac%.6f")
+    assert(recall >= 0.8, f"recall@10 $recall%.3f below the 0.8 bar")
+    assert(scanFrac < 0.10, f"ADC scan fraction $scanFrac%.4f not under 10%%")
+    assert(refineFrac <= refineR.toDouble / 100000 + 1e-9,
+      f"exact-scored fraction $refineFrac%.6f must be bounded by refineR/n")
+  }
+
   test("Matryoshka prefix space is indexable: LSH operating point in " +
       "32 dims reaches recall@10 >= 0.8 at < 10% scan") {
     // q_vec_multispace searches a second, truncated space; this
@@ -189,6 +217,35 @@ class AnnIndexSpec extends SparkSuite {
     val out = Ann.ivfPqSearch(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
     assert(out.length === 10)
+    assert(out.map(_._2).sliding(2).forall {
+      case Array(a, b) => a >= b
+      case _ => true
+    })
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val q = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { case (id, sim) =>
+      assert(math.abs(sim - cos(vecs(id), q)) < 2e-6,
+        s"vec $id must report its exact cosine, not an ADC estimate")
+    }
+  }
+
+  test("residual IVFPQ: returned sims are the exact cosines and the " +
+      "query itself is excluded") {
+    // Same output contract as q_ann_ivfpq, for the residual+Lloyd
+    // configuration (q_ann_ivfpq_res): the codebook change reshapes
+    // the SHORTLIST, never the reported similarity.
+    val out = Ann.ivfPqResSearch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.length === 10)
+    assert(!out.map(_._1).contains(0L))
     assert(out.map(_._2).sliding(2).forall {
       case Array(a, b) => a >= b
       case _ => true
