@@ -145,6 +145,34 @@ class AnnIndexSpec extends SparkSuite {
       f"exact-scored fraction $refineFrac%.6f must be bounded by refineR/n")
   }
 
+  test("scale smoke: 1M-vector residual-IVFPQ index build + probe, " +
+      "zero storage") {
+    // The residual pipeline's BUILD at 10x the operating-point
+    // corpus: coarse assignment (map-only), residuals (map-only),
+    // codebook seed + one Lloyd step (one narrow shuffle of PqM
+    // slices/vector with per-(m,code) bounded state), encode
+    // (map-only), probe. Asserts the structural contracts that make
+    // the tier viable at 100 TB — the ADC scan stays cell-pruned and
+    // only refineR rows per query ever read a full vector. Codebook
+    // quality at this budget was measured at 100k (grid in
+    // ivfPqOperatingPoint's doc); this test is about the BUILD
+    // scaling, so it runs the cheap 8x4-bit config.
+    val corpus = spark.read.format("graft-synth")
+      .option("shape", "embeddings")
+      .option("rows", 1000000).option("parts", 32).option("seed", 11)
+      .option("centers", 64).option("sigma", 0.15)
+      .load()
+    val (recall, scanFrac, refineFrac) = Ann.ivfPqOperatingPoint(corpus,
+      nCells = 256, nProbe = 4, refineR = 100,
+      nQueries = 5, k = 10, pqK = 16, lloyd = true, pqM = 8)
+    info(f"1M build+probe: recall@10 = $recall%.3f (4-bit codebook), " +
+      f"ADC scan = $scanFrac%.4f, exact-scored = $refineFrac%.6f")
+    assert(scanFrac < 0.05,
+      f"ADC scan fraction $scanFrac%.4f not cell-pruned")
+    assert(refineFrac <= 100.0 / 1000000 + 1e-9,
+      f"exact-scored fraction $refineFrac%.6f must be bounded by refineR/n")
+  }
+
   test("Matryoshka prefix space is indexable: LSH operating point in " +
       "32 dims reaches recall@10 >= 0.8 at < 10% scan") {
     // q_vec_multispace searches a second, truncated space; this
