@@ -52,7 +52,9 @@ object Bench {
     // rows that needed it).
     "substring" -> "substr", "multispace" -> "multi",
     "embedding" -> "emb", "centroids" -> "cents",
-    "hierarchy" -> "hier", "combined" -> "comb", "converged" -> "conv")
+    "hierarchy" -> "hier", "combined" -> "comb", "converged" -> "conv",
+    // r7e: rows 123-124 (batch retrieval + mining).
+    "hard_negatives" -> "hard_neg", "bm25_batch" -> "bm25_b")
 
   /** The one compact-key definition (stdout flavor): `q_` strip →
     * family-prefix abbreviation → segment abbreviation. The

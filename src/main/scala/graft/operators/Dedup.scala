@@ -90,6 +90,13 @@ object Dedup extends graft.QueryGroup {
       .select(col("rep").as("did_a"), col("doc_id").as("did_b"))
       .distinct()
 
+  /** [[bandKeys]] straight from a (doc_id, fs) set relation — the
+    * Spark twin of [[bandsCtes]], exposed for the hard-negative
+    * positive-exclusion probe (Retrieval.hardNegatives). */
+  private[graft] def bandKeysOf(sets: DataFrame): DataFrame =
+    bandKeys(signature(
+      sets.select(col("doc_id"), explode(col("fs")).as("f"))))
+
   /** (doc_id, bk) band-key relation from a MinHash signature: band b's
     * key concatenates its two minhash rows. */
   private def bandKeys(sig: DataFrame): DataFrame = {
@@ -829,10 +836,11 @@ object Dedup extends graft.QueryGroup {
       .mkString(" UNION ALL ")
   private val bandsUnion = bandsUnionFrom("sig")
 
-  /** Candidate-generation CTE chain over a `sets(doc_id, fs)` CTE:
-    * base-hash → xor-min signature → band keys → bucket STAR join
-    * ending in `cand(did_a, did_b)`. */
-  private def candidateCtes(setsCte: String,
+  /** CTE chain over a `sets(doc_id, fs)` CTE ending in the
+    * `bands(doc_id, bk)` band-key relation: base-hash → xor-min
+    * signature → band keys. Shared by [[candidateCtes]] and the
+    * hard-negative positive-exclusion probe (Retrieval). */
+  private[graft] def bandsCtes(setsCte: String,
       preHashed: Boolean = false): String = {
     val baseCte =
       if (preHashed) "base AS (SELECT doc_id, unnest(fs) AS base FROM sets)"
@@ -841,12 +849,19 @@ object Dedup extends graft.QueryGroup {
     s"""$setsCte,
        |$baseCte,
        |sig AS (SELECT doc_id, $sigSelect FROM base GROUP BY doc_id),
-       |bands AS ($bandsUnion),
+       |bands AS ($bandsUnion)""".stripMargin
+  }
+
+  /** Candidate-generation CTE chain over a `sets(doc_id, fs)` CTE:
+    * base-hash → xor-min signature → band keys → bucket STAR join
+    * ending in `cand(did_a, did_b)`. */
+  private def candidateCtes(setsCte: String,
+      preHashed: Boolean = false): String =
+    s"""${bandsCtes(setsCte, preHashed)},
        |reps AS (SELECT bk, min(doc_id) AS rep FROM bands GROUP BY bk),
        |cand AS (SELECT DISTINCT r.rep AS did_a, b.doc_id AS did_b
        |         FROM bands b JOIN reps r USING (bk)
        |         WHERE b.doc_id <> r.rep)""".stripMargin
-  }
 
   /** Shared candidate+verify oracle skeleton: candidates → Jaccard
     * verify → top-N. */

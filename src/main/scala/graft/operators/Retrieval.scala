@@ -110,6 +110,147 @@ object Retrieval extends graft.QueryGroup {
   def bm25(s: SparkSession, dir: String): DataFrame =
     bm25Cut(bm25Scored(s, dir), TopK)
 
+  /** The batch query set for [[bm25Batch]]: qid → terms, mixing
+    * common terms (vector/scan/merge/filter/join/hash/window —
+    * ~20% df each) with the rare "dup" (~5%), and overlapping terms
+    * across queries so the shared-scan fan-out is exercised. */
+  private[graft] val BatchQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("vector", "scan"),
+    1 -> Seq("merge", "dup"),
+    2 -> Seq("filter", "join", "hash"),
+    3 -> Seq("dup", "window"))
+
+  private val BatchK = 10
+
+  /** MULTI-QUERY BM25 top-k — the text twin of q_vec_knn_join, and
+    * the shape training-data mining actually runs (a batch of
+    * thousands of queries against the corpus, not one query at a
+    * time). ONE corpus pass serves the whole batch: tokens are
+    * filtered to the batch's DISTINCT term set before any
+    * aggregation, tf/df aggregate once per (doc, term) — shared
+    * across every query containing the term — and only then does
+    * each posting fan out to its queries via a broadcast (qid, term)
+    * join. Per-query cut is a row_number window that
+    * [[graft.plans.TopKWindowRewrite]] plans as a bounded top-k
+    * aggregate (no per-query sort).
+    *
+    * Scale: shuffle volume is O(matching docs) for the tf aggregate
+    * plus O(matching postings × queries sharing the term) for the
+    * fan-out — both independent of batch size for disjoint queries;
+    * df/stats/query-map sides are broadcast. At 100 TB with a 10k-
+    * query mining batch this is one scan + one bounded agg, vs 10k
+    * separate scans for the serve-one-query shape. */
+  def bm25Batch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+    val allTerms = BatchQueries.flatMap(_._2).distinct
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qmap = BatchQueries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        bm25Units(col("tf"), col("df"), col("dl"), col("nd"), col("sdl"))
+          .as("u"))
+      .join(broadcast(qmap), Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("u")).as("su"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("su").desc, col("doc_id").asc)))
+      .where(col("rank") <= BatchK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("n_terms"),
+        round(col("su").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("qid").asc, col("rank").asc)
+  }
+
+  /** Query docs for [[hardNegatives]]; terms are CONTENT-DERIVED
+    * (each doc's top tokens), not constants. */
+  private[graft] val NegQueryDocs = Seq(0L, 1L, 2L)
+  private val NegTerms = 3
+  private val NegK = 5
+
+  /** HARD-NEGATIVE MINING — the contrastive-training-data op
+    * (generate (query, negative) pairs where the negative scores
+    * HIGH lexically but is NOT a near-duplicate of the query doc):
+    * 1. derive each query doc's terms from its own text (top
+    *    [[NegTerms]] tokens by tf, tie → token asc) — a bounded
+    *    per-query-doc aggregate;
+    * 2. score the corpus against the batch's term set in ONE shared
+    *    BM25 pass (the [[bm25Batch]] shape; the term filter is a
+    *    broadcast join because the terms are data-derived);
+    * 3. EXCLUDE positives: any doc sharing a MinHash band bucket
+    *    with the query doc (Dedup's standing band-key surface,
+    *    [[Dedup.bandKeysOf]] — the query doc itself shares all its
+    *    buckets, so self is excluded for free) via a broadcast
+    *    left-anti join on the ≤ |queries|×bands probe keys;
+    * 4. rank survivors per query, bounded top-[[NegK]] cut
+    *    (TopKWindowRewrite).
+    *
+    * Scale: the dominant costs are the shared BM25 scan (O(matching
+    * docs), term-filtered before any shuffle) and the corpus
+    * band-key pass the dedup tier ALREADY materializes as its
+    * standing index — mining piggybacks on it; the exclusion probe
+    * itself is O(corpus ∩ query buckets), broadcast-keyed. This is
+    * how a 100 TB pipeline mines contrastive pairs: one retrieval
+    * pass + one anti-join against the dedup index, per batch. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.documents(s, dir)
+    val docs = raw
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+    val w = org.apache.spark.sql.expressions.Window
+    val qterms = docs.where(col("doc_id").isin(NegQueryDocs: _*))
+      .select(col("doc_id").as("qid"), explode(col("toks")).as("term"))
+      .groupBy(col("qid"), col("term"))
+      .agg(count(lit(1)).as("qtf"))
+      .withColumn("rn", row_number().over(w.partitionBy(col("qid"))
+        .orderBy(col("qtf").desc, col("term").asc)))
+      .where(col("rn") <= NegTerms)
+      .select(col("qid"), col("term"))
+    val termSet = qterms.select(col("term")).distinct()
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(termSet), Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        bm25Units(col("tf"), col("df"), col("dl"), col("nd"), col("sdl"))
+          .as("u"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("u")).as("su"))
+    val sets = raw.select(col("doc_id"),
+      array_distinct(tokens(col("text"))).as("fs"))
+    val bands = Dedup.bandKeysOf(sets)
+    val qb = bands.where(col("doc_id").isin(NegQueryDocs: _*))
+      .select(col("doc_id").as("qid"), col("bk"))
+    val pos = bands.join(broadcast(qb), Seq("bk"))
+      .select(col("qid"), col("doc_id")).distinct()
+    scored.join(pos, Seq("qid", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(w.partitionBy(col("qid"))
+        .orderBy(col("su").desc, col("doc_id").asc)))
+      .where(col("rank") <= NegK)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("su").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("qid").asc, col("rank").asc)
+  }
+
   // ─── Materialized text inverted index ──────────────────────────
   // The missing index tier of rounds ≤6 — the distributed form of the
   // reference's GIN text indexes (reference: db/init.sql:32
@@ -464,6 +605,8 @@ object Retrieval extends graft.QueryGroup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25" -> ((s, d) => bm25(s, d)),
     "q_bm25_indexed" -> ((s, d) => bm25Indexed(s, d)),
+    "q_bm25_batch" -> ((s, d) => bm25Batch(s, d)),
+    "q_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "q_trgm_idx" -> ((s, d) => trgmIndexed(s, d)),
     "q_text_incremental" -> ((s, d) => textIncremental(s, d)),
     "q_hybrid" -> ((s, d) => hybrid(s, d)),
@@ -505,6 +648,96 @@ object Retrieval extends graft.QueryGroup {
   val oracles: Map[String, String] = Map(
     "q_bm25" -> bm25Sql,
     "q_bm25_indexed" -> bm25Sql,
+    // Multi-query batch: same scoring CTEs, with the (qid, term)
+    // VALUES map fanning shared postings out to their queries.
+    "q_bm25_batch" -> {
+      val qvals = BatchQueries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |dl AS (SELECT doc_id, len(t) AS dl FROM d),
+         |st AS (SELECT count(*) AS nd, sum(dl) AS sdl FROM dl),
+         |qm AS (SELECT * FROM (VALUES $qvals) v(qid, term)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(t) AS term FROM d)
+         |       WHERE term IN (SELECT DISTINCT term FROM qm)
+         |       GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |c AS (SELECT tf.doc_id, tf.term,
+         |             CAST(round(
+         |               ln(1.0 + (CAST(st.nd AS DOUBLE) - df.df + 0.5) /
+         |                        (df.df + 0.5)) *
+         |               (tf.tf * ${K1 + 1.0}) /
+         |               (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl * st.nd /
+         |                               st.sdl)) *
+         |               1e6) AS BIGINT) AS u
+         |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st),
+         |sc AS (SELECT qm.qid, c.doc_id, count(*) AS n_terms,
+         |              sum(c.u) AS su
+         |       FROM c JOIN qm USING (term) GROUP BY qm.qid, c.doc_id),
+         |r AS (SELECT qid, doc_id, n_terms, su,
+         |             CAST(row_number() OVER (PARTITION BY qid
+         |               ORDER BY su DESC, doc_id ASC) AS INTEGER) AS rank
+         |      FROM sc)
+         |SELECT qid, rank, doc_id, n_terms,
+         |       round(CAST(su AS DOUBLE) / 1e6, 6) AS score
+         |FROM r WHERE rank <= $BatchK
+         |ORDER BY qid ASC, rank ASC""".stripMargin
+    },
+    // Hard-negative mining: content-derived query terms → shared
+    // BM25 scan → MinHash band-bucket positive exclusion → bounded
+    // per-query cut. The bands CTEs are Dedup's own chain
+    // (Dedup.bandsCtes), so "positive" here means exactly what the
+    // dedup tier means by candidate.
+    "q_hard_negatives" -> {
+      val qids = NegQueryDocs.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |dl AS (SELECT doc_id, len(t) AS dl FROM d),
+         |st AS (SELECT count(*) AS nd, sum(dl) AS sdl FROM dl),
+         |qtf AS (SELECT doc_id AS qid, term, count(*) AS qtf
+         |        FROM (SELECT doc_id, unnest(t) AS term FROM d
+         |              WHERE doc_id IN ($qids))
+         |        GROUP BY qid, term),
+         |qm AS (SELECT qid, term FROM (
+         |         SELECT qid, term, row_number() OVER (PARTITION BY qid
+         |           ORDER BY qtf DESC, term ASC) AS rn FROM qtf)
+         |       WHERE rn <= $NegTerms),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(t) AS term FROM d)
+         |       WHERE term IN (SELECT DISTINCT term FROM qm)
+         |       GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |c AS (SELECT tf.doc_id, tf.term,
+         |             CAST(round(
+         |               ln(1.0 + (CAST(st.nd AS DOUBLE) - df.df + 0.5) /
+         |                        (df.df + 0.5)) *
+         |               (tf.tf * ${K1 + 1.0}) /
+         |               (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl * st.nd /
+         |                               st.sdl)) *
+         |               1e6) AS BIGINT) AS u
+         |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st),
+         |sc AS (SELECT qm.qid, c.doc_id, sum(c.u) AS su
+         |       FROM c JOIN qm USING (term) GROUP BY qm.qid, c.doc_id),
+         |${Dedup.bandsCtes(
+          """sets AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS fs
+            |         FROM documents)""".stripMargin)},
+         |qb AS (SELECT doc_id AS qid, bk FROM bands
+         |       WHERE doc_id IN ($qids)),
+         |pos AS (SELECT DISTINCT qb.qid, b.doc_id
+         |        FROM bands b JOIN qb USING (bk)),
+         |neg AS (SELECT sc.qid, sc.doc_id, sc.su FROM sc
+         |        LEFT JOIN pos ON pos.qid = sc.qid
+         |          AND pos.doc_id = sc.doc_id
+         |        WHERE pos.doc_id IS NULL),
+         |r AS (SELECT qid, doc_id, su,
+         |             CAST(row_number() OVER (PARTITION BY qid
+         |               ORDER BY su DESC, doc_id ASC) AS INTEGER) AS rank
+         |      FROM neg)
+         |SELECT qid, rank, doc_id,
+         |       round(CAST(su AS DOUBLE) / 1e6, 6) AS score
+         |FROM r WHERE rank <= $NegK
+         |ORDER BY qid ASC, rank ASC""".stripMargin
+    },
     "q_federated" -> {
       val vals = FederatedBudgets
         .map { case (src, k) => s"('$src', $k)" }.mkString(", ")

@@ -89,6 +89,82 @@ class RetrievalSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("bm25 batch: one shared scan serves every query; per-query " +
+      "cut is the bounded aggregate, not a Window sort") {
+    val df = Retrieval.bm25Batch(spark, sfDir)
+    val out = df.collect()
+    val byQ = out.groupBy(_.getInt(0))
+    assert(byQ.keySet === Retrieval.BatchQueries.map(_._1).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length),
+        s"qid $q ranks must be dense from 1")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(scores.sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      }, s"qid $q scores must be non-increasing in rank")
+    }
+    // The per-query cut must plan as TopKWindowRewrite's bounded
+    // aggregate — a Window would sort every matching doc per query.
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"per-query cut must not be a Window sort:\n${p.take(600)}")
+    assert(p.contains("top_k_rows"), s"expected bounded aggregate:\n" +
+      p.take(600))
+    // And the batch term IN-list must sit beneath the bottom (tf)
+    // Aggregate — the shared scan is filtered BEFORE any shuffle.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+    import org.apache.spark.sql.catalyst.expressions.In
+    val nTerms = Retrieval.BatchQueries.flatMap(_._2).distinct.size
+    val plan = df.queryExecution.optimizedPlan
+    val aggs = plan.collect { case a: Aggregate => a }
+    val bottom = aggs.filter(a =>
+      a.child.collect { case x: Aggregate => x }.isEmpty)
+    def hasTermInFilter(pl: LogicalPlan): Boolean =
+      pl.collect {
+        case f: Filter if f.condition.exists {
+          case in: In => in.list.size == nTerms
+          case _ => false
+        } => f
+      }.nonEmpty
+    assert(bottom.exists(a => hasTermInFilter(a.child)),
+      s"the batch term IN-list must sit BENEATH the tf Aggregate:\n$plan")
+  }
+
+  test("hard negatives: dense per-query ranks, self excluded, and " +
+      "no mined negative shares a dedup band bucket with its query") {
+    import graft.operators.{Dedup, Retrieval => R}
+    val out = R.hardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === R.NegQueryDocs.toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length),
+        s"qid $q ranks must be dense from 1")
+      assert(!rs.exists(_._3 == q), s"qid $q must not mine itself")
+      val scores = rs.sortBy(_._2).map(_._4)
+      assert(scores.sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      })
+    }
+    // The exclusion contract, checked against the dedup tier's own
+    // band-key surface: a mined negative never shares a bucket with
+    // its query doc (i.e. it is NOT a minhash candidate of it).
+    val sets = Tables.documents(spark, sfDir).select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("fs"))
+    val bands = Dedup.bandKeysOf(sets).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byDoc = bands.groupBy(_._1).map { case (d, bs) =>
+      d -> bs.map(_._2).toSet
+    }
+    out.foreach { case (q, _, d, _) =>
+      assert((byDoc(q) & byDoc(d)).isEmpty,
+        s"doc $d shares a band bucket with query $q — it is a " +
+          "positive and must have been excluded")
+    }
+  }
+
   test("bm25 plan filters to query terms before any aggregation") {
     // The O(matching docs) property: the BOTTOM Aggregate (the tf
     // aggregate, the first one above the scan) must have the query-
