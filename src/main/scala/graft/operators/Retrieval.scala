@@ -140,20 +140,26 @@ object Retrieval extends graft.QueryGroup {
     * df/stats/query-map sides are broadcast. At 100 TB with a 10k-
     * query mining batch this is one scan + one bounded agg, vs 10k
     * separate scans for the serve-one-query shape. */
-  def bm25Batch(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
+  def bm25Batch(s: SparkSession, dir: String): DataFrame =
+    bm25BatchOver(Tables.documents(s, dir), BatchQueries)
+
+  /** [[bm25Batch]] over ANY (doc_id, text) relation and query set —
+    * the surface the zero-storage scale smoke drives. */
+  private[graft] def bm25BatchOver(in: DataFrame,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    import in.sparkSession.implicits._
+    val docs = in
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
     val stats = docs.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
-    val allTerms = BatchQueries.flatMap(_._2).distinct
+    val allTerms = queries.flatMap(_._2).distinct
     val tf = docs
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .where(col("term").isin(allTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qmap = BatchQueries
+    val qmap = queries
       .flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("qid", "term")
     val scored = tf.join(broadcast(df), Seq("term"))

@@ -80,6 +80,29 @@ class RetrievalSpec extends SparkSuite {
     assert(top.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 200000))
   }
 
+  test("bm25 batch scales: 2M synthetic docs, one shared pass, " +
+      "bounded per-query cuts, zero storage") {
+    // The mining shape at 2M docs: a 6-query batch rides ONE
+    // term-filtered corpus pass (tf/df shared across queries), and
+    // each query's cut is the bounded top-k aggregate. A per-query-
+    // scan implementation would cost 6 corpus passes here and 10k
+    // passes in a real mining batch.
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 2000000).option("parts", 32).option("seed", 13)
+      .load()
+    val qs = Seq(0 -> Seq("scan", "merge"), 1 -> Seq("hash", "filter"),
+      2 -> Seq("join", "window"), 3 -> Seq("sort", "stream"),
+      4 -> Seq("batch", "slow"), 5 -> Seq("merge", "filter", "sort"))
+    val out = graft.operators.Retrieval.bm25BatchOver(docs, qs).collect()
+    val byQ = out.groupBy(_.getInt(0))
+    assert(byQ.keySet === qs.map(_._1).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length),
+        s"qid $q ranks must be dense from 1")
+      assert(rs.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 2000000))
+    }
+  }
+
   test("bm25 final cut plans as TakeOrdered, not a global sort") {
     // The top-k cut must be the bounded partial-top-k operator —
     // a Sort+Limit over the scored relation would total-sort the
