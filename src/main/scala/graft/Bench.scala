@@ -54,7 +54,17 @@ object Bench {
     "embedding" -> "emb", "centroids" -> "cents",
     "hierarchy" -> "hier", "combined" -> "comb", "converged" -> "conv",
     // r7e: rows 123-124 (batch retrieval + mining).
-    "hard_negatives" -> "hard_neg", "bm25_batch" -> "bm25_b")
+    "hard_negatives" -> "hard_neg", "bm25_batch" -> "bm25_b",
+    // r7f: reclaim ~50 chars from the longest compact keys before
+    // row 125 (the alternative was changing the per-query value
+    // unit on the stdout line, which would silently 10x-skew the
+    // driver's BENCH_r{N} numbers against BASELINE.md).
+    "asof_join_native" -> "asof_nat", "events_bucket" -> "ev_bkt",
+    "bm25_indexed" -> "bm25_idx", "hll_distinct" -> "hll_dist",
+    "ingest_dedup" -> "ing_dd", "json_extract" -> "json_ext",
+    "source_stats" -> "src_stats", "pair_stats" -> "pairs",
+    "lsh_bucket" -> "lsh_b", "latest" -> "last",
+    "hard_neg_vec" -> "hnv")
 
   /** The one compact-key definition (stdout flavor): `q_` strip →
     * family-prefix abbreviation → segment abbreviation. The

@@ -410,6 +410,58 @@ object Ann extends graft.QueryGroup {
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Query vectors for [[hardNegativesVec]]. */
+  private[graft] val VecNegQueries = Seq(0L, 1L, 2L)
+  private val VecNegK = 5
+
+  /** SEMANTIC HARD-NEGATIVE MINING — the dense twin of
+    * Retrieval.hardNegatives (embedding-model contrastive training
+    * mines its negatives by ANN, not BM25): candidates come from the
+    * query's IVF probed cells (the q_ann_ivf serving shape), exact-
+    * cosine scored; positives — vectors sharing an embedding band
+    * bucket with the query ([[Dedup.embBandKeysOf]], the exact
+    * candidate definition q_dedup_embedding uses) — are removed by a
+    * broadcast left-anti join; bounded top-[[VecNegK]] cut per query.
+    * "High-similarity but NOT a near-duplicate" is precisely the
+    * negative a contrastive trainer wants.
+    *
+    * Scale: the candidate pass is the IVF probe (map-only assignment
+    * + broadcast probed-cell semi-join, O(bucket occupancy)); the
+    * band-key pass is the dedup tier's standing surface; the
+    * exclusion probe broadcasts ≤ |queries|×bands keys. One ANN pass
+    * + one anti-join per mining batch. */
+  def hardNegativesVec(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val (a1, centArr) = ivfServingSide(e)
+    val w = org.apache.spark.sql.expressions.Window
+    val qs = e.where(col("vec_id").isin(VecNegQueries: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qcells = qs.crossJoin(broadcast(centArr))
+      .select(col("qid"), col("qvec"), explode(col("cents")).as("c"))
+      .select(col("qid"), col("qvec"), col("c.cid").as("cell"),
+        dist2Builtin(col("qvec"), col("c.cvec")).as("qd"))
+      .withColumn("rn", row_number().over(w.partitionBy(col("qid"))
+        .orderBy(col("qd").asc, col("cell").asc)))
+      .where(col("rn") <= NProbe)
+      .select(col("qid"), col("qvec"), col("cell"))
+    val cand = a1.join(broadcast(qcells), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+    val bands = Dedup.embBandKeysOf(e)
+    val qb = bands.where(col("vec_id").isin(VecNegQueries: _*))
+      .select(col("vec_id").as("qid"), col("bk"))
+    val pos = bands.join(broadcast(qb), Seq("bk"))
+      .select(col("qid"), col("vec_id")).distinct()
+    cand.join(pos, Seq("qid", "vec_id"), "left_anti")
+      .withColumn("rank", row_number().over(w.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id").asc)))
+      .where(col("rank") <= VecNegK)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("qid").asc, col("rank").asc)
+  }
+
   /** ADC top-k (vec_id, est) for query `id` — encode + estimate in
     * one map-only projection, TakeOrdered top-k. */
   def pqTopK(s: SparkSession, dir: String, id: Long = 0L,
@@ -905,6 +957,7 @@ object Ann extends graft.QueryGroup {
     "q_ann_incremental" -> ((s, d) => ivfIncremental(s, d)),
     "q_ann_ivfpq" -> ((s, d) => ivfPqSearch(s, d)),
     "q_ann_ivfpq_res" -> ((s, d) => ivfPqResSearch(s, d)),
+    "q_hard_negatives_vec" -> ((s, d) => hardNegativesVec(s, d)),
   )
 
   private val bucketSql = Lsh.bucketCodeSql("v", planes)
@@ -1116,6 +1169,75 @@ object Ann extends graft.QueryGroup {
          |       FROM e JOIN short USING (vec_id))
          |SELECT vec_id, round(sim, 6) AS sim FROM rr
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // Semantic hard negatives: IVF-probed candidates minus embedding
+    // band-bucket mates of the query (Dedup.embCodedCte/embBandsCte,
+    // so "positive" is exactly q_dedup_embedding's candidate rule).
+    "q_hard_negatives_vec" -> {
+      val qids = VecNegQueries.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS sid, v AS sv FROM e
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |          LIMIT $IvfCells),
+         |d0 AS (SELECT e.vec_id, s.sid,
+         |              list_sum([(e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i])
+         |                        for i in generate_series(1, $Dim)]) AS d
+         |       FROM e, seeds s),
+         |a0 AS (SELECT vec_id, sid AS cid FROM (
+         |         SELECT vec_id, sid,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY d ASC, sid ASC) AS rn
+         |         FROM d0) WHERE rn = 1),
+         |dims AS (SELECT a0.cid, g.i AS pos,
+         |                CAST(round(e.v[g.i] * 1e6) AS BIGINT) AS m
+         |         FROM a0 JOIN e USING (vec_id),
+         |              generate_series(1, $Dim) AS g(i)),
+         |cdim AS (SELECT cid, pos, CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
+         |         FROM dims GROUP BY cid, pos),
+         |cent AS (SELECT cid, list(c ORDER BY pos) AS cv
+         |         FROM cdim GROUP BY cid),
+         |d1 AS (SELECT e.vec_id, t.cid,
+         |              list_sum([(e.v[i] - t.cv[i]) * (e.v[i] - t.cv[i])
+         |                        for i in generate_series(1, $Dim)]) AS d
+         |       FROM e, cent t),
+         |a1 AS (SELECT vec_id, cid AS cell FROM (
+         |         SELECT vec_id, cid,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY d ASC, cid ASC) AS rn
+         |         FROM d1) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS qid, v AS qv FROM e
+         |       WHERE vec_id IN ($qids)),
+         |qdist AS (SELECT qs.qid, qs.qv, t.cid AS cell,
+         |                 list_sum([(qs.qv[i] - t.cv[i]) *
+         |                           (qs.qv[i] - t.cv[i])
+         |                           for i in generate_series(1, $Dim)]) AS qd
+         |          FROM qs, cent t),
+         |qc AS (SELECT qid, qv, cell FROM (
+         |         SELECT qid, qv, cell,
+         |                row_number() OVER (PARTITION BY qid
+         |                  ORDER BY qd ASC, cell ASC) AS rn
+         |         FROM qdist) WHERE rn <= $NProbe),
+         |cand AS (SELECT qc.qid, a1.vec_id,
+         |                list_cosine_similarity(e.v, qc.qv) AS sim
+         |         FROM a1 JOIN qc USING (cell) JOIN e USING (vec_id)
+         |         WHERE a1.vec_id <> qc.qid),
+         |${Dedup.embCodedCte},
+         |${Dedup.embBandsCte},
+         |qb AS (SELECT vec_id AS qid, bk FROM bands
+         |       WHERE vec_id IN ($qids)),
+         |pos AS (SELECT DISTINCT qb.qid, b.vec_id
+         |        FROM bands b JOIN qb USING (bk)),
+         |neg AS (SELECT c2.qid, c2.vec_id, c2.sim FROM cand c2
+         |        LEFT JOIN pos ON pos.qid = c2.qid
+         |          AND pos.vec_id = c2.vec_id
+         |        WHERE pos.vec_id IS NULL),
+         |r AS (SELECT qid, vec_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY qid
+         |               ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |      FROM neg)
+         |SELECT qid, rank, vec_id, round(sim, 6) AS sim
+         |FROM r WHERE rank <= $VecNegK
+         |ORDER BY qid ASC, rank ASC""".stripMargin
+    },
     // Residual IVFPQ + one Lloyd codebook step (q_ann_ivfpq_res):
     // every stage of the FAISS-default serving configuration,
     // mirrored CTE for CTE — cell assignment, per-cell residuals,

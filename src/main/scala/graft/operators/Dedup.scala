@@ -750,19 +750,38 @@ object Dedup extends graft.QueryGroup {
 
   private val embPlanes = Lsh.planes(EmbPlanes, 64)
 
+  /** (vec_id, bk) embedding band keys from a (vec_id, code) coded
+    * relation: 4×8-bit slices of the hyperplane code. */
+  private def embBandKeysFromCoded(coded: DataFrame): DataFrame = {
+    val keys = (0 until EmbBands).map(b =>
+      concat_ws(":", lit(b),
+        shiftright(col("code"), 8 * b).bitwiseAND(lit(255L))))
+    coded.select(col("vec_id"), explode(array(keys: _*)).as("bk"))
+  }
+
+  /** Embedding band keys straight from a (vec_id, embedding)
+    * relation — the vector twin of [[bandKeysOf]], exposed for the
+    * semantic hard-negative exclusion probe (Ann.hardNegativesVec). */
+  private[graft] def embBandKeysOf(e: DataFrame): DataFrame =
+    embBandKeysFromCoded(e.select(col("vec_id"),
+      Lsh.bucketCode(col("embedding"), embPlanes).as("code")))
+
+  /** SQL twins of [[embBandKeysOf]] over an `e(vec_id, v)` CTE —
+    * the coded relation and its band keys, shared with the
+    * q_dedup_embedding oracle's definitions. */
+  private[graft] def embCodedCte: String =
+    s"c AS (SELECT vec_id, v, ${Lsh.bucketCodeSql("v", embPlanes)} " +
+      "AS code FROM e)"
+  private[graft] def embBandsCte: String = s"bands AS ($embBandKeys)"
+
   /** Hyperplane-code STAR candidates from a (vec_id, code) relation:
     * 4×8-bit band keys → bucket min-id rep pairs each member. A
     * near-dup-heavy corpus collapses many vectors onto one code —
     * the star keeps the candidate volume linear there too. */
-  private[graft] def embeddingCandidates(coded: DataFrame): DataFrame = {
-    val keys = (0 until EmbBands).map(b =>
-      concat_ws(":", lit(b),
-        shiftright(col("code"), 8 * b).bitwiseAND(lit(255L))))
-    val bands = coded.select(col("vec_id"), explode(array(keys: _*)).as("bk"))
-    starCandidates(bands, "vec_id")
+  private[graft] def embeddingCandidates(coded: DataFrame): DataFrame =
+    starCandidates(embBandKeysFromCoded(coded), "vec_id")
       .select(col("rep").as("vid_a"), col("vec_id").as("vid_b"))
       .distinct()
-  }
 
   /** Embedding-cosine near-dup: 32-plane hyperplane codes, 4×8-bit
     * band STAR candidates (bucket rep ⋈ members), exact cosine

@@ -265,6 +265,36 @@ class AnnIndexSpec extends SparkSuite {
     }
   }
 
+  test("semantic hard negatives: dense ranks, self excluded, and no " +
+      "mined negative shares an embedding band bucket with its query") {
+    import graft.operators.Dedup
+    val out = Ann.hardNegativesVec(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet === Ann.VecNegQueries.toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length))
+      assert(!rs.exists(_._3 == q), s"query $q must not mine itself")
+      val sims = rs.sortBy(_._2).map(_._4)
+      assert(sims.sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      })
+    }
+    // The exclusion contract against the dedup tier's own surface:
+    // a mined negative is never an embedding near-dup CANDIDATE of
+    // its query.
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val byVec = Dedup.embBandKeysOf(e).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (v, bs) => v -> bs.map(_._2).toSet }
+    out.foreach { case (q, _, v, _) =>
+      assert((byVec(q) & byVec(v)).isEmpty,
+        s"vec $v shares an embedding band bucket with query $q")
+    }
+  }
+
   test("residual IVFPQ: returned sims are the exact cosines and the " +
       "query itself is excluded") {
     // Same output contract as q_ann_ivfpq, for the residual+Lloyd
