@@ -453,7 +453,10 @@ object Ann extends graft.QueryGroup {
       .select(col("vec_id").as("qid"), col("bk"))
     val pos = bands.join(broadcast(qb), Seq("bk"))
       .select(col("qid"), col("vec_id")).distinct()
-    cand.join(pos, Seq("qid", "vec_id"), "left_anti")
+    // Broadcast the bounded exclusion set — without the hint the
+    // anti-join plans SortMergeJoin and shuffles every candidate
+    // (spec-asserted).
+    cand.join(broadcast(pos), Seq("qid", "vec_id"), "left_anti")
       .withColumn("rank", row_number().over(w.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("vec_id").asc)))
       .where(col("rank") <= VecNegK)

@@ -248,7 +248,10 @@ object Retrieval extends graft.QueryGroup {
       .select(col("doc_id").as("qid"), col("bk"))
     val pos = bands.join(broadcast(qb), Seq("bk"))
       .select(col("qid"), col("doc_id")).distinct()
-    scored.join(pos, Seq("qid", "doc_id"), "left_anti")
+    // The exclusion set is ≤ |queries| × bucket occupancy — broadcast
+    // it, or the anti-join shuffles every scored candidate (it plans
+    // SortMergeJoin without the hint; spec-asserted).
+    scored.join(broadcast(pos), Seq("qid", "doc_id"), "left_anti")
       .withColumn("rank", row_number().over(w.partitionBy(col("qid"))
         .orderBy(col("su").desc, col("doc_id").asc)))
       .where(col("rank") <= NegK)

@@ -293,6 +293,12 @@ class AnnIndexSpec extends SparkSuite {
       assert((byVec(q) & byVec(v)).isEmpty,
         s"vec $v shares an embedding band bucket with query $q")
     }
+    // The exclusion anti-join must broadcast the bounded positive
+    // set — a SortMergeJoin would shuffle every scored candidate.
+    val p = Ann.hardNegativesVec(spark, sfDir).queryExecution
+      .executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"exclusion must be a broadcast anti-join:\n${p.take(900)}")
   }
 
   test("residual IVFPQ: returned sims are the exact cosines and the " +

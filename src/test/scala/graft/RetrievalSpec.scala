@@ -186,6 +186,12 @@ class RetrievalSpec extends SparkSuite {
         s"doc $d shares a band bucket with query $q — it is a " +
           "positive and must have been excluded")
     }
+    // The exclusion anti-join must broadcast the bounded positive
+    // set — a SortMergeJoin would shuffle every scored candidate.
+    val p = R.hardNegatives(spark, sfDir).queryExecution
+      .executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"exclusion must be a broadcast anti-join:\n${p.take(900)}")
   }
 
   test("bm25 plan filters to query terms before any aggregation") {
