@@ -64,7 +64,13 @@ object Bench {
     "ingest_dedup" -> "ing_dd", "json_extract" -> "json_ext",
     "source_stats" -> "src_stats", "pair_stats" -> "pairs",
     "lsh_bucket" -> "lsh_b", "latest" -> "last",
-    "hard_neg_vec" -> "hnv")
+    "hard_neg_vec" -> "hnv",
+    // r7g: rows 126-129 (tokenizer/mixing/ingest tier) — reclaim
+    // ~28 chars from the remaining longest compact keys first.
+    "sample_strat" -> "smp_str", "mix_weights" -> "mix_w",
+    "salted_join" -> "salted", "token_count" -> "tok_cnt",
+    "embed_text" -> "emb_txt", "last_tws" -> "l_tws",
+    "ingest_all" -> "ing_all")
 
   /** The one compact-key definition (stdout flavor): `q_` strip →
     * family-prefix abbreviation → segment abbreviation. The

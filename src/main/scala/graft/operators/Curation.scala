@@ -560,6 +560,141 @@ object Curation extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  /** BPE-training pair counting — the distributed kernel of
+    * tokenizer training (Sennrich et al. BPE: repeatedly merge the
+    * most frequent adjacent symbol pair; one training iteration =
+    * exactly this corpus-wide pair count). The reference ships a
+    * pretrained embedding model (db/ingest_all.py ollama_config);
+    * a 100 TB pipeline trains its own tokenizer first, and THIS scan
+    * is the pass that dominates that job.
+    *
+    * Scale: the trick is to aggregate the WORD VOCABULARY first
+    * (map-side-combining count on the word key — Zipf skew collapses
+    * map-side exactly like the CMS build) and enumerate character
+    * pairs over DISTINCT WORDS ONLY, weighted by word frequency: the
+    * pair shuffle is O(vocab × word_len), not O(corpus tokens). The
+    * naive explode-pairs-over-the-token-stream shape shuffles the
+    * whole token stream and is exactly what this plan avoids. The
+    * final cut is TakeOrdered (partition-local top-20). All counts
+    * integer — hash-exact. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    bpePairsOver(Tables.documents(s, dir))
+
+  /** Adjacent char pairs of string column `w`: zip chars with their
+    * right neighbor (same construction as
+    * TextFunctions.trigramsBuiltin, one shift). Caller filters
+    * len ≥ 2. */
+  private[graft] def charPairs(w: Column): Column = {
+    val ch = split(w, "")
+    val n = length(w)
+    slice(
+      zip_with(ch, slice(ch, lit(2), greatest(n - 1, lit(1))),
+        (a, b) => concat(a, b)),
+      lit(1), n - 1)
+  }
+
+  /** `in`: any (text) relation (scale-smoke injection point). */
+  private[graft] def bpePairsOver(in: DataFrame): DataFrame = {
+    val words = in.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    words.where(length(col("w")) >= 2)
+      .select(col("c"), explode(charPairs(col("w"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  /** DSIR bucket count (hashed-unigram feature space size). */
+  private[graft] val DsirBuckets = 1024L
+
+  /** Keep threshold for [[dsirWeights]] in micro-units: keep docs at
+    * least 0.6× as likely under the target distribution as under the
+    * corpus distribution (calibrated per corpus in practice — the
+    * weight column is the real output, the flag demos the gate). */
+  private[graft] val DsirKeepPpm = 600000L
+
+  /** DSIR-style importance weighting (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * doc by how target-like its hashed-unigram distribution is —
+    * weight = mean over tokens of P_target(bucket)/P_corpus(bucket)
+    * — then resample the corpus toward the target domain. Target
+    * here = the [[SeedSource]] slice (the same curated-seed role
+    * q_quality_seed uses on the EMBEDDING side; this is its lexical
+    * twin, usable before any embedding exists).
+    *
+    * Determinism (the published method uses log-likelihood ratios —
+    * floats that accumulate): per-bucket probabilities are Laplace-
+    * smoothed integer ppm (one correctly-rounded division each),
+    * per-token ratios are integer micro-units, the per-doc mean is
+    * the exact round-half-up (2·sum + n) DIV 2n — the q_lm_score
+    * arithmetic discipline, so the row hash-matches cross-engine.
+    *
+    * Scale: ONE pass builds both distributions (bucket key ∈
+    * [0, [[DsirBuckets]]), map-side combine absorbs all token skew);
+    * the 1024-row ratio table broadcasts; scoring is a map-only
+    * probe + a per-doc rollup whose partial agg collapses the token
+    * stream to O(docs) rows before the shuffle. Nothing scales with
+    * vocab size — that is the point of the hash trick. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsOver(Tables.documents(s, dir))
+
+  /** `in`: any (doc_id, source, text) relation (scale-smoke
+    * injection point). */
+  private[graft] def dsirWeightsOver(in: DataFrame): DataFrame = {
+    val bk = in.select(col("doc_id"),
+        explode(tokens(col("text"))).as("t"),
+        (col("source") === SeedSource).cast("long").as("tgt"))
+      .select(col("doc_id"),
+        pmod(MinHash.hash60(col("t")), lit(DsirBuckets)).as("b"),
+        col("tgt"))
+    val m = bk.groupBy(col("b"))
+      .agg(count(lit(1)).as("cc"), sum(col("tgt")).as("tc"))
+    val tots = m.agg(sum(col("cc")).as("ctot"), sum(col("tc")).as("ttot"))
+    val ratio = m.crossJoin(broadcast(tots))
+      .select(col("b"),
+        round(lit(1e6) * (col("tc") + 1) / (col("ttot") + DsirBuckets))
+          .cast("long").as("pt"),
+        round(lit(1e6) * (col("cc") + 1) / (col("ctot") + DsirBuckets))
+          .cast("long").as("pc"))
+    bk.join(broadcast(ratio), Seq("b"))
+      .select(col("doc_id"),
+        round(lit(1e6) * col("pt") / col("pc")).cast("long").as("u"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("u")).as("su"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(2 * su + n_tokens) DIV (2 * n_tokens)").as("imp_ppm"))
+      .select(col("doc_id"), col("n_tokens"), col("imp_ppm"),
+        when(col("imp_ppm") >= DsirKeepPpm, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Temperature-scaled mixing weights — the q_mix_weights knob as
+    * actually turned by large-model training recipes (GPT-3/PaLM
+    * style: sampling probability ∝ size^α with α < 1, here α = 0.5,
+    * so small sources are up-weighted without drowning big ones).
+    *
+    * Determinism: size^0.5 is ONE IEEE sqrt (correctly rounded,
+    * bit-identical cross-engine), immediately floored into integer
+    * milli-units so the normalizing SUM is exact integer arithmetic
+    * — a float sum over sources would be summation-order-sensitive.
+    * Scale: a bounded-key agg + one broadcast totals row, same as
+    * q_mix_weights. */
+  def mixTempered(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("tk"))
+      .groupBy(col("source")).agg(sum(col("tk")).as("toks"))
+      .select(col("source"), col("toks"),
+        floor(sqrt(col("toks").cast("double")) * 1000).cast("long").as("ms"))
+    val tot = per.agg(sum(col("toks")).as("total"), sum(col("ms")).as("mstot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("toks"),
+        round(col("toks").cast("double") / col("total"), 6).as("p_raw"),
+        round(col("ms").cast("double") / col("mstot"), 6).as("p_temp"),
+        round((col("ms").cast("double") / col("mstot")) /
+          (col("toks").cast("double") / col("total")), 4).as("boost"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_seed" -> ((s, d) => seedQuality(s, d)),
     "q_lm_score" -> ((s, d) => lmScore(s, d)),
@@ -569,6 +704,9 @@ object Curation extends graft.QueryGroup {
     "q_shard_shuffle" -> ((s, d) => shardShuffle(s, d)),
     "q_outliers" -> ((s, d) => outliers(s, d)),
     "q_mix_weights" -> ((s, d) => mixWeights(s, d)),
+    "q_mix_temp" -> ((s, d) => mixTempered(s, d)),
+    "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
+    "q_dsir" -> ((s, d) => dsirWeights(s, d)),
     "q_pipeline" -> ((s, d) => pipeline(s, d)),
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "q_quality_hist" -> ((s, d) => qualityHistogram(s, d)),
@@ -770,6 +908,62 @@ object Curation extends graft.QueryGroup {
         |       round(CAST(toks AS DOUBLE) / total, 6) AS actual_frac,
         |       round(CAST(total AS DOUBLE) / nsrc / toks, 6) AS weight
         |FROM per, tot ORDER BY source ASC""".stripMargin,
+    "q_mix_temp" ->
+      """WITH per AS (SELECT source,
+        |             CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS toks
+        |      FROM documents GROUP BY source),
+        |s AS (SELECT source, toks,
+        |             CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000) AS BIGINT)
+        |               AS ms
+        |      FROM per),
+        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total,
+        |               CAST(sum(ms) AS BIGINT) AS mstot FROM s)
+        |SELECT source, toks,
+        |       round(CAST(toks AS DOUBLE) / total, 6) AS p_raw,
+        |       round(CAST(ms AS DOUBLE) / mstot, 6) AS p_temp,
+        |       round((CAST(ms AS DOUBLE) / mstot) /
+        |             (CAST(toks AS DOUBLE) / total), 4) AS boost
+        |FROM s, tot ORDER BY source ASC""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH w AS (SELECT t AS w, count(*) AS c
+        |           FROM (SELECT unnest(str_split(text, ' ')) AS t
+        |                 FROM documents)
+        |           GROUP BY t),
+        |p AS (SELECT substr(w, i, 2) AS pair, c
+        |      FROM (SELECT w, c, unnest(generate_series(1, len(w) - 1)) AS i
+        |            FROM w WHERE len(w) >= 2))
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "q_dsir" -> {
+      val h = MinHash.hash60Sql("t")
+      s"""WITH tok AS (SELECT doc_id, source,
+         |                    unnest(str_split(text, ' ')) AS t
+         |             FROM documents),
+         |bk AS (SELECT doc_id, $h % $DsirBuckets AS b,
+         |              CASE WHEN source = '$SeedSource' THEN 1 ELSE 0 END
+         |                AS tgt
+         |       FROM tok),
+         |m AS (SELECT b, count(*) AS cc, CAST(sum(tgt) AS BIGINT) AS tc
+         |      FROM bk GROUP BY b),
+         |tots AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot,
+         |                CAST(sum(tc) AS BIGINT) AS ttot FROM m),
+         |r AS (SELECT b,
+         |             CAST(round(1e6 * (tc + 1) / (ttot + $DsirBuckets))
+         |                  AS BIGINT) AS pt,
+         |             CAST(round(1e6 * (cc + 1) / (ctot + $DsirBuckets))
+         |                  AS BIGINT) AS pc
+         |      FROM m, tots),
+         |sc AS (SELECT bk.doc_id,
+         |              CAST(round(1e6 * r.pt / r.pc) AS BIGINT) AS u
+         |       FROM bk JOIN r ON bk.b = r.b),
+         |d AS (SELECT doc_id, count(*) AS n_tokens,
+         |             CAST((2 * sum(u) + count(*)) // (2 * count(*))
+         |                  AS BIGINT) AS imp_ppm
+         |      FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, imp_ppm,
+         |       CASE WHEN imp_ppm >= $DsirKeepPpm THEN 1 ELSE 0 END AS keep
+         |FROM d ORDER BY doc_id ASC""".stripMargin
+    },
     "q_sample_stratified" -> {
       val h = MinHash.hash60Sql("'smp:' || CAST(doc_id AS VARCHAR)")
       """WITH d AS (

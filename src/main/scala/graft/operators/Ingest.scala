@@ -154,6 +154,56 @@ object Ingest extends graft.QueryGroup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** The INGESTION CAPSTONE — the reference's master flow
+    * (db/ingest_all.py runs glossary → rules → cards, each script
+    * cleaning, constructing embedding text, deduping by content id,
+    * and upserting) composed as ONE relational pass, the ingest-side
+    * twin of q_pipeline: content-id dedup winners → embedding-text
+    * construction over the winners → keyed upsert classification vs
+    * the standing snapshot → the per-source ingest report every run
+    * ends with (raw vs canonical counts, insert/update/unchanged
+    * split, embed-text volume). Snapshot/revision derive
+    * deterministically exactly as in [[mergeUpsert]] (snapshot =
+    * winner ids not divisible by 10; revised text for ids divisible
+    * by 6) so the oracle replicates them.
+    *
+    * Scale: the dedup agg keys on uniform md5 (map-side combine);
+    * the winner→fields join and the snapshot classification join
+    * both key on the unique doc_id — one exchange each side, reused
+    * across the two joins; final rollup is a bounded source-key agg.
+    * Every stage is a separately-graded operator (q_ingest_dedup,
+    * q_embed_text, q_merge_upsert, q_doc_stats) composing through
+    * Catalyst. */
+  def ingestAll(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val winners = docs
+      .select(md5(normText(col("text"))).as("content_id"), col("doc_id"))
+      .groupBy(col("content_id"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    val canon = winners.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        concat_ws(" | ", docName(col("text")), col("lang"),
+          substring(normText(col("text")), 1, 120)).as("embed_text"))
+    val snap = canon.where(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), md5(col("embed_text")).as("h_old"))
+    val inc = canon.select(col("doc_id"), col("source"), col("n_copies"),
+      length(col("embed_text")).as("el"),
+      md5(concat(col("embed_text"),
+        when(col("doc_id") % 6 === 0, lit(" v2")).otherwise(lit(""))))
+        .as("h_new"))
+    inc.join(snap, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_canon"),
+        sum(col("n_copies")).as("n_raw"),
+        sum(when(col("h_old").isNull, 1L).otherwise(0L)).as("n_insert"),
+        sum(when(col("h_old").isNotNull && col("h_old") =!= col("h_new"),
+          1L).otherwise(0L)).as("n_update"),
+        sum(when(col("h_old") === col("h_new"), 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(col("el")).as("embed_chars"))
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_text" -> ((s, d) => embedText(s, d)),
     "q_ingest_dedup" -> ((s, d) => ingestDedup(s, d)),
@@ -161,6 +211,7 @@ object Ingest extends graft.QueryGroup {
     "q_source_stats" -> ((s, d) => sourceStats(s, d)),
     "q_json_clean" -> ((s, d) => jsonClean(s, d)),
     "q_merge_upsert" -> ((s, d) => mergeUpsert(s, d)),
+    "q_ingest_all" -> ((s, d) => ingestAll(s, d)),
   )
 
   private val normSql =
@@ -199,6 +250,36 @@ object Ingest extends graft.QueryGroup {
         |       coalesce(b.h_new, s.h_old) AS content_hash
         |FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id
         |ORDER BY doc_id ASC""".stripMargin,
+    "q_ingest_all" ->
+      s"""WITH c0 AS (
+         |  SELECT md5($normSql) AS content_id, min(doc_id) AS doc_id,
+         |         count(*) AS n_copies
+         |  FROM documents GROUP BY content_id),
+         |w AS (
+         |  SELECT c0.doc_id, c0.n_copies, d.source,
+         |         lower(substr(d.text, 1, 24)) || ' | ' || d.lang || ' | ' ||
+         |           substr($normSql, 1, 120) AS embed_text
+         |  FROM c0 JOIN documents d ON c0.doc_id = d.doc_id),
+         |snap AS (SELECT doc_id, md5(embed_text) AS h_old
+         |         FROM w WHERE doc_id % 10 <> 0),
+         |inc AS (SELECT doc_id, source, n_copies,
+         |               len(embed_text) AS el,
+         |               md5(embed_text ||
+         |                   CASE WHEN doc_id % 6 = 0 THEN ' v2' ELSE '' END)
+         |                 AS h_new
+         |        FROM w)
+         |SELECT source, count(*) AS n_canon,
+         |       CAST(sum(n_copies) AS BIGINT) AS n_raw,
+         |       CAST(sum(CASE WHEN s.h_old IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_insert,
+         |       CAST(sum(CASE WHEN s.h_old IS NOT NULL
+         |                      AND s.h_old <> i.h_new THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_update,
+         |       CAST(sum(CASE WHEN s.h_old = i.h_new THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_unchanged,
+         |       CAST(sum(el) AS BIGINT) AS embed_chars
+         |FROM inc i LEFT JOIN snap s ON i.doc_id = s.doc_id
+         |GROUP BY source ORDER BY source ASC""".stripMargin,
     "q_doc_stats" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT lang) AS n_langs,

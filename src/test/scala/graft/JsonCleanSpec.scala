@@ -73,4 +73,23 @@ class JsonCleanSpec extends SparkSuite {
         === r.getAs[Long]("n_docs"))
     }
   }
+
+  test("q_ingest_all: the composed report is conservation-consistent " +
+    "with its stage operators") {
+    val rows = Ingest.ingestAll(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // Raw volume: every source doc is attributed to exactly one
+    // canonical winner.
+    assert(rows.map(_.getAs[Long]("n_raw")).sum ===
+      Tables.documents(spark, sfDir).count())
+    // Canonical volume: matches the standalone ingest-dedup stage.
+    assert(rows.map(_.getAs[Long]("n_canon")).sum ===
+      Ingest.ingestDedup(spark, sfDir).count())
+    rows.foreach { r =>
+      // The upsert classification partitions the canon set.
+      assert(r.getAs[Long]("n_insert") + r.getAs[Long]("n_update") +
+        r.getAs[Long]("n_unchanged") === r.getAs[Long]("n_canon"))
+      assert(r.getAs[Long]("embed_chars") > 0L)
+    }
+  }
 }
