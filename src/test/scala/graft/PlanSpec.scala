@@ -312,4 +312,29 @@ class PlanSpec extends SparkSuite {
       new Directory(new java.io.File(out)).deleteRecursively()
     }
   }
+
+  test("q_bpe_pairs: pair count aggregates the vocabulary, bounded cut, " +
+      "no join, no window") {
+    val p = plan(Curation.bpePairs(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 merge candidates must be a bounded cut:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"pair counting is two aggregations, nothing else:\n$p")
+  }
+
+  test("q_dsir: the 1024-row ratio table broadcasts; the token stream " +
+      "is never shuffle-joined") {
+    val p = plan(Curation.dsirWeights(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-ratio probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join anywhere in the scoring pass:\n$p")
+  }
+
+  test("q_ingest_all: equi-joins only, keyed on doc_id, no cartesian") {
+    val p = plan(graft.operators.Ingest.ingestAll(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"),
+      s"the composed ingest pass needs no window:\n$p")
+  }
 }
