@@ -441,6 +441,22 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("dsir: 1M synth docs, zero storage") {
+    // The scoring pass at a size where a shuffle-joined token stream
+    // or an unbroadcast ratio table would dominate: every doc gets a
+    // weight, all weights are positive integer ppm.
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 1000000).option("parts", 32).option("seed", 29)
+      .load()
+    val stats = Curation.dsirWeightsOver(docs)
+      .agg(count(lit(1)), min(col("imp_ppm")), max(col("imp_ppm")),
+        sum(col("keep"))).collect()(0)
+    info(s"${stats.getLong(0)} docs, imp in [${stats.getLong(1)}, " +
+      s"${stats.getLong(2)}], ${stats.getLong(3)} kept")
+    assert(stats.getLong(0) === 1000000L)
+    assert(stats.getLong(1) > 0L)
+  }
+
   test("mix_temp: temperature flattens the mix monotonically") {
     val rows = Curation.mixTempered(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
