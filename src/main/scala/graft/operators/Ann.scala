@@ -495,6 +495,57 @@ object Ann extends graft.QueryGroup {
         round(col("n_hits").cast("double") / k, 6).as("recall"))
   }
 
+  /** Scalar 8-bit quantization (the FAISS `SQ8` tier — the MIDDLE
+    * rung of the compression ladder this engine now covers end to
+    * end: SQ8 8× / PQ 128× / IVFPQ+refine composed): every component
+    * is affinely mapped onto [0, 255] by the corpus-wide min/max
+    * trainer, and candidate ranking runs ENTIRELY in integer code
+    * space — for a shared affine map, code-space squared L2 is
+    * exactly proportional to reconstructed L2 (the per-dim Δ²
+    * factors out), so the ranking needs no float reconstruction at
+    * all and is hash-exact by construction (PQ's ADC needed
+    * micro-unit care; SQ8's needs none — that is its operational
+    * appeal). Output is the recall@k audit vs the exact scan, the
+    * same contract as q_ann_pq.
+    *
+    * Scale: the trainer is ONE scalar min/max aggregation
+    * (broadcast one-row); encoding is map-only; the scan reads
+    * 64 bytes/vector instead of 512 (8×; at 100 TB the codes table
+    * is what stays resident while vectors page); both cuts are
+    * bounded TakeOrdered heaps. SQ8 composes with IVF cell pruning
+    * exactly like PQ does in q_ann_ivfpq. */
+  def sq8Recall(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val gm = broadcast(e.agg(
+      min(array_min(col("embedding"))).as("gmin"),
+      max(array_max(col("embedding"))).as("gmax")))
+    val coded = e.crossJoin(gm).select(col("vec_id"),
+      transform(col("embedding"), v =>
+        round(lit(255.0d) * (v - col("gmin")) /
+          (col("gmax") - col("gmin"))).cast("int")).as("codes"))
+    val qc = broadcast(coded.where(col("vec_id") === id)
+      .select(col("codes").as("qcodes")))
+    val approx = coded.where(col("vec_id") =!= id).crossJoin(qc)
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), col("qcodes"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"), lit(1).as("hit"))
+    val q = e.where(col("vec_id") === id).select(col("embedding").as("qvec"))
+    val brute = e.where(col("vec_id") =!= id).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        dist2Builtin(col("embedding"), col("qvec")).as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"))
+    brute.join(broadcast(approx), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(lit(k.toLong).as("k"), col("n_brute"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+  }
+
   /** Materialize the PQ index: the tiny codebook plus the corpus
     * reduced to (vec_id, codes) — the DEPLOYMENT shape of PQ, where
     * the ADC scan reads PqM small ints per vector instead of the
@@ -957,6 +1008,7 @@ object Ann extends graft.QueryGroup {
     "q_ann_knn_join" -> ((s, d) => annKnnJoin(s, d)),
     "q_ann_recall" -> ((s, d) => annRecall(s, d)),
     "q_ann_pq" -> ((s, d) => pqRecall(s, d)),
+    "q_ann_sq8" -> ((s, d) => sq8Recall(s, d)),
     "q_ann_incremental" -> ((s, d) => ivfIncremental(s, d)),
     "q_ann_ivfpq" -> ((s, d) => ivfPqSearch(s, d)),
     "q_ann_ivfpq_res" -> ((s, d) => ivfPqResSearch(s, d)),
@@ -976,6 +1028,37 @@ object Ann extends graft.QueryGroup {
        | for i in generate_series(1, $PqSub)])""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ann_sq8" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |g AS (SELECT min(list_min(v)) AS gmin, max(list_max(v)) AS gmax
+         |      FROM e),
+         |c AS (SELECT vec_id,
+         |             [CAST(round(255 * (v[i] - g.gmin) / (g.gmax - g.gmin))
+         |                   AS INTEGER)
+         |              for i in generate_series(1, $Dim)] AS codes
+         |      FROM e, g),
+         |qc AS (SELECT codes AS qcodes FROM c WHERE vec_id = 0),
+         |approx AS (SELECT vec_id FROM (
+         |    SELECT c.vec_id,
+         |           list_sum([(c.codes[i] - q.qcodes[i]) *
+         |                     (c.codes[i] - q.qcodes[i])
+         |                     for i in generate_series(1, $Dim)]) AS d2
+         |    FROM c, qc q WHERE c.vec_id <> 0)
+         |  ORDER BY d2 ASC, vec_id ASC LIMIT 10),
+         |brute AS (SELECT e.vec_id FROM e,
+         |            (SELECT v AS qv FROM e WHERE vec_id = 0) q
+         |          WHERE e.vec_id <> 0
+         |          ORDER BY list_sum([(e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i])
+         |                             for i in generate_series(1, $Dim)]) ASC,
+         |                   e.vec_id ASC
+         |          LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k,
+         |       count(*) AS n_brute,
+         |       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_hits,
+         |       round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0
+         |         END) AS DOUBLE) / 10, 6) AS recall
+         |FROM brute b LEFT JOIN approx a ON b.vec_id = a.vec_id""".stripMargin,
     "q_ann_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |s0 AS (SELECT vec_id AS sid, v AS sv FROM e

@@ -329,4 +329,21 @@ class AnnIndexSpec extends SparkSuite {
         s"vec $id must report its exact cosine, not an ADC estimate")
     }
   }
+
+  test("sq8: 8-bit fidelity recovers the exact top-10; integer-only " +
+      "ranking plan") {
+    // 8 bits/dim quantization error is far below inter-neighbor
+    // distance gaps on any realistic manifold — unlike PQ, recall
+    // loss here would indicate a broken affine map, not a tuning
+    // issue. The ranking itself must stay in integer code space
+    // (bounded cut, no shuffle join anywhere).
+    val df = graft.operators.Ann.sq8Recall(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val r = df.collect()(0)
+    assert(r.getAs[Long]("n_brute") === 10L)
+    assert(r.getAs[Double]("recall") === 1.0,
+      s"SQ8 must recover the exact top-10: $r")
+  }
 }
