@@ -70,7 +70,18 @@ object Bench {
     "sample_strat" -> "smp_str", "mix_weights" -> "mix_w",
     "salted_join" -> "salted", "token_count" -> "tok_cnt",
     "embed_text" -> "emb_txt", "last_tws" -> "l_tws",
-    "ingest_all" -> "ing_all")
+    "ingest_all" -> "ing_all",
+    // r7i: headroom hardening at 130 rows — 19 chars left meant ONE
+    // capped error message could clip the metric line; reclaim ~60
+    // from the remaining 10+-char keys so an error-carrying line
+    // still fits the driver's tail window.
+    "rolling" -> "roll", "cluster" -> "clus", "minhash" -> "mh",
+    "simhash" -> "sh", "contain" -> "cont", "knn_join" -> "knn",
+    "bloom_semi" -> "bloom", "meta_range" -> "m_range",
+    "string_agg" -> "str_agg", "text_ilike" -> "ilike",
+    "doc_join" -> "doc_j", "qtl_sample" -> "qtl_smp",
+    "range_join" -> "range_j", "quality" -> "ql",
+    "json_clean" -> "json_cl")
 
   /** The one compact-key definition (stdout flavor): `q_` strip →
     * family-prefix abbreviation → segment abbreviation. The
