@@ -64,6 +64,29 @@ class PlanSpec extends SparkSuite {
       s"queries with run-to-run nondeterminism: $offenders")
   }
 
+  test("registry sweep: interpreted execution matches codegen " +
+      "(whole registry, codegen off == on)") {
+    // The kernel specs pin each native Expression's eval/doGenCode
+    // parity in isolation; this sweep pins the INVARIANT for every
+    // registry row in composition — a future kernel whose
+    // interpreted path drifts from its generated code (or a builtin
+    // used outside its codegen envelope) fails here by name, not as
+    // a mysterious gate mismatch on a fallback-mode cluster (Spark
+    // silently drops to interpreted eval when generated code fails
+    // to compile, so the interpreted path IS a production path).
+    val skip = (n: String) => n.startsWith("q_stream_")
+    def canon(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir)
+        .toJSON.collect().sorted.mkString("\n")
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(skip)
+    val on = names.map(n => n -> canon(n)).toMap
+    val offenders = withCodegenOff {
+      names.filter(n => canon(n) != on(n))
+    }
+    assert(offenders.isEmpty,
+      s"queries whose interpreted result drifts from codegen: $offenders")
+  }
+
   test("q_vec_topk: filter pushed to parquet scan, TakeOrderedAndProject top-k") {
     val p = formatted(VectorSearch.topK(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),
