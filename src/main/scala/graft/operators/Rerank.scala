@@ -196,7 +196,99 @@ object Rerank extends graft.QueryGroup {
     "q_rerank" -> ((s, d) => rerank(s, d)),
     "q_fusion" -> ((s, d) => fusion(s, d)),
     "q_mmr" -> ((s, d) => mmr(s, d)),
+    "q_search_e2e" -> ((s, d) => searchE2e(s, d)),
   )
+
+  /** The SEARCH CAPSTONE — the reference's full user-facing flow
+    * (db/search_with_reranker.py main(): search across sources, fuse,
+    * rerank, format each hit with its cross-references) as ONE
+    * composed query, the search-side sibling of q_pipeline (curation)
+    * and q_ingest_all (ingest), so every reference entry point has a
+    * graded end-to-end row. Stages, each a separately-graded
+    * operator composing through Catalyst:
+    *  1. lexical tier — trigram name similarity vs the shared typo'd
+    *     query (q_name_trigram's kernel), bounded top-20 cut;
+    *  2. dense tier — cosine vs the query vector (q_vec_topk),
+    *     bounded top-20 cut;
+    *  3. RRF fusion of the two lists (q_fusion's one-window shape),
+    *     fused top-10;
+    *  4. feature rerank 0.7·cosine + 0.3·name-trigram over the
+    *     bounded fused list (q_rerank's discipline), final top-5;
+    *  5. cross-reference expansion stats per final hit
+    *     (q_related_expand's deterministic ref rule): distinct
+    *     existing refs + their total chars.
+    *
+    * Scale: both tier cuts are TakeOrdered; the fusion window ranks
+    * ≤ 40 rows; every downstream join probes the corpus with a
+    * broadcast ≤ 10-row list (map-only scans, no corpus shuffle);
+    * the expansion joins a broadcast ≤ 15-row distinct ref list. */
+  def searchE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHash
+    import graft.functions.TextFunctions.tokenSet
+    val rrfK = 60
+    val e = Tables.embeddings(s, dir)
+    val qvec = e.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val names = Tables.documents(s, dir)
+      .select(col("doc_id"), docName(col("text")).as("name"))
+    // Bounded tier cuts — same single-sort-key discipline as fusion
+    // (sk = -s so the cut and the rank window cannot disagree).
+    def cut(scored: DataFrame, m: String): DataFrame =
+      scored.select(col("doc_id"), (-col("s")).as("sk"), lit(m).as("m"))
+        .orderBy(col("sk").asc, col("doc_id").asc).limit(20)
+    val vec = cut(e.where(col("vec_id") =!= 0).crossJoin(broadcast(qvec))
+      .select(col("vec_id").as("doc_id"),
+        cosineSim(col("embedding"), col("qvec")).as("s")), "vec")
+    val lex = cut(names.select(col("doc_id"),
+      trigramSim(col("name"), lit(Lexical.trigramQuery)).as("s")), "lex")
+    val ranked = vec.unionAll(lex)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("m"))
+          .orderBy(col("sk").asc, col("doc_id").asc)))
+    def rrf(r: org.apache.spark.sql.Column) =
+      coalesce(lit(1.0d) / (lit(rrfK) + r), lit(0.0d))
+    val fused = ranked.groupBy(col("doc_id"))
+      .agg(min(when(col("m") === "vec", col("r"))).as("r_vec"),
+        min(when(col("m") === "lex", col("r"))).as("r_lex"))
+      .select(col("doc_id"), col("r_vec"), col("r_lex"),
+        (rrf(col("r_vec")) + rrf(col("r_lex"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+    // Rerank features: corpus scans probed by the broadcast fused list.
+    val withSim = e.join(broadcast(fused), e("vec_id") === fused("doc_id"))
+      .crossJoin(broadcast(qvec))
+      .select(col("doc_id"), col("r_vec"), col("r_lex"), col("rrf"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+    val reranked = names.join(broadcast(withSim), Seq("doc_id"))
+      .select(col("doc_id"), col("r_vec"), col("r_lex"), col("rrf"),
+        col("sim"),
+        trigramSim(col("name"), lit(Lexical.trigramQuery)).as("tri"))
+      .select(col("*"),
+        (lit(0.7d) * col("sim") + lit(0.3d) * col("tri")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+    // Cross-reference expansion stats (the q_related_expand rule).
+    val nd = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+    val refs = Tables.documents(s, dir)
+      .join(broadcast(reranked.select(col("doc_id"))), Seq("doc_id"))
+      .select(col("doc_id"),
+        explode(slice(sort_array(tokenSet(col("text"))), 1, 3)).as("tok"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"),
+        pmod(MinHash.hash60(concat(lit("rel:"), col("tok"))), col("nd"))
+          .as("ref_id"))
+      .distinct()
+    val rel = Tables.documents(s, dir)
+      .select(col("doc_id").as("ref_id"), col("n_chars"))
+      .join(broadcast(refs), Seq("ref_id"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ref_id")).as("n_related"),
+        sum(col("n_chars")).as("ref_chars"))
+    reranked.join(broadcast(rel), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r_lex"), col("r_vec"),
+        round(col("rrf"), 6).as("rrf"), round(col("sim"), 6).as("sim"),
+        round(col("tri"), 6).as("tri"), round(col("score"), 6).as("score"),
+        coalesce(col("n_related"), lit(0L)).as("n_related"),
+        coalesce(col("ref_chars"), lit(0L)).as("ref_chars"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
 
   // Trigram-set similarity SQL (same construction as Lexical's).
   private def tg(e: String): String =
@@ -209,6 +301,64 @@ object Rerank extends graft.QueryGroup {
        | END)""".stripMargin.replace("\n", "")
 
   val oracles: Map[String, String] = Map(
+    "q_search_e2e" -> {
+      val q = s"'${Lexical.trigramQuery}'"
+      val h = graft.functions.MinHash.hash60Sql("'rel:' || tok")
+      s"""WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+         |            WHERE vec_id = 0),
+         |n AS (SELECT doc_id, lower(substr(text, 1, 24)) AS name
+         |      FROM documents),
+         |vec AS (SELECT doc_id, sk,
+         |               row_number() OVER (ORDER BY sk ASC, doc_id ASC) AS r
+         |        FROM (SELECT e.vec_id AS doc_id,
+         |                     -list_cosine_similarity(e.embedding::DOUBLE[],
+         |                                             qv.v) AS sk
+         |              FROM embeddings e, qv WHERE e.vec_id <> 0
+         |              ORDER BY sk ASC, doc_id ASC LIMIT 20)),
+         |lex AS (SELECT doc_id, sk,
+         |               row_number() OVER (ORDER BY sk ASC, doc_id ASC) AS r
+         |        FROM (SELECT doc_id, -${tsim(tg("name"), tg(q))} AS sk
+         |              FROM n ORDER BY sk ASC, doc_id ASC LIMIT 20)),
+         |fused AS (SELECT doc_id,
+         |                 min(CASE WHEN m = 'vec' THEN r END) AS r_vec,
+         |                 min(CASE WHEN m = 'lex' THEN r END) AS r_lex
+         |          FROM (SELECT doc_id, r, 'vec' AS m FROM vec
+         |                UNION ALL
+         |                SELECT doc_id, r, 'lex' AS m FROM lex)
+         |          GROUP BY doc_id),
+         |f2 AS (SELECT doc_id, r_vec, r_lex,
+         |              coalesce(1.0 / (60 + r_vec), 0) +
+         |              coalesce(1.0 / (60 + r_lex), 0) AS rrf
+         |       FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10),
+         |feats AS (SELECT f2.doc_id, f2.r_vec, f2.r_lex, f2.rrf,
+         |                 list_cosine_similarity(e.embedding::DOUBLE[],
+         |                                        qv.v) AS sim,
+         |                 ${tsim(tg("n.name"), tg(q))} AS tri
+         |          FROM f2
+         |          JOIN embeddings e ON e.vec_id = f2.doc_id
+         |          JOIN n ON n.doc_id = f2.doc_id, qv),
+         |rr AS (SELECT *, 0.7 * sim + 0.3 * tri AS score FROM feats
+         |       ORDER BY score DESC, doc_id ASC LIMIT 5),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |toks AS (SELECT rr.doc_id,
+         |                unnest(list_sort(list_distinct(
+         |                  str_split(d.text, ' ')))[1:3]) AS tok
+         |         FROM rr JOIN documents d ON d.doc_id = rr.doc_id),
+         |refs AS (SELECT DISTINCT doc_id, $h % nd.nd AS ref_id
+         |         FROM toks, nd),
+         |rel AS (SELECT refs.doc_id,
+         |               count(DISTINCT refs.ref_id) AS n_related,
+         |               CAST(sum(d.n_chars) AS BIGINT) AS ref_chars
+         |        FROM refs JOIN documents d ON d.doc_id = refs.ref_id
+         |        GROUP BY refs.doc_id)
+         |SELECT rr.doc_id, rr.r_lex, rr.r_vec,
+         |       round(rr.rrf, 6) AS rrf, round(rr.sim, 6) AS sim,
+         |       round(rr.tri, 6) AS tri, round(rr.score, 6) AS score,
+         |       coalesce(rel.n_related, 0) AS n_related,
+         |       coalesce(rel.ref_chars, 0) AS ref_chars
+         |FROM rr LEFT JOIN rel ON rel.doc_id = rr.doc_id
+         |ORDER BY rr.score DESC, rr.doc_id ASC""".stripMargin
+    },
     "q_mmr" ->
       s"""WITH RECURSIVE
          |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

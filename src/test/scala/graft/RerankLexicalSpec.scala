@@ -118,4 +118,26 @@ class RerankLexicalSpec extends SparkSuite {
     assert(rows.forall(_.getInt(3) === 1),
       s"exact name '$name' must resolve in tier 1")
   }
+
+  test("search_e2e: stage containment, blend arithmetic, bounded refs") {
+    val out = Rerank.searchE2e(spark, sfDir).collect()
+    assert(out.length === 5)
+    // Final ordering is the rerank score, descending.
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.sliding(2).forall(p => p.head >= p.last - 1e-9))
+    out.foreach { r =>
+      // Every final hit came through the fusion stage: at least one
+      // tier rank present, and ranks are within their tier cuts.
+      val rl = Option(r.getAs[Integer]("r_lex")).map(_.toInt)
+      val rv = Option(r.getAs[Integer]("r_vec")).map(_.toInt)
+      assert(rl.nonEmpty || rv.nonEmpty)
+      (rl.toSeq ++ rv.toSeq).foreach(x => assert(x >= 1 && x <= 20))
+      // Rerank blend recomputes from its own feature columns.
+      val expect = 0.7d * r.getAs[Double]("sim") + 0.3d * r.getAs[Double]("tri")
+      assert(math.abs(r.getAs[Double]("score") - expect) < 1e-5)
+      // The expansion rule derives at most 3 refs per hit.
+      assert(r.getAs[Long]("n_related") >= 0L &&
+        r.getAs[Long]("n_related") <= 3L)
+    }
+  }
 }
