@@ -221,7 +221,14 @@ object Rerank extends graft.QueryGroup {
     * Scale: both tier cuts are TakeOrdered; the fusion window ranks
     * ≤ 40 rows; every downstream join probes the corpus with a
     * broadcast ≤ 10-row list (map-only scans, no corpus shuffle);
-    * the expansion joins a broadcast ≤ 15-row distinct ref list. */
+    * the expansion joins a broadcast ≤ 15-row distinct ref list.
+    *
+    * The dense tier excludes vec 0 (it IS the query vector, not a
+    * document playing itself); the lexical tier runs over every
+    * name — doc 0 ranking first there is the intended behavior (the
+    * typo'd lexical query resolving to its canonical document), the
+    * same asymmetry as the reference's text-vs-embedding entry
+    * points. */
   def searchE2e(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.MinHash
     import graft.functions.TextFunctions.tokenSet
