@@ -276,7 +276,7 @@ object Retrieval extends graft.QueryGroup {
     * with its vocabulary (the probe cost is ∝ bucket occupancy). */
   private[graft] val TermBuckets = 64L
 
-  private def termBucket(prefix: String, term: Column): Column =
+  private[graft] def termBucket(prefix: String, term: Column): Column =
     pmod(MinHash.hash60(concat(lit(prefix), term)), lit(TermBuckets))
 
   /** Where the query-row index build lands (system temp, keyed by sf

@@ -566,6 +566,47 @@ object Streaming extends graft.QueryGroup {
     s.table("graft_stream_quality").orderBy(col("doc_id").asc)
   }
 
+  /** CONTINUOUS text-index maintenance — the streaming face of the
+    * append-only inverted index (the batch O(batch) refresh is
+    * q_text_incremental / Retrieval.appendBm25Delta; this is the
+    * same contract fed by a STREAM): each arriving document emits
+    * its posting DELTA rows map-only — per-doc tf computed inside
+    * the row from the token array (array_distinct + filter-count —
+    * no aggregation, no watermark, no state store), so any
+    * micro-batch split appends exactly the same delta multiset. The
+    * sink rollup (per term: df = posting count, tf mass) must then
+    * equal the one-shot batch index content whatever the split —
+    * which is precisely the additive-delta property the stored
+    * index's probe relies on when it sums df/stats rows.
+    *
+    * Scale: the stream side is stateless and map-only (the 100 TB
+    * shape: ingest emits deltas, the index table absorbs appends);
+    * the rollup here stands in for the partitioned index write. */
+  def streamIndex(s: SparkSession, dir: String): DataFrame =
+    streamIndexOver(s, documentsStream(s, dir), "graft_stream_index")
+
+  private[graft] def streamIndexOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val deltas = in
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(transform(array_distinct(col("toks")), t =>
+          struct(t.as("term"),
+            size(filter(col("toks"), x => x === t)).cast("long").as("tf"))))
+          .as("p"))
+      .select(col("doc_id"), col("dl"),
+        col("p.term").as("term"), col("p.tf").as("tf"))
+    runToCompletion(deltas, sink, "append")
+    s.table(sink)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"))
+      .select(col("term"),
+        graft.operators.Retrieval.termBucket("tb:", col("term")).as("tb"),
+        col("df"), col("tf_sum"))
+      .orderBy(col("term").asc)
+  }
+
   /** Streaming reader over the embeddings parquet, vector pre-cast
     * to array<double> like the batch reader ([[graft.Tables
     * .embeddings]]) so stream-side similarities are double-exact. */
@@ -836,6 +877,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_asof" -> ((s, d) => streamAsof(s, d)),
     "q_stream_asof_wm" -> ((s, d) => streamAsofWm(s, d)),
     "q_stream_quality" -> ((s, d) => streamQuality(s, d)),
+    "q_stream_index" -> ((s, d) => streamIndex(s, d)),
     "q_stream_latest" -> ((s, d) => streamLatest(s, d)),
     "q_stream_latest_tws" -> ((s, d) => streamLatestTws(s, d)),
     "q_stream_join" -> ((s, d) => streamJoin(s, d)),
@@ -928,6 +970,21 @@ object Streaming extends graft.QueryGroup {
     // Exactly the batch q_quality_score semantics — stream == batch.
     "q_stream_quality" ->
       graft.operators.TextAnalysis.oracles("q_quality_score"),
+    // Stream-appended posting deltas rolled up == the one-shot batch
+    // index content — the additive-delta contract of the stored
+    // text index, proven cross-engine by the gate.
+    "q_stream_index" -> {
+      val h = graft.functions.MinHash.hash60Sql("'tb:' || term")
+      s"""WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+         |           FROM documents),
+         |p AS (SELECT doc_id, term, count(*) AS tf
+         |      FROM t GROUP BY doc_id, term)
+         |SELECT term,
+         |       $h % ${graft.operators.Retrieval.TermBuckets} AS tb,
+         |       count(*) AS df,
+         |       CAST(sum(tf) AS BIGINT) AS tf_sum
+         |FROM p GROUP BY term ORDER BY term ASC""".stripMargin
+    },
     // Exactly the batch q_events_bucket semantics: the correctness
     // gate therefore proves stream == batch.
     "q_stream_window" ->

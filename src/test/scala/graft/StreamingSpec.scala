@@ -67,6 +67,31 @@ class StreamingSpec extends SparkSuite
       .parquet(tmp)
   }
 
+  test("continuous index maintenance stays exact under multi-batch " +
+      "document replay") {
+    // Documents arriving across three interleaved micro-batches must
+    // append exactly the same posting-delta multiset as one batch —
+    // the rollup equality IS the additive-delta contract the stored
+    // text index's probe relies on.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_split_idx").toString
+    tmpDirs += tmp
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until 3).foreach { i =>
+      d.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val got = Streaming.streamIndexOver(spark, stream, "graft_split_idx")
+      .collect().toSeq
+    val want = Streaming.streamIndex(spark, sfDir).collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("online ANN serving stays exact under multi-batch query replay") {
     // Queries arriving across three micro-batches (interleaved by
     // vec_id mod 3, so every batch holds queries from the whole id
