@@ -89,6 +89,31 @@ object Multimodal extends graft.QueryGroup {
           .as("frames_fp"))
       .orderBy(col("doc_id").asc)
 
+  val ResizeStride = 4
+
+  /** "Resize"/downsample plumbing: deterministic stride decimation —
+    * keep every [[ResizeStride]]-th byte of the payload (the
+    * 4×-downsample role; a real deployment swaps the per-byte rule
+    * for a codec's scaler exactly like [[decodeStub]] swaps in a
+    * decoder, and this query drops to a rows-only check). The
+    * Spark-side shape is the real thing: map-only hex-domain byte
+    * selection (codegen'd builtins, no UDF), bytes-in/bytes-out
+    * accounting, content hash of the resized payload. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    payloads(s, dir)
+      .select(col("doc_id"), col("hx"),
+        ceil(length(col("hx")).cast("double") / (2 * ResizeStride))
+          .cast("int").as("nb"))
+      .select(col("doc_id"),
+        (length(col("hx")) / 2).cast("long").as("bytes_in"),
+        array_join(transform(sequence(lit(0), col("nb") - 1),
+          i => col("hx").substr(i * (2 * ResizeStride) + 1, lit(2))), "")
+          .as("res_hx"))
+      .select(col("doc_id"), col("bytes_in"),
+        (length(col("res_hx")) / 2).cast("long").as("bytes_out"),
+        md5(col("res_hx")).as("res_md5"))
+      .orderBy(col("doc_id").asc)
+
   /** Decoded-media metadata (deterministic STUB). */
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, codec: String)
@@ -136,6 +161,7 @@ object Multimodal extends graft.QueryGroup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> ((s, d) => multimodalMeta(s, d)),
+    "q_multimodal_resize" -> ((s, d) => multimodalResize(s, d)),
     "q_multimodal_chunk" -> ((s, d) => multimodalChunk(s, d)),
     "q_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
     "q_multimodal_framesample" -> ((s, d) => multimodalFramesample(s, d)),
@@ -156,6 +182,23 @@ object Multimodal extends graft.QueryGroup {
         |       CAST(sum(w) AS BIGINT) AS sum_w,
         |       CAST(sum(h) AS BIGINT) AS sum_h
         |FROM m GROUP BY source ORDER BY source ASC""".stripMargin,
+    "q_multimodal_resize" ->
+      s"""WITH p AS (SELECT doc_id, upper(hex(encode(text))) AS hx
+         |           FROM documents),
+         |n AS (SELECT doc_id, hx, CAST(length(hx) / 2 AS BIGINT) AS bytes_in,
+         |             CAST(ceil(length(hx) / ${2.0 * ResizeStride}) AS INT)
+         |               AS nb
+         |      FROM p),
+         |r AS (SELECT doc_id, bytes_in,
+         |             array_to_string([substr(hx, i * ${2 * ResizeStride} + 1,
+         |                                     2)
+         |                              for i in generate_series(0, nb - 1)],
+         |                             '') AS res_hx
+         |      FROM n)
+         |SELECT doc_id, bytes_in,
+         |       CAST(length(res_hx) / 2 AS BIGINT) AS bytes_out,
+         |       md5(res_hx) AS res_md5
+         |FROM r ORDER BY doc_id ASC""".stripMargin,
     "q_multimodal_meta" ->
       """WITH p AS (SELECT doc_id, source, upper(hex(encode(text))) AS hx
         |           FROM documents),

@@ -37,4 +37,27 @@ class MultimodalSpec extends SparkSuite {
         col("chunk_bytes") =!= Multimodal.ChunkBytes)
     assert(bad.count() === 0)
   }
+
+  test("resize: exact stride arithmetic and driver-side decimation " +
+      "cross-check") {
+    val rows = Multimodal.multimodalResize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, bin, bout, _) =>
+      assert(bout === (bin + Multimodal.ResizeStride - 1) /
+        Multimodal.ResizeStride, s"doc $id: $bin -> $bout")
+    }
+    // Recompute one doc's resized hash from the raw text driver-side.
+    val (id0, _, _, md) = rows.head
+    val text = Tables.documents(spark, sfDir)
+      .where(col("doc_id") === id0).collect()(0).getAs[String]("text")
+    val bytes = text.getBytes("UTF-8")
+    val resized = bytes.indices.collect {
+      case i if i % Multimodal.ResizeStride == 0 => bytes(i)
+    }
+    val hx = resized.map(b => f"${b & 0xff}%02X").mkString
+    val mdRef = java.security.MessageDigest.getInstance("MD5")
+      .digest(hx.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(md === mdRef, s"doc $id0 resized hash mismatch")
+  }
 }
