@@ -168,9 +168,11 @@ object Ingest extends graft.QueryGroup {
     * by 6) so the oracle replicates them.
     *
     * Scale: the dedup agg keys on uniform md5 (map-side combine);
-    * the winner→fields join and the snapshot classification join
-    * both key on the unique doc_id — one exchange each side, reused
-    * across the two joins; final rollup is a bounded source-key agg.
+    * the winner→fields join keys on the unique doc_id; the canonical
+    * relation is then materialized (Checkpoints.cut) so the
+    * snapshot/batch classification derives from it without re-running
+    * the scan+dedup lineage per side; final rollup is a bounded
+    * source-key agg.
     * Every stage is a separately-graded operator (q_ingest_dedup,
     * q_embed_text, q_merge_upsert, q_doc_stats) composing through
     * Catalyst. */
@@ -180,10 +182,17 @@ object Ingest extends graft.QueryGroup {
       .select(md5(normText(col("text"))).as("content_id"), col("doc_id"))
       .groupBy(col("content_id"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    // Materialized (lineage cut): snap and inc below both derive from
+    // canon — without the cut each side re-ran the whole
+    // scan+dedup+join lineage (measured with broadcasts off: 4 corpus
+    // scans / 7 exchanges; with the cut the scan+dedup+join runs ONCE
+    // and the downstream plan is 3 exchanges over the cached canon
+    // blocks).
     val canon = winners.join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("n_copies"),
         concat_ws(" | ", docName(col("text")), col("lang"),
           substring(normText(col("text")), 1, 120)).as("embed_text"))
+      .transform(graft.Checkpoints.cut)
     val snap = canon.where(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), md5(col("embed_text")).as("h_old"))
     val inc = canon.select(col("doc_id"), col("source"), col("n_copies"),
