@@ -16,83 +16,25 @@ import java.nio.file.{Files, Paths}
   * reads as broken instead of as a fast one.
   */
 object Bench {
-  /** Compact-stdout family-prefix abbreviations, applied after the
-    * `q_` strip (first match wins; non-matching keys pass through).
-    * Full keys always live in bench_out.json. */
-  private[graft] val Abbrev: Seq[(String, String)] = Seq(
-    "dedup_" -> "dd_", "stream_" -> "st_", "multimodal_" -> "mm_",
-    "vec_" -> "v_", "ann_" -> "a_", "name_" -> "nm_",
-    // r7b: 106 rows left ~36 chars of headroom; five more families
-    // reclaim ~58 (fingerprint_ before fingerprint: first match wins)
-    "fingerprint_" -> "fp_", "fingerprint" -> "fp", "quality_" -> "ql_",
-    "window_" -> "w_", "top_n_" -> "tn_", "rule_" -> "rl_",
-    "glossary_" -> "gl_")
-
-  /** r7c: 111 rows pushed the stdout line to 1930 chars — PAST the
-    * ~1927-char tail window (measured r5) — so prefix families alone
-    * no longer fit. Second stage: segment abbreviations applied to
-    * the prefix-abbreviated key (each replaced wherever it occurs;
-    * list order = application order). ~170 chars reclaimed at 111
-    * rows. The full-key mapping stays recoverable: bench_out.json
-    * always records full keys, and BASELINE.md documents the scheme. */
-  private[graft] val Seg: Seq[(String, String)] = Seq(
-    "incremental" -> "incr", "sessionize" -> "sess",
-    "session_window" -> "sess_w", "contamination" -> "contam",
-    "containment" -> "contain", "array_contains" -> "arr",
-    "ngram_jaccard" -> "njac", "pack_sequences" -> "pack",
-    "quantile" -> "qtl", "threshold" -> "thr", "per_label" -> "lbl",
-    "stratified" -> "strat", "framesample" -> "frames",
-    "levenshtein" -> "lev", "repetition" -> "repet",
-    "federated" -> "fed", "percentile" -> "pctl",
-    "merge_upsert" -> "upsert", "scrub_denylist" -> "deny",
-    "related_expand" -> "rel_exp", "filter_funnel" -> "funnel",
-    "chunk_text" -> "chunk_t", "shard_shuffle" -> "shards",
-    // r7d: 121 rows left ~30 chars of headroom; seven more segment
-    // rules reclaim ~32 (the §6-planned lever, applied BEFORE the
-    // rows that needed it).
-    "substring" -> "substr", "multispace" -> "multi",
-    "embedding" -> "emb", "centroids" -> "cents",
-    "hierarchy" -> "hier", "combined" -> "comb", "converged" -> "conv",
-    // r7e: rows 123-124 (batch retrieval + mining).
-    "hard_negatives" -> "hard_neg", "bm25_batch" -> "bm25_b",
-    // r7f: reclaim ~50 chars from the longest compact keys before
-    // row 125 (the alternative was changing the per-query value
-    // unit on the stdout line, which would silently 10x-skew the
-    // driver's BENCH_r{N} numbers against BASELINE.md).
-    "asof_join_native" -> "asof_nat", "events_bucket" -> "ev_bkt",
-    "bm25_indexed" -> "bm25_idx", "hll_distinct" -> "hll_dist",
-    "ingest_dedup" -> "ing_dd", "json_extract" -> "json_ext",
-    "source_stats" -> "src_stats", "pair_stats" -> "pairs",
-    "lsh_bucket" -> "lsh_b", "latest" -> "last",
-    "hard_neg_vec" -> "hnv",
-    // r7g: rows 126-129 (tokenizer/mixing/ingest tier) — reclaim
-    // ~28 chars from the remaining longest compact keys first.
-    "sample_strat" -> "smp_str", "mix_weights" -> "mix_w",
-    "salted_join" -> "salted", "token_count" -> "tok_cnt",
-    "embed_text" -> "emb_txt", "last_tws" -> "l_tws",
-    "ingest_all" -> "ing_all",
-    // r7i: headroom hardening at 130 rows — 19 chars left meant ONE
-    // capped error message could clip the metric line; reclaim ~60
-    // from the remaining 10+-char keys so an error-carrying line
-    // still fits the driver's tail window.
-    "rolling" -> "roll", "cluster" -> "clus", "minhash" -> "mh",
-    "simhash" -> "sh", "contain" -> "cont", "knn_join" -> "knn",
-    "bloom_semi" -> "bloom", "meta_range" -> "m_range",
-    "string_agg" -> "str_agg", "text_ilike" -> "ilike",
-    "doc_join" -> "doc_j", "qtl_sample" -> "qtl_smp",
-    "range_join" -> "range_j", "quality" -> "ql",
-    "json_clean" -> "json_cl")
-
-  /** The one compact-key definition (stdout flavor): `q_` strip →
-    * family-prefix abbreviation → segment abbreviation. The
-    * uniqueness spec (SurveySyncSpec) pins this exact function, so
-    * bench and spec cannot drift. */
-  private[graft] def compactKey(k: String): String = {
-    val b = k.stripPrefix("q_")
-    val pre = Abbrev.collectFirst {
-      case (p, r) if b.startsWith(p) => r + b.substring(p.length)
-    }.getOrElse(b)
-    Seg.foldLeft(pre) { case (s, (from, to)) => s.replace(from, to) }
+  /** Stdout per-query keys (r8, the structural fix for the tail-window
+    * budget): the driver captures only the LAST ~1927 chars of stdout,
+    * and seven rounds of hand-trimmed name abbreviations (family
+    * prefixes + ~60 segment rules) were down to ~33 chars of headroom
+    * at 133 rows — the trim well had run dry. The stdout flavor now
+    * keys each query by its ORDINAL in the ascii-sorted full-name
+    * list, base-36, two digits ("00","01",…,"0z","10",…) — a fixed
+    * 9-10 bytes/row regardless of name length (~560 chars of headroom
+    * at 140 rows; capacity 1296 rows). The mapping is deterministic
+    * (sorted registry order) and self-published every run:
+    * bench_out.json carries the full `stdout_keys` short→full map,
+    * and BASELINE.md + SURVEY §6 document the rule. Values stay
+    * whole seconds at 1 decimal (the r7 verdict rejected coarser
+    * units as silently skewing BENCH vs BASELINE). */
+  private[graft] def shortKeys(names: Iterable[String]): Map[String, String] = {
+    val d = "0123456789abcdefghijklmnopqrstuvwxyz"
+    names.toSeq.sorted.zipWithIndex.map { case (n, i) =>
+      n -> s"${d(i / 36)}${d(i % 36)}"
+    }.toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -180,18 +122,13 @@ object Bench {
                  compact: Boolean): String = {
       // compact=true is the stdout flavor: the driver captures only the
       // LAST ~2000 chars of stdout (measured r5: 1927-char budget after
-      // sbt's `[success]` epilogue, and the r5 line was 1901 — 26 chars
-      // of headroom). So stdout strips the `q_` key prefix (−2×88
-      // bytes; full names live in bench_out.json and BASELINE.md
-      // documents the mapping) and drops `"unit":"sec"` (seconds is the
-      // contract; the verdict sanctioned dropping it). bench_out.json
-      // keeps full keys, full precision, and the unit.
-      // r7: rows 99+ would have clipped the tail window (42 chars of
-      // headroom at 98 queries), so compact keys also abbreviate the
-      // six family prefixes (~150 chars reclaimed). The mapping is
-      // documented in SURVEY §6 and BASELINE.md; bench_out.json keeps
-      // full keys.
-      def key(k: String): String = if (compact) Bench.compactKey(k) else k
+      // sbt's `[success]` epilogue). Stdout uses the fixed 2-char
+      // ordinal keys (see shortKeys), and drops `"unit":"sec"`
+      // (seconds is the contract; the verdict sanctioned dropping it).
+      // bench_out.json keeps full keys, full precision, the unit, and
+      // the short→full mapping.
+      val short = Bench.shortKeys(results.map(_._1))
+      def key(k: String): String = if (compact) short(k) else k
       val qs = results.map { case (k, v) => s"${q(key(k))}:${fmtQ(v)}" }
         .mkString("{", ",", "}")
       // Stdout error messages are capped harder than bench_out's 200
@@ -211,7 +148,13 @@ object Bench {
       // this lever); bench_out.json still records it.
       val sfName = new java.io.File(sfDir).getName // "sf0.1" — path prefix is tail-budget
       val sfPart = if (compact) "" else s""","sf":${q(sfName)}"""
-      s"""{"metric":"total","value":${fmt(total)},${unitPart}"queries":$qs$errPart$sfPart}"""
+      // bench_out.json self-publishes the stdout short→full key map so
+      // any round's archived stdout line is decodable from the same
+      // commit without re-deriving the sorted registry.
+      val keysPart = if (compact) "" else
+        short.toSeq.map { case (full, sk) => s"${q(sk)}:${q(full)}" }
+          .sortBy(_.toString).mkString(""","stdout_keys":{""", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},${unitPart}"queries":$qs$errPart$sfPart$keysPart}"""
     }
     Files.writeString(Paths.get("bench_out.json"),
       jsonLine(s6, s6, compact = false) + "\n")

@@ -4,6 +4,22 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Output columns the driver's pandas comparator cannot hash/sort:
+    * array/map/struct cells raise `unhashable type: numpy.ndarray` at
+    * the driver gate even when the values are right (r7's
+    * q_glossary_refs). Queries must emit scalars only — join arrays
+    * to strings. Mirrors the r3 HUGEINT guard in tools/check.py. */
+  private[graft] def complexCols(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    schema.fields.collect {
+      case f if (f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      }) => s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     // Optional 3rd arg: comma-separated query-name filter (local
     // iteration aid; the driver always passes exactly two args).
@@ -24,9 +40,20 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          val complex = complexCols(df.schema)
+          if (complex.nonEmpty)
+            // No parquet written → check.py records the row as
+            // "oracle present but no spark output" = FAIL, so the
+            // class cannot pass locally and die at the driver.
+            System.err.println(s"[verify] $name REJECTED: non-scalar " +
+              s"output column(s) ${complex.mkString(", ")} — the " +
+              "driver comparator cannot sort them; emit array_join'd " +
+              "strings instead")
+          else df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

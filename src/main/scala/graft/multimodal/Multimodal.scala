@@ -114,6 +114,49 @@ object Multimodal extends graft.QueryGroup {
         md5(col("res_hx")).as("res_md5"))
       .orderBy(col("doc_id").asc)
 
+  /** The COMPOSED media pass — resize → re-chunk → re-hash as ONE
+    * query (the decode→scale→tile ETL shape a media ingest actually
+    * runs; the capstone twin of q_pipeline/q_ingest_all for group I,
+    * proving the multimodal operators compose through Catalyst like
+    * the text ones do): stride-decimate each payload
+    * ([[multimodalResize]]'s rule), then fixed-size-chunk the RESIZED
+    * payload ([[multimodalChunk]]'s rule over the new byte stream),
+    * hash each chunk, and roll per doc into bytes-in/out accounting,
+    * the chunk count, and an order-sensitive pipeline fingerprint.
+    *
+    * Scale: map-only projections end to end; the only exchange is
+    * the per-doc rollup on the unique doc_id key (and the output
+    * sort). The chunk explode is bounded by bytes/ChunkBytes. */
+  def multimodalPipeline(s: SparkSession, dir: String): DataFrame =
+    payloads(s, dir)
+      .select(col("doc_id"), col("source"),
+        (length(col("hx")) / 2).cast("long").as("bytes_in"),
+        array_join(transform(sequence(lit(0),
+          ceil(length(col("hx")).cast("double") / (2 * ResizeStride))
+            .cast("int") - 1),
+          i => col("hx").substr(i * (2 * ResizeStride) + 1, lit(2))), "")
+          .as("res_hx"))
+      .select(col("doc_id"), col("source"), col("bytes_in"),
+        (length(col("res_hx")) / 2).cast("long").as("bytes_out"),
+        col("res_hx"),
+        ceil(length(col("res_hx")).cast("double") / (2 * ChunkBytes))
+          .cast("int").as("nc"))
+      .select(col("doc_id"), col("source"), col("bytes_in"),
+        col("bytes_out"), col("res_hx"),
+        explode(sequence(lit(0), col("nc") - 1)).as("ci"))
+      .select(col("doc_id"), col("source"), col("bytes_in"),
+        col("bytes_out"), col("ci"),
+        md5(col("res_hx").substr(col("ci") * (2 * ChunkBytes) + 1,
+          lit(2 * ChunkBytes))).as("chunk_md5"))
+      .groupBy(col("doc_id"), col("source"), col("bytes_in"),
+        col("bytes_out"))
+      .agg(count(lit(1)).as("n_chunks"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("ci"),
+            col("chunk_md5")))), x => x.getField("chunk_md5")), ":"))
+          .as("pipe_fp"))
+      .orderBy(col("doc_id").asc)
+
   /** Decoded-media metadata (deterministic STUB). */
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, codec: String)
@@ -165,6 +208,7 @@ object Multimodal extends graft.QueryGroup {
     "q_multimodal_chunk" -> ((s, d) => multimodalChunk(s, d)),
     "q_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
     "q_multimodal_framesample" -> ((s, d) => multimodalFramesample(s, d)),
+    "q_multimodal_pipeline" -> ((s, d) => multimodalPipeline(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,5 +294,32 @@ object Multimodal extends graft.QueryGroup {
          |       CAST(length(chunk_hx) / 2 AS BIGINT) AS chunk_bytes,
          |       md5(chunk_hx) AS chunk_md5
          |FROM h ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
+    "q_multimodal_pipeline" ->
+      s"""WITH p AS (SELECT doc_id, source, upper(hex(encode(text))) AS hx
+         |           FROM documents),
+         |r AS (SELECT doc_id, source,
+         |             CAST(length(hx) / 2 AS BIGINT) AS bytes_in,
+         |             array_to_string(
+         |               [substr(hx, i * ${2 * ResizeStride} + 1, 2)
+         |                for i in generate_series(0,
+         |                  CAST(ceil(length(hx) / ${2.0 * ResizeStride})
+         |                       AS INT) - 1)], '') AS res_hx
+         |      FROM p),
+         |c AS (SELECT doc_id, source, bytes_in,
+         |             CAST(length(res_hx) / 2 AS BIGINT) AS bytes_out,
+         |             res_hx,
+         |             unnest(generate_series(0,
+         |               CAST(ceil(length(res_hx) / ${2 * ChunkBytes}.0)
+         |                    AS INT) - 1)) AS ci
+         |      FROM r),
+         |h AS (SELECT doc_id, source, bytes_in, bytes_out, ci,
+         |             md5(substr(res_hx, ci * ${2 * ChunkBytes} + 1,
+         |                        ${2 * ChunkBytes})) AS chunk_md5
+         |      FROM c)
+         |SELECT doc_id, source, bytes_in, bytes_out,
+         |       count(*) AS n_chunks,
+         |       md5(string_agg(chunk_md5, ':' ORDER BY ci)) AS pipe_fp
+         |FROM h GROUP BY doc_id, source, bytes_in, bytes_out
+         |ORDER BY doc_id ASC""".stripMargin,
   )
 }

@@ -650,12 +650,17 @@ object Curation extends graft.QueryGroup {
     val m = bk.groupBy(col("b"))
       .agg(count(lit(1)).as("cc"), sum(col("tgt")).as("tc"))
     val tots = m.agg(sum(col("cc")).as("ctot"), sum(col("tc")).as("ttot"))
+    // Floor both ppm probabilities at 1: a bucket that is rare
+    // relative to a >~4M-token corpus rounds to 0 ppm, and a zero
+    // denominator would overflow (Spark) / error (DuckDB) instead of
+    // failing together — the guard keeps the ratio total and the two
+    // engines symmetric (ADVICE r7).
     val ratio = m.crossJoin(broadcast(tots))
       .select(col("b"),
-        round(lit(1e6) * (col("tc") + 1) / (col("ttot") + DsirBuckets))
-          .cast("long").as("pt"),
-        round(lit(1e6) * (col("cc") + 1) / (col("ctot") + DsirBuckets))
-          .cast("long").as("pc"))
+        greatest(round(lit(1e6) * (col("tc") + 1) / (col("ttot") + DsirBuckets))
+          .cast("long"), lit(1L)).as("pt"),
+        greatest(round(lit(1e6) * (col("cc") + 1) / (col("ctot") + DsirBuckets))
+          .cast("long"), lit(1L)).as("pc"))
     bk.join(broadcast(ratio), Seq("b"))
       .select(col("doc_id"),
         round(lit(1e6) * col("pt") / col("pc")).cast("long").as("u"))
@@ -948,10 +953,10 @@ object Curation extends graft.QueryGroup {
          |tots AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot,
          |                CAST(sum(tc) AS BIGINT) AS ttot FROM m),
          |r AS (SELECT b,
-         |             CAST(round(1e6 * (tc + 1) / (ttot + $DsirBuckets))
-         |                  AS BIGINT) AS pt,
-         |             CAST(round(1e6 * (cc + 1) / (ctot + $DsirBuckets))
-         |                  AS BIGINT) AS pc
+         |             greatest(CAST(round(1e6 * (tc + 1) /
+         |                  (ttot + $DsirBuckets)) AS BIGINT), 1) AS pt,
+         |             greatest(CAST(round(1e6 * (cc + 1) /
+         |                  (ctot + $DsirBuckets)) AS BIGINT), 1) AS pc
          |      FROM m, tots),
          |sc AS (SELECT bk.doc_id,
          |              CAST(round(1e6 * r.pt / r.pc) AS BIGINT) AS u

@@ -117,6 +117,43 @@ object Ingest extends graft.QueryGroup {
       .orderBy(col("p_brand").asc)
   }
 
+  /** Schema-free JSON attribute containment — the reference's
+    * `card_data @> '{...}'` capability (reference: db/init.sql:37
+    * `idx_cards_data GIN (card_data)` over the raw JSONB column):
+    * filter by ANY attribute of a schema-free JSON document —
+    * scalar equality, numeric range, array-element containment —
+    * without a schema migration. The card-shaped doc is built from
+    * `part` exactly as [[jsonClean]] does; the predicate then reads
+    * ONLY the JSON column through `get_json_object`/`from_json`
+    * (codegen'd path expressions, no UDF), never the source columns,
+    * and the output fields are themselves extracted from the JSON —
+    * proving the whole schema-free read path.
+    *
+    * Scale: map-only scan+filter (the one exchange is the output
+    *-order sort, plan-asserted in PlanSpec); at 100 TB the predicate
+    * runs inside whole-stage codegen next to the parquet reader, and
+    * a deployment that needs index-grade selectivity materializes the
+    * hot keys into columns/partitions — which this operator's
+    * extraction expressions make a one-line `withColumn` away. */
+  def jsonFilter(s: SparkSession, dir: String): DataFrame = {
+    val cardData = to_json(struct(
+      col("p_partkey").as("id"), col("p_name").as("name"),
+      col("p_brand").as("brand"), col("p_type").as("type"),
+      col("p_size").as("size"), split(col("p_name"), " ").as("tags")))
+    def attr(k: String) = get_json_object(col("card_data"), s"$$.$k")
+    Tables.part(s, dir)
+      .select(cardData.as("card_data"))
+      .where(attr("type") === "ECONOMY" &&
+        attr("size").cast("int") <= 25 &&
+        array_contains(
+          from_json(attr("tags"), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)), "red"))
+      .select(attr("id").cast("bigint").as("part_id"),
+        attr("brand").as("brand"), attr("size").cast("int").as("size"),
+        attr("name").as("name"))
+      .orderBy(col("part_id").asc)
+  }
+
   /** Keyed MERGE/upsert — the reference's batch write path
     * (db/ingest_cards.py:120-152 `ON CONFLICT (oracle_id) DO
     * UPDATE`, db/init.sql:88-116 upsert functions) as one relational
@@ -219,6 +256,7 @@ object Ingest extends graft.QueryGroup {
     "q_doc_stats" -> ((s, d) => docStats(s, d)),
     "q_source_stats" -> ((s, d) => sourceStats(s, d)),
     "q_json_clean" -> ((s, d) => jsonClean(s, d)),
+    "q_json_filter" -> ((s, d) => jsonFilter(s, d)),
     "q_merge_upsert" -> ((s, d) => mergeUpsert(s, d)),
     "q_ingest_all" -> ((s, d) => ingestAll(s, d)),
   )
@@ -324,5 +362,25 @@ object Ingest extends graft.QueryGroup {
         |                     = p_name THEN 1 ELSE 0 END) AS BIGINT)
         |         AS names_intact
         |FROM j GROUP BY p_brand ORDER BY p_brand ASC""".stripMargin,
+    "q_json_filter" ->
+      """WITH j AS (
+        |  SELECT to_json(struct_pack(id := p_partkey, name := p_name,
+        |                             brand := p_brand, type := p_type,
+        |                             size := p_size,
+        |                             tags := str_split(p_name, ' ')))
+        |           AS card_data
+        |  FROM part)
+        |SELECT CAST(json_extract_string(card_data, '$.id') AS BIGINT)
+        |         AS part_id,
+        |       json_extract_string(card_data, '$.brand') AS brand,
+        |       CAST(json_extract_string(card_data, '$.size') AS INT)
+        |         AS size,
+        |       json_extract_string(card_data, '$.name') AS name
+        |FROM j
+        |WHERE json_extract_string(card_data, '$.type') = 'ECONOMY'
+        |  AND CAST(json_extract_string(card_data, '$.size') AS INT) <= 25
+        |  AND list_contains(CAST(json_extract(card_data, '$.tags')
+        |                         AS VARCHAR[]), 'red')
+        |ORDER BY part_id ASC""".stripMargin,
   )
 }

@@ -288,13 +288,17 @@ object Rerank extends graft.QueryGroup {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("ref_id")).as("n_related"),
         sum(col("n_chars")).as("ref_chars"))
+    // Order on the RAW score before the rounding projection (the
+    // q_rerank convention): ordering by the rounded alias would
+    // tie-break pairs that differ only past 6 decimals differently
+    // from the oracle's raw-score ORDER BY.
     reranked.join(broadcast(rel), Seq("doc_id"), "left")
+      .orderBy(col("score").desc, col("doc_id").asc)
       .select(col("doc_id"), col("r_lex"), col("r_vec"),
         round(col("rrf"), 6).as("rrf"), round(col("sim"), 6).as("sim"),
         round(col("tri"), 6).as("tri"), round(col("score"), 6).as("score"),
         coalesce(col("n_related"), lit(0L)).as("n_related"),
         coalesce(col("ref_chars"), lit(0L)).as("ref_chars"))
-      .orderBy(col("score").desc, col("doc_id").asc)
   }
 
   // Trigram-set similarity SQL (same construction as Lexical's).

@@ -248,7 +248,11 @@ object RulesParse extends graft.QueryGroup {
 
   /** q_glossary_refs — _extract_rule_references over each rendered
     * definition: both regex families, set-union, sorted — the
-    * `related_rules` array the reference GIN-indexes. Map-only. */
+    * `related_rules` array the reference GIN-indexes. Map-only.
+    * The sorted ref set is emitted comma-joined as a STRING (not a
+    * raw array): the driver's pandas comparator cannot sort array
+    * cells, and the join is lossless for these dot/digit/letter
+    * ref tokens (no token contains a comma). */
   def glossaryRefs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), definition.as("definition"))
@@ -256,9 +260,10 @@ object RulesParse extends graft.QueryGroup {
         array_sort(array_distinct(concat(
           regexp_extract_all(col("definition"), lit(RulePat), lit(1)),
           regexp_extract_all(col("definition"), lit(SectPat), lit(1)))))
-          .as("related_rules"))
-      .select(col("doc_id"), col("related_rules"),
-        size(col("related_rules")).as("n_refs"))
+          .as("refs"))
+      .select(col("doc_id"),
+        array_join(col("refs"), ",").as("related_rules"),
+        size(col("refs")).as("n_refs"))
       .orderBy(col("doc_id").asc)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -395,9 +400,10 @@ object RulesParse extends graft.QueryGroup {
          |x AS (SELECT doc_id, list_sort(list_distinct(
          |        regexp_extract_all(definition, '$RulePat', 1) ||
          |        regexp_extract_all(definition, '$SectPat', 1)))
-         |        AS related_rules FROM defs)
-         |SELECT doc_id, related_rules,
-         |       CAST(len(related_rules) AS INT) AS n_refs
+         |        AS refs FROM defs)
+         |SELECT doc_id,
+         |       coalesce(array_to_string(refs, ','), '') AS related_rules,
+         |       CAST(len(refs) AS INT) AS n_refs
          |FROM x ORDER BY doc_id""".stripMargin
     },
   )

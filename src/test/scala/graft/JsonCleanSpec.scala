@@ -63,6 +63,21 @@ class JsonCleanSpec extends SparkSuite {
     }
   }
 
+  test("q_json_filter: JSON-path containment ≡ direct column predicate") {
+    // The schema-free read path must select exactly the rows the
+    // typed columns would (oracle-independent: the oracle proves
+    // cross-engine equality, this proves the JSON detour is lossless
+    // against the source of truth).
+    val viaJson = Ingest.jsonFilter(spark, sfDir)
+      .select(col("part_id")).as[Long].collect().toSet
+    val direct = Tables.part(spark, sfDir)
+      .where(col("p_type") === "ECONOMY" && col("p_size") <= 25 &&
+        array_contains(split(col("p_name"), " "), "red"))
+      .select(col("p_partkey")).as[Long].collect().toSet
+    assert(viaJson === direct)
+    assert(viaJson.nonEmpty)
+  }
+
   test("q_source_stats: coverage counts are consistent") {
     val rows = Ingest.sourceStats(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -60,4 +60,32 @@ class MultimodalSpec extends SparkSuite {
       .digest(hx.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     assert(md === mdRef, s"doc $id0 resized hash mismatch")
   }
+
+  test("pipeline: compose-consistency with its stage operators") {
+    // The composed resize→re-chunk→re-hash row must agree with the
+    // standalone resize stage byte for byte, and its fingerprint must
+    // reduce to the resize hash where the resized payload fits one
+    // chunk (md5(join([md5(res_hx)])) = md5(res_md5)).
+    val pipe = Multimodal.multimodalPipeline(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bytes_in"), r.getAs[Long]("bytes_out"),
+          r.getAs[Long]("n_chunks"), r.getAs[String]("pipe_fp"))).toMap
+    val res = Multimodal.multimodalResize(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bytes_in"), r.getAs[Long]("bytes_out"),
+          r.getAs[String]("res_md5"))).toMap
+    assert(pipe.keySet === res.keySet)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    pipe.foreach { case (id, (bin, bout, nc, fp)) =>
+      val (rbin, rbout, rmd) = res(id)
+      assert(bin === rbin && bout === rbout, s"doc $id byte accounting")
+      assert(nc === (bout + Multimodal.ChunkBytes - 1) /
+        Multimodal.ChunkBytes, s"doc $id chunk count")
+      if (nc == 1) assert(fp === md5hex(rmd), s"doc $id fingerprint")
+    }
+    assert(pipe.values.exists(_._3 == 1),
+      "expected at least one single-chunk doc to pin the fp reduction")
+  }
 }

@@ -19,6 +19,30 @@ class PlanSpec extends SparkSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("registry sweep: NO query outputs a non-scalar column") {
+    // The driver's pandas comparator cannot sort array/map/struct
+    // cells (`unhashable type: numpy.ndarray` — r7's q_glossary_refs
+    // passed the local gate and died at the driver). Verify rejects
+    // such outputs at run time; this sweep catches the class at test
+    // time for every present and future row. Schema needs analysis
+    // only; stream rows are excluded (building one runs its whole
+    // micro-batch pipeline) — their sinks roll up to scalars anyway.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_stream_"))
+      .flatMap { name =>
+        val bad = Verify.complexCols(
+          SparkEntry.queries(name)(spark, sfDir).schema)
+        if (bad.nonEmpty) Some(s"$name(${bad.mkString(";")})") else None
+      }
+    assert(offenders.isEmpty,
+      s"queries with array/map/struct output columns: $offenders")
+    // And the guard itself flags a synthetic array output.
+    import org.apache.spark.sql.functions._
+    val synthetic = spark.range(1)
+      .select(col("id"), array(lit("a"), lit("b")).as("xs"))
+    assert(Verify.complexCols(synthetic.schema).nonEmpty)
+  }
+
   test("registry sweep: NO query plans a CartesianProduct") {
     // The one plan shape that can never survive 100 TB. Individual
     // audits pin specific queries; this sweep pins the INVARIANT for
@@ -254,6 +278,16 @@ class PlanSpec extends SparkSuite {
       s"per-doc stats must fold map-side, not explode:\n$p")
     assert(!p.contains("hashpartitioning(doc_id"),
       s"nothing may shuffle on doc_id:\n$p")
+  }
+
+  test("q_json_filter: map-only JSON containment — no join, no agg, " +
+    "filter below the sort") {
+    val p = plan(Ingest.jsonFilter(spark, sfDir))
+    assert(!p.contains("Join"), s"containment is a pure scan+filter:\n$p")
+    assert(!p.contains("HashAggregate"), s"no aggregation expected:\n$p")
+    // Exactly one exchange: the output-order sort's range partition.
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected at most the sort exchange:\n$p")
   }
 
   test("q_scrub_denylist: one scan, no join, single small-key aggregation") {

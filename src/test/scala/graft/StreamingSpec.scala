@@ -604,4 +604,26 @@ class StreamingSpec extends SparkSuite
     assert(streamRows.nonEmpty)
     assert(streamRows === batchRows)
   }
+
+  test("registry sweep: every streaming twin is run-to-run " +
+      "deterministic (two executions byte-equal)") {
+    // The PlanSpec determinism sweep covers every NON-stream row;
+    // this is its streaming complement (r7 verdict polish): each
+    // registered q_stream_* entry executes twice through its whole
+    // micro-batch pipeline under the same (single-batch AvailableNow)
+    // split, and the canonicalized results must be byte-equal — a
+    // state-arrival-order tie or a non-idempotent sink rollup would
+    // pass the single-run gate and flake at the driver.
+    val names = SparkEntry.queries.keys
+      .filter(_.startsWith("q_stream_")).toSeq.sorted
+    assert(names.size >= 12)
+    names.foreach { n =>
+      def run(): Seq[String] =
+        SparkEntry.queries(n)(spark, sfDir).toJSON.collect().sorted.toSeq
+      val a = run()
+      val b = run()
+      assert(a.nonEmpty, s"$n returned no rows")
+      assert(a === b, s"$n is not deterministic across reruns")
+    }
+  }
 }

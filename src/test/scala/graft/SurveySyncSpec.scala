@@ -62,12 +62,31 @@ class SurveySyncSpec extends AnyFunSuite {
         s"register $actual")
   }
 
-  test("bench compact keys stay unique under the family abbreviations") {
-    // Two registry keys collapsing to one compact key would emit a
-    // duplicate JSON key on the bench stdout line — the driver's
-    // parse would silently keep one of the two timings.
-    val byCompact = SparkEntry.queries.keySet.groupBy(Bench.compactKey)
-    val collisions = byCompact.filter(_._2.size > 1)
-    assert(collisions.isEmpty, s"compact-key collisions: $collisions")
+  test("bench stdout short keys are bijective 2-char ordinals") {
+    val names = SparkEntry.queries.keySet
+    val short = Bench.shortKeys(names)
+    assert(short.keySet == names)
+    assert(short.values.toSet.size == names.size,
+      "short-key collision — two queries share a stdout key")
+    assert(short.values.forall(_.length == 2))
+    // Deterministic: the ordinal of the sorted full-name list, so the
+    // published mapping can be re-derived from any commit.
+    val sorted = names.toSeq.sorted
+    assert(short(sorted.head) == "00")
+  }
+
+  test("bench stdout line fits the driver tail window with headroom") {
+    // The driver parses the metric line out of the LAST ~1927 chars of
+    // stdout (measured r5). Simulate the compact line's length at the
+    // current registry size PLUS 7 future rows, with pessimistic
+    // 4-char per-query values ("12.3") — r7 ended with 33 chars of
+    // headroom under hand-trimmed name abbreviations; the 2-char
+    // ordinal scheme must never get back there.
+    val n = SparkEntry.queries.size + 7
+    val line = 26 + 6 + 12 + // {"metric":"total","value":NNN.NN,"queries":{
+      n * 10 - 1 + // "xx":12.3 rows, comma-separated
+      2 // }}
+    val headroom = 1927 - line
+    assert(headroom >= 400, s"stdout headroom $headroom < 400 at $n rows")
   }
 }

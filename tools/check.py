@@ -67,6 +67,27 @@ def main():
                   f"CAST(... AS BIGINT) in the oracle SQL")
             n_fail += 1
             continue
+        # Array/map/struct output cells break the driver's pandas
+        # sort (`unhashable type: numpy.ndarray` — r7's
+        # q_glossary_refs) even when values agree. Reject them on
+        # BOTH sides, same spirit as the HUGEINT guard.
+        def complex_cols(d):
+            return [c for c, t in [(x[0], x[1].upper()) for x in d]
+                    if "[]" in t or t.startswith("STRUCT")
+                    or t.startswith("MAP")]
+        sdesc = con.execute(
+            f"DESCRIBE (SELECT * FROM '{outdir}/{name}/*.parquet')"
+        ).fetchall()
+        bad = [(side, cols) for side, cols in
+               [("oracle", complex_cols(desc)),
+                ("spark", complex_cols(sdesc))] if cols]
+        if bad:
+            for side, cols in bad:
+                print(f"  ✗ {name}: {side} emits non-scalar column(s) "
+                      f"{cols} — the driver comparator cannot sort "
+                      f"them; array_join/array_to_string instead")
+            n_fail += 1
+            continue
         ok_schema = sorted(gcols) == sorted(wcols)
         ok_rows = len(grows) == len(wrows)
         ok_hash = ok_schema and ok_rows and \
