@@ -154,6 +154,54 @@ object Ingest extends graft.QueryGroup {
       .orderBy(col("part_id").asc)
   }
 
+  /** Divisor for the demo forget-request list: ids with
+    * hash60('del:'||doc_id) % 13 == 0 (content-independent, so the
+    * oracle replicates the list exactly). */
+  private[graft] val ForgetMod = 13
+
+  /** Right-to-be-forgotten DELETE pass — the governance op every
+    * 100 TB corpus must run (GDPR/CCPA erasure; the reference's
+    * DELETE-by-key write path generalized to batch): a bounded
+    * delete-request list is removed from the corpus by BROADCAST
+    * anti-join, and the pass emits the per-source audit a compliance
+    * run must produce — docs/chars kept vs forgotten, plus an
+    * order-sensitive MANIFEST hash of exactly which doc ids were
+    * erased (the deletion receipt; re-running the pass must
+    * reproduce it bit for bit).
+    *
+    * Scale: the request list is tiny (requests, not corpus) →
+    * broadcast left-anti + broadcast semi probes, never a corpus
+    * shuffle on the join; the audit is a bounded source-key agg with
+    * map-side combine. Plan-asserted in PlanSpec: both probes
+    * broadcast, no SortMergeJoin. */
+  def forget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val requests = docs
+      .where(pmod(graft.functions.MinHash.hash60(
+        concat(lit("del:"), col("doc_id").cast("string"))), lit(ForgetMod))
+        === 0)
+      .select(col("doc_id"))
+    val kept = docs.join(broadcast(requests), Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+    val gone = docs.join(broadcast(requests), Seq("doc_id"), "left_semi")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_forgotten"),
+        sum(col("n_chars")).as("chars_forgotten"),
+        md5(array_join(transform(
+          array_sort(collect_list(col("doc_id"))),
+          i => i.cast("string")), ",")).as("manifest_md5"))
+    kept.join(gone, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"),
+        coalesce(col("n_forgotten"), lit(0L)).as("n_forgotten"),
+        coalesce(col("chars_forgotten"), lit(0L)).as("chars_forgotten"),
+        coalesce(col("manifest_md5"), lit("")).as("manifest_md5"))
+      .orderBy(col("source").asc)
+  }
+
   /** Keyed MERGE/upsert — the reference's batch write path
     * (db/ingest_cards.py:120-152 `ON CONFLICT (oracle_id) DO
     * UPDATE`, db/init.sql:88-116 upsert functions) as one relational
@@ -257,6 +305,7 @@ object Ingest extends graft.QueryGroup {
     "q_source_stats" -> ((s, d) => sourceStats(s, d)),
     "q_json_clean" -> ((s, d) => jsonClean(s, d)),
     "q_json_filter" -> ((s, d) => jsonFilter(s, d)),
+    "q_forget" -> ((s, d) => forget(s, d)),
     "q_merge_upsert" -> ((s, d) => mergeUpsert(s, d)),
     "q_ingest_all" -> ((s, d) => ingestAll(s, d)),
   )
@@ -382,5 +431,30 @@ object Ingest extends graft.QueryGroup {
         |  AND list_contains(CAST(json_extract(card_data, '$.tags')
         |                         AS VARCHAR[]), 'red')
         |ORDER BY part_id ASC""".stripMargin,
+    "q_forget" -> {
+      val h = graft.functions.MinHash.hash60Sql("'del:' || doc_id")
+      s"""WITH req AS (SELECT doc_id FROM documents WHERE $h % $ForgetMod = 0),
+         |k AS (SELECT source, count(*) AS n_kept,
+         |             CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         |      FROM documents
+         |      WHERE doc_id NOT IN (SELECT doc_id FROM req)
+         |      GROUP BY source),
+         |g AS (SELECT source, count(*) AS n_forgotten,
+         |             CAST(sum(n_chars) AS BIGINT) AS chars_forgotten,
+         |             md5(string_agg(CAST(doc_id AS VARCHAR), ','
+         |                            ORDER BY doc_id)) AS manifest_md5
+         |      FROM documents
+         |      WHERE doc_id IN (SELECT doc_id FROM req)
+         |      GROUP BY source)
+         |SELECT coalesce(k.source, g.source) AS source,
+         |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |       CAST(coalesce(k.chars_kept, 0) AS BIGINT) AS chars_kept,
+         |       CAST(coalesce(g.n_forgotten, 0) AS BIGINT) AS n_forgotten,
+         |       CAST(coalesce(g.chars_forgotten, 0) AS BIGINT)
+         |         AS chars_forgotten,
+         |       coalesce(g.manifest_md5, '') AS manifest_md5
+         |FROM k FULL OUTER JOIN g ON k.source = g.source
+         |ORDER BY source ASC""".stripMargin
+    },
   )
 }

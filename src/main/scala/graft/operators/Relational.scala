@@ -368,8 +368,36 @@ object Relational extends graft.QueryGroup {
       .orderBy(col("c_mktsegment").asc)
   }
 
+  /** Hot-key SKEW AUDIT — the diagnostic that decides when
+    * [[saltedJoinAgg]]'s mitigation is needed (at 100 TB you measure
+    * skew BEFORE a join melts one reducer, not after): per-key order
+    * counts on the join key, the top-10 hottest keys by a bounded
+    * TakeOrdered cut, and each hot key's exact load ratio vs the
+    * mean key (integer milli-units via the round-half-up
+    * (2a+b) DIV 2b rule, so the ratio hash-matches cross-engine)
+    * plus its corpus share in ppm.
+    *
+    * Scale: ONE map-side-combined agg on the (uniformly hashed) key,
+    * a 10-row TakeOrdered cut, a one-row totals broadcast — the
+    * corpus never shuffles twice and nothing scales with key
+    * cardinality past the counts agg. */
+  def skewAudit(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("tot"),
+      count(lit(1)).as("nk"))
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(k)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"),
+        expr("(2 * 1000000 * cnt + tot) DIV (2 * tot)").as("share_ppm"),
+        expr("(2 * 1000 * cnt * nk + tot) DIV (2 * tot)").as("x_mean_milli"))
+      .orderBy(col("cnt").desc, col("key").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join" -> ((s, d) => saltedJoinAgg(s, d)),
+    "q_skew_audit" -> ((s, d) => skewAudit(s, d)),
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
     "q_pivot" -> ((s, d) => pivotAgg(s, d)),
     "q_percentile" -> ((s, d) => percentiles(s, d)),
@@ -413,6 +441,19 @@ object Relational extends graft.QueryGroup {
         |         AS BIGINT) AS cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""".stripMargin,
+    "q_skew_audit" ->
+      """WITH c AS (SELECT o_custkey AS key, count(*) AS cnt
+        |           FROM orders GROUP BY o_custkey),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+        |             count(*) AS nk FROM c),
+        |top AS (SELECT key, cnt FROM c
+        |        ORDER BY cnt DESC, key ASC LIMIT 10)
+        |SELECT key, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST((2 * 1000000 * cnt + tot) // (2 * tot) AS BIGINT)
+        |         AS share_ppm,
+        |       CAST((2 * 1000 * cnt * nk + tot) // (2 * tot) AS BIGINT)
+        |         AS x_mean_milli
+        |FROM top, t ORDER BY cnt DESC, key ASC""".stripMargin,
     "q_pivot" ->
       s"""SELECT o_orderpriority,
          |${PivotStatuses.map(pivotCell).mkString(",\n")}

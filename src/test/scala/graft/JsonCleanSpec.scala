@@ -78,6 +78,24 @@ class JsonCleanSpec extends SparkSuite {
     assert(viaJson.nonEmpty)
   }
 
+  test("q_forget: erasure is total, disjoint, and receipt-reproducible") {
+    val rows = Ingest.forget(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // Kept + forgotten partitions the corpus exactly, docs and chars.
+    val docs = Tables.documents(spark, sfDir)
+    assert(rows.map(r => r.getAs[Long]("n_kept") +
+      r.getAs[Long]("n_forgotten")).sum === docs.count())
+    val totalChars = docs.agg(sum(col("n_chars"))).as[Long].head()
+    assert(rows.map(r => r.getAs[Long]("chars_kept") +
+      r.getAs[Long]("chars_forgotten")).sum === totalChars)
+    assert(rows.exists(_.getAs[Long]("n_forgotten") > 0))
+    // The deletion receipt must be bit-reproducible — a compliance
+    // rerun has to produce the same manifest.
+    val again = Ingest.forget(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("manifest_md5")).toSeq ===
+      again.map(_.getAs[String]("manifest_md5")).toSeq)
+  }
+
   test("q_source_stats: coverage counts are consistent") {
     val rows = Ingest.sourceStats(spark, sfDir).collect()
     assert(rows.nonEmpty)

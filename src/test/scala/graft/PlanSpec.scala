@@ -290,6 +290,29 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"expected at most the sort exchange:\n$p")
   }
 
+  test("q_forget: both erasure probes broadcast — the corpus never " +
+      "shuffles for the delete join") {
+    val p = plan(Ingest.forget(spark, sfDir))
+    // The two corpus-scale joins (delete-list anti + audit semi) must
+    // be broadcast probes. The one permitted SortMergeJoin is the
+    // final kept⋈forgotten FULL-OUTER rollup join on the bounded
+    // ~20-key source column (full-outer cannot broadcast), which is
+    // post-aggregation and O(sources), not O(corpus).
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"delete-list removal must be a broadcast anti-join:\n$p")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined,
+      s"the audit probe must be a broadcast semi-join:\n$p")
+    assert(!"SortMergeJoin .*(LeftAnti|LeftSemi)".r.findFirstIn(p).isDefined,
+      s"no corpus-scale shuffled probe allowed:\n$p")
+  }
+
+  test("q_skew_audit: bounded TakeOrdered cut, no window, one counts agg") {
+    val p = plan(Relational.skewAudit(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hot-key cut must be a bounded heap:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
   test("q_scrub_denylist: one scan, no join, single small-key aggregation") {
     val p = plan(TextAnalysis.scrubDenylist(spark, sfDir))
     assert(!p.contains("Join"), s"scrub is a pure projection + agg:\n$p")

@@ -27,6 +27,30 @@ class ScaleToolsSpec extends SparkSuite {
     assert(p.contains("__salt"), s"join key must carry the salt:\n$p")
   }
 
+  test("q_skew_audit: hot keys, shares, and load ratios match a " +
+      "driver-side recomputation") {
+    val rows = graft.operators.Relational.skewAudit(spark, sfDir).collect()
+    assert(rows.length === 10)
+    // Monotone non-increasing hotness with the key tiebreak.
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts === cnts.sorted.reverse)
+    // Recompute the audit arithmetic from the raw per-key counts.
+    val counts = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tot = counts.values.sum
+    val nk = counts.size.toLong
+    val top = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    rows.zip(top).foreach { case (r, (k, c)) =>
+      assert(r.getAs[Long]("key") === k)
+      assert(r.getAs[Long]("cnt") === c)
+      assert(r.getAs[Long]("share_ppm") ===
+        (2 * 1000000L * c + tot) / (2 * tot))
+      assert(r.getAs[Long]("x_mean_milli") ===
+        (2 * 1000L * c * nk + tot) / (2 * tot))
+    }
+  }
+
   test("co-bucketed sorted tables join with no exchange and no sort") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
