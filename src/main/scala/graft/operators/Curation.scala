@@ -604,6 +604,77 @@ object Curation extends graft.QueryGroup {
       .limit(20)
   }
 
+  /** Merge-learning iterations for [[bpeApply]]. */
+  private[graft] val BpeSteps = 3
+
+  /** ITERATED BPE merge learning + application — the loop that turns
+    * [[bpePairs]] (one pair-counting iteration) into an actual
+    * tokenizer-training run: learn the top adjacent pair over the
+    * corpus-weighted vocabulary, APPLY the merge to every word's
+    * token state, re-count, repeat — [[BpeSteps]] times — emitting
+    * per step the learned merge, its weighted count, and the corpus
+    * token total after applying it (the number a tokenizer trainer
+    * watches shrink).
+    *
+    * Determinism: the word state is a '|'-delimited token string;
+    * merge application is literal `replace` (left-to-right,
+    * non-overlapping — identical semantics in Spark and DuckDB),
+    * applied twice so an alternating chain (x|y|x|y) whose shared
+    * boundary bar the first pass consumed still reaches the greedy
+    * fixpoint; for an odd run of a self-pair the token MULTISET
+    * matches greedy BPE while the arrangement may differ — either
+    * way both engines compute the identical sequence, which is what
+    * the gate grades. Top-pair tiebreak: count desc, pair asc.
+    *
+    * Scale: each iteration is one pair count over the VOCABULARY
+    * (map-side combine absorbs the Zipf skew; shuffle O(vocab ×
+    * word_len), never the token stream — the q_bpe_pairs argument)
+    * plus a map-only merge application; the driver holds ONE top-pair
+    * row per step ([[BpeSteps]]-bounded, the MMR-loop discipline) and
+    * the per-step lineage is cut through Checkpoints. At 100 TB the
+    * vocab table is the only thing iterated — the corpus is read
+    * once. */
+  def bpeApply(s: SparkSession, dir: String): DataFrame =
+    bpeApplyOver(s, Tables.documents(s, dir))
+
+  private[graft] def bpeApplyOver(s: SparkSession, in: DataFrame): DataFrame = {
+    val vocab0 = in.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(col("w"), col("f"),
+        concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("state"))
+    var cur = vocab0.transform(graft.Checkpoints.cut)
+    val steps = scala.collection.mutable.ArrayBuffer[(Int, String, String,
+      Long, Long)]()
+    for (step <- 1 to BpeSteps) {
+      val pairs = cur
+        .select(col("f"),
+          filter(split(col("state"), "\\|"), t => t =!= "").as("ts"))
+        .where(size(col("ts")) >= 2)
+        .select(col("f"), explode(
+          zip_with(slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit("|"), b))).as("p"))
+        .groupBy(col("p")).agg(sum(col("f")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("p").asc)
+        .limit(1).collect()(0)
+      val lr = top.getString(0).split("\\|")
+      val (l, r) = (lr(0), lr(1))
+      val pat = s"|$l|$r|"
+      val rep = s"|$l$r|"
+      cur = cur.select(col("w"), col("f"),
+          expr(s"replace(replace(state, '$pat', '$rep'), '$pat', '$rep')")
+            .as("state"))
+        .transform(graft.Checkpoints.cut)
+      val toksAfter = cur.agg(
+        sum(col("f") * size(filter(split(col("state"), "\\|"),
+          t => t =!= "")))).collect()(0).getLong(0)
+      steps += ((step, l, r, top.getLong(1), toksAfter))
+    }
+    import s.implicits._
+    steps.toSeq.toDF("step", "lhs", "rhs", "pair_count",
+      "corpus_tokens_after")
+  }
+
   /** DSIR bucket count (hashed-unigram feature space size). */
   private[graft] val DsirBuckets = 1024L
 
@@ -711,6 +782,7 @@ object Curation extends graft.QueryGroup {
     "q_mix_weights" -> ((s, d) => mixWeights(s, d)),
     "q_mix_temp" -> ((s, d) => mixTempered(s, d)),
     "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
+    "q_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "q_dsir" -> ((s, d) => dsirWeights(s, d)),
     "q_pipeline" -> ((s, d) => pipeline(s, d)),
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
@@ -939,6 +1011,52 @@ object Curation extends graft.QueryGroup {
         |            FROM w WHERE len(w) >= 2))
         |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "q_bpe_apply" -> {
+      // One unrolled learn-and-apply stage: pair counts over v{i-1},
+      // top pair into t{i} (count desc, pair asc — the Spark
+      // tiebreak), the double literal replace into v{i}, the
+      // post-merge corpus token total into s{i}.
+      def stage(i: Int): String = {
+        val prev = if (i == 1) "v0" else s"v${i - 1}"
+        val pat = s"(SELECT '|' || l || '|' || r || '|' FROM t$i)"
+        val rep = s"(SELECT '|' || l || r || '|' FROM t$i)"
+        s"""p$i AS (
+           |  SELECT pr AS p, CAST(sum(f) AS BIGINT) AS cnt
+           |  FROM (SELECT f, unnest([ts[j] || '|' || ts[j + 1]
+           |                          for j in generate_series(1, len(ts) - 1)])
+           |               AS pr
+           |        FROM (SELECT f, list_filter(str_split(state, '|'),
+           |                                    x -> x <> '') AS ts
+           |              FROM $prev)
+           |        WHERE len(ts) >= 2)
+           |  GROUP BY pr),
+           |t$i AS (SELECT split_part(p, '|', 1) AS l,
+           |               split_part(p, '|', 2) AS r, cnt
+           |        FROM p$i ORDER BY cnt DESC, p ASC LIMIT 1),
+           |v$i AS (SELECT w, f,
+           |               replace(replace(state, $pat, $rep), $pat, $rep)
+           |                 AS state
+           |        FROM $prev),
+           |s$i AS (SELECT CAST(sum(f * len(list_filter(
+           |                 str_split(state, '|'), x -> x <> '')))
+           |               AS BIGINT) AS toks FROM v$i)""".stripMargin
+      }
+      def row(i: Int): String =
+        s"""SELECT CAST($i AS INT) AS step, (SELECT l FROM t$i) AS lhs,
+           |       (SELECT r FROM t$i) AS rhs,
+           |       (SELECT cnt FROM t$i) AS pair_count,
+           |       (SELECT toks FROM s$i) AS corpus_tokens_after""".stripMargin
+      s"""WITH v0 AS (SELECT w, f,
+         |                   '|' || regexp_replace(w, '(.)', '\\1|', 'g')
+         |                     AS state
+         |            FROM (SELECT t AS w, count(*) AS f
+         |                  FROM (SELECT unnest(str_split(text, ' ')) AS t
+         |                        FROM documents)
+         |                  GROUP BY t)),
+         |${(1 to BpeSteps).map(stage).mkString(",\n")}
+         |${(1 to BpeSteps).map(row).mkString("\nUNION ALL\n")}
+         |ORDER BY step ASC""".stripMargin
+    },
     "q_dsir" -> {
       val h = MinHash.hash60Sql("t")
       s"""WITH tok AS (SELECT doc_id, source,

@@ -421,6 +421,31 @@ class CurationSpec extends SparkSuite {
       "top pair of a 2M-doc corpus must occur more than once per doc on average")
   }
 
+  test("bpe apply: learned merges conserve tokens and shrink the corpus") {
+    import graft.functions.TextFunctions.tokens
+    val rows = Curation.bpeApply(spark, sfDir).collect()
+    assert(rows.length === Curation.BpeSteps)
+    // The starting corpus token total (every word is len(w) chars).
+    val before = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    var prev = before
+    rows.foreach { r =>
+      val (l, rr) = (r.getAs[String]("lhs"), r.getAs[String]("rhs"))
+      val cnt = r.getAs[Long]("pair_count")
+      val after = r.getAs[Long]("corpus_tokens_after")
+      assert(after < prev, s"step ${r.getAs[Int]("step")} must shrink")
+      // For a non-self pair, occurrences cannot overlap, so every
+      // counted pair merges: exact token conservation.
+      if (l != rr) assert(after === prev - cnt,
+        s"step ${r.getAs[Int]("step")}: $prev - $cnt != $after")
+      prev = after
+    }
+    // Reruns learn the identical merge table (driver-loop determinism).
+    val again = Curation.bpeApply(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("dsir: target slice scores highest on average; mean is exact") {
     val imp = Curation.dsirWeights(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

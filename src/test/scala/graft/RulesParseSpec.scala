@@ -127,7 +127,12 @@ class RulesParseSpec extends SparkSuite {
     for (r <- rows) {
       val id = r.getAs[Long]("doc_id")
       def h(tag: String) = hash60Local(s"$tag$id")
-      val got = r.getSeq[String](r.fieldIndex("related_rules"))
+      // r8: related_rules is a comma-joined STRING (the driver's
+      // comparator cannot sort array cells); split it back for the
+      // set comparison. The refs contain no commas by construction.
+      val gotStr = r.getAs[String]("related_rules")
+      val got: Seq[String] =
+        if (gotStr.isEmpty) Nil else gotStr.split(",").toSeq
       if (h("has:") % noRef == 0) { empties += 1; assert(got.isEmpty, s"doc $id") }
       else {
         val r1 = ((h("r1:") % nSec + 1) * 100 + h("r1b:") % offMod).toString
