@@ -23,6 +23,7 @@ object SparkEntry {
     TextAnalysis,
     Ingest,
     RulesParse,
+    Graph,
     Rerank,
     Retrieval,
     graft.streaming.Streaming,

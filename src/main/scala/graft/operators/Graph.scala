@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.MinHash
+import graft.functions.TextFunctions.tokenSet
+
+/** Link analysis over the document cross-reference graph — the
+  * reference stores `related_rules`/`related_faces` arrays
+  * (reference: db/init.sql:38,134) and q_related_expand walks one
+  * hop of them; this group runs the whole-graph algorithm a curation
+  * pipeline uses those links for: PageRank-style importance
+  * propagation (canonical-document election among near-duplicates,
+  * crawl frontier prioritization, quality-signal diffusion — the
+  * web-graph op every 100 TB corpus pipeline eventually runs).
+  *
+  * Determinism: ranks are integer ppm with damping 0.85 applied as
+  * (17·S) DIV 20 and per-edge contributions as r DIV outdeg — every
+  * step is exact integer arithmetic, so three power iterations
+  * hash-match a stage-for-stage DuckDB CTE mirror. Dangling-node
+  * mass is dropped (not redistributed), identically on both engines.
+  */
+object Graph extends graft.QueryGroup {
+
+  /** Power-iteration count for [[rankRefs]]. */
+  private[graft] val RankIters = 3
+
+  /** Refs per document — the q_related_expand derivation rule
+    * (first 3 sorted distinct tokens hashed into the id space). */
+  private[graft] val EdgeRefs = 3
+
+  /** The cross-reference edge list: src doc → the docs it references
+    * under the deterministic content-derived rule shared with
+    * q_related_expand. Distinct, self-loops dropped. */
+  private[graft] def edges(s: SparkSession, dir: String): DataFrame =
+    edgesOver(Tables.documents(s, dir))
+
+  /** `in`: any (doc_id, text) relation (scale-smoke injection point). */
+  private[graft] def edgesOver(in: DataFrame): DataFrame = {
+    val nd = in.agg(count(lit(1)).as("nd"))
+    in
+      .select(col("doc_id"),
+        explode(slice(sort_array(tokenSet(col("text"))), 1, EdgeRefs))
+          .as("tok"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id").as("src"),
+        pmod(MinHash.hash60(concat(lit("rel:"), col("tok"))), col("nd"))
+          .as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** q_rank_refs — [[RankIters]] exact power iterations of damped
+    * importance propagation over [[edges]], top-20 by final rank.
+    *
+    * Scale (the bulk-synchronous Pregel shape): the edge list with
+    * its out-degree is materialized ONCE (lineage cut) and every
+    * iteration costs two key exchanges — ranks⋈edges on src, then
+    * the contribution aggregate on dst (map-side combined) and the
+    * rank rebuild joined back on the unique doc_id; nothing is ever
+    * quadratic and per-iteration state is one long per node. At
+    * 100 TB the edge table is bucketed by src so the per-iteration
+    * src exchange disappears; the iteration count is the convergence
+    * dial exactly as in q_dedup_converged's fixpoint loop. */
+  def rankRefs(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    rankRefsOver(Tables.documents(s, dir), k)
+
+  private[graft] def rankRefsOver(in: DataFrame, k: Int = 20): DataFrame = {
+    val docs = in.select(col("doc_id"))
+    val e = edgesOver(in).transform(graft.Checkpoints.cut)
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eo = e.join(out, Seq("src")).transform(graft.Checkpoints.cut)
+    var ranks = docs.select(col("doc_id"), lit(1000000L).as("r"))
+    for (_ <- 1 to RankIters) {
+      val contrib = eo.join(ranks, eo("src") === ranks("doc_id"))
+        .select(col("dst"), expr("r DIV outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      ranks = docs.join(contrib, docs("doc_id") === contrib("dst"), "left")
+        .select(docs("doc_id"),
+          (lit(150000L) +
+            expr("17 * coalesce(sc, 0L) DIV 20").cast("long")).as("r"))
+        .transform(graft.Checkpoints.cut)
+    }
+    val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
+    ranks
+      .join(indeg.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+      .join(out.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r").as("rank_ppm"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("outdeg"), lit(0L)).as("n_out"))
+      .orderBy(col("rank_ppm").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_refs" -> ((s, d) => rankRefs(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_rank_refs" -> {
+      val h = MinHash.hash60Sql("'rel:' || tok")
+      def iter(i: Int): String = {
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (SELECT dst, CAST(sum(r // outdeg) AS BIGINT) AS sc
+           |        FROM eo JOIN $prev ON eo.src = $prev.doc_id
+           |        GROUP BY dst),
+           |r$i AS (SELECT d.doc_id,
+           |               CAST(150000 + (17 * coalesce(c$i.sc, 0)) // 20
+           |                    AS BIGINT) AS r
+           |        FROM documents d LEFT JOIN c$i ON c$i.dst = d.doc_id)"""
+          .stripMargin
+      }
+      s"""WITH nd AS (SELECT count(*) AS nd FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_sort(list_distinct(
+         |                str_split(text, ' ')))[1:$EdgeRefs]) AS tok
+         |       FROM documents),
+         |ed AS (SELECT DISTINCT doc_id AS src, $h % nd.nd AS dst
+         |       FROM tk, nd WHERE doc_id <> $h % nd.nd),
+         |o AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+         |eo AS (SELECT ed.src, ed.dst, o.outdeg
+         |       FROM ed JOIN o ON ed.src = o.src),
+         |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r
+         |       FROM documents),
+         |${(1 to RankIters).map(iter).mkString(",\n")},
+         |i AS (SELECT dst, count(*) AS n_in FROM ed GROUP BY dst)
+         |SELECT rN.doc_id, rN.r AS rank_ppm,
+         |       CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in,
+         |       CAST(coalesce(o.outdeg, 0) AS BIGINT) AS n_out
+         |FROM r$RankIters rN
+         |     LEFT JOIN i ON i.dst = rN.doc_id
+         |     LEFT JOIN o ON o.src = rN.doc_id
+         |ORDER BY rank_ppm DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+  )
+}
