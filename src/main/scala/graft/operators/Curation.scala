@@ -675,6 +675,57 @@ object Curation extends graft.QueryGroup {
       "corpus_tokens_after")
   }
 
+  /** Minimum pair support for [[collocations]] (sized to the
+    * testdata corpus: ~27k adjacent pairs at sf0.01, max single-pair
+    * support 48 — the production knob is corpus-calibrated). */
+  private[graft] val CoocMinPair = 10L
+
+  /** COLLOCATION / phrase mining — the PMI-style pass that decides
+    * which adjacent word pairs are phrases (word2vec's phrase
+    * detection, run before tokenizer training so "new york" becomes
+    * one unit): adjacent-pair counts vs the independence baseline,
+    * scored by LIFT = P(a,b) / (P(a)·P(b)) = cab·Nt² / (Np·ca·cb).
+    *
+    * Determinism (published recipes score with log/float PMI): the
+    * lift is computed in exact integer ppm — the numerator
+    * 10⁶·cab·Nt² can reach ~10²⁰, so the round-half-up division
+    * (2·num + den) DIV (2·den) runs over DECIMAL(38,0) on Spark and
+    * HUGEINT on DuckDB (the q_outliers wide-integer discipline), and
+    * only the final BIGINT ppm is emitted.
+    *
+    * Scale: pair enumeration is a map-only zip over each doc's token
+    * array (no per-doc shuffle); pair and unigram counts are
+    * map-side-combined aggs on uniform word keys; the count joins
+    * are equi-joins on those keys (vocab-sized, NOT corpus-sized
+    * relations); one broadcast totals row; bounded TakeOrdered cut.
+    * Nothing scales with the token stream past the two counting
+    * aggs. */
+  def collocations(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, dir).select(tokens(col("text")).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = toks.select(explode(
+        zip_with(slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val tot = uni.agg(sum(col("c")).as("nt"))
+      .crossJoin(pairs.agg(sum(col("cab")).as("np")))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
+      .where(col("cab") >= CoocMinPair)
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("cab"),
+        expr("""CAST((2 * (CAST(1000000 AS DECIMAL(38,0)) * cab * nt * nt)
+                      + (CAST(np AS DECIMAL(38,0)) * ca * cb))
+                     div (2 * (CAST(np AS DECIMAL(38,0)) * ca * cb))
+                AS BIGINT)""").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** DSIR bucket count (hashed-unigram feature space size). */
   private[graft] val DsirBuckets = 1024L
 
@@ -783,6 +834,7 @@ object Curation extends graft.QueryGroup {
     "q_mix_temp" -> ((s, d) => mixTempered(s, d)),
     "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "q_bpe_apply" -> ((s, d) => bpeApply(s, d)),
+    "q_collocations" -> ((s, d) => collocations(s, d)),
     "q_dsir" -> ((s, d) => dsirWeights(s, d)),
     "q_pipeline" -> ((s, d) => pipeline(s, d)),
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
@@ -1011,6 +1063,25 @@ object Curation extends graft.QueryGroup {
         |            FROM w WHERE len(w) >= 2))
         |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "q_collocations" ->
+      s"""WITH t AS (SELECT str_split(text, ' ') AS ts FROM documents),
+         |tp AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+         |       FROM t),
+         |pr AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS cab
+         |       FROM tp GROUP BY 1, 2),
+         |un AS (SELECT w, count(*) AS c
+         |       FROM (SELECT unnest(ts) AS w FROM t) GROUP BY w),
+         |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM un) AS nt,
+         |               (SELECT CAST(sum(cab) AS BIGINT) FROM pr) AS np)
+         |SELECT pr.w1, pr.w2, CAST(pr.cab AS BIGINT) AS cab,
+         |       CAST((2 * (1000000::HUGEINT * pr.cab * tot.nt * tot.nt)
+         |             + (tot.np::HUGEINT * a.c * b.c))
+         |            // (2 * (tot.np::HUGEINT * a.c * b.c))
+         |            AS BIGINT) AS lift_ppm
+         |FROM pr JOIN un a ON a.w = pr.w1
+         |        JOIN un b ON b.w = pr.w2, tot
+         |WHERE pr.cab >= $CoocMinPair
+         |ORDER BY lift_ppm DESC, pr.w1 ASC, pr.w2 ASC LIMIT 20""".stripMargin,
     "q_bpe_apply" -> {
       // One unrolled learn-and-apply stage: pair counts over v{i-1},
       // top pair into t{i} (count desc, pair asc — the Spark

@@ -446,6 +446,34 @@ class CurationSpec extends SparkSuite {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("collocations: lift matches an exact driver-side recomputation") {
+    import graft.functions.TextFunctions.tokens
+    val got = Curation.collocations(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got.size === 20)
+    // Recompute counts and the wide-integer lift in plain Scala.
+    val docs = Tables.documents(spark, sfDir)
+      .select(tokens(col("text")).as("ts")).collect()
+      .map(_.getSeq[String](0)).toSeq
+    val uni = docs.flatten.groupBy(identity).map { case (w, xs) =>
+      w -> xs.size.toLong }
+    val prs = docs.flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val nt = BigInt(uni.values.sum)
+    val np = BigInt(prs.values.sum)
+    got.foreach { case (w1, w2, cab, lift) =>
+      assert(prs((w1, w2)) === cab)
+      assert(cab >= Curation.CoocMinPair)
+      val num = BigInt(1000000) * cab * nt * nt
+      val den = np * uni(w1) * uni(w2)
+      assert(BigInt(lift) === (2 * num + den) / (2 * den),
+        s"($w1,$w2) lift mismatch")
+    }
+    // Top collocations must be POSITIVE associations (lift > 1).
+    assert(got.head._4 > 1000000L)
+  }
+
   test("dsir: target slice scores highest on average; mean is exact") {
     val imp = Curation.dsirWeights(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
