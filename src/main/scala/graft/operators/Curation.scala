@@ -675,6 +675,28 @@ object Curation extends graft.QueryGroup {
       "corpus_tokens_after")
   }
 
+  /** Sample size for [[sampleFixed]]. */
+  private[graft] val FixedSampleK = 100
+
+  /** EXACT-SIZE deterministic global sample — the fixed-K companion
+    * to q_sample_stratified's fixed-RATE rule (an eval set or a
+    * human-review batch needs exactly K docs, not a rate): every doc
+    * gets a content-independent hash rank, the global K smallest win.
+    * Reruns are byte-identical (rand()-free), and adding corpus makes
+    * membership change only where new docs out-rank old ones — the
+    * reservoir-sampling contract, deterministically.
+    *
+    * Scale: orderBy+limit plans as TakeOrderedAndProject — an O(K)
+    * heap per partition and one K-row merge, never a global sort
+    * (plan-asserted). Map-only otherwise. */
+  def sampleFixed(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        MinHash.hash60(concat(lit("smp:"), col("doc_id").cast("string")))
+          .as("rk"))
+      .orderBy(col("rk").asc, col("doc_id").asc)
+      .limit(FixedSampleK)
+
   /** Minimum pair support for [[collocations]] (sized to the
     * testdata corpus: ~27k adjacent pairs at sf0.01, max single-pair
     * support 48 — the production knob is corpus-calibrated). */
@@ -835,6 +857,7 @@ object Curation extends graft.QueryGroup {
     "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "q_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "q_collocations" -> ((s, d) => collocations(s, d)),
+    "q_sample_fixed" -> ((s, d) => sampleFixed(s, d)),
     "q_dsir" -> ((s, d) => dsirWeights(s, d)),
     "q_pipeline" -> ((s, d) => pipeline(s, d)),
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
@@ -1082,6 +1105,12 @@ object Curation extends graft.QueryGroup {
          |        JOIN un b ON b.w = pr.w2, tot
          |WHERE pr.cab >= $CoocMinPair
          |ORDER BY lift_ppm DESC, pr.w1 ASC, pr.w2 ASC LIMIT 20""".stripMargin,
+    "q_sample_fixed" -> {
+      val h = MinHash.hash60Sql("'smp:' || doc_id")
+      s"""SELECT doc_id, source, CAST($h AS BIGINT) AS rk
+         |FROM documents
+         |ORDER BY rk ASC, doc_id ASC LIMIT $FixedSampleK""".stripMargin
+    },
     "q_bpe_apply" -> {
       // One unrolled learn-and-apply stage: pair counts over v{i-1},
       // top pair into t{i} (count desc, pair asc — the Spark

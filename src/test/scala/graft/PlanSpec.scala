@@ -313,6 +313,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), s"no window expected:\n$p")
   }
 
+  test("q_sample_fixed: exact-K cut plans as a bounded heap, not a " +
+      "global sort") {
+    val p = plan(Curation.sampleFixed(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fixed-K sample must be a per-partition heap + K-row merge:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort exchange allowed:\n$p")
+  }
+
+  test("q_collocations: counting aggs map-side combine; scoring joins " +
+      "are vocab-sized equi-joins") {
+    val p = plan(Curation.collocations(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // Two partial counting aggregates (pairs + unigrams) must appear
+    // (map-side combine collapses the token stream pre-shuffle).
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      s"expected map-side combined counting aggs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded cut:\n$p")
+  }
+
   test("q_scrub_denylist: one scan, no join, single small-key aggregation") {
     val p = plan(TextAnalysis.scrubDenylist(spark, sfDir))
     assert(!p.contains("Join"), s"scrub is a pure projection + agg:\n$p")
