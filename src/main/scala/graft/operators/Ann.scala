@@ -210,6 +210,55 @@ object Ann extends graft.QueryGroup {
       .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Bound filter parameter of the prepared FILTERED probe — any
+    * selective metadata predicate slots in here (the reference serves
+    * attribute-filtered vector search; label is this corpus's only
+    * vector-side attribute). A literal so Catalyst pushes it into the
+    * parquet scan (plan-asserted). */
+  val FilterLabel = 2
+
+  /** Metadata-FILTERED IVF probe — the filtered-ANN serving shape
+    * (the scale path of the brute-force q_vec_filtered): ONE standing
+    * UNFILTERED index serves every predicate — the cell assignment is
+    * built over the whole corpus, and the filter applies to the
+    * probed cells' members as a PRE-filter, pushed below the probe
+    * join all the way into the parquet scan (`PushedFilters:
+    * EqualTo(label, …)`), so the distance computation touches only
+    * matching rows of the probed cells. The alternative — post-
+    * filtering an unfiltered top-k — silently loses recall whenever
+    * the filter is selective (a k-cut before the predicate can leave
+    * < k or even 0 survivors); this plan filters BEFORE the k-cut, so
+    * it returns the true filtered top-k of the probed cells.
+    *
+    * Scale: identical probe geometry to [[ivfSearch]] (map-only
+    * assignment vs broadcast centroids, NProbe bounded cells,
+    * broadcast query row); the filter only SHRINKS the scanned set.
+    * At 100 TB with cell-partitioned stored codes the same predicate
+    * lands on the column store as a row-group skip. */
+  def filteredIvfSearch(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val centArr = broadcast(asArray(ivfCentroids(s, dir)))
+    val a1 = e.crossJoin(centArr)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        NearestCell(col("embedding"), col("cents")).as("cell"))
+    val qcells = e.where(col("vec_id") === id).crossJoin(centArr)
+      .select(col("embedding").as("qvec"), explode(col("cents")).as("c"))
+      .select(col("c.cid").as("cell"), col("qvec"),
+        dist2Builtin(col("qvec"), col("c.cvec")).as("qd"))
+      .orderBy(col("qd").asc, col("cell").asc)
+      .limit(NProbe)
+      .select(col("cell"), col("qvec"))
+    a1.where(col("vec_id") =!= id && col("label") === FilterLabel)
+      .join(broadcast(qcells), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Squared L2 distance restricted to subspace `m` (1-based) —
     * sequential fold in ascending dimension order, the DuckDB-parity
     * order every distance in this file uses. */
@@ -1131,6 +1180,7 @@ object Ann extends graft.QueryGroup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_lsh_bucket" -> ((s, d) => lshBucketSearch(s, d)),
     "q_ann_ivf" -> ((s, d) => ivfSearch(s, d)),
+    "q_ann_filtered" -> ((s, d) => filteredIvfSearch(s, d)),
     "q_ann_knn_join" -> ((s, d) => annKnnJoin(s, d)),
     "q_ann_recall" -> ((s, d) => annRecall(s, d)),
     "q_ann_pq" -> ((s, d) => pqRecall(s, d)),
@@ -1312,6 +1362,50 @@ object Ann extends graft.QueryGroup {
          |               list_cosine_similarity(e.v, qc.qv) AS sim
          |        FROM a1 JOIN qc USING (cell) JOIN e USING (vec_id)
          |        WHERE a1.vec_id <> 0)
+         |SELECT vec_id, cell, round(sim, 6) AS sim FROM res
+         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+         |           FROM embeddings),
+         |seeds AS (SELECT vec_id AS sid, v AS sv FROM e
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |          LIMIT $IvfCells),
+         |d0 AS (SELECT e.vec_id, s.sid,
+         |              list_sum([(e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i])
+         |                        for i in generate_series(1, $Dim)]) AS d
+         |       FROM e, seeds s),
+         |a0 AS (SELECT vec_id, sid AS cid FROM (
+         |         SELECT vec_id, sid,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY d ASC, sid ASC) AS rn
+         |         FROM d0) WHERE rn = 1),
+         |dims AS (SELECT a0.cid, g.i AS pos,
+         |                CAST(round(e.v[g.i] * 1e6) AS BIGINT) AS m
+         |         FROM a0 JOIN e USING (vec_id),
+         |              generate_series(1, $Dim) AS g(i)),
+         |cdim AS (SELECT cid, pos, CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
+         |         FROM dims GROUP BY cid, pos),
+         |cent AS (SELECT cid, list(c ORDER BY pos) AS cv
+         |         FROM cdim GROUP BY cid),
+         |d1 AS (SELECT e.vec_id, t.cid,
+         |              list_sum([(e.v[i] - t.cv[i]) * (e.v[i] - t.cv[i])
+         |                        for i in generate_series(1, $Dim)]) AS d
+         |       FROM e, cent t),
+         |a1 AS (SELECT vec_id, cid AS cell FROM (
+         |         SELECT vec_id, cid,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY d ASC, cid ASC) AS rn
+         |         FROM d1) WHERE rn = 1),
+         |qc AS (SELECT t.cid AS cell, q.v AS qv
+         |       FROM cent t, (SELECT v FROM e WHERE vec_id = 0) q
+         |       ORDER BY list_sum([(q.v[i] - t.cv[i]) * (q.v[i] - t.cv[i])
+         |                          for i in generate_series(1, $Dim)]) ASC,
+         |                t.cid ASC
+         |       LIMIT $NProbe),
+         |res AS (SELECT a1.vec_id, a1.cell,
+         |               list_cosine_similarity(e.v, qc.qv) AS sim
+         |        FROM a1 JOIN qc USING (cell) JOIN e USING (vec_id)
+         |        WHERE a1.vec_id <> 0 AND e.label = $FilterLabel)
          |SELECT vec_id, cell, round(sim, 6) AS sim FROM res
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
     "q_ann_ivfpq" ->

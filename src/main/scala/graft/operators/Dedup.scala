@@ -464,6 +464,85 @@ object Dedup extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  /** Sample modulus for the recall audit: ~1/97 of doc ids probe the
+    * index (97 is prime and coprime to the corpus's source striping,
+    * so the sample is source-decorrelated). */
+  val RecallMod = 97
+
+  /** MinHash-LSH RECALL audit — the dedup twin of q_ann_recall: for a
+    * deterministic doc sample, brute-force the TRUE near-dup set
+    * (exact Jaccard ≥ 1/2 against the whole corpus, decided by the
+    * integer predicate 2·|A∩B| ≥ |A∪B| — no floats anywhere) and
+    * measure how many true pairs the banded index would actually
+    * surface (share ≥ 1 of the [[NumBands]] LSH bands). Emits per
+    * sample doc: true-pair count, caught count, candidate (scan
+    * cost) count, and recall in exact ppm — the measurement that
+    * decides whether [[NumBands]]×2-row banding is safe to deploy as
+    * the only candidate generator, and what it costs.
+    *
+    * Scale: the sample is a fixed-rate slice, so the brute-force side
+    * is ONE map-only corpus pass against the broadcast sample sets
+    * plus a count aggregate — linear, no shuffle of the corpus; the
+    * candidate side probes the same band relation every dedup here
+    * builds, with the sample's band keys broadcast. At 100 TB both
+    * sides stay two broadcast hash joins + small aggs. */
+  /** TRUE near-dup pairs (qid, doc_id) of the sampled docs: one
+    * map-only corpus pass against the BROADCAST sample sets, the
+    * integer Jaccard-≥-1/2 predicate deciding membership. Exposed
+    * pre-materialization so PlanSpec can assert the broadcast shape
+    * (the composed query checkpoints this relation). */
+  private[graft] def recallTruth(sets: DataFrame): DataFrame =
+    sets.crossJoin(broadcast(
+        sets.where(col("doc_id") % RecallMod === 0)
+          .select(col("doc_id").as("qid"), col("fs").as("qfs"))))
+      .where(col("doc_id") =!= col("qid"))
+      .where(lit(2) * size(array_intersect(col("fs"), col("qfs"))) >=
+        size(array_union(col("fs"), col("qfs"))))
+      .select(col("qid"), col("doc_id"))
+
+  /** Band-candidate pairs (qid, doc_id) of the sampled docs: the
+    * standing band relation probed with the sample's BROADCAST band
+    * keys — the pairs the LSH index would actually surface. */
+  private[graft] def recallCand(sets: DataFrame): DataFrame = {
+    val bands = bandKeysOf(sets)
+    bands.join(
+        broadcast(bands.where(col("doc_id") % RecallMod === 0)
+          .select(col("doc_id").as("qid"), col("bk"))), Seq("bk"))
+      .where(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id")).distinct()
+  }
+
+  def dedupRecall(s: SparkSession, dir: String): DataFrame =
+    dedupRecallOver(Tables.documents(s, dir))
+
+  /** [[dedupRecall]] over ANY (doc_id, text) relation. */
+  def dedupRecallOver(docs: DataFrame): DataFrame = {
+    // One tokenization pass serves brute-force truth AND the band
+    // build (the plan consumes `sets` three times).
+    val sets = docs.select(col("doc_id"), tokenSet(col("text")).as("fs"))
+      .transform(graft.Checkpoints.cut)
+    val truth = recallTruth(sets).transform(graft.Checkpoints.cut)
+    val cand = recallCand(sets).transform(graft.Checkpoints.cut)
+    val qsets = sets.where(col("doc_id") % RecallMod === 0)
+      .select(col("doc_id").as("qid"))
+    val tAgg = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
+    val hAgg = truth.join(cand, Seq("qid", "doc_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_caught"))
+    val cAgg = cand.groupBy(col("qid")).agg(count(lit(1)).as("n_cand"))
+    qsets.select(col("qid"))
+      .join(tAgg, Seq("qid"), "left").join(hAgg, Seq("qid"), "left")
+      .join(cAgg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+      .select(col("qid"), col("n_true"), col("n_caught"), col("n_cand"),
+        when(col("n_true") === 0, lit(-1L))
+          .otherwise(expr("1000000 * n_caught div n_true"))
+          .as("recall_ppm"))
+      .orderBy(col("qid").asc)
+  }
+
   /** Dedup-by-latest: keep each (user, event_type) key's most recent
     * event — the snapshot-compaction shape every CDC/versioned-corpus
     * pipeline runs. WRITTEN as the natural `row_number() = 1` window
@@ -813,6 +892,7 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_seg" -> ((s, d) => segDedup(s, d)),
     "q_seg_incremental" -> ((s, d) => segIncremental(s, d)),
     "q_split_leak" -> ((s, d) => splitLeakage(s, d)),
+    "q_dedup_recall" -> ((s, d) => dedupRecall(s, d)),
     "q_dedup_embedding" -> ((s, d) => embeddingNearDup(s, d)),
     "q_dedup_cluster" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_converged" -> ((s, d) => convergedClusters(s, d)),
@@ -1007,6 +1087,39 @@ object Dedup extends graft.QueryGroup {
          |FROM sp s LEFT JOIN lk l ON s.doc_id = l.val_id
          |WHERE s.is_val
          |GROUP BY s.source ORDER BY s.source ASC""".stripMargin,
+    "q_dedup_recall" ->
+      s"""WITH ${bandsCtes(
+             """sets AS (SELECT doc_id,
+               |                list_distinct(str_split(text, ' ')) AS fs
+               |         FROM documents)""".stripMargin)},
+         |q AS (SELECT doc_id AS qid, fs AS qfs FROM sets
+         |      WHERE doc_id % $RecallMod = 0),
+         |truth AS (SELECT q.qid, s.doc_id
+         |          FROM sets s, q
+         |          WHERE s.doc_id <> q.qid
+         |            AND 2 * len(list_intersect(s.fs, q.qfs)) >=
+         |                len(list_distinct(s.fs || q.qfs))),
+         |qb AS (SELECT doc_id AS qid, bk FROM bands
+         |       WHERE doc_id % $RecallMod = 0),
+         |cand AS (SELECT DISTINCT q.qid, b.doc_id
+         |         FROM bands b JOIN qb q USING (bk)
+         |         WHERE b.doc_id <> q.qid),
+         |ta AS (SELECT qid, count(*) AS n_true FROM truth GROUP BY qid),
+         |ha AS (SELECT t.qid, count(*) AS n_caught
+         |       FROM truth t JOIN cand c
+         |         ON t.qid = c.qid AND t.doc_id = c.doc_id
+         |       GROUP BY t.qid),
+         |ca AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid)
+         |SELECT q.qid, CAST(coalesce(ta.n_true, 0) AS BIGINT) AS n_true,
+         |       CAST(coalesce(ha.n_caught, 0) AS BIGINT) AS n_caught,
+         |       CAST(coalesce(ca.n_cand, 0) AS BIGINT) AS n_cand,
+         |       CASE WHEN coalesce(ta.n_true, 0) = 0 THEN CAST(-1 AS BIGINT)
+         |            ELSE CAST(1000000 * coalesce(ha.n_caught, 0)
+         |                      // ta.n_true AS BIGINT)
+         |       END AS recall_ppm
+         |FROM q LEFT JOIN ta USING (qid) LEFT JOIN ha USING (qid)
+         |       LEFT JOIN ca USING (qid)
+         |ORDER BY qid ASC""".stripMargin,
     "q_dedup_latest" ->
       """WITH r AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,

@@ -307,6 +307,88 @@ object Streaming extends graft.QueryGroup {
     latestSinkRollup(s, sink)
   }
 
+  /** Tombstone divisor for the streaming-erasure twin: an event with
+    * hash60('tomb:' || event_id) ≡ 0 (mod 5) is its user's DELETE op
+    * (~20%, content-independent so the oracle replicates the op
+    * stream exactly). */
+  private[graft] val TombMod = 5L
+
+  final case class TombEvent(user_id: Long, event_id: Long, us: Long,
+    is_del: Boolean)
+  final case class TombWinner(us: Long, event_id: Long, is_del: Boolean)
+  final case class TombOut(user_id: Long, event_id: Long, us: Long,
+    is_del: Boolean)
+
+  /** Latest-wins compactor WITH delete tombstones — the streaming
+    * right-to-be-forgotten path (the continuous twin of the batch
+    * q_forget erasure pass, on the CDC shape of q_stream_latest): a
+    * user's serving row is their latest event UNLESS that latest op
+    * is a tombstone, in which case the user is ABSENT from the
+    * snapshot — true erasure, not a masked row. State is one
+    * (us, event_id, is_del) winner per user — O(1), no history — and
+    * a row emits only when the winner improves, so emissions stay
+    * monotone in (us, event_id) and the max-struct sink rollup (with
+    * the tombstone filter applied AFTER the rollup) is exact under
+    * any micro-batch split or arrival order, the same replay proof
+    * as [[streamLatest]]. Deletes that are later overtaken by a
+    * newer upsert correctly resurface the user (CDC semantics); a
+    * final tombstone erases them. */
+  final class ForgetProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TombEvent, TombOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues,
+      TTLConfig, ValueState}
+    @transient private var winner: ValueState[TombWinner] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      winner = getHandle.getValueState[TombWinner]("winner",
+        org.apache.spark.sql.Encoders.product[TombWinner], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TombEvent],
+        tv: TimerValues): Iterator[TombOut] = {
+      val best = rows.maxBy(e => (e.us, e.event_id))
+      val improved = !winner.exists() ||
+        Ordering[(Long, Long)].lt(
+          (winner.get().us, winner.get().event_id), (best.us, best.event_id))
+      if (improved) {
+        winner.update(TombWinner(best.us, best.event_id, best.is_del))
+        Iterator.single(TombOut(key, best.event_id, best.us, best.is_del))
+      } else Iterator.empty
+    }
+  }
+
+  def streamForget(s: SparkSession, dir: String): DataFrame =
+    streamForgetOver(s, eventsStream(s, dir), "graft_stream_forget")
+
+  private[graft] def streamForgetOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import s.implicits._
+    val evs = in.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        (pmod(graft.functions.MinHash.hash60(
+          concat(lit("tomb:"), col("event_id").cast("string"))),
+          lit(TombMod)) === 0).as("is_del"))
+      .as[TombEvent]
+    val winners = evs.groupByKey(_.user_id)
+      .transformWithState(new ForgetProcessor,
+        TimeMode.None(), OutputMode.Append())
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try runToCompletion(winners.toDF(), sink, "append")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.table(sink)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("us"), col("event_id"), col("is_del"))).as("w"))
+      .where(!col("w.is_del"))
+      .select(col("user_id"), col("w.event_id").as("event_id"),
+        col("w.us").as("us"))
+      .orderBy(col("user_id").asc)
+  }
+
   /** Native watermarked STREAM-STREAM inner join — Spark's built-in
     * symmetric-hash join operator (clicks ⋈ purchases by user within
     * [click, click+1h]), the third join tier next to the batch
@@ -880,6 +962,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_index" -> ((s, d) => streamIndex(s, d)),
     "q_stream_latest" -> ((s, d) => streamLatest(s, d)),
     "q_stream_latest_tws" -> ((s, d) => streamLatestTws(s, d)),
+    "q_stream_forget" -> ((s, d) => streamForget(s, d)),
     "q_stream_join" -> ((s, d) => streamJoin(s, d)),
     "q_stream_ann" -> ((s, d) => streamAnn(s, d)),
   )
@@ -896,6 +979,21 @@ object Streaming extends graft.QueryGroup {
     // Same contract on the transformWithState API — same oracle.
     "q_stream_latest_tws" ->
       graft.operators.Dedup.oracles("q_dedup_latest"),
+    // Streaming erasure: the final snapshot equals the batch
+    // latest-per-user with tombstone-final users absent.
+    "q_stream_forget" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+         |  (${graft.functions.MinHash.hash60Sql(
+               "'tomb:' || CAST(event_id AS VARCHAR)")}
+         |     % $TombMod = 0) AS is_del
+         |           FROM events),
+         |w AS (SELECT user_id, event_id, us, is_del,
+         |             row_number() OVER (PARTITION BY user_id
+         |               ORDER BY us DESC, event_id DESC) AS rn
+         |      FROM e)
+         |SELECT user_id, event_id, us FROM w
+         |WHERE rn = 1 AND NOT is_del
+         |ORDER BY user_id ASC""".stripMargin,
     // The native stream-stream join must emit exactly the batch
     // interval join's pair set.
     "q_stream_join" ->

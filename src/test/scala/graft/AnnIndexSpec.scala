@@ -253,6 +253,31 @@ class AnnIndexSpec extends SparkSuite {
     }
   }
 
+  test("filtered IVF == post-filtering an UNBOUNDED probe of the same " +
+      "cells; every hit satisfies the predicate") {
+    import org.apache.spark.sql.functions.col
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Ann.filteredIvfSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, _) =>
+      assert(labels(id) === Ann.FilterLabel, s"vec $id violates filter") }
+    // Pre-filtering before the k-cut must equal filtering an
+    // unbounded probe of the same cells — i.e. it returns the TRUE
+    // filtered top-k of the probed region, never a truncated one.
+    val unbounded = Ann.ivfSearch(spark, sfDir, 0L, Int.MaxValue).collect()
+    val want = unbounded
+      .filter(r => labels(r.getLong(0)) == Ann.FilterLabel)
+      .take(got.length).map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq)
+    // The naive post-filter of the k-cut can only lose hits.
+    val postCut = Ann.ivfSearch(spark, sfDir).collect()
+      .count(r => labels(r.getLong(0)) == Ann.FilterLabel)
+    assert(postCut <= got.length)
+  }
+
   test("incremental IVF append partitions every vector exactly once") {
     val rows = Ann.ivfIncremental(spark, sfDir).collect()
     val nAll = Tables.embeddings(spark, sfDir).count()

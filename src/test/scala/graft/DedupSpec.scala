@@ -467,4 +467,49 @@ class DedupSpec extends SparkSuite {
     assert(shared.nonEmpty)
     shared.foreach(k => assert(cont(k) >= jac(k) - 1e-9, s"$k"))
   }
+
+  test("recall audit: planted exact twin is caught at recall 1e6; " +
+      "a sample doc with no near-dups reports -1") {
+    import spark.implicits._
+    // doc 0 is sampled (0 % RecallMod == 0); its exact twin must be a
+    // band candidate (identical sets → identical signatures). doc 97*2
+    // is sampled too but shares nothing → n_true = 0 → sentinel.
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, txt), (1L, txt),
+      (Dedup.RecallMod * 2L, "totally disjoint vocabulary here now"),
+      (5L, "other unrelated filler words body content"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupRecallOver(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) === ((1L, 1L, 1L, 1000000L)), s"${out.get(0L)}")
+    assert(out(Dedup.RecallMod * 2L)._1 === 0L)
+    assert(out(Dedup.RecallMod * 2L)._4 === -1L)
+  }
+
+  test("recall audit on the corpus: n_true matches a driver " +
+      "brute-force exactly; caught is bounded by truth and scan") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSet))
+    val out = Dedup.dedupRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val sample = docs.filter(_._1 % Dedup.RecallMod == 0)
+    assert(out.keySet === sample.map(_._1).toSet,
+      "one output row per sampled doc, exactly")
+    sample.foreach { case (qid, qfs) =>
+      val nTrue = docs.count { case (id, fs) =>
+        id != qid && 2 * (fs & qfs).size >= (fs ++ qfs).size }
+      val (t, h, c, ppm) = out(qid)
+      assert(t === nTrue.toLong, s"qid $qid truth drifts: $t vs $nTrue")
+      assert(h <= t && h <= c, s"qid $qid: caught $h exceeds bounds")
+      assert(ppm === (if (t == 0) -1L else 1000000L * h / t), s"qid $qid")
+      // Exact twins always share every band: caught covers them all.
+      val nTwin = docs.count { case (id, fs) => id != qid && fs == qfs }
+      assert(h >= nTwin.toLong,
+        s"qid $qid: $nTwin exact twins but only $h caught")
+    }
+  }
 }

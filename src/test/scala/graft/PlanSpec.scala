@@ -262,6 +262,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("nearest_cell"), "expected the fused argmin kernel")
   }
 
+  test("q_ann_filtered: the label predicate reaches the parquet scan; " +
+      "probe geometry matches q_ann_ivf") {
+    val p = plan(Ann.filteredIvfSearch(spark, sfDir))
+    assert("PushedFilters: .*label".r.findFirstIn(p).isDefined,
+      s"filter must push into the embeddings scan:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"assignment must stay map-only under the filter:\n$p")
+    assert(p.contains("nearest_cell"), "expected the fused argmin kernel")
+  }
+
   test("q_ann_pq: encoding never shuffles the corpus (broadcast codebook + ADC table)") {
     val p = plan(Ann.pqRecall(spark, sfDir))
     assert(!p.contains("SortMergeJoin"),
@@ -320,6 +330,30 @@ class PlanSpec extends SparkSuite {
       s"fixed-K sample must be a per-partition heap + K-row merge:\n$p")
     assert(!p.contains("Exchange rangepartitioning"),
       s"no global sort exchange allowed:\n$p")
+  }
+
+  test("q_dedup_recall: both probes broadcast the fixed-rate sample; " +
+      "the corpus never sort-merges") {
+    import graft.functions.TextFunctions.tokenSet
+    import org.apache.spark.sql.functions.col
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokenSet(col("text")).as("fs"))
+    // Brute-force truth: corpus scan vs BROADCAST sample sets.
+    val pt = plan(Dedup.recallTruth(sets))
+    assert(pt.contains("BroadcastNestedLoopJoin"),
+      s"truth pass must broadcast the sample sets over the corpus:\n$pt")
+    assert(!pt.contains("SortMergeJoin"),
+      s"truth pass must never shuffle the corpus:\n$pt")
+    // Band-candidate probe: corpus band relation vs broadcast keys.
+    val pc = plan(Dedup.recallCand(sets))
+    assert(pc.contains("BroadcastHashJoin"),
+      s"candidate probe must broadcast the sample band keys:\n$pc")
+    assert(!pc.contains("SortMergeJoin [bk"),
+      s"the band probe must never shuffle the corpus band relation:\n$pc")
+    // The composed audit stitches the checkpointed probes with
+    // sample-keyed outer joins — nothing cartesian.
+    val p = plan(Dedup.dedupRecall(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
   test("q_collocations: counting aggs map-side combine; scoring joins " +

@@ -271,6 +271,83 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  /** Batch truth for the tombstone compactor: per user the latest
+    * event wins; users whose latest op is a tombstone are ABSENT. */
+  private def batchForgetRows: Seq[(Long, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    def isDel(id: Long) =
+      graft.functions.MinHash.hash60Local(s"tomb:$id") %
+        Streaming.TombMod == 0
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (uid, es) =>
+        val w = es.maxBy(e => (e._3, e._2))
+        if (isDel(w._2)) None else Some((uid, w._2, w._3))
+      }.sortBy(_._1)
+  }
+
+  test("q_stream_forget (tombstone compactor) == batch latest-per-user " +
+      "with tombstone-final users absent") {
+    val got = Streaming.streamForget(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = batchForgetRows
+    assert(got.nonEmpty)
+    assert(got === want)
+    // The corpus must actually exercise the erasure path: some user's
+    // final op is a tombstone (otherwise this equals q_stream_latest
+    // keyed by user and the test is vacuous).
+    val nUsers = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"))
+      .distinct().count()
+    assert(got.size < nUsers, "at least one user must be erased")
+  }
+
+  test("tombstone compactor stays exact under multi-batch out-of-order " +
+      "replay") {
+    val got = Streaming.streamForgetOver(spark, splitReplay("tomb"),
+      "graft_split_tomb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got === batchForgetRows)
+  }
+
+  test("tombstone semantics: delete-last erases the user; an upsert " +
+      "after a delete resurfaces them — across out-of-order batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def isDel(id: Long) =
+      graft.functions.MinHash.hash60Local(s"tomb:$id") %
+        Streaming.TombMod == 0
+    val delIds = (0L to 500L).filter(isDel)
+    val upIds = (0L to 500L).filterNot(isDel)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_tomb_sem").toString
+    tmpDirs += tmp
+    val day = 86400000000L
+    def write(rows: Seq[(Long, Long, Long)]): Unit = {
+      rows.toDF("event_id", "us", "user_id")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), lit("click").as("event_type"),
+          lit(1.0d).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("append").parquet(tmp)
+      Thread.sleep(1000)
+    }
+    // Batch 1 delivers each user's LATER event; batch 2 the earlier
+    // one (cross-batch disorder). User 1: upsert then tombstone →
+    // absent. User 2: tombstone then upsert → present.
+    write(Seq((delIds(0), 2 * day, 1L), (upIds(1), 2 * day, 2L)))
+    write(Seq((upIds(0), 1 * day, 1L), (delIds(1), 1 * day, 2L)))
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val got = Streaming.streamForgetOver(spark, stream, "graft_tomb_sem")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((2L, upIds(1), 2 * day)),
+      s"user 1 must be erased, user 2 resurfaced: ${got.toSeq}")
+  }
+
   test("stream latest stays exact under multi-batch out-of-order replay") {
     val got = Streaming.streamLatestOver(spark, splitReplay("lat"),
       "graft_split_lat").collect().toSeq
