@@ -480,20 +480,25 @@ object Dedup extends graft.QueryGroup {
     * decides whether [[NumBands]]×2-row banding is safe to deploy as
     * the only candidate generator, and what it costs.
     *
-    * Scale: the sample is a fixed-rate slice, so the brute-force side
-    * is ONE map-only corpus pass against the broadcast sample sets
-    * plus a count aggregate — linear, no shuffle of the corpus; the
-    * candidate side probes the same band relation every dedup here
-    * builds, with the sample's band keys broadcast. At 100 TB both
-    * sides stay two broadcast hash joins + small aggs. */
+    * Scale: the brute-force side is ONE map-only corpus pass against
+    * the broadcast sample sets plus a count aggregate — no shuffle
+    * of the corpus; the candidate side probes the same band relation
+    * every dedup here builds, with the sample's band keys broadcast.
+    * Audit cost is |sample| × corpus, so the RATE sampling registered
+    * here (SF-independent determinism for the gate) must become a
+    * pinned sample SIZE at deployment — fixed size keeps the audit
+    * LINEAR in the corpus at any scale (the 300k-doc smoke in
+    * DedupSpec runs exactly that shape via the `mod` dial); a
+    * fixed-rate audit would grow quadratically. */
   /** TRUE near-dup pairs (qid, doc_id) of the sampled docs: one
     * map-only corpus pass against the BROADCAST sample sets, the
     * integer Jaccard-≥-1/2 predicate deciding membership. Exposed
     * pre-materialization so PlanSpec can assert the broadcast shape
     * (the composed query checkpoints this relation). */
-  private[graft] def recallTruth(sets: DataFrame): DataFrame =
+  private[graft] def recallTruth(sets: DataFrame,
+      mod: Long = RecallMod): DataFrame =
     sets.crossJoin(broadcast(
-        sets.where(col("doc_id") % RecallMod === 0)
+        sets.where(col("doc_id") % mod === 0)
           .select(col("doc_id").as("qid"), col("fs").as("qfs"))))
       .where(col("doc_id") =!= col("qid"))
       .where(lit(2) * size(array_intersect(col("fs"), col("qfs"))) >=
@@ -503,10 +508,11 @@ object Dedup extends graft.QueryGroup {
   /** Band-candidate pairs (qid, doc_id) of the sampled docs: the
     * standing band relation probed with the sample's BROADCAST band
     * keys — the pairs the LSH index would actually surface. */
-  private[graft] def recallCand(sets: DataFrame): DataFrame = {
+  private[graft] def recallCand(sets: DataFrame,
+      mod: Long = RecallMod): DataFrame = {
     val bands = bandKeysOf(sets)
     bands.join(
-        broadcast(bands.where(col("doc_id") % RecallMod === 0)
+        broadcast(bands.where(col("doc_id") % mod === 0)
           .select(col("doc_id").as("qid"), col("bk"))), Seq("bk"))
       .where(col("doc_id") =!= col("qid"))
       .select(col("qid"), col("doc_id")).distinct()
@@ -515,15 +521,17 @@ object Dedup extends graft.QueryGroup {
   def dedupRecall(s: SparkSession, dir: String): DataFrame =
     dedupRecallOver(Tables.documents(s, dir))
 
-  /** [[dedupRecall]] over ANY (doc_id, text) relation. */
-  def dedupRecallOver(docs: DataFrame): DataFrame = {
+  /** [[dedupRecall]] over ANY (doc_id, text) relation; `mod` is the
+    * sample dial (a deployment sets it to pin the sample SIZE). */
+  def dedupRecallOver(docs: DataFrame,
+      mod: Long = RecallMod): DataFrame = {
     // One tokenization pass serves brute-force truth AND the band
     // build (the plan consumes `sets` three times).
     val sets = docs.select(col("doc_id"), tokenSet(col("text")).as("fs"))
       .transform(graft.Checkpoints.cut)
-    val truth = recallTruth(sets).transform(graft.Checkpoints.cut)
-    val cand = recallCand(sets).transform(graft.Checkpoints.cut)
-    val qsets = sets.where(col("doc_id") % RecallMod === 0)
+    val truth = recallTruth(sets, mod).transform(graft.Checkpoints.cut)
+    val cand = recallCand(sets, mod).transform(graft.Checkpoints.cut)
+    val qsets = sets.where(col("doc_id") % mod === 0)
       .select(col("doc_id").as("qid"))
     val tAgg = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_true"))
     val hAgg = truth.join(cand, Seq("qid", "doc_id"))

@@ -94,8 +94,56 @@ object Graph extends graft.QueryGroup {
       .limit(k)
   }
 
+  /** q_graph_triangles — exact triangle census of the undirected
+    * cross-reference graph: nodes, canonical edges, wedges
+    * (Σ_v C(deg v, 2)), triangles, and the global clustering
+    * coefficient in exact ppm (3·1e6·tri DIV wedges) — the standard
+    * structure diagnostic of a link graph (how clustered are the
+    * cross-references vs a random wiring), and the classic
+    * shuffle-bound graph-analytics kernel.
+    *
+    * Shape: edges canonicalized to u<v once (one distinct shuffle);
+    * triangles by the ordered two-path join — (u,v)⋈(v,w) gives
+    * u<v<w chains, closed by an equi-join back on (u,w), so every
+    * triangle counts exactly once via its sorted orientation. Two
+    * equi-joins + counting aggs, nothing quadratic in the GRAPH —
+    * the path join is quadratic only in per-vertex degree, the known
+    * skew point of triangle counting; at 100 TB the standard fix is
+    * DEGREE orientation (point each edge low→high degree, bounding
+    * per-vertex path work by arboricity) — same plan, different
+    * orientation key, noted here because this corpus's hashed refs
+    * have no hubs to require it. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    graphTrianglesOver(Tables.documents(s, dir))
+
+  private[graft] def graphTrianglesOver(in: DataFrame): DataFrame = {
+    val e = edgesOver(in)
+    val ue = e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().transform(graft.Checkpoints.cut)
+    val deg = ue.select(col("u").as("x"))
+      .unionAll(ue.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val paths = ue.join(
+      ue.select(col("u").as("v"), col("v").as("w")), Seq("v"))
+    val tri = paths.join(
+        ue.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+    val nEdges = ue.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(nEdges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        // greatest(…,1): a forest has zero wedges; the ratio must
+        // stay total on both engines (ADVICE r7 dsir precedent).
+        expr("3000000 * n_triangles DIV greatest(n_wedges, 1L)")
+          .as("clustering_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rank_refs" -> ((s, d) => rankRefs(s, d)),
+    "q_graph_triangles" -> ((s, d) => graphTriangles(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -132,6 +180,34 @@ object Graph extends graft.QueryGroup {
          |     LEFT JOIN i ON i.dst = rN.doc_id
          |     LEFT JOIN o ON o.src = rN.doc_id
          |ORDER BY rank_ppm DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+    "q_graph_triangles" -> {
+      val h = MinHash.hash60Sql("'rel:' || tok")
+      s"""WITH nd AS (SELECT count(*) AS nd FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_sort(list_distinct(
+         |                str_split(text, ' ')))[1:$EdgeRefs]) AS tok
+         |       FROM documents),
+         |ed AS (SELECT DISTINCT doc_id AS src, $h % nd.nd AS dst
+         |       FROM tk, nd WHERE doc_id <> $h % nd.nd),
+         |ue AS (SELECT DISTINCT least(src, dst) AS u,
+         |                       greatest(src, dst) AS v
+         |       FROM ed),
+         |deg AS (SELECT x, count(*) AS d FROM (
+         |          SELECT u AS x FROM ue
+         |          UNION ALL SELECT v AS x FROM ue)
+         |        GROUP BY x),
+         |tri AS (SELECT count(*) AS n_triangles
+         |        FROM ue e1
+         |             JOIN ue e2 ON e2.u = e1.v
+         |             JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |       (SELECT count(*) FROM ue) AS n_edges,
+         |       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+         |         AS n_wedges,
+         |       (SELECT n_triangles FROM tri) AS n_triangles,
+         |       (SELECT CAST(3000000 * n_triangles //
+         |          greatest((SELECT sum(d * (d - 1) // 2) FROM deg), 1)
+         |          AS BIGINT) FROM tri) AS clustering_ppm""".stripMargin
     },
   )
 }

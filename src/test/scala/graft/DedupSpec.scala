@@ -468,6 +468,25 @@ class DedupSpec extends SparkSuite {
     shared.foreach(k => assert(cont(k) >= jac(k) - 1e-9, s"$k"))
   }
 
+  test("recall audit scales: 300k synthetic docs with a PINNED-SIZE " +
+      "sample, zero storage") {
+    // The deployment shape: sample SIZE pinned (mod 100003 → 3 docs
+    // here), so the brute-force truth pass stays |sample| × corpus —
+    // LINEAR in the corpus. A fixed-rate audit would be quadratic;
+    // this smoke runs the shape the Scaladoc prescribes at 100 TB.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 300000).option("parts", 16).option("seed", 77)
+      .load().select(col("doc_id"), col("text"))
+    val out = Dedup.dedupRecallOver(docs, mod = 100003L).collect()
+    assert(out.length === 3) // ids 0, 100003, 200006
+    out.foreach { r =>
+      val (t, h, c) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(h <= t && h <= c, s"caught exceeds bounds: $r")
+      assert(r.getLong(4) === (if (t == 0) -1L else 1000000L * h / t))
+    }
+  }
+
   test("recall audit: planted exact twin is caught at recall 1e6; " +
       "a sample doc with no near-dups reports -1") {
     import spark.implicits._

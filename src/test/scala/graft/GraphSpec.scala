@@ -42,6 +42,36 @@ class GraphSpec extends SparkSuite {
     assert(got.head._3 > 0)
   }
 
+  test("q_graph_triangles: exact driver-side triangle recomputation") {
+    val got = Graph.graphTriangles(spark, sfDir).collect()
+    assert(got.length === 1)
+    val r = got.head
+    val (nn, ne, nw, nt, cp) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+
+    // Brute-force recomputation from the raw edge list.
+    val ue = Graph.edges(spark, sfDir).collect()
+      .map(x => (math.min(x.getLong(0), x.getLong(1)),
+        math.max(x.getLong(0), x.getLong(1))))
+      .distinct
+    val es = ue.toSet
+    val adj = (ue ++ ue.map(_.swap)).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).toSeq }
+    val wantNodes = adj.size.toLong
+    val wantWedges = adj.values.map(n => n.size.toLong * (n.size - 1) / 2).sum
+    val wantTri = ue.map { case (u, v) =>
+      adj(v).count(w => w > v && es.contains((u, w))).toLong
+    }.sum
+    assert(nn === wantNodes)
+    assert(ne === ue.length.toLong)
+    assert(nw === wantWedges)
+    assert(nt === wantTri, s"triangles $nt vs brute $wantTri")
+    assert(cp === 3000000L * wantTri / math.max(wantWedges, 1L))
+    // The hashed-ref graph must actually contain triangles at this
+    // SF, or the census is vacuous.
+    assert(nt > 0, "corpus graph has no triangles — census vacuous")
+  }
+
   test("scale smoke: 1M synthetic docs through the rank iteration, " +
       "zero storage") {
     // The BSP shape at a size where an accidental all-pairs edge
