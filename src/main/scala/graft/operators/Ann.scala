@@ -182,13 +182,23 @@ object Ann extends graft.QueryGroup {
     * bounded [[graft.plans.ElementwiseSum]] — 16 cells × 64 longs,
     * constant-size regardless of corpus size. */
   def ivfSearch(s: SparkSession, dir: String, id: Long = 0L,
-      k: Int = 10): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      k: Int = 10): DataFrame =
+    ivfProbe(s, dir, id, k, lit(true))
+
+  /** ONE probe pipeline for both the unfiltered and the filtered IVF
+    * rows — the geometry (assignment, probe-cell cut, rank/limit,
+    * tie-breaks) must never drift between the twins, so it has one
+    * definition; `pred` is the member predicate (lit(true) for
+    * q_ann_ivf, the label equality for q_ann_filtered). */
+  private def ivfProbe(s: SparkSession, dir: String, id: Long, k: Int,
+      pred: Column): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
     val centArr = broadcast(asArray(ivfCentroids(s, dir)))
 
     // Lloyd iteration 1 = final cell assignment — map-only again.
     val a1 = e.crossJoin(centArr)
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("label"),
         NearestCell(col("embedding"), col("cents")).as("cell"))
 
     // Probe: the NProbe cells nearest the query vector (1 row × 16
@@ -201,7 +211,7 @@ object Ann extends graft.QueryGroup {
       .limit(NProbe)
       .select(col("cell"), col("qvec"))
 
-    a1.where(col("vec_id") =!= id)
+    a1.where(col("vec_id") =!= id && pred)
       .join(broadcast(qcells), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         cosineSim(col("embedding"), col("qvec")).as("sim"))
@@ -236,28 +246,8 @@ object Ann extends graft.QueryGroup {
     * At 100 TB with cell-partitioned stored codes the same predicate
     * lands on the column store as a row-group skip. */
   def filteredIvfSearch(s: SparkSession, dir: String, id: Long = 0L,
-      k: Int = 10): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), col("label"))
-    val centArr = broadcast(asArray(ivfCentroids(s, dir)))
-    val a1 = e.crossJoin(centArr)
-      .select(col("vec_id"), col("embedding"), col("label"),
-        NearestCell(col("embedding"), col("cents")).as("cell"))
-    val qcells = e.where(col("vec_id") === id).crossJoin(centArr)
-      .select(col("embedding").as("qvec"), explode(col("cents")).as("c"))
-      .select(col("c.cid").as("cell"), col("qvec"),
-        dist2Builtin(col("qvec"), col("c.cvec")).as("qd"))
-      .orderBy(col("qd").asc, col("cell").asc)
-      .limit(NProbe)
-      .select(col("cell"), col("qvec"))
-    a1.where(col("vec_id") =!= id && col("label") === FilterLabel)
-      .join(broadcast(qcells), Seq("cell"))
-      .select(col("vec_id"), col("cell"),
-        cosineSim(col("embedding"), col("qvec")).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-      .limit(k)
-      .select(col("vec_id"), col("cell"), round(col("sim"), 6).as("sim"))
-  }
+      k: Int = 10): DataFrame =
+    ivfProbe(s, dir, id, k, col("label") === FilterLabel)
 
   /** Squared L2 distance restricted to subspace `m` (1-based) —
     * sequential fold in ascending dimension order, the DuckDB-parity
@@ -1203,6 +1193,55 @@ object Ann extends graft.QueryGroup {
        | * ($a[($m-1)*$PqSub + i] - $b[($m-1)*$PqSub + i])
        | for i in generate_series(1, $PqSub)])""".stripMargin
 
+  /** ONE oracle CTE chain for both IVF probe rows — the SQL twin of
+    * [[ivfProbe]]'s single definition; `resFilter` is the member
+    * predicate appended to the candidate stage ("" for q_ann_ivf,
+    * the label equality for q_ann_filtered). */
+  private def ivfOracle(resFilter: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+       |           FROM embeddings),
+       |seeds AS (SELECT vec_id AS sid, v AS sv FROM e
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+       |          LIMIT $IvfCells),
+       |d0 AS (SELECT e.vec_id, s.sid,
+       |              list_sum([(e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i])
+       |                        for i in generate_series(1, $Dim)]) AS d
+       |       FROM e, seeds s),
+       |a0 AS (SELECT vec_id, sid AS cid FROM (
+       |         SELECT vec_id, sid,
+       |                row_number() OVER (PARTITION BY vec_id
+       |                  ORDER BY d ASC, sid ASC) AS rn
+       |         FROM d0) WHERE rn = 1),
+       |dims AS (SELECT a0.cid, g.i AS pos,
+       |                CAST(round(e.v[g.i] * 1e6) AS BIGINT) AS m
+       |         FROM a0 JOIN e USING (vec_id),
+       |              generate_series(1, $Dim) AS g(i)),
+       |cdim AS (SELECT cid, pos, CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
+       |         FROM dims GROUP BY cid, pos),
+       |cent AS (SELECT cid, list(c ORDER BY pos) AS cv
+       |         FROM cdim GROUP BY cid),
+       |d1 AS (SELECT e.vec_id, t.cid,
+       |              list_sum([(e.v[i] - t.cv[i]) * (e.v[i] - t.cv[i])
+       |                        for i in generate_series(1, $Dim)]) AS d
+       |       FROM e, cent t),
+       |a1 AS (SELECT vec_id, cid AS cell FROM (
+       |         SELECT vec_id, cid,
+       |                row_number() OVER (PARTITION BY vec_id
+       |                  ORDER BY d ASC, cid ASC) AS rn
+       |         FROM d1) WHERE rn = 1),
+       |qc AS (SELECT t.cid AS cell, q.v AS qv
+       |       FROM cent t, (SELECT v FROM e WHERE vec_id = 0) q
+       |       ORDER BY list_sum([(q.v[i] - t.cv[i]) * (q.v[i] - t.cv[i])
+       |                          for i in generate_series(1, $Dim)]) ASC,
+       |                t.cid ASC
+       |       LIMIT $NProbe),
+       |res AS (SELECT a1.vec_id, a1.cell,
+       |               list_cosine_similarity(e.v, qc.qv) AS sim
+       |        FROM a1 JOIN qc USING (cell) JOIN e USING (vec_id)
+       |        WHERE a1.vec_id <> 0$resFilter)
+       |SELECT vec_id, cell, round(sim, 6) AS sim FROM res
+       |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_ann_sq8" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1321,93 +1360,8 @@ object Ann extends graft.QueryGroup {
          |         FROM c JOIN probes p ON c.bucket = p.bucket)
          |SELECT vec_id, bucket, round(sim, 6) AS sim FROM cand
          |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
-    "q_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |seeds AS (SELECT vec_id AS sid, v AS sv FROM e
-         |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-         |          LIMIT $IvfCells),
-         |d0 AS (SELECT e.vec_id, s.sid,
-         |              list_sum([(e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i])
-         |                        for i in generate_series(1, $Dim)]) AS d
-         |       FROM e, seeds s),
-         |a0 AS (SELECT vec_id, sid AS cid FROM (
-         |         SELECT vec_id, sid,
-         |                row_number() OVER (PARTITION BY vec_id
-         |                  ORDER BY d ASC, sid ASC) AS rn
-         |         FROM d0) WHERE rn = 1),
-         |dims AS (SELECT a0.cid, g.i AS pos,
-         |                CAST(round(e.v[g.i] * 1e6) AS BIGINT) AS m
-         |         FROM a0 JOIN e USING (vec_id),
-         |              generate_series(1, $Dim) AS g(i)),
-         |cdim AS (SELECT cid, pos, CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
-         |         FROM dims GROUP BY cid, pos),
-         |cent AS (SELECT cid, list(c ORDER BY pos) AS cv
-         |         FROM cdim GROUP BY cid),
-         |d1 AS (SELECT e.vec_id, t.cid,
-         |              list_sum([(e.v[i] - t.cv[i]) * (e.v[i] - t.cv[i])
-         |                        for i in generate_series(1, $Dim)]) AS d
-         |       FROM e, cent t),
-         |a1 AS (SELECT vec_id, cid AS cell FROM (
-         |         SELECT vec_id, cid,
-         |                row_number() OVER (PARTITION BY vec_id
-         |                  ORDER BY d ASC, cid ASC) AS rn
-         |         FROM d1) WHERE rn = 1),
-         |qc AS (SELECT t.cid AS cell, q.v AS qv
-         |       FROM cent t, (SELECT v FROM e WHERE vec_id = 0) q
-         |       ORDER BY list_sum([(q.v[i] - t.cv[i]) * (q.v[i] - t.cv[i])
-         |                          for i in generate_series(1, $Dim)]) ASC,
-         |                t.cid ASC
-         |       LIMIT $NProbe),
-         |res AS (SELECT a1.vec_id, a1.cell,
-         |               list_cosine_similarity(e.v, qc.qv) AS sim
-         |        FROM a1 JOIN qc USING (cell) JOIN e USING (vec_id)
-         |        WHERE a1.vec_id <> 0)
-         |SELECT vec_id, cell, round(sim, 6) AS sim FROM res
-         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
-    "q_ann_filtered" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
-         |           FROM embeddings),
-         |seeds AS (SELECT vec_id AS sid, v AS sv FROM e
-         |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-         |          LIMIT $IvfCells),
-         |d0 AS (SELECT e.vec_id, s.sid,
-         |              list_sum([(e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i])
-         |                        for i in generate_series(1, $Dim)]) AS d
-         |       FROM e, seeds s),
-         |a0 AS (SELECT vec_id, sid AS cid FROM (
-         |         SELECT vec_id, sid,
-         |                row_number() OVER (PARTITION BY vec_id
-         |                  ORDER BY d ASC, sid ASC) AS rn
-         |         FROM d0) WHERE rn = 1),
-         |dims AS (SELECT a0.cid, g.i AS pos,
-         |                CAST(round(e.v[g.i] * 1e6) AS BIGINT) AS m
-         |         FROM a0 JOIN e USING (vec_id),
-         |              generate_series(1, $Dim) AS g(i)),
-         |cdim AS (SELECT cid, pos, CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
-         |         FROM dims GROUP BY cid, pos),
-         |cent AS (SELECT cid, list(c ORDER BY pos) AS cv
-         |         FROM cdim GROUP BY cid),
-         |d1 AS (SELECT e.vec_id, t.cid,
-         |              list_sum([(e.v[i] - t.cv[i]) * (e.v[i] - t.cv[i])
-         |                        for i in generate_series(1, $Dim)]) AS d
-         |       FROM e, cent t),
-         |a1 AS (SELECT vec_id, cid AS cell FROM (
-         |         SELECT vec_id, cid,
-         |                row_number() OVER (PARTITION BY vec_id
-         |                  ORDER BY d ASC, cid ASC) AS rn
-         |         FROM d1) WHERE rn = 1),
-         |qc AS (SELECT t.cid AS cell, q.v AS qv
-         |       FROM cent t, (SELECT v FROM e WHERE vec_id = 0) q
-         |       ORDER BY list_sum([(q.v[i] - t.cv[i]) * (q.v[i] - t.cv[i])
-         |                          for i in generate_series(1, $Dim)]) ASC,
-         |                t.cid ASC
-         |       LIMIT $NProbe),
-         |res AS (SELECT a1.vec_id, a1.cell,
-         |               list_cosine_similarity(e.v, qc.qv) AS sim
-         |        FROM a1 JOIN qc USING (cell) JOIN e USING (vec_id)
-         |        WHERE a1.vec_id <> 0 AND e.label = $FilterLabel)
-         |SELECT vec_id, cell, round(sim, 6) AS sim FROM res
-         |ORDER BY sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivf" -> ivfOracle(""),
+    "q_ann_filtered" -> ivfOracle(s" AND e.label = $FilterLabel"),
     "q_ann_ivfpq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS (SELECT vec_id AS sid, v AS sv FROM e

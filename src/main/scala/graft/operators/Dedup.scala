@@ -469,27 +469,6 @@ object Dedup extends graft.QueryGroup {
     * so the sample is source-decorrelated). */
   val RecallMod = 97
 
-  /** MinHash-LSH RECALL audit — the dedup twin of q_ann_recall: for a
-    * deterministic doc sample, brute-force the TRUE near-dup set
-    * (exact Jaccard ≥ 1/2 against the whole corpus, decided by the
-    * integer predicate 2·|A∩B| ≥ |A∪B| — no floats anywhere) and
-    * measure how many true pairs the banded index would actually
-    * surface (share ≥ 1 of the [[NumBands]] LSH bands). Emits per
-    * sample doc: true-pair count, caught count, candidate (scan
-    * cost) count, and recall in exact ppm — the measurement that
-    * decides whether [[NumBands]]×2-row banding is safe to deploy as
-    * the only candidate generator, and what it costs.
-    *
-    * Scale: the brute-force side is ONE map-only corpus pass against
-    * the broadcast sample sets plus a count aggregate — no shuffle
-    * of the corpus; the candidate side probes the same band relation
-    * every dedup here builds, with the sample's band keys broadcast.
-    * Audit cost is |sample| × corpus, so the RATE sampling registered
-    * here (SF-independent determinism for the gate) must become a
-    * pinned sample SIZE at deployment — fixed size keeps the audit
-    * LINEAR in the corpus at any scale (the 300k-doc smoke in
-    * DedupSpec runs exactly that shape via the `mod` dial); a
-    * fixed-rate audit would grow quadratically. */
   /** TRUE near-dup pairs (qid, doc_id) of the sampled docs: one
     * map-only corpus pass against the BROADCAST sample sets, the
     * integer Jaccard-≥-1/2 predicate deciding membership. Exposed
@@ -518,6 +497,27 @@ object Dedup extends graft.QueryGroup {
       .select(col("qid"), col("doc_id")).distinct()
   }
 
+  /** MinHash-LSH RECALL audit — the dedup twin of q_ann_recall: for a
+    * deterministic doc sample, brute-force the TRUE near-dup set
+    * (exact Jaccard ≥ 1/2 against the whole corpus, decided by the
+    * integer predicate 2·|A∩B| ≥ |A∪B| — no floats anywhere) and
+    * measure how many true pairs the banded index would actually
+    * surface (share ≥ 1 of the [[NumBands]] LSH bands). Emits per
+    * sample doc: true-pair count, caught count, candidate (scan
+    * cost) count, and recall in exact ppm — the measurement that
+    * decides whether [[NumBands]]×2-row banding is safe to deploy as
+    * the only candidate generator, and what it costs.
+    *
+    * Scale: the brute-force side is ONE map-only corpus pass against
+    * the broadcast sample sets plus a count aggregate — no shuffle
+    * of the corpus; the candidate side probes the same band relation
+    * every dedup here builds, with the sample's band keys broadcast.
+    * Audit cost is |sample| × corpus, so the RATE sampling registered
+    * here (SF-independent determinism for the gate) must become a
+    * pinned sample SIZE at deployment — fixed size keeps the audit
+    * LINEAR in the corpus at any scale (the 300k-doc smoke in
+    * DedupSpec runs exactly that shape via the `mod` dial); a
+    * fixed-rate audit would grow quadratically. */
   def dedupRecall(s: SparkSession, dir: String): DataFrame =
     dedupRecallOver(Tables.documents(s, dir))
 

@@ -286,6 +286,22 @@ object Streaming extends graft.QueryGroup {
   def streamLatestTws(s: SparkSession, dir: String): DataFrame =
     streamLatestTwsOver(s, eventsStream(s, dir), "graft_stream_latest_tws")
 
+  /** transformWithState runs on the RocksDB state store; scope the
+    * provider to the enclosed stream run and restore the session
+    * default after — ONE definition for every tws query (a restore
+    * bug fixed here fixes all of them). */
+  private def withRocksDBProvider[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private[graft] def streamLatestTwsOver(s: SparkSession, in: DataFrame,
       sink: String): DataFrame = {
     import org.apache.spark.sql.streaming.TimeMode
@@ -293,16 +309,8 @@ object Streaming extends graft.QueryGroup {
     val winners = upEvents(s, in).groupByKey(e => (e.user_id, e.event_type))
       .transformWithState(new LatestWinsProcessor,
         TimeMode.None(), OutputMode.Append())
-    // transformWithState runs on the RocksDB state store; scope the
-    // provider to this query and restore the session default after.
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try runToCompletion(winners.toDF(), sink, "append")
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    withRocksDBProvider(s) {
+      runToCompletion(winners.toDF(), sink, "append")
     }
     latestSinkRollup(s, sink)
   }
@@ -371,14 +379,8 @@ object Streaming extends graft.QueryGroup {
     val winners = evs.groupByKey(_.user_id)
       .transformWithState(new ForgetProcessor,
         TimeMode.None(), OutputMode.Append())
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider")
-    try runToCompletion(winners.toDF(), sink, "append")
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
+    withRocksDBProvider(s) {
+      runToCompletion(winners.toDF(), sink, "append")
     }
     s.table(sink)
       .groupBy(col("user_id"))

@@ -267,15 +267,21 @@ class AnnIndexSpec extends SparkSuite {
     // Pre-filtering before the k-cut must equal filtering an
     // unbounded probe of the same cells — i.e. it returns the TRUE
     // filtered top-k of the probed region, never a truncated one.
+    // take(10) = k pins BOTH content and row count: a regression
+    // that returns fewer filtered hits than exist mismatches here.
     val unbounded = Ann.ivfSearch(spark, sfDir, 0L, Int.MaxValue).collect()
     val want = unbounded
       .filter(r => labels(r.getLong(0)) == Ann.FilterLabel)
-      .take(got.length).map(r => (r.getLong(0), r.getDouble(2)))
+      .take(10).map(r => (r.getLong(0), r.getDouble(2)))
     assert(got.toSeq === want.toSeq)
-    // The naive post-filter of the k-cut can only lose hits.
+    // The naive post-filter of the k-cut LOSES hits on this corpus
+    // (deterministic input: the query's top-10 neighborhood is
+    // label-mixed at every SF — 1/10 matching at sf0.01, 2/10 at
+    // sf0.1) — the recall-loss the pre-filter plan exists to avoid.
     val postCut = Ann.ivfSearch(spark, sfDir).collect()
       .count(r => labels(r.getLong(0)) == Ann.FilterLabel)
-    assert(postCut <= got.length)
+    assert(postCut < got.length,
+      s"post-filter kept $postCut of ${got.length} — selectivity gone")
   }
 
   test("incremental IVF append partitions every vector exactly once") {
