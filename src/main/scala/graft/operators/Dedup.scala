@@ -486,10 +486,13 @@ object Dedup extends graft.QueryGroup {
 
   /** Band-candidate pairs (qid, doc_id) of the sampled docs: the
     * standing band relation probed with the sample's BROADCAST band
-    * keys — the pairs the LSH index would actually surface. */
+    * keys — the pairs the LSH index would actually surface. `sets`
+    * carries PRE-HASHED (60-bit long) feature sets, so the signature
+    * builds straight from the bases — no second md5 pass. */
   private[graft] def recallCand(sets: DataFrame,
       mod: Long = RecallMod): DataFrame = {
-    val bands = bandKeysOf(sets)
+    val bands = bandKeys(signatureFromBase(
+      sets.select(col("doc_id"), explode(col("fs")).as("base"))))
     bands.join(
         broadcast(bands.where(col("doc_id") % mod === 0)
           .select(col("doc_id").as("qid"), col("bk"))), Seq("bk"))
@@ -526,8 +529,15 @@ object Dedup extends graft.QueryGroup {
   def dedupRecallOver(docs: DataFrame,
       mod: Long = RecallMod): DataFrame = {
     // One tokenization pass serves brute-force truth AND the band
-    // build (the plan consumes `sets` three times).
-    val sets = docs.select(col("doc_id"), tokenSet(col("text")).as("fs"))
+    // build (the plan consumes `sets` three times) — and the token
+    // sets are 60-bit-HASHED once up front (the ngramJaccard
+    // discipline): Jaccard is collision-exactly preserved while the
+    // quarter-million brute-force set intersections compare longs
+    // instead of strings, and the signature builds from the same
+    // bases with no second md5 pass.
+    val sets = docs.select(col("doc_id"),
+        transform(tokenSet(col("text")),
+          f => graft.functions.MinHash.hash60(f)).as("fs"))
       .transform(graft.Checkpoints.cut)
     val truth = recallTruth(sets, mod).transform(graft.Checkpoints.cut)
     val cand = recallCand(sets, mod).transform(graft.Checkpoints.cut)
@@ -1097,9 +1107,11 @@ object Dedup extends graft.QueryGroup {
          |GROUP BY s.source ORDER BY s.source ASC""".stripMargin,
     "q_dedup_recall" ->
       s"""WITH ${bandsCtes(
-             """sets AS (SELECT doc_id,
-               |                list_distinct(str_split(text, ' ')) AS fs
-               |         FROM documents)""".stripMargin)},
+             s"""sets AS (SELECT doc_id,
+               |  [${MinHash.hash60Sql("f")}
+               |   for f in list_distinct(str_split(text, ' '))] AS fs
+               |         FROM documents)""".stripMargin,
+             preHashed = true)},
          |q AS (SELECT doc_id AS qid, fs AS qfs FROM sets
          |      WHERE doc_id % $RecallMod = 0),
          |truth AS (SELECT q.qid, s.doc_id
