@@ -124,9 +124,13 @@ object Multimodal extends graft.QueryGroup {
     * hash each chunk, and roll per doc into bytes-in/out accounting,
     * the chunk count, and an order-sensitive pipeline fingerprint.
     *
-    * Scale: map-only projections end to end; the only exchange is
-    * the per-doc rollup on the unique doc_id key (and the output
-    * sort). The chunk explode is bounded by bytes/ChunkBytes. */
+    * Scale: map-only projections end to end — the per-doc chunk
+    * hashes fold inside ONE higher-order `transform` over the chunk
+    * index sequence, so no chunk row ever materializes (an explode +
+    * per-doc re-aggregation would re-carry the whole resized payload
+    * once PER CHUNK through a shuffle — O(bytes × chunks) exchange
+    * traffic for a rollup that is a pure per-row function); the only
+    * exchange left is the output sort. */
   def multimodalPipeline(s: SparkSession, dir: String): DataFrame =
     payloads(s, dir)
       .select(col("doc_id"), col("source"),
@@ -138,23 +142,15 @@ object Multimodal extends graft.QueryGroup {
           .as("res_hx"))
       .select(col("doc_id"), col("source"), col("bytes_in"),
         (length(col("res_hx")) / 2).cast("long").as("bytes_out"),
-        col("res_hx"),
-        ceil(length(col("res_hx")).cast("double") / (2 * ChunkBytes))
-          .cast("int").as("nc"))
+        transform(sequence(lit(0),
+          ceil(length(col("res_hx")).cast("double") / (2 * ChunkBytes))
+            .cast("int") - 1),
+          ci => md5(col("res_hx").substr(ci * (2 * ChunkBytes) + 1,
+            lit(2 * ChunkBytes)))).as("chunks"))
       .select(col("doc_id"), col("source"), col("bytes_in"),
-        col("bytes_out"), col("res_hx"),
-        explode(sequence(lit(0), col("nc") - 1)).as("ci"))
-      .select(col("doc_id"), col("source"), col("bytes_in"),
-        col("bytes_out"), col("ci"),
-        md5(col("res_hx").substr(col("ci") * (2 * ChunkBytes) + 1,
-          lit(2 * ChunkBytes))).as("chunk_md5"))
-      .groupBy(col("doc_id"), col("source"), col("bytes_in"),
-        col("bytes_out"))
-      .agg(count(lit(1)).as("n_chunks"),
-        md5(array_join(
-          transform(sort_array(collect_list(struct(col("ci"),
-            col("chunk_md5")))), x => x.getField("chunk_md5")), ":"))
-          .as("pipe_fp"))
+        col("bytes_out"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        md5(array_join(col("chunks"), ":")).as("pipe_fp"))
       .orderBy(col("doc_id").asc)
 
   /** Decoded-media metadata (deterministic STUB). */
