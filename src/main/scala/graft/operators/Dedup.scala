@@ -97,6 +97,26 @@ object Dedup extends graft.QueryGroup {
     bandKeys(signature(
       sets.select(col("doc_id"), explode(col("fs")).as("f"))))
 
+  /** MinHash signature from a PRE-HASHED (60-bit long) feature-set
+    * relation (doc_id, fs) — one definition of the explode→base→
+    * xor-min chain for every consumer of hashed sets (ngramJaccard's
+    * star candidates, the recall audit's band keys). */
+  private[graft] def sigOfPreHashed(sets: DataFrame): DataFrame =
+    signatureFromBase(
+      sets.select(col("doc_id"), explode(col("fs")).as("base")))
+
+  /** [[bandKeysOf]] for pre-hashed sets — no second md5 pass. */
+  private[graft] def bandKeysOfPreHashed(sets: DataFrame): DataFrame =
+    bandKeys(sigOfPreHashed(sets))
+
+  /** (doc_id, fs) 60-bit-HASHED unigram token sets — ONE definition
+    * shared by the recall audit and its plan-shape spec (a tokenizer
+    * or hash-width change must hit both or neither). */
+  private[graft] def hashedTokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      transform(tokenSet(col("text")),
+        f => graft.functions.MinHash.hash60(f)).as("fs"))
+
   /** (doc_id, bk) band-key relation from a MinHash signature: band b's
     * key concatenates its two minhash rows. */
   private def bandKeys(sig: DataFrame): DataFrame = {
@@ -178,8 +198,7 @@ object Dedup extends graft.QueryGroup {
       transform(wordShingles(col("text"), 2),
         f => graft.functions.MinHash.hash60(f)).as("fs"))
       .transform(graft.Checkpoints.cut)
-    val feats = sh.select(col("doc_id"), explode(col("fs")).as("base"))
-    jaccardVerify(bandCandidates(signatureFromBase(feats)), sh, topN)
+    jaccardVerify(bandCandidates(sigOfPreHashed(sh)), sh, topN)
   }
 
   /** Span length (in tokens) for substring-level dedup — the
@@ -491,8 +510,7 @@ object Dedup extends graft.QueryGroup {
     * builds straight from the bases — no second md5 pass. */
   private[graft] def recallCand(sets: DataFrame,
       mod: Long = RecallMod): DataFrame = {
-    val bands = bandKeys(signatureFromBase(
-      sets.select(col("doc_id"), explode(col("fs")).as("base"))))
+    val bands = bandKeysOfPreHashed(sets)
     bands.join(
         broadcast(bands.where(col("doc_id") % mod === 0)
           .select(col("doc_id").as("qid"), col("bk"))), Seq("bk"))
@@ -535,10 +553,7 @@ object Dedup extends graft.QueryGroup {
     // quarter-million brute-force set intersections compare longs
     // instead of strings, and the signature builds from the same
     // bases with no second md5 pass.
-    val sets = docs.select(col("doc_id"),
-        transform(tokenSet(col("text")),
-          f => graft.functions.MinHash.hash60(f)).as("fs"))
-      .transform(graft.Checkpoints.cut)
+    val sets = hashedTokenSets(docs).transform(graft.Checkpoints.cut)
     val truth = recallTruth(sets, mod).transform(graft.Checkpoints.cut)
     val cand = recallCand(sets, mod).transform(graft.Checkpoints.cut)
     val qsets = sets.where(col("doc_id") % mod === 0)

@@ -334,12 +334,9 @@ class PlanSpec extends SparkSuite {
 
   test("q_dedup_recall: both probes broadcast the fixed-rate sample; " +
       "the corpus never sort-merges") {
-    import graft.functions.TextFunctions.tokenSet
-    import org.apache.spark.sql.functions.{col, transform}
-    // The same pre-hashed set relation dedupRecallOver builds.
-    val sets = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), transform(tokenSet(col("text")),
-        f => graft.functions.MinHash.hash60(f)).as("fs"))
+    // THE pre-hashed set relation dedupRecallOver builds (shared
+    // definition — the audit and this spec cannot drift).
+    val sets = Dedup.hashedTokenSets(Tables.documents(spark, sfDir))
     // Brute-force truth: corpus scan vs BROADCAST sample sets.
     val pt = plan(Dedup.recallTruth(sets))
     assert(pt.contains("BroadcastNestedLoopJoin"),
