@@ -102,17 +102,21 @@ object Graph extends graft.QueryGroup {
     * cross-references vs a random wiring), and the classic
     * shuffle-bound graph-analytics kernel.
     *
-    * Shape: edges canonicalized to u<v once (one distinct shuffle);
-    * triangles by the ordered two-path join — (u,v)⋈(v,w) gives
-    * u<v<w chains, closed by an equi-join back on (u,w), so every
-    * triangle counts exactly once via its sorted orientation. Two
-    * equi-joins + counting aggs, nothing quadratic in the GRAPH —
-    * the path join is quadratic only in per-vertex degree, the known
-    * skew point of triangle counting; at 100 TB the standard fix is
-    * DEGREE orientation (point each edge low→high degree, bounding
-    * per-vertex path work by arboricity) — same plan, different
-    * orientation key, noted here because this corpus's hashed refs
-    * have no hubs to require it. */
+    * Shape: edges canonicalized to u<v once (one distinct shuffle),
+    * then DEGREE-ORIENTED — each edge points from its lower-(degree,
+    * id) endpoint to the higher one — and every triangle is counted
+    * exactly once at its lowest-ranked vertex: the path stage pairs
+    * each vertex's OUT-neighbors (C(outdeg, 2) pairs) and a semi-join
+    * back on the canonical edge set closes them. Degree orientation
+    * is THE scale move of distributed triangle counting (Suri &
+    * Vassilvitskii's MR-friendly variant): out-degrees are bounded by
+    * O(√edges) regardless of hubs, so per-vertex path work is capped
+    * by arboricity where an id-ordered orientation detonates on the
+    * hash-hub vertices this ref graph actually has (a popular token
+    * concentrates thousands of docs onto one dst id — quadratic in
+    * hub degree). The degree table joins once onto the edge list
+    * (vertex-keyed, linear), everything else is equi-joins +
+    * counting aggs; proven hub-safe by the 1M-doc smoke. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     graphTrianglesOver(Tables.documents(s, dir))
 
@@ -124,10 +128,23 @@ object Graph extends graft.QueryGroup {
     val deg = ue.select(col("u").as("x"))
       .unionAll(ue.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
-    val paths = ue.join(
-      ue.select(col("u").as("v"), col("v").as("w")), Seq("v"))
-    val tri = paths.join(
-        ue.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
+      .transform(graft.Checkpoints.cut)
+    // Orient each canonical edge from its lower-(degree, id) endpoint
+    // (a) to the higher (b).
+    val lt = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val o = ue
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(when(lt, col("u")).otherwise(col("v")).as("a"),
+        when(lt, col("v")).otherwise(col("u")).as("b"))
+      .transform(graft.Checkpoints.cut)
+    // Out-neighbor pairs per vertex — C(outdeg, 2), arboricity-bound.
+    val paths = o.join(o.select(col("a"), col("b").as("b2")), Seq("a"))
+      .where(col("b") < col("b2"))
+    val tri = paths
+      .join(ue.select(col("u").as("b"), col("v").as("b2")),
+        Seq("b", "b2"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))

@@ -72,6 +72,28 @@ class GraphSpec extends SparkSuite {
     assert(nt > 0, "corpus graph has no triangles — census vacuous")
   }
 
+  test("scale smoke: 1M synthetic docs through the triangle census, " +
+      "zero storage (hub-safe by degree orientation)") {
+    // The synth ref graph concentrates popular tokens onto hash-hub
+    // vertices with five-figure degrees — exactly the topology where
+    // an id-ordered path join goes quadratic in hub degree. Degree
+    // orientation caps per-vertex path work at C(outdeg, 2) with
+    // outdeg = O(sqrt(edges)); completing at 1M docs IS the
+    // structural evidence (the wedge count also certifies the hubs
+    // are really there).
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 1000000).option("parts", 32).option("seed", 47)
+      .load().select(col("doc_id"), col("text"))
+    val r = Graph.graphTrianglesOver(docs).collect().head
+    val (nn, ne, nw, nt) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nn > 500000 && ne > nn / 2, s"degenerate graph: $nn/$ne")
+    assert(nw > 100L * ne,
+      s"wedges $nw vs edges $ne — expected hub concentration")
+    assert(nt >= 0 && r.getLong(4) >= 0)
+    info(s"$nn nodes, $ne edges, $nw wedges, $nt triangles")
+  }
+
   test("scale smoke: 1M synthetic docs through the rank iteration, " +
       "zero storage") {
     // The BSP shape at a size where an accidental all-pairs edge
