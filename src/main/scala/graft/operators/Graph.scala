@@ -120,15 +120,23 @@ object Graph extends graft.QueryGroup {
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     graphTrianglesOver(Tables.documents(s, dir))
 
-  private[graft] def graphTrianglesOver(in: DataFrame): DataFrame = {
-    val e = edgesOver(in)
-    val ue = e.select(least(col("src"), col("dst")).as("u"),
+  /** Canonical (u<v) undirected edge set of the ref graph — ONE
+    * definition for every whole-graph structure op. */
+  private[graft] def canonicalEdges(in: DataFrame): DataFrame =
+    edgesOver(in)
+      .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct().transform(graft.Checkpoints.cut)
-    val deg = ue.select(col("u").as("x"))
+
+  /** (x, d) vertex degrees of a canonical edge set. */
+  private[graft] def degreesOf(ue: DataFrame): DataFrame =
+    ue.select(col("u").as("x"))
       .unionAll(ue.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      .transform(graft.Checkpoints.cut)
+
+  private[graft] def graphTrianglesOver(in: DataFrame): DataFrame = {
+    val ue = canonicalEdges(in)
+    val deg = degreesOf(ue).transform(graft.Checkpoints.cut)
     // Orient each canonical edge from its lower-(degree, id) endpoint
     // (a) to the higher (b).
     val lt = col("du") < col("dv") ||
@@ -158,9 +166,32 @@ object Graph extends graft.QueryGroup {
           .as("clustering_ppm"))
   }
 
+  /** q_graph_degree_dist — log2-bucketed DEGREE DISTRIBUTION of the
+    * undirected ref graph (bucket = length of the degree's binary
+    * representation, i.e. ⌊log2 d⌋+1 — computed as `length(bin(d))`
+    * on BOTH engines, so the bucketing is integer-exact with no
+    * float log anywhere): per bucket the node count and min/max
+    * degree. The first diagnostic anyone runs on a web-scale graph —
+    * it is where the hash-hub tail (the vertices that force degree
+    * orientation in [[graphTriangles]] and salting in joins)
+    * becomes visible as high-bucket outliers.
+    *
+    * Scale: one vertex-keyed counting agg (map-side combined) over
+    * the edge list, then a ~60-bucket agg — nothing else. */
+  def graphDegreeDist(s: SparkSession, dir: String): DataFrame =
+    graphDegreeDistOver(Tables.documents(s, dir))
+
+  private[graft] def graphDegreeDistOver(in: DataFrame): DataFrame =
+    degreesOf(canonicalEdges(in))
+      .groupBy(length(bin(col("d"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+      .orderBy(col("bucket").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rank_refs" -> ((s, d) => rankRefs(s, d)),
     "q_graph_triangles" -> ((s, d) => graphTriangles(s, d)),
+    "q_graph_degree_dist" -> ((s, d) => graphDegreeDist(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,6 +256,27 @@ object Graph extends graft.QueryGroup {
          |       (SELECT CAST(3000000 * n_triangles //
          |          greatest((SELECT sum(d * (d - 1) // 2) FROM deg), 1)
          |          AS BIGINT) FROM tri) AS clustering_ppm""".stripMargin
+    },
+    "q_graph_degree_dist" -> {
+      val h = MinHash.hash60Sql("'rel:' || tok")
+      s"""WITH nd AS (SELECT count(*) AS nd FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_sort(list_distinct(
+         |                str_split(text, ' ')))[1:$EdgeRefs]) AS tok
+         |       FROM documents),
+         |ed AS (SELECT DISTINCT doc_id AS src, $h % nd.nd AS dst
+         |       FROM tk, nd WHERE doc_id <> $h % nd.nd),
+         |ue AS (SELECT DISTINCT least(src, dst) AS u,
+         |                       greatest(src, dst) AS v
+         |       FROM ed),
+         |deg AS (SELECT x, count(*) AS d FROM (
+         |          SELECT u AS x FROM ue
+         |          UNION ALL SELECT v AS x FROM ue)
+         |        GROUP BY x)
+         |SELECT CAST(length(bin(d)) AS BIGINT) AS bucket,
+         |       count(*) AS n_nodes,
+         |       CAST(min(d) AS BIGINT) AS min_deg,
+         |       CAST(max(d) AS BIGINT) AS max_deg
+         |FROM deg GROUP BY 1 ORDER BY 1 ASC""".stripMargin
     },
   )
 }

@@ -72,6 +72,30 @@ class GraphSpec extends SparkSuite {
     assert(nt > 0, "corpus graph has no triangles — census vacuous")
   }
 
+  test("q_graph_degree_dist: exact driver-side histogram recomputation; " +
+      "the hub tail is visible") {
+    val got = Graph.graphDegreeDist(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    val ue = Graph.edges(spark, sfDir).collect()
+      .map(x => (math.min(x.getLong(0), x.getLong(1)),
+        math.max(x.getLong(0), x.getLong(1)))).distinct
+    val deg = (ue ++ ue.map(_.swap)).groupBy(_._1)
+      .map { case (_, xs) => xs.map(_._2).length.toLong }
+    val want = deg.groupBy(d => java.lang.Long.toBinaryString(d).length.toLong)
+      .map { case (b, ds) => b -> ((ds.size.toLong, ds.min, ds.max)) }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq === want)
+    // Bucket sanity: min/max inside [2^(b-1), 2^b).
+    got.foreach { case (b, (_, lo, hi)) =>
+      assert(lo >= (1L << (b - 1)) && hi < (1L << b), s"bucket $b: $lo..$hi")
+    }
+    // The hash-hub tail must be real: some vertex's degree is >= 8x
+    // the minimum bucket (the topology q_graph_triangles' degree
+    // orientation exists for).
+    assert(got.map(_._1).max >= got.map(_._1).min + 3,
+      "expected a multi-decade degree distribution")
+  }
+
   test("scale smoke: 1M synthetic docs through the triangle census, " +
       "zero storage (hub-safe by degree orientation)") {
     // The synth ref graph concentrates popular tokens onto hash-hub
