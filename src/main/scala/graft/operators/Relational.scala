@@ -215,6 +215,72 @@ object Relational extends graft.QueryGroup {
       .orderBy(col("user_id").asc, col("sess_idx").asc)
   }
 
+  /** q_event_funnel — ordered-step conversion funnel view → click →
+    * purchase: a user reaches step k+1 only with an event STRICTLY
+    * AFTER their step-k time (the product-analytics semantics, not
+    * set intersection — a purchase before the first view does not
+    * convert). One row per step with users reached and conversion
+    * ppm vs step 1.
+    *
+    * Shape: per-step conditional min-aggregations chained by joins
+    * that all key on user_id — one shuffle partitioning reused down
+    * the chain (co-partitioned joins, no re-exchange), then a
+    * 3-row rollup. Per-user state is one timestamp per step, so the
+    * funnel scales with users, never with events per user. */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val t1 = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val t2 = e.where(col("event_type") === "click")
+      .join(t1, "user_id").where(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val t3 = e.where(col("event_type") === "purchase")
+      .join(t2, "user_id").where(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    val counts = t1.agg(count(lit(1)).as("n")).select(lit("1_view").as("step"), col("n"))
+      .unionAll(t2.agg(count(lit(1)).as("n")).select(lit("2_click").as("step"), col("n")))
+      .unionAll(t3.agg(count(lit(1)).as("n")).select(lit("3_purchase").as("step"), col("n")))
+    // 3-row global window (single tiny partition) reads step 1's
+    // count as the funnel denominator — no cartesian, no collect.
+    counts
+      .withColumn("n1", greatest(first(col("n")).over(
+        Window.orderBy(col("step").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+        lit(1L)))
+      .select(col("step"), col("n").as("n_users"),
+        expr("(2 * 1000000 * n + n1) DIV (2 * n1)").as("conv_ppm"))
+      .orderBy(col("step").asc)
+  }
+
+  /** q_retention — weekly cohort retention matrix: cohort = epoch
+    * week of a user's first event; each (cohort, week-offset) cell
+    * counts the cohort's users active that week, with retention ppm
+    * vs the cohort's own week-0 size.
+    *
+    * Shape: distinct (user, week) activity → per-user min-week
+    * (both keyed on user_id, exchange reused) → co-partitioned join
+    * → cell counts. Cohort sizes are a ≤weeks-sized table joined
+    * back broadcast. Per-user state is one long; cells are bounded
+    * by weeks², not data. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val wkUs = 7L * 86400L * 1000000L
+    val act = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) DIV ${wkUs}L").as("wk"))
+      .distinct()
+    val first0 = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val cells = act.join(first0, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cells.where(col("wk_offset") === 0L)
+      .select(col("cohort_wk"), col("n_users").as("n0"))
+    cells.join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("wk_offset"), col("n_users"),
+        expr("(2 * 1000000 * n_users + n0) DIV (2 * n0)").as("retained_ppm"))
+      .orderBy(col("cohort_wk").asc, col("wk_offset").asc)
+  }
+
   private val PivotStatuses = Seq("F", "O", "P")
 
   /** Status × priority pivot (wide crosstab): order counts and exact
@@ -415,6 +481,8 @@ object Relational extends graft.QueryGroup {
     "q_semi_anti" -> ((s, d) => semiAnti(s, d)),
     "q_events_bucket" -> ((s, d) => eventsBucket(s, d)),
     "q_sessionize" -> ((s, d) => sessionize(s, d)),
+    "q_event_funnel" -> ((s, d) => eventFunnel(s, d)),
+    "q_retention" -> ((s, d) => retention(s, d)),
   )
 
   // DuckDB parity notes: money math uses the same DECIMAL casts so
@@ -658,5 +726,35 @@ object Relational extends graft.QueryGroup {
         |       min(us) AS start_us, max(us) - min(us) AS dur_us
         |FROM g GROUP BY user_id, sess_idx
         |ORDER BY user_id ASC, sess_idx ASC""".stripMargin,
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id),
+        |c AS (SELECT '1_view' AS step, count(*) AS n FROM t1
+        |      UNION ALL SELECT '2_click', count(*) FROM t2
+        |      UNION ALL SELECT '3_purchase', count(*) FROM t3),
+        |d AS (SELECT greatest(n, 1) AS n1 FROM c WHERE step = '1_view')
+        |SELECT step, n AS n_users,
+        |       CAST((2 * 1000000 * n + n1) // (2 * n1) AS BIGINT) AS conv_ppm
+        |FROM c, d ORDER BY step ASC""".stripMargin,
+    "q_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |                    epoch_us(ts) // 604800000000 AS wk
+        |             FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id),
+        |cells AS (SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+        |                 count(*) AS n_users
+        |          FROM act JOIN f USING (user_id)
+        |          GROUP BY cohort_wk, wk - cohort_wk),
+        |sz AS (SELECT cohort_wk, n_users AS n0 FROM cells WHERE wk_offset = 0)
+        |SELECT cohort_wk, wk_offset, n_users,
+        |       CAST((2 * 1000000 * n_users + n0) // (2 * n0) AS BIGINT)
+        |         AS retained_ppm
+        |FROM cells JOIN sz USING (cohort_wk)
+        |ORDER BY cohort_wk ASC, wk_offset ASC""".stripMargin,
   )
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Relational
+
+/** Oracle-independent checks for the event-analytics rows
+  * (q_event_funnel, q_retention): exact driver-side recomputation
+  * from the raw events plus structural invariants.
+  */
+class EventsSpec extends SparkSuite {
+
+  private lazy val raw: Seq[(Long, String, Long)] =
+    Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("q_event_funnel: exact driver-side recomputation; monotone counts") {
+    val got = Relational.eventFunnel(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byUser = raw.groupBy(_._1)
+    def stepMin(prev: Map[Long, Long], typ: String): Map[Long, Long] =
+      prev.flatMap { case (u, t0) =>
+        val nxt = byUser(u).collect { case (_, t, us) if t == typ && us > t0 => us }
+        if (nxt.isEmpty) None else Some(u -> nxt.min)
+      }
+    val t1 = raw.collect { case (u, "view", us) => (u, us) }
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val t2 = stepMin(t1, "click")
+    val t3 = stepMin(t2, "purchase")
+    val n1 = math.max(t1.size.toLong, 1L)
+    def ppm(n: Long): Long = (2L * 1000000L * n + n1) / (2L * n1)
+    val want = Seq(
+      ("1_view", t1.size.toLong, ppm(t1.size)),
+      ("2_click", t2.size.toLong, ppm(t2.size)),
+      ("3_purchase", t3.size.toLong, ppm(t3.size)))
+    assert(got.toSeq === want)
+    // Funnel counts can only shrink down the steps; step 1 is 1e6 ppm.
+    assert(got(0)._2 >= got(1)._2 && got(1)._2 >= got(2)._2)
+    assert(got(0)._3 == 1000000L && got(0)._2 > 0)
+  }
+
+  test("q_retention: exact driver-side recomputation; week-0 is total") {
+    val got = Relational.retention(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    val wkUs = 7L * 86400L * 1000000L
+    val act = raw.map { case (u, _, us) => (u, us / wkUs) }.distinct
+    val first = act.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val cells = act.map { case (u, wk) => (first(u), wk - first(u)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val want = cells.map { case ((cwk, off), n) =>
+      val n0 = cells((cwk, 0L))
+      ((cwk, off), (n, (2L * 1000000L * n + n0) / (2L * n0)))
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === want)
+    // Each cohort's week-0 cell covers the whole cohort (ppm = 1e6)
+    // and later cells never exceed it.
+    val z = got.filter(_._1._2 == 0L)
+    assert(z.nonEmpty && z.forall(_._2._2 == 1000000L))
+    got.foreach { case ((cwk, _), (n, _)) =>
+      assert(n <= z.find(_._1._1 == cwk).get._2._1)
+    }
+  }
+
+  test("event rows: plans stay equi-join + hash-agg (no cartesian), " +
+      "props pruned from the scan") {
+    for ((n, df) <- Seq(
+        "funnel" -> Relational.eventFunnel(spark, sfDir),
+        "retention" -> Relational.retention(spark, sfDir))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n: cartesian in plan:\n$p")
+      assert(!p.contains("props"), s"$n: events.props must be pruned")
+      assert(p.contains("HashAggregate"), s"$n: expected hash aggregation")
+    }
+  }
+}
