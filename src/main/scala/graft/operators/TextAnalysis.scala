@@ -229,6 +229,55 @@ object TextAnalysis extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  /** (shingle width, flag threshold ppm) for [[redundancy]] — the
+    * thresholds sit in each width's upper tail on the synthetic
+    * corpus so the flag count is a real minority at every SF. */
+  private[graft] val RedundancyWidths = Seq(2 -> 80000L, 3 -> 40000L)
+
+  /** q_redundancy — duplicate n-GRAM fraction ladder (bigram +
+    * trigram), the Gopher-family repetition signal one level above
+    * [[repetition]]'s unigram pass: a doc that loops whole phrases
+    * shows near-zero unigram duplication but a high duplicate-bigram
+    * fraction. Per doc, red_ppm(w) = (#shingles − #distinct
+    * shingles) / #shingles in rounded ppm — integer-exact, shingle
+    * sets from the fused [[graft.plans.WordShingles]] kernel (one
+    * pass, codegen). Rolled up per (source, w): mean/max ppm and
+    * docs flagged over the width's threshold.
+    *
+    * Scale: map-only scoring, one hash-agg on the bounded source
+    * key; the width unpivot (stack) runs AFTER the rollup so only
+    * ~|sources| rows widen, never the corpus. */
+  def redundancy(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val perDoc = Tables.documents(s, dir).select(
+      col("source") +:
+        RedundancyWidths.flatMap { case (w, _) => Seq(
+          greatest(size(t).cast("long") - (w - 1), lit(0L)).as(s"n$w"),
+          size(wordShingles(col("text"), w)).cast("long").as(s"d$w"))
+        }: _*)
+      .selectExpr("source" +:
+        RedundancyWidths.map { case (w, _) =>
+          s"(2 * 1000000 * (n$w - d$w) + greatest(n$w, 1)) DIV " +
+            s"(2 * greatest(n$w, 1)) AS r$w"
+        }: _*)
+    val agged = perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      RedundancyWidths.flatMap { case (w, th) => Seq(
+        sum(col(s"r$w")).as(s"s$w"),
+        max(col(s"r$w")).as(s"x$w"),
+        sum(when(col(s"r$w") >= th, 1L).otherwise(0L)).as(s"f$w"))
+      }: _*)
+    val cells = RedundancyWidths.map { case (w, _) =>
+      s"${w}L, n_docs, (2 * s$w + n_docs) DIV (2 * n_docs), x$w, f$w"
+    }.mkString(", ")
+    agged.selectExpr("source",
+      s"stack(${RedundancyWidths.size}, $cells) AS " +
+        "(w, n_docs, mean_red_ppm, max_red_ppm, n_flagged)")
+      .selectExpr("source", "w", "n_docs", "mean_red_ppm", "max_red_ppm",
+        "n_flagged")
+      .orderBy(col("source").asc, col("w").asc)
+  }
+
   private[graft] val ChunkWindow = 32
   private[graft] val ChunkStride = 24
 
@@ -273,6 +322,7 @@ object TextAnalysis extends graft.QueryGroup {
     "q_chunk_text" -> ((s, d) => chunkText(s, d)),
     "q_scrub_denylist" -> ((s, d) => scrubDenylist(s, d)),
     "q_repetition" -> ((s, d) => repetition(s, d)),
+    "q_redundancy" -> ((s, d) => redundancy(s, d)),
     "q_lang_id" -> ((s, d) => langId(s, d)),
     "q_quality_score" -> ((s, d) => qualityScore(s, d)),
     "q_token_count" -> ((s, d) => tokenCount(s, d)),
@@ -338,6 +388,44 @@ object TextAnalysis extends graft.QueryGroup {
         |         AS BIGINT) AS n_flagged
         |FROM per JOIN mx USING (doc_id)
         |GROUP BY source ORDER BY source ASC""".stripMargin,
+    "q_redundancy" -> {
+      def sh(w: Int): String =
+        (0 until w).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+      val per = RedundancyWidths.map { case (w, _) =>
+        s"""greatest(len(t) - ${w - 1}, 0) AS n$w,
+           |  CASE WHEN len(t) < $w THEN 0
+           |       ELSE len(list_distinct([${sh(w)}
+           |            for i in generate_series(1, len(t) - ${w - 1})]))
+           |  END AS d$w""".stripMargin
+      }.mkString(",\n  ")
+      val reds = RedundancyWidths.map { case (w, _) =>
+        s"(2 * 1000000 * (n$w - d$w) + greatest(n$w, 1)) " +
+          s"// (2 * greatest(n$w, 1)) AS r$w"
+      }.mkString(",\n  ")
+      val aggs = RedundancyWidths.map { case (w, th) =>
+        s"""CAST((2 * sum(r$w) + count(*)) // (2 * count(*)) AS BIGINT)
+           |    AS m$w, max(r$w) AS x$w,
+           |  CAST(count(*) FILTER (r$w >= $th) AS BIGINT) AS f$w""".stripMargin
+      }.mkString(",\n  ")
+      val arms = RedundancyWidths.map { case (w, _) =>
+        s"""SELECT source, CAST($w AS BIGINT) AS w, n_docs,
+           |       m$w AS mean_red_ppm, x$w AS max_red_ppm,
+           |       f$w AS n_flagged FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT source, str_split(text, ' ') AS t
+         |           FROM documents),
+         |per AS (SELECT source,
+         |  $per
+         |FROM d),
+         |r AS (SELECT source,
+         |  $reds
+         |FROM per),
+         |a AS (SELECT source, count(*) AS n_docs,
+         |  $aggs
+         |FROM r GROUP BY source)
+         |$arms
+         |ORDER BY source ASC, w ASC""".stripMargin
+    },
     "q_lang_id" -> {
       val hitCols = StopwordSets.map { case (l, ws) => sqlHits(l, ws) }
         .mkString(",\n|         ")

@@ -158,4 +158,37 @@ class PqScrubSpec extends SparkSuite {
       assert(r.getLong(5) <= r.getLong(1)) // n_flagged ≤ n_docs
     }
   }
+
+  test("q_redundancy: exact driver-side recomputation of the " +
+      "duplicate-ngram ladder") {
+    val got = TextAnalysis.redundancy(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    val want = (for ((w, th) <- Seq(2 -> 80000L, 3 -> 40000L);
+        (src, ds) <- docs.groupBy(_._1)) yield {
+      val reds = ds.map { case (_, t) =>
+        val n = math.max(t.length - (w - 1), 0).toLong
+        val d = t.sliding(w).filter(_.length == w).map(_.mkString(" "))
+          .toSet.size.toLong
+        val m = math.max(n, 1L)
+        (2L * 1000000L * (n - d) + m) / (2L * m)
+      }
+      val cnt = reds.length.toLong
+      ((src, w.toLong), (cnt, (2L * reds.sum + cnt) / (2L * cnt),
+        reds.max, reds.count(_ >= th).toLong))
+    }).toSeq.sortBy(_._1)
+    assert(got.toSeq === want)
+    // The ladder must be non-vacuous: at least one flagged doc at
+    // each width, and trigram duplication never exceeds bigram's
+    // per source (a longer shingle is strictly harder to repeat).
+    Seq(2L, 3L).foreach(w =>
+      assert(got.filter(_._1._2 == w).map(_._2._4).sum > 0, s"w=$w vacuous"))
+    got.groupBy(_._1._1).foreach { case (src, rows) =>
+      val m = rows.map(r => r._1._2 -> r._2._2).toMap
+      assert(m(3L) <= m(2L), s"$src: trigram mean above bigram mean")
+    }
+  }
 }
