@@ -844,7 +844,54 @@ object Curation extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  /** q_source_drift — per-source TOTAL-VARIATION distance from the
+    * corpus unigram distribution, the mixture-drift diagnostic that
+    * pairs with [[mixWeights]]/[[dsirWeights]]: a source whose token
+    * distribution has drifted (new domain, scraper regression,
+    * contamination) shows a tv_ppm jump long before any downstream
+    * metric moves. TV = ½·Σ_vocab |p_s − p| is computed
+    * INTEGER-EXACTLY over counts via the identity
+    * Σ_vocab |cs·T − c·Ts| = Σ_{tok∈src}(|cs·T − c·Ts| − c·Ts)
+    * + Ts·T — so only (source, token) rows that EXIST are ever
+    * enumerated (no vocab × source cross), products ride the
+    * DECIMAL(38,0)/HUGEINT wide-integer pattern (BIGINT overflows at
+    * 100 TB token counts), and one rounded BIGINT ppm is emitted.
+    *
+    * Scale: one exploded (source, token) counting shuffle (counts
+    * only, no payload), then every further agg/join runs on the
+    * compact count table: token totals re-aggregate FROM the
+    * (source, token) partials, per-source totals broadcast, corpus
+    * total is one row. */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame = {
+    // Materialized once: ct / ts (and through ts, tot) all re-consume
+    // the same (source, token) counts.
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cs"))
+      .transform(graft.Checkpoints.cut)
+    val ct = st.groupBy(col("t")).agg(sum(col("cs")).as("c"))
+    val ts = st.groupBy(col("source")).agg(sum(col("cs")).as("tsrc"))
+    val tot = ts.agg(sum(col("tsrc")).as("tt"))
+    st.join(ct, Seq("t"))
+      .join(broadcast(ts), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("tsrc"), col("tt"),
+        expr("""abs(CAST(cs AS DECIMAL(38,0)) * tt
+                    - CAST(c AS DECIMAL(38,0)) * tsrc)
+                - CAST(c AS DECIMAL(38,0)) * tsrc""").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("tsrc")).as("n_tokens"), max(col("tt")).as("tt2"),
+        count(lit(1)).as("vocab"), sum(col("term")).as("sterm"))
+      .selectExpr("source", "n_tokens", "vocab",
+        """CAST((2 * 1000000 * (sterm + CAST(n_tokens AS DECIMAL(38,0)) * tt2)
+                 + 2 * (CAST(n_tokens AS DECIMAL(38,0)) * tt2))
+                div (4 * (CAST(n_tokens AS DECIMAL(38,0)) * tt2))
+           AS BIGINT) AS tv_ppm""")
+      .orderBy(col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_drift" -> ((s, d) => sourceDrift(s, d)),
     "q_quality_seed" -> ((s, d) => seedQuality(s, d)),
     "q_lm_score" -> ((s, d) => lmScore(s, d)),
     "q_filter_funnel" -> ((s, d) => filterFunnel(s, d)),
@@ -868,6 +915,27 @@ object Curation extends graft.QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_source_drift" ->
+      """WITH st AS (SELECT source, tok AS t, count(*) AS cs
+        |            FROM (SELECT source, unnest(str_split(text, ' ')) AS tok
+        |                  FROM documents)
+        |            GROUP BY source, tok),
+        |ct AS (SELECT t, CAST(sum(cs) AS BIGINT) AS c FROM st GROUP BY t),
+        |ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS tsrc
+        |       FROM st GROUP BY source),
+        |tot AS (SELECT CAST(sum(tsrc) AS BIGINT) AS tt FROM ts),
+        |j AS (SELECT source, tsrc, tt,
+        |             abs(cs::HUGEINT * tt - c::HUGEINT * tsrc)
+        |               - c::HUGEINT * tsrc AS term
+        |      FROM st JOIN ct USING (t) JOIN ts USING (source), tot),
+        |a AS (SELECT source, max(tsrc) AS n_tokens, max(tt) AS tt2,
+        |             count(*) AS vocab, sum(term) AS sterm
+        |      FROM j GROUP BY source)
+        |SELECT source, n_tokens, CAST(vocab AS BIGINT) AS vocab,
+        |       CAST((2 * 1000000 * (sterm + n_tokens::HUGEINT * tt2)
+        |              + 2 * (n_tokens::HUGEINT * tt2))
+        |            // (4 * (n_tokens::HUGEINT * tt2)) AS BIGINT) AS tv_ppm
+        |FROM a ORDER BY source ASC""".stripMargin,
     "q_quality_seed" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
          |           FROM embeddings),

@@ -510,6 +510,33 @@ class CurationSpec extends SparkSuite {
     assert(stats.getLong(1) > 0L)
   }
 
+  test("q_source_drift: exact driver-side TV recomputation over the " +
+      "full vocab (absent tokens included)") {
+    val got = Curation.sourceDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val toks = Tables.documents(spark, sfDir)
+      .selectExpr("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+    val corpus = toks.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val tt = toks.length.toLong
+    val want = toks.groupBy(_._1).map { case (src, xs) =>
+      val cs = xs.groupBy(_._2).map { case (t, ys) => t -> ys.length.toLong }
+      val tsrc = xs.length.toLong
+      // The brute-force definition: sum over the ENTIRE corpus vocab,
+      // including tokens the source never emits.
+      val num = corpus.map { case (t, c) =>
+        (BigInt(cs.getOrElse(t, 0L)) * tt - BigInt(c) * tsrc).abs
+      }.sum
+      val den = BigInt(2) * tsrc * tt
+      (src, tsrc, cs.size.toLong,
+        ((BigInt(2) * 1000000 * num + den) / (den * 2)).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === want)
+    // TV is a [0, 1e6] metric and the synthetic sources do differ.
+    assert(got.forall(r => r._4 >= 0 && r._4 <= 1000000L))
+    assert(got.map(_._4).max > 0L)
+  }
+
   test("mix_temp: temperature flattens the mix monotonically") {
     val rows = Curation.mixTempered(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
