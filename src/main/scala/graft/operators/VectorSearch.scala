@@ -267,7 +267,40 @@ object VectorSearch extends graft.QueryGroup {
       .orderBy(col("hit_id").asc, col("tok").asc)
   }
 
+  /** q_vec_dim_audit — per-DIMENSION embedding-space health audit:
+    * count / sum / variance / range of every coordinate, the
+    * collapse detector run before any index build (a dead dimension
+    * — variance ≈ 0 — means the encoder collapsed; a runaway range
+    * means bad normalization upstream; both silently degrade every
+    * cosine downstream). Components are fixed-pointed to micro-units
+    * per ROW (map-only, deterministic — a raw float sum would depend
+    * on Spark's partial-agg order), then all statistics are integer
+    * arithmetic: variance in micro² via (n·Σm² − (Σm)²) / n², the
+    * squares riding DECIMAL(38,0)/HUGEINT (n·Σm² overflows BIGINT
+    * already at sf0.1).
+    *
+    * Scale: one posexplode (two longs per element, no payload) and
+    * one hash-agg on the ≤dims key — map-side combine collapses
+    * everything before the shuffle; output is |dims| rows. */
+  def dimAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1e6).cast("long").as("m"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("m")).as("sum_micro"),
+        sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("ssq"),
+        min(col("m")).as("min_micro"), max(col("m")).as("max_micro"))
+      .selectExpr("dim", "n_vecs", "sum_micro",
+        """CAST((CAST(n_vecs AS DECIMAL(38,0)) * ssq
+                 - CAST(sum_micro AS DECIMAL(38,0)) * sum_micro)
+                div (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs)
+           AS BIGINT) AS var_micro2""",
+        "min_micro", "max_micro")
+      .orderBy(col("dim").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_dim_audit" -> ((s, d) => dimAudit(s, d)),
     "q_vec_multispace" -> ((s, d) => multiSpace(s, d)),
     "q_related_expand" -> ((s, d) => relatedExpand(s, d)),
     "q_vec_centroids" -> ((s, d) => labelCentroids(s, d)),
@@ -288,6 +321,24 @@ object VectorSearch extends graft.QueryGroup {
     "list_cosine_similarity(e.embedding::DOUBLE[], q.qv)"
 
   val oracles: Map[String, String] = Map(
+    "q_vec_dim_audit" ->
+      """WITH t AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1,
+        |           (SELECT max(len(e)) FROM t))) AS i),
+        |x AS (SELECT i - 1 AS dim,
+        |             CAST(round(e[i] * 1000000) AS BIGINT) AS m
+        |      FROM t, dims WHERE i <= len(e)),
+        |a AS (SELECT dim, count(*) AS n_vecs,
+        |             CAST(sum(m) AS BIGINT) AS sum_micro,
+        |             sum(m::HUGEINT * m) AS ssq,
+        |             min(m) AS min_micro, max(m) AS max_micro
+        |      FROM x GROUP BY dim)
+        |SELECT dim, n_vecs, sum_micro,
+        |       CAST((n_vecs::HUGEINT * ssq
+        |              - sum_micro::HUGEINT * sum_micro)
+        |            // (n_vecs::HUGEINT * n_vecs) AS BIGINT) AS var_micro2,
+        |       min_micro, max_micro
+        |FROM a ORDER BY dim ASC""".stripMargin,
     "q_vec_multispace" ->
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          |sa AS (SELECT e.vec_id, $cosExpr AS sim

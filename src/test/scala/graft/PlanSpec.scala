@@ -119,6 +119,34 @@ class PlanSpec extends SparkSuite {
       s"expected vec_id pushdown, got:\n$p")
   }
 
+  test("q_vec_dim_audit: exact driver-side recomputation; " +
+      "map-side-combined single agg") {
+    val got = VectorSearch.dimAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("cast(embedding as array<double>)").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dims = vecs.map(_.length).max
+    val want = (0 until dims).map { d =>
+      val ms = vecs.filter(_.length > d)
+        .map(v => BigDecimal(v(d) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val n = ms.length.toLong
+      val s = ms.sum
+      val ssq = ms.map(m => BigInt(m) * m).sum
+      (d.toLong, n, s, ((BigInt(n) * ssq - BigInt(s) * s) / (BigInt(n) * n)).toLong,
+        ms.min, ms.max)
+    }
+    assert(got.toSeq === want)
+    // No dead dimension in healthy testdata; audit would catch one.
+    assert(got.forall(_._4 > 0L))
+    // Plan: one exchange total (the dim-key agg); explode is map-side.
+    val p = plan(VectorSearch.dimAudit(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle, got:\n$p")
+  }
+
   test("q_vec_knn_join: bounded top-k agg, no Window, query side broadcast") {
     val p = plan(VectorSearch.knnJoin(spark, sfDir))
     assert(!p.contains("Window"),
