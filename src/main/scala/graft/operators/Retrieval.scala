@@ -611,7 +611,46 @@ object Retrieval extends graft.QueryGroup {
       .orderBy(col("source").asc, col("rank").asc)
   }
 
+  /** Default phrase for [[phraseSearch]] — present (with hits) at
+    * every shipped SF of the synthetic corpus. */
+  private[graft] val PhraseTerms = Seq("big", "order", "scan")
+
+  /** q_text_phrase — POSITIONAL phrase search: documents containing
+    * the query terms CONSECUTIVELY, with the phrase frequency — the
+    * exact-quote retrieval the bag-of-words BM25 tier cannot express
+    * (term AND-match ≠ adjacency). Shape: one positional explode
+    * pruned to the phrase's terms BEFORE any shuffle (the stream is
+    * |phrase| postings lists, not the corpus), then each term i's
+    * positions are aligned to a common phrase-start key (p − i) and
+    * the lists chain through (doc_id, start) equi-joins — the
+    * standard positional-index intersection, all joins
+    * co-partitioned on the same key. A production deployment serves
+    * the same joins from a stored positional posting table
+    * (writeTextIndex extended with a pos column — same
+    * bucket-pruned layout); the inline form keeps the row
+    * data-complete.
+    *
+    * Scale: term-pruned postings ∝ df(term), never corpus size;
+    * phrase chaining is |phrase|−1 equi-joins on narrow longs. */
+  def phraseSearch(s: SparkSession, dir: String,
+      phrase: Seq[String] = PhraseTerms): DataFrame = {
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+      .where(col("tok").isin(phrase: _*))
+    val heads = phrase.zipWithIndex.map { case (w, i) =>
+      pos.where(col("tok") === w)
+        .select(col("doc_id"), (col("p").cast("long") - i).as("p0"))
+    }
+    val hits = heads.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("phrase_tf"))
+    hits.join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_phrase" -> ((s, d) => phraseSearch(s, d)),
     "q_bm25" -> ((s, d) => bm25(s, d)),
     "q_bm25_indexed" -> ((s, d) => bm25Indexed(s, d)),
     "q_bm25_batch" -> ((s, d) => bm25Batch(s, d)),
@@ -655,6 +694,21 @@ object Retrieval extends graft.QueryGroup {
        |FROM sc ORDER BY su DESC, doc_id ASC LIMIT $TopK""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_text_phrase" -> {
+      val conds = PhraseTerms.zipWithIndex
+        .map { case (w, i) => s"t[i + $i] = '$w'" }.mkString(" AND ")
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t
+         |           FROM documents),
+         |m AS (SELECT doc_id,
+         |             len([i for i in
+         |                  generate_series(1, len(t) - ${PhraseTerms.size - 1})
+         |                  if $conds]) AS phrase_tf
+         |      FROM d)
+         |SELECT m.doc_id, source, CAST(phrase_tf AS BIGINT) AS phrase_tf
+         |FROM m JOIN documents USING (doc_id)
+         |WHERE phrase_tf > 0
+         |ORDER BY phrase_tf DESC, m.doc_id ASC""".stripMargin
+    },
     "q_bm25" -> bm25Sql,
     "q_bm25_indexed" -> bm25Sql,
     // Multi-query batch: same scoring CTEs, with the (qid, term)

@@ -409,4 +409,36 @@ class RetrievalSpec extends SparkSuite {
       new Directory(new java.io.File(out)).deleteRecursively()
     }
   }
+
+  test("q_text_phrase: exact sliding-window recomputation; " +
+      "postings pruned before the join chain") {
+    val got = Retrieval.phraseSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val phrase = Seq("big", "order", "scan")
+    val want = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source", "text").collect()
+      .flatMap { r =>
+        val t = r.getString(2).split(" ", -1)
+        val tf = t.sliding(phrase.size)
+          .count(w => w.length == phrase.size && w.sameElements(phrase)).toLong
+        if (tf > 0) Some((r.getLong(0), r.getString(1), tf)) else None
+      }.sortBy(x => (-x._3, x._1)).toSeq
+    assert(got.toSeq === want)
+    assert(got.nonEmpty, "phrase row is vacuous at this SF")
+    // Adjacency matters: at least one doc contains all three terms
+    // WITHOUT the consecutive phrase (bag-of-words would overmatch).
+    val bag = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .count { r =>
+        val t = r.getString(1).split(" ", -1).toSet
+        phrase.forall(t.contains)
+      }
+    assert(bag > got.length,
+      "corpus cannot distinguish phrase match from AND match here")
+    val p = Retrieval.phraseSearch(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("isin") || p.contains("IN ("),
+      s"term pruning must precede the join chain, got:\n$p")
+  }
 }
