@@ -281,6 +281,36 @@ object Relational extends graft.QueryGroup {
       .orderBy(col("cohort_wk").asc, col("wk_offset").asc)
   }
 
+  /** q_time_decay — recency-weighted event rollup: each event's
+    * weight HALVES per week of age relative to the newest event (the
+    * freshness prior of trending/decay scoring). The half-life decay
+    * is integer-EXACT: weight_ppm = 1000000 >> age_weeks (a shift,
+    * clamped to 62 — Java's long shift is mod-64, so an unclamped
+    * 64-week-old event would wrap to full weight while DuckDB
+    * saturates to 0), values fixed-pointed to micro-units per row,
+    * and the decayed mass accumulated as DECIMAL(38,0) products
+    * (micro × ppm overflows BIGINT at ~100k events already).
+    *
+    * Scale: the reference timestamp is a one-row broadcast; scoring
+    * is map-only; one map-side-combined agg on the bounded
+    * event_type key. */
+  def timeDecay(s: SparkSession, dir: String): DataFrame = {
+    val wkUs = 7L * 86400L * 1000000L
+    val e = Tables.events(s, dir).select(col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 1e6).cast("long").as("m"))
+    val ref = e.agg(max(col("us")).as("ref"))
+    e.crossJoin(broadcast(ref))
+      .select(col("event_type"), col("m"),
+        expr(s"shiftright(1000000L, cast(least((ref - us) DIV ${wkUs}L, " +
+          "62L) as int))").as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("sum_w_ppm"),
+        expr("""CAST(sum(CAST(m AS DECIMAL(38,0)) * w) div 1000000
+                AS BIGINT)""").as("decayed_value_micro"))
+      .orderBy(col("event_type").asc)
+  }
+
   private val BucketN = 8
 
   /** Fingerprint of the orders+lineitem parquet (name/size/mtime) so
@@ -565,6 +595,7 @@ object Relational extends graft.QueryGroup {
     "q_event_funnel" -> ((s, d) => eventFunnel(s, d)),
     "q_retention" -> ((s, d) => retention(s, d)),
     "q_join_bucketed" -> ((s, d) => joinBucketed(s, d)),
+    "q_time_decay" -> ((s, d) => timeDecay(s, d)),
   )
 
   // DuckDB parity notes: money math uses the same DECIMAL casts so
@@ -844,5 +875,19 @@ object Relational extends graft.QueryGroup {
          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY o_orderkey ORDER BY o_orderkey ASC""".stripMargin,
+    "q_time_decay" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |                  CAST(round(value * 1e6) AS BIGINT) AS m
+        |           FROM events),
+        |r AS (SELECT max(us) AS ref FROM e),
+        |w AS (SELECT event_type, m,
+        |             1000000 >> CAST(least((ref - us) // 604800000000, 62)
+        |                             AS INTEGER) AS w
+        |      FROM e, r)
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(w) AS BIGINT) AS sum_w_ppm,
+        |       CAST(sum(m::HUGEINT * w) // 1000000 AS BIGINT)
+        |         AS decayed_value_micro
+        |FROM w GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
   )
 }

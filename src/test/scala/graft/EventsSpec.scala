@@ -60,6 +60,32 @@ class EventsSpec extends SparkSuite {
     }
   }
 
+  test("q_time_decay: exact driver-side recomputation; decay strictly " +
+      "discounts vs the undecayed rollup") {
+    val got = Relational.timeDecay(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "unix_micros(ts)",
+        "cast(round(value * 1e6) as long)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ref = ev.map(_._2).max
+    val wkUs = 7L * 86400L * 1000000L
+    val want = ev.groupBy(_._1).map { case (t, xs) =>
+      val ws = xs.map { case (_, us, m) =>
+        val w = 1000000L >> math.min((ref - us) / wkUs, 62L).toInt
+        (w, BigInt(m) * w)
+      }
+      (t, xs.length.toLong, ws.map(_._1).sum, (ws.map(_._2).sum / 1000000).toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === want)
+    got.foreach { case (t, n, sw, dv) =>
+      // Weights are a true discount: 0 < Σw < n·1e6 (the span covers
+      // multiple weeks, so full weight for everything is impossible).
+      assert(sw > 0 && sw < n * 1000000L, s"$t: degenerate decay mass $sw")
+      assert(dv >= 0)
+    }
+  }
+
   test("event rows: plans stay equi-join + hash-agg (no cartesian), " +
       "props pruned from the scan") {
     for ((n, df) <- Seq(
