@@ -188,10 +188,50 @@ object Graph extends graft.QueryGroup {
         min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
       .orderBy(col("bucket").asc)
 
+  /** Hub cap for [[graphCommonNeighbors]] wedge generation: centers
+    * above this degree are excluded. The scale lever — a degree-d
+    * center contributes d(d−1)/2 wedges, so an uncapped hash-hub
+    * (3.8k degree at sf0.1, millions on a web graph) detonates the
+    * wedge count quadratically while its "common neighbor" signal is
+    * pure collision noise; capping centers is the standard candidate-
+    * generation discipline (same topology argument as the degree
+    * orientation in [[graphTriangles]]). */
+  private[graft] val CnDegCap = 32
+  private[graft] val CnTopK = 15
+
+  /** q_graph_cn — LINK-PREDICTION candidates by common-neighbor
+    * count: the top non-edge pairs sharing the most (non-hub)
+    * neighbors. Wedges are enumerated per center through one
+    * co-partitioned self-equi-join of the hub-capped adjacency
+    * (≤ CnDegCap(CnDegCap−1)/2 pairs per center, never d²-unbounded),
+    * counted per pair, existing edges removed with a left-anti join,
+    * and the top-k taken on the total (count, u, v) order. */
+  def graphCommonNeighbors(s: SparkSession, dir: String): DataFrame =
+    graphCommonNeighborsOver(Tables.documents(s, dir))
+
+  private[graft] def graphCommonNeighborsOver(in: DataFrame): DataFrame = {
+    val ue = canonicalEdges(in)
+    val adj = ue.select(col("u").as("c"), col("v").as("x"))
+      .unionAll(ue.select(col("v").as("c"), col("u").as("x")))
+    val ctr = degreesOf(ue).where(col("d") <= CnDegCap)
+      .select(col("x").as("c"))
+    val a2 = adj.join(ctr, Seq("c"), "left_semi")
+      .transform(graft.Checkpoints.cut)
+    val cn = a2.as("a")
+      .join(a2.as("b"),
+        col("a.c") === col("b.c") && col("a.x") < col("b.x"))
+      .select(col("a.x").as("u"), col("b.x").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_common"))
+    cn.join(ue, Seq("u", "v"), "left_anti")
+      .orderBy(col("n_common").desc, col("u").asc, col("v").asc)
+      .limit(CnTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rank_refs" -> ((s, d) => rankRefs(s, d)),
     "q_graph_triangles" -> ((s, d) => graphTriangles(s, d)),
     "q_graph_degree_dist" -> ((s, d) => graphDegreeDist(s, d)),
+    "q_graph_cn" -> ((s, d) => graphCommonNeighbors(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -277,6 +317,31 @@ object Graph extends graft.QueryGroup {
          |       CAST(min(d) AS BIGINT) AS min_deg,
          |       CAST(max(d) AS BIGINT) AS max_deg
          |FROM deg GROUP BY 1 ORDER BY 1 ASC""".stripMargin
+    },
+    "q_graph_cn" -> {
+      val h = MinHash.hash60Sql("'rel:' || tok")
+      s"""WITH nd AS (SELECT count(*) AS nd FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_sort(list_distinct(
+         |                str_split(text, ' ')))[1:$EdgeRefs]) AS tok
+         |       FROM documents),
+         |ed AS (SELECT DISTINCT doc_id AS src, $h % nd.nd AS dst
+         |       FROM tk, nd WHERE doc_id <> $h % nd.nd),
+         |ue AS (SELECT DISTINCT least(src, dst) AS u,
+         |                       greatest(src, dst) AS v
+         |       FROM ed),
+         |adj AS (SELECT u AS c, v AS x FROM ue
+         |        UNION ALL SELECT v, u FROM ue),
+         |deg AS (SELECT c, count(*) AS d FROM adj GROUP BY c),
+         |a2 AS (SELECT adj.c, adj.x FROM adj
+         |       JOIN deg USING (c) WHERE deg.d <= $CnDegCap),
+         |cn AS (SELECT a.x AS u, b.x AS v, count(*) AS n_common
+         |       FROM a2 a JOIN a2 b ON a.c = b.c AND a.x < b.x
+         |       GROUP BY a.x, b.x),
+         |ne AS (SELECT cn.u, cn.v, cn.n_common FROM cn
+         |       LEFT JOIN ue ON cn.u = ue.u AND cn.v = ue.v
+         |       WHERE ue.u IS NULL)
+         |SELECT u, v, n_common FROM ne
+         |ORDER BY n_common DESC, u ASC, v ASC LIMIT $CnTopK""".stripMargin
     },
   )
 }

@@ -96,6 +96,32 @@ class GraphSpec extends SparkSuite {
       "expected a multi-decade degree distribution")
   }
 
+  test("q_graph_cn: exact driver-side recomputation; candidates are " +
+      "non-edges with hub-capped evidence") {
+    val got = Graph.graphCommonNeighbors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ue = Graph.edges(spark, sfDir).collect()
+      .map(x => (math.min(x.getLong(0), x.getLong(1)),
+        math.max(x.getLong(0), x.getLong(1)))).distinct
+    val adj = (ue ++ ue.map(_.swap)).groupBy(_._1)
+      .map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val ctr = adj.filter(_._2.size <= 32).keySet
+    val cn = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (c <- ctr; xs = adj(c).toSeq.sorted;
+         i <- xs.indices; j <- (i + 1) until xs.length)
+      cn((xs(i), xs(j))) = cn.getOrElse((xs(i), xs(j)), 0L) + 1L
+    val edgeSet = ue.toSet
+    val want = cn.toSeq.filterNot(p => edgeSet.contains(p._1))
+      .map { case ((u, v), n) => (u, v, n) }
+      .sortBy(x => (-x._3, x._1, x._2)).take(15)
+    assert(got.toSeq === want)
+    // Every candidate is a genuine NON-edge with real shared evidence.
+    got.foreach { case (u, v, n) =>
+      assert(u < v && n >= 1 && !edgeSet.contains((u, v)))
+    }
+    assert(got.head._3 > 1L, "top candidate should share >1 neighbor")
+  }
+
   test("scale smoke: 1M synthetic docs through the triangle census, " +
       "zero storage (hub-safe by degree orientation)") {
     // The synth ref graph concentrates popular tokens onto hash-hub
