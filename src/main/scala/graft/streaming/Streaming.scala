@@ -953,7 +953,81 @@ object Streaming extends graft.QueryGroup {
     asofSinkRollup(s, sink)
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  final case class FunnelState(events: Seq[(Long, String)], ver: Long)
+  final case class FunnelOutV(user_id: Long, ver: Long, reached: Long)
+
+  /** q_stream_funnel — the ordered-step conversion funnel
+    * ([[graft.operators.Relational.eventFunnel]]) maintained as a
+    * stream: per-user fMGWS state machine re-deriving the strict-
+    * after step times from the buffered (time-sorted) step events on
+    * every micro-batch, versioned re-emission + latest-version-wins
+    * sink read (the [[streamSessionizeOver]] discipline — exact
+    * under ARBITRARY disorder: a late-arriving early view can lower
+    * t1 and legitimately re-open step-2 eligibility, which a greedy
+    * forward-only state machine would miss). State per user is the
+    * step-typed events only (the isin prune runs before the shuffle),
+    * so state ∝ funnel-relevant activity, not the event firehose;
+    * the watermark-pruned variant would finalize users once their
+    * last possible t3 predecessor passes the horizon.
+    *
+    * Output and oracle are the batch row's — the gate proves
+    * stream ≡ batch end-to-end. */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame =
+    streamFunnelOver(s, eventsStream(s, dir), "graft_stream_funnel")
+
+  private[graft] def streamFunnelOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    import s.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val events = in.where(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[FunnelEvent]
+    val prog = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOutV](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(Nil, 0L))
+          val all = (st.events ++ evs.map(e => (e.us, e.event_type)))
+            .sortBy(identity)
+          val ver = st.ver + 1
+          val t1 = all.collectFirst { case (us, "view") => us }
+          val t2 = t1.flatMap(a =>
+            all.collectFirst { case (us, "click") if us > a => us })
+          val t3 = t2.flatMap(b =>
+            all.collectFirst { case (us, "purchase") if us > b => us })
+          val reached =
+            if (t3.isDefined) 3L
+            else if (t2.isDefined) 2L
+            else if (t1.isDefined) 1L
+            else 0L
+          state.update(FunnelState(all, ver))
+          Iterator.single(FunnelOutV(uid, ver, reached))
+      }
+    runToCompletion(prog.toDF(), sink, "append")
+    val t = s.table(sink)
+    val latest = t.groupBy(col("user_id")).agg(max(col("ver")).as("mver"))
+      .withColumnRenamed("user_id", "lv_user_id")
+    val reached = t.join(broadcast(latest),
+        col("user_id") === col("lv_user_id") && col("ver") === col("mver"))
+      .select(col("user_id"), col("reached"))
+    val counts = Seq(1L -> "1_view", 2L -> "2_click", 3L -> "3_purchase")
+      .map { case (k, name) =>
+        reached.where(col("reached") >= k)
+          .agg(count(lit(1)).as("n")).select(lit(name).as("step"), col("n"))
+      }.reduce(_ unionAll _)
+    counts
+      .withColumn("n1", greatest(first(col("n")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("step").asc)
+          .rowsBetween(Long.MinValue, Long.MaxValue)), lit(1L)))
+      .selectExpr("step", "n AS n_users",
+        "(2 * 1000000 * n + n1) DIV (2 * n1) AS conv_ppm")
+      .orderBy(col("step").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
     "q_stream_window" -> ((s, d) => streamWindow(s, d)),
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
@@ -970,6 +1044,10 @@ object Streaming extends graft.QueryGroup {
   )
 
   val oracles: Map[String, String] = Map(
+    // The streaming funnel must equal the batch funnel exactly —
+    // same oracle (Relational group).
+    "q_stream_funnel" ->
+      graft.operators.Relational.oracles("q_event_funnel"),
     // The watermark-pruned production resolvers must produce exactly
     // what their keep-all twins produce (the gate input's disorder is
     // within the horizon), i.e. the same batch oracles.

@@ -120,6 +120,19 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("stream funnel stays exact under multi-batch out-of-order replay") {
+    // The mod-3 interleave makes late-arriving EARLY events routine:
+    // a user's first 'view' can land two micro-batches after their
+    // 'click', which must retroactively re-open step-2 eligibility —
+    // the case a greedy forward-only funnel state machine gets wrong.
+    val stream = splitReplay("funl")
+    val got = Streaming.streamFunnelOver(spark, stream,
+      "graft_split_funl").collect().toSeq
+    val want = Relational.eventFunnel(spark, sfDir).collect().toSeq
+    assert(got.size === 3)
+    assert(got === want)
+  }
+
   test("stream sessionize stays exact under multi-batch out-of-order replay") {
     val stream = splitReplay("sess")
     val got = Streaming.streamSessionizeOver(spark, stream,
