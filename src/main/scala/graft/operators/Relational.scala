@@ -241,8 +241,15 @@ object Relational extends graft.QueryGroup {
     val counts = t1.agg(count(lit(1)).as("n")).select(lit("1_view").as("step"), col("n"))
       .unionAll(t2.agg(count(lit(1)).as("n")).select(lit("2_click").as("step"), col("n")))
       .unionAll(t3.agg(count(lit(1)).as("n")).select(lit("3_purchase").as("step"), col("n")))
-    // 3-row global window (single tiny partition) reads step 1's
-    // count as the funnel denominator — no cartesian, no collect.
+    funnelRollup(counts)
+  }
+
+  /** (step, n) counts → the funnel output rows (n_users + conversion
+    * ppm vs step 1): a 3-row global window (single tiny partition —
+    * bounded by the step count, no cartesian, no collect) reads
+    * step 1's count as the denominator. Shared with the streaming
+    * twin so the rollup cannot drift between them. */
+  private[graft] def funnelRollup(counts: DataFrame): DataFrame =
     counts
       .withColumn("n1", greatest(first(col("n")).over(
         Window.orderBy(col("step").asc)
@@ -251,7 +258,6 @@ object Relational extends graft.QueryGroup {
       .select(col("step"), col("n").as("n_users"),
         expr("(2 * 1000000 * n + n1) DIV (2 * n1)").as("conv_ppm"))
       .orderBy(col("step").asc)
-  }
 
   /** q_retention — weekly cohort retention matrix: cohort = epoch
     * week of a user's first event; each (cohort, week-offset) cell
@@ -305,7 +311,12 @@ object Relational extends graft.QueryGroup {
         expr(s"shiftright(1000000L, cast(least((ref - us) DIV ${wkUs}L, " +
           "62L) as int))").as("w"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("sum_w_ppm"),
+      .agg(count(lit(1)).as("n_events"),
+        // The weight sum also rides DECIMAL: Spark's sum(long) wraps
+        // silently at ~9.2e12 same-week events (DuckDB promotes to
+        // HUGEINT on its own).
+        expr("CAST(sum(CAST(w AS DECIMAL(38,0))) AS BIGINT)")
+          .as("sum_w_ppm"),
         expr("""CAST(sum(CAST(m AS DECIMAL(38,0)) * w) div 1000000
                 AS BIGINT)""").as("decayed_value_micro"))
       .orderBy(col("event_type").asc)
@@ -316,8 +327,17 @@ object Relational extends graft.QueryGroup {
   /** Fingerprint of the orders+lineitem parquet (name/size/mtime) so
     * a regenerated dataset can never serve stale bucketed tables —
     * the [[Ann.resIvfPqIndexPath]] discipline. */
+  /** Stored-layout version for [[joinBucketed]] — bump on ANY change
+    * to the bucketed tables' projection, types, or bucket count so a
+    * warm /tmp cache can never serve files written under the old
+    * layout (the fingerprint alone only keys the SOURCE data; Spark
+    * would trust a stale CLUSTERED BY registration and silently
+    * mis-join). */
+  private val BucketLayout = s"v1:b$BucketN:k,o_orderpriority|k,dp-dec16.4"
+
   private[graft] def bucketFp(dir: String): String = {
-    val sig = Seq("orders.parquet", "lineitem.parquet").map { n =>
+    val sig = BucketLayout + "||" +
+      Seq("orders.parquet", "lineitem.parquet").map { n =>
       val f = new java.io.File(dir, n)
       val files: Array[java.io.File] =
         if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)

@@ -632,11 +632,24 @@ object Retrieval extends graft.QueryGroup {
     *
     * Scale: term-pruned postings ∝ df(term), never corpus size;
     * phrase chaining is |phrase|−1 equi-joins on narrow longs. */
-  def phraseSearch(s: SparkSession, dir: String,
-      phrase: Seq[String] = PhraseTerms): DataFrame = {
-    val pos = Tables.documents(s, dir)
+  /** The term-pruned positional postings [[phraseSearch]] chains
+    * over — exposed pre-cut so the plan-shape spec can assert the
+    * isin prune sits before any shuffle (the final plan shows only
+    * the ExistingRDD stitch). */
+  private[graft] def phrasePostings(s: SparkSession, dir: String,
+      phrase: Seq[String]): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
       .where(col("tok").isin(phrase: _*))
+
+  def phraseSearch(s: SparkSession, dir: String,
+      phrase: Seq[String] = PhraseTerms): DataFrame = {
+    // Materialized once: the corpus is tokenized/exploded a single
+    // time and every per-term head (plus both join sides) reads the
+    // compact pruned postings — without the cut each head re-pays the
+    // full corpus explode (the q_source_drift `st` discipline).
+    val pos = phrasePostings(s, dir, phrase)
+      .transform(graft.Checkpoints.cut)
     val heads = phrase.zipWithIndex.map { case (w, i) =>
       pos.where(col("tok") === w)
         .select(col("doc_id"), (col("p").cast("long") - i).as("p0"))

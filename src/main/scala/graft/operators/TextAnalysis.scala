@@ -273,8 +273,6 @@ object TextAnalysis extends graft.QueryGroup {
     agged.selectExpr("source",
       s"stack(${RedundancyWidths.size}, $cells) AS " +
         "(w, n_docs, mean_red_ppm, max_red_ppm, n_flagged)")
-      .selectExpr("source", "w", "n_docs", "mean_red_ppm", "max_red_ppm",
-        "n_flagged")
       .orderBy(col("source").asc, col("w").asc)
   }
 

@@ -506,11 +506,7 @@ object Streaming extends graft.QueryGroup {
     runToCompletion(sessions.toDF(), sink, "append")
     // Latest-version-wins sink read: only the rows of each user's
     // final re-emission count; earlier versions are stale.
-    val t = s.table(sink)
-    val latest = t.groupBy(col("user_id")).agg(max(col("ver")).as("mver"))
-      .withColumnRenamed("user_id", "lv_user_id")
-    t.join(broadcast(latest),
-        col("user_id") === col("lv_user_id") && col("ver") === col("mver"))
+    latestVersionRows(s.table(sink))
       .select(col("user_id"), col("sess_idx"), col("n_events"),
         col("start_us"), col("dur_us"))
       .orderBy(col("user_id").asc, col("sess_idx").asc)
@@ -613,13 +609,7 @@ object Streaming extends graft.QueryGroup {
     runToCompletion(sessions.toDF(), sink, "append")
     val t = s.table(sink)
     val finals = t.where(col("ver") === -1L)
-    val opens = {
-      val latest = t.where(col("ver") > 0L)
-        .groupBy(col("user_id")).agg(max(col("ver")).as("mver"))
-        .withColumnRenamed("user_id", "lv_user_id")
-      t.where(col("ver") > 0L).join(broadcast(latest),
-        col("user_id") === col("lv_user_id") && col("ver") === col("mver"))
-    }
+    val opens = latestVersionRows(t.where(col("ver") > 0L))
     finals.select(col("user_id"), col("sess_idx"), col("n_events"),
         col("start_us"), col("dur_us"))
       .unionAll(opens.select(col("user_id"), col("sess_idx"),
@@ -1006,24 +996,26 @@ object Streaming extends graft.QueryGroup {
           Iterator.single(FunnelOutV(uid, ver, reached))
       }
     runToCompletion(prog.toDF(), sink, "append")
-    val t = s.table(sink)
-    val latest = t.groupBy(col("user_id")).agg(max(col("ver")).as("mver"))
-      .withColumnRenamed("user_id", "lv_user_id")
-    val reached = t.join(broadcast(latest),
-        col("user_id") === col("lv_user_id") && col("ver") === col("mver"))
+    val reached = latestVersionRows(s.table(sink))
       .select(col("user_id"), col("reached"))
     val counts = Seq(1L -> "1_view", 2L -> "2_click", 3L -> "3_purchase")
       .map { case (k, name) =>
         reached.where(col("reached") >= k)
           .agg(count(lit(1)).as("n")).select(lit(name).as("step"), col("n"))
       }.reduce(_ unionAll _)
-    counts
-      .withColumn("n1", greatest(first(col("n")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("step").asc)
-          .rowsBetween(Long.MinValue, Long.MaxValue)), lit(1L)))
-      .selectExpr("step", "n AS n_users",
-        "(2 * 1000000 * n + n1) DIV (2 * n1) AS conv_ppm")
-      .orderBy(col("step").asc)
+    // The rollup is the batch row's own (shared code — the stream
+    // cannot drift from q_event_funnel's ppm convention).
+    graft.operators.Relational.funnelRollup(counts)
+  }
+
+  /** Latest-version-wins read of a versioned re-emission sink: each
+    * user's highest-`ver` rows (callers that segregate FINAL rows
+    * pre-filter `t` before passing it in). */
+  private def latestVersionRows(t: DataFrame): DataFrame = {
+    val latest = t.groupBy(col("user_id")).agg(max(col("ver")).as("mver"))
+      .withColumnRenamed("user_id", "lv_user_id")
+    t.join(broadcast(latest),
+      col("user_id") === col("lv_user_id") && col("ver") === col("mver"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

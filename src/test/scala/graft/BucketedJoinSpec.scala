@@ -12,7 +12,6 @@ import graft.operators.Relational
 class BucketedJoinSpec extends SparkSuite {
 
   private def plainRecompute() = {
-    val one = lit(1).cast("decimal(4,2)")
     Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir)
         .where(col("o_orderpriority") === "1-URGENT"),
@@ -47,14 +46,14 @@ class BucketedJoinSpec extends SparkSuite {
     val before = Relational.joinBucketed(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val fp = Relational.bucketFp(sfDir)
-    val dirs = Seq(s"graft_b_orders_$fp", s"graft_b_lineitem_$fp")
-    dirs.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    val mtimes = dirs.map { t => t -> bucketFiles(fp).map(_.lastModified).toSeq }
+    Seq(s"graft_b_orders_$fp", s"graft_b_lineitem_$fp")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val mtimes = bucketFiles(fp).map(_.lastModified).toSeq
     val after = Relational.joinBucketed(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(after === before)
     // Metadata-only: no data file was rewritten by the re-attach.
-    assert(bucketFiles(fp).map(_.lastModified).toSeq === mtimes.head._2)
+    assert(bucketFiles(fp).map(_.lastModified).toSeq === mtimes)
   }
 
   private def bucketFiles(fp: String): Array[java.io.File] = {

@@ -438,7 +438,14 @@ class RetrievalSpec extends SparkSuite {
     val p = Retrieval.phraseSearch(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("isin") || p.contains("IN ("),
-      s"term pruning must precede the join chain, got:\n$p")
+    // The postings sub-plan (pre-cut — the final plan shows only the
+    // materialized stitch) must prune to the phrase terms before any
+    // shuffle, and the full query must materialize the explode ONCE.
+    val pp = Retrieval.phrasePostings(spark, sfDir, phrase)
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("isin") || pp.contains("IN ("),
+      s"term pruning must precede the join chain, got:\n$pp")
+    assert(!p.contains("Generate") && !p.toLowerCase.contains("posexplode"),
+      s"corpus explode must be materialized once via the cut, got:\n$p")
   }
 }
