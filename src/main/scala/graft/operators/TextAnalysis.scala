@@ -316,7 +316,63 @@ object TextAnalysis extends graft.QueryGroup {
         size(col("chunk")).cast("long").as("n_tok"),
         array_join(col("chunk"), " ").as("chunk_text"))
 
+  /** Normalized-entropy flag threshold for [[entropy]] (ppm): a doc
+    * whose token entropy sits under 94% of its maximum (uniform over
+    * its own vocabulary) has its mass concentrated on a few repeated
+    * tokens — boilerplate / template / keyword-stuffed text that the
+    * ratio features of [[qualityScore]] under-penalize. (Tuned to
+    * the synthetic corpus, whose docs are all near-uniform; a real
+    * deployment sets this from its own quality-labelled sample.) */
+  private[graft] val LowEntPpm = 940000L
+
+  /** q_entropy — per-document token SHANNON ENTROPY, the
+    * information-theoretic quality signal the ratio features miss
+    * (a doc can have a healthy distinct_ratio while 90% of its MASS
+    * sits on three tokens). H = ln n − (Σ_t c_t·ln c_t)/n over the
+    * per-token counts c_t; emitted in MICRO-NATS under an explicit
+    * fixed-point scheme — each distinct token contributes
+    * round(1e6·c·ln(c)/n) and the contributions are summed as
+    * BIGINTs — so every cross-row sum is integer (float summation
+    * order can never flake the gate; the single per-row ln + round
+    * is the proven q_tfidf parity class). c = 1 contributes exactly
+    * 0, so uniform docs stay integer-exact end to end. ent_norm_ppm
+    * = H / ln(vocab) (0 for single-token docs) positions each doc
+    * against its own maximum; low_ent flags docs under
+    * [[LowEntPpm]].
+    *
+    * Scale: one (doc, token) counting shuffle (counts only, no
+    * payload — partial-aggregated map-side), the per-doc token
+    * total rides in map-only (size of the token array, broadcast
+    * join), and the final per-doc agg re-aggregates from compact
+    * count rows. No joins wider than the 1-col totals, no windows,
+    * no skew (doc_id is the key). */
+  def entropy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val n = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+    val tc = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    tc.join(broadcast(n), Seq("doc_id"))
+      .select(col("doc_id"), col("n"),
+        expr("CAST(round(1e6 * c * ln(c) / n) AS BIGINT)").as("u"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("u")).as("su"))
+      .select(col("doc_id"), col("n_tokens"), col("vocab"),
+        expr("CAST(round(1e6 * ln(n_tokens)) AS BIGINT) - su")
+          .as("ent_unats"))
+      .withColumn("ent_norm_ppm",
+        expr(s"""CASE WHEN vocab = 1 THEN CAST(0 AS BIGINT) ELSE
+                 (2 * 1000000 * ent_unats
+                  + CAST(round(1e6 * ln(vocab)) AS BIGINT))
+                 DIV (2 * CAST(round(1e6 * ln(vocab)) AS BIGINT)) END"""))
+      .withColumn("low_ent",
+        (col("ent_norm_ppm") < lit(LowEntPpm)).cast("long"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entropy" -> ((s, d) => entropy(s, d)),
     "q_chunk_text" -> ((s, d) => chunkText(s, d)),
     "q_scrub_denylist" -> ((s, d) => scrubDenylist(s, d)),
     "q_repetition" -> ((s, d) => repetition(s, d)),
@@ -492,5 +548,36 @@ object TextAnalysis extends graft.QueryGroup {
         |SELECT doc_id, md5(norm) AS fp,
         |       CAST(len(norm) // 100 AS BIGINT) AS len_band
         |FROM n ORDER BY doc_id ASC""".stripMargin,
+    // Same fixed-point scheme as the Spark side: per-token-count
+    // rounding to BIGINT micro-nats, integer sums only.
+    "q_entropy" ->
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks
+         |           FROM documents),
+         |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM d),
+         |tc AS (SELECT doc_id, t, count(*) AS c
+         |       FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+         |       GROUP BY doc_id, t),
+         |u AS (SELECT doc_id, n,
+         |             CAST(round(1e6 * c * ln(c) / n) AS BIGINT) AS u
+         |      FROM tc JOIN n USING (doc_id)),
+         |p AS (SELECT doc_id, max(n) AS n_tokens,
+         |             CAST(count(*) AS BIGINT) AS vocab,
+         |             CAST(sum(u) AS BIGINT) AS su
+         |      FROM u GROUP BY doc_id),
+         |e AS (SELECT doc_id, n_tokens, vocab,
+         |             CAST(round(1e6 * ln(n_tokens)) AS BIGINT) - su
+         |               AS ent_unats,
+         |             CAST(round(1e6 * ln(vocab)) AS BIGINT) AS lnv
+         |      FROM p)
+         |SELECT doc_id, n_tokens, vocab, ent_unats,
+         |       CASE WHEN vocab = 1 THEN CAST(0 AS BIGINT)
+         |            ELSE CAST((2 * 1000000 * ent_unats + lnv)
+         |                      // (2 * lnv) AS BIGINT) END
+         |         AS ent_norm_ppm,
+         |       CAST(CASE WHEN (CASE WHEN vocab = 1 THEN 0
+         |                       ELSE (2 * 1000000 * ent_unats + lnv)
+         |                            // (2 * lnv) END) < $LowEntPpm
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS low_ent
+         |FROM e ORDER BY doc_id ASC""".stripMargin,
   )
 }

@@ -159,6 +159,43 @@ class PqScrubSpec extends SparkSuite {
     }
   }
 
+  test("q_entropy: exact fixed-point recomputation; bounds and flag " +
+      "non-vacuous") {
+    val got = TextAnalysis.entropy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+    // Spark's round(double, 0): HALF_UP over the decimal rendering
+    // (BigDecimal.valueOf), not Math.round's floor(x + .5).
+    def r0(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val want = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1).toSeq
+        val n = toks.length.toLong
+        val cs = toks.groupBy(identity).map(_._2.size.toLong).toSeq
+        val su = cs.map(c => r0(1e6 * c * math.log(c.toDouble) / n)).sum
+        val ent = r0(1e6 * math.log(n.toDouble)) - su
+        val vocab = cs.size.toLong
+        val lnv = r0(1e6 * math.log(vocab.toDouble))
+        val norm = if (vocab == 1) 0L else (2 * 1000000L * ent + lnv) /
+          (2 * lnv)
+        (r.getLong(0), (n, vocab, ent, norm,
+          if (norm < TextAnalysis.LowEntPpm) 1L else 0L))
+      }.sortBy(_._1).toSeq
+    assert(got.toSeq === want)
+    // Entropy bounds under the fixed-point scheme: H ∈ [0, ln vocab]
+    // up to sub-unat rounding, and both flag classes are populated
+    // (the signal separates docs at this corpus).
+    got.foreach { case (id, (_, vocab, ent, norm, _)) =>
+      assert(ent >= 0L, s"doc $id: negative entropy $ent")
+      assert(norm <= 1000001L, s"doc $id: norm $norm above max")
+      assert(vocab > 1 || ent == 0L, s"doc $id: vocab=1 must be H=0")
+    }
+    assert(got.exists(_._2._5 == 1L), "no low-entropy doc flagged")
+    assert(got.exists(_._2._5 == 0L), "every doc flagged")
+  }
+
   test("q_redundancy: exact driver-side recomputation of the " +
       "duplicate-ngram ladder") {
     val got = TextAnalysis.redundancy(spark, sfDir).collect()
