@@ -142,8 +142,8 @@ object Curation extends graft.QueryGroup {
       .orderBy(col("source").asc, col("shard").asc, col("bin").asc)
   }
 
-  private val ContamTestDocs = 10
-  private val ContamMinShared = 2
+  private[graft] val ContamTestDocs = 10
+  private[graft] val ContamMinShared = 2
 
   /** Benchmark-contamination scan: corpus docs sharing ≥ 2 distinct
     * word-trigram shingles with any doc of the "benchmark" set

@@ -761,6 +761,64 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("qid").asc, col("rnk").asc)
   }
 
+  /** q_stream_contamination — CONTINUOUS benchmark-leak guard, the
+    * streaming face of [[graft.operators.Curation.contamination]]:
+    * every arriving corpus document is scored against the standing
+    * benchmark (eval-suite) shingle sets AT INGEST, so a
+    * contaminated doc is flagged before it ever lands in a training
+    * shard. The benchmark side is folded batch-side into ONE
+    * broadcast row — an array of (test_id, shingle→count map) — and
+    * each stream row computes its shared-shingle count per test doc
+    * with a single `aggregate` fold over its own shingle array
+    * (Σ_g cnt_test(g) over the doc's shingle occurrences — exactly
+    * the batch row's occurrence-pair count, so the two share one
+    * oracle). Map-only and STATELESS: no watermark, no state store,
+    * no aggregation — any micro-batch split appends the same flagged
+    * rows, which is what makes stream ≡ batch exact by construction.
+    *
+    * Scale: eval suites are small by nature (the batch row's Bloom
+    * tier bounds the broadcast at real suite sizes); the stream
+    * side's per-row work is |doc shingles| × |tests| map lookups,
+    * corpus-scan-free and embarrassingly parallel. */
+  def streamContamination(s: SparkSession, dir: String): DataFrame =
+    streamContaminationOver(s, documentsStream(s, dir),
+      Tables.documents(s, dir), "graft_stream_contam")
+
+  /** `in`: any stream with the documents schema; `benchmark`: any
+    * (doc_id, text) relation whose doc_id < ContamTestDocs rows are
+    * the eval set (replay harness injection point). */
+  private[graft] def streamContaminationOver(s: SparkSession,
+      in: DataFrame, benchmark: DataFrame, sink: String): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    import graft.operators.Curation.{ContamTestDocs, ContamMinShared}
+    val tests = benchmark.where(col("doc_id") < ContamTestDocs)
+      .select(col("doc_id").as("test_id"),
+        explode(wordShingles(col("text"), 3)).as("sng"))
+      .groupBy(col("test_id"), col("sng")).agg(count(lit(1)).as("c"))
+      .groupBy(col("test_id"))
+      .agg(map_from_entries(collect_list(struct(col("sng"), col("c"))))
+        .as("m"))
+      .agg(collect_list(struct(col("test_id"), col("m"))).as("tests"))
+      .withColumn("one", lit(1))
+    val flagged = in.where(col("doc_id") >= ContamTestDocs)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sngs"))
+      .withColumn("one", lit(1))
+      // The one-row constant-key broadcast join (the streamAnnOver
+      // trick): stream-static, stateless, map-only.
+      .join(broadcast(tests), "one")
+      .select(col("doc_id"), col("sngs"), explode(col("tests")).as("t"))
+      .select(col("doc_id"), col("t.test_id").as("test_id"),
+        expr("""aggregate(sngs, CAST(0 AS BIGINT),
+                (acc, g) -> acc + coalesce(element_at(t.m, g),
+                                           CAST(0 AS BIGINT)))""")
+          .as("n_shared"))
+      .where(col("n_shared") >= ContamMinShared)
+    runToCompletion(flagged, sink, "append")
+    s.table(sink)
+      .orderBy(col("n_shared").desc, col("doc_id").asc,
+        col("test_id").asc)
+  }
+
   /** Streaming as-of state/rows. `matched_us = -1` encodes "no prior
     * purchase yet"; matches only ever improve (matched_us is
     * monotonically non-decreasing per click), which is what makes
@@ -1033,6 +1091,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_forget" -> ((s, d) => streamForget(s, d)),
     "q_stream_join" -> ((s, d) => streamJoin(s, d)),
     "q_stream_ann" -> ((s, d) => streamAnn(s, d)),
+    "q_stream_contamination" -> ((s, d) => streamContamination(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1040,6 +1099,10 @@ object Streaming extends graft.QueryGroup {
     // same oracle (Relational group).
     "q_stream_funnel" ->
       graft.operators.Relational.oracles("q_event_funnel"),
+    // The at-ingest contamination guard must flag exactly what the
+    // batch scan flags — same oracle (Curation group).
+    "q_stream_contamination" ->
+      graft.operators.Curation.oracles("q_contamination"),
     // The watermark-pruned production resolvers must produce exactly
     // what their keep-all twins produce (the gate input's disorder is
     // within the horizon), i.e. the same batch oracles.

@@ -92,6 +92,35 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("at-ingest contamination guard stays exact under multi-batch " +
+      "document replay, and equals the batch scan") {
+    // Corpus docs arriving across three interleaved micro-batches
+    // must flag exactly what the one-shot BATCH contamination scan
+    // flags — the stream side is stateless and map-only, so the
+    // equality must hold under any split by construction; this pins
+    // it against the strongest available reference (the batch
+    // operator itself, Bloom tier and all).
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_split_contam").toString
+    tmpDirs += tmp
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until 3).foreach { i =>
+      d.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val got = Streaming.streamContaminationOver(spark, stream,
+      Tables.documents(spark, sfDir), "graft_split_contam")
+      .collect().toSeq
+    val want = graft.operators.Curation.contamination(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("online ANN serving stays exact under multi-batch query replay") {
     // Queries arriving across three micro-batches (interleaved by
     // vec_id mod 3, so every batch holds queries from the whole id
