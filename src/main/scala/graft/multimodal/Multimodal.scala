@@ -32,8 +32,12 @@ object Multimodal extends graft.QueryGroup {
   val ChunkBytes = 256 // = 512 hex chars
 
   private def payloads(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
+    payloadsOver(Tables.documents(s, dir))
+
+  /** The binary-payload projection over ANY documents-shaped relation
+    * (the streaming twin feeds a stream through it). */
+  private[graft] def payloadsOver(in: DataFrame): DataFrame =
+    in.select(col("doc_id"), col("source"),
         col("text").cast("binary").as("payload"))
       .withColumn("hx", upper(hex(col("payload"))))
 
@@ -41,8 +45,14 @@ object Multimodal extends graft.QueryGroup {
     * bytes, format sniff (deterministic magic-number table — the
     * "decode" analog that needs no codec). */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
-    payloads(s, dir)
-      .select(col("doc_id"), col("source"),
+    metaProjection(payloads(s, dir))
+      .orderBy(col("doc_id").asc)
+
+  /** The metadata projection alone (no output sort) — shared by the
+    * batch row and its streaming twin so the extraction cannot drift
+    * between them. Map-only. */
+  private[graft] def metaProjection(p: DataFrame): DataFrame =
+    p.select(col("doc_id"), col("source"),
         (length(col("hx")) / 2).cast("long").as("n_bytes"),
         md5(col("hx")).as("content_md5"),
         substring(col("hx"), 1, 4).as("magic"))
@@ -52,7 +62,6 @@ object Multimodal extends graft.QueryGroup {
           .when(col("magic") === "4749", "gif")
           .when(col("magic") === "4949" || col("magic") === "4D4D", "tiff")
           .otherwise("raw"))
-      .orderBy(col("doc_id").asc)
 
   /** Fixed-size chunking with per-chunk hashes — the frame-sample /
     * shard-for-decode shape: payload → ceil(n/256)-byte chunks, each

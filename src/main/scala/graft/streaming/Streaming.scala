@@ -761,6 +761,24 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("qid").asc, col("rnk").asc)
   }
 
+  /** q_stream_multimodal — media-METADATA extraction at ingest, the
+    * streaming face of [[graft.multimodal.Multimodal.multimodalMeta]]
+    * (binary payloads arrive continuously; their typed metadata —
+    * byte length, content hash, magic-number format sniff — is
+    * extracted before the payloads land in storage, so routing /
+    * dedup / quota decisions never need a second pass over the
+    * bytes). Shares the batch row's projection
+    * ([[graft.multimodal.Multimodal.metaProjection]]) so the
+    * extraction cannot drift between them; map-only and stateless,
+    * so any micro-batch split appends the same rows and the sink
+    * equals the batch query exactly (same oracle). */
+  def streamMultimodal(s: SparkSession, dir: String): DataFrame = {
+    val meta = graft.multimodal.Multimodal.metaProjection(
+      graft.multimodal.Multimodal.payloadsOver(documentsStream(s, dir)))
+    runToCompletion(meta, "graft_stream_mm", "append")
+    s.table("graft_stream_mm").orderBy(col("doc_id").asc)
+  }
+
   /** q_stream_contamination — CONTINUOUS benchmark-leak guard, the
     * streaming face of [[graft.operators.Curation.contamination]]:
     * every arriving corpus document is scored against the standing
@@ -1092,6 +1110,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_join" -> ((s, d) => streamJoin(s, d)),
     "q_stream_ann" -> ((s, d) => streamAnn(s, d)),
     "q_stream_contamination" -> ((s, d) => streamContamination(s, d)),
+    "q_stream_multimodal" -> ((s, d) => streamMultimodal(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1103,6 +1122,10 @@ object Streaming extends graft.QueryGroup {
     // batch scan flags — same oracle (Curation group).
     "q_stream_contamination" ->
       graft.operators.Curation.oracles("q_contamination"),
+    // Metadata-at-ingest must equal the batch extraction — same
+    // oracle (Multimodal group).
+    "q_stream_multimodal" ->
+      graft.multimodal.Multimodal.oracles("q_multimodal_meta"),
     // The watermark-pruned production resolvers must produce exactly
     // what their keep-all twins produce (the gate input's disorder is
     // within the horizon), i.e. the same batch oracles.

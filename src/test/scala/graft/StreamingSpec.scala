@@ -47,6 +47,16 @@ class StreamingSpec extends SparkSuite
     assert(streamRows === batchRows)
   }
 
+  test("q_stream_multimodal (stateless map-only stream) == batch " +
+      "media metadata") {
+    val streamRows = Streaming.streamMultimodal(spark, sfDir)
+      .collect().toSeq
+    val batchRows = graft.multimodal.Multimodal
+      .multimodalMeta(spark, sfDir).collect().toSeq
+    assert(streamRows.nonEmpty)
+    assert(streamRows === batchRows)
+  }
+
   /** Write the events table as three interleaved slices (event_id mod
     * 3) in separate files, then stream them one file per micro-batch:
     * every batch carries events from the WHOLE time range, so state
