@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -108,6 +108,32 @@ object TokenKernelsUtil {
       i += 1
     }
     java.lang.Long.valueOf(acc)
+  }
+
+  /** Occurrence-weighted intersection of a SORTED long-hash array
+    * (duplicates allowed) against one test's postings — `keys` sorted
+    * distinct, `cnts` aligned: Σ over doc elements that match a key
+    * of that key's count. Semantics of the map-lookup fold
+    * `aggregate(sngs, 0L, (acc, g) -> acc + coalesce(m[g], 0L))`
+    * in [[graft.streaming.Streaming.streamContaminationOver]], but
+    * one O(n+m) two-pointer merge over longs where `element_at` on a
+    * Catalyst map is a linear key scan PER ELEMENT (O(n·m) string
+    * compares — measured 6 s of the suite's sf0.1 marginal). */
+  def sortedPairCount(doc: ArrayData, keys: ArrayData,
+      cnts: ArrayData): Long = {
+    val n = doc.numElements()
+    val m = keys.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < n && j < m) {
+      val d = doc.getLong(i)
+      val k = keys.getLong(j)
+      if (d < k) i += 1
+      else if (d > k) j += 1
+      else { acc += cnts.getLong(j); i += 1 } // doc dups re-hit key j
+    }
+    acc
   }
 
 }
@@ -227,5 +253,47 @@ case class SpanHashes(child: Expression, w: Int)
 object SpanHashes {
   def apply(text: Column, w: Int): Column =
     GraftBridge.column(SpanHashes(GraftBridge.expression(text), w))
+}
+
+/** Native sorted-merge pair count: `sorted_pair_count(doc, keys,
+  * cnts)` — the per-(doc, test) shared-shingle-occurrence kernel of
+  * the streaming contamination guard. All three inputs are
+  * array<bigint>; `doc` sorted ascending (dups allowed), `keys`
+  * sorted distinct with `cnts` aligned. Value-identical to the
+  * map-lookup fold it replaces (TokenKernelsSpec). */
+case class SortedPairCount(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(first, second, third).map(_.dataType).zipWithIndex.collectFirst {
+      case (other, i) if !other.isInstanceOf[ArrayType] ||
+          other.asInstanceOf[ArrayType].elementType != LongType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName argument ${i + 1} expects array<bigint>, " +
+            s"got ${other.catalogString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(doc: Any, keys: Any, cnts: Any): Any =
+    TokenKernelsUtil.sortedPairCount(doc.asInstanceOf[ArrayData],
+      keys.asInstanceOf[ArrayData], cnts.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (d, k, c) =>
+      s"graft.plans.TokenKernelsUtil.sortedPairCount($d, $k, $c)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SortedPairCount =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def prettyName: String = "sorted_pair_count"
+}
+
+object SortedPairCount {
+  def apply(doc: Column, keys: Column, cnts: Column): Column =
+    GraftBridge.column(SortedPairCount(GraftBridge.expression(doc),
+      GraftBridge.expression(keys), GraftBridge.expression(cnts)))
 }
 

@@ -785,18 +785,23 @@ object Streaming extends graft.QueryGroup {
     * benchmark (eval-suite) shingle sets AT INGEST, so a
     * contaminated doc is flagged before it ever lands in a training
     * shard. The benchmark side is folded batch-side into ONE
-    * broadcast row — an array of (test_id, shingle→count map) — and
-    * each stream row computes its shared-shingle count per test doc
-    * with a single `aggregate` fold over its own shingle array
-    * (Σ_g cnt_test(g) over the doc's shingle occurrences — exactly
-    * the batch row's occurrence-pair count, so the two share one
-    * oracle). Map-only and STATELESS: no watermark, no state store,
-    * no aggregation — any micro-batch split appends the same flagged
-    * rows, which is what makes stream ≡ batch exact by construction.
+    * broadcast row — an array of (test_id, sorted shingle-hash keys,
+    * aligned occurrence counts) — and each stream row xxhash64-hashes
+    * and sorts its own shingles once, then counts shared occurrences
+    * per test with the [[graft.plans.SortedPairCount]] two-pointer
+    * kernel (Σ_g cnt_test(g) over the doc's shingle occurrences —
+    * exactly the batch row's occurrence-pair count, so the two share
+    * one oracle; the r8 map-lookup fold paid a linear `element_at`
+    * key scan per shingle — O(|sngs|·|test|) string compares per
+    * pair, 6 s of suite marginal at sf0.1 — where the merge is
+    * O(|sngs|+|test|) over longs). Map-only and STATELESS: no
+    * watermark, no state store, no aggregation — any micro-batch
+    * split appends the same flagged rows, which is what makes
+    * stream ≡ batch exact by construction.
     *
     * Scale: eval suites are small by nature (the batch row's Bloom
     * tier bounds the broadcast at real suite sizes); the stream
-    * side's per-row work is |doc shingles| × |tests| map lookups,
+    * side's per-row work is |doc shingles| × |tests| long merges,
     * corpus-scan-free and embarrassingly parallel. */
   def streamContamination(s: SparkSession, dir: String): DataFrame =
     streamContaminationOver(s, documentsStream(s, dir),
@@ -812,25 +817,38 @@ object Streaming extends graft.QueryGroup {
     val tests = benchmark.where(col("doc_id") < ContamTestDocs)
       .select(col("doc_id").as("test_id"),
         explode(wordShingles(col("text"), 3)).as("sng"))
-      .groupBy(col("test_id"), col("sng")).agg(count(lit(1)).as("c"))
+      .groupBy(col("test_id"), xxhash64(col("sng")).as("h"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("test_id"))
-      .agg(map_from_entries(collect_list(struct(col("sng"), col("c"))))
-        .as("m"))
-      .agg(collect_list(struct(col("test_id"), col("m"))).as("tests"))
+      // sort_array over struct(h, c) orders by h (distinct within a
+      // test), giving the kernel its sorted keys + aligned counts.
+      .agg(sort_array(collect_list(struct(col("h"), col("c"))))
+        .as("e"))
+      .select(col("test_id"), col("e.h").as("keys"),
+        col("e.c").as("cnts"))
+      .agg(collect_list(struct(col("test_id"), col("keys"),
+        col("cnts"))).as("tests"))
       .withColumn("one", lit(1))
     val flagged = in.where(col("doc_id") >= ContamTestDocs)
-      .select(col("doc_id"), wordShingles(col("text"), 3).as("sngs"))
+      .select(col("doc_id"),
+        sort_array(transform(wordShingles(col("text"), 3),
+          g => xxhash64(g))).as("sngs"))
       .withColumn("one", lit(1))
       // The one-row constant-key broadcast join (the streamAnnOver
-      // trick): stream-static, stateless, map-only.
+      // trick): stream-static, stateless, map-only. The per-test
+      // counts fold INSIDE one transform over the tests array —
+      // exploding tests first would copy the doc's hash array into
+      // every (doc, test) output row (the q_multimodal_pipeline
+      // lesson); here only the ≥ threshold survivors explode.
       .join(broadcast(tests), "one")
-      .select(col("doc_id"), col("sngs"), explode(col("tests")).as("t"))
-      .select(col("doc_id"), col("t.test_id").as("test_id"),
-        expr("""aggregate(sngs, CAST(0 AS BIGINT),
-                (acc, g) -> acc + coalesce(element_at(t.m, g),
-                                           CAST(0 AS BIGINT)))""")
-          .as("n_shared"))
-      .where(col("n_shared") >= ContamMinShared)
+      .select(col("doc_id"), explode(filter(
+        transform(col("tests"), t => struct(
+          t.getField("test_id").as("test_id"),
+          graft.plans.SortedPairCount(col("sngs"), t.getField("keys"),
+            t.getField("cnts")).as("n_shared"))),
+        r => r.getField("n_shared") >= ContamMinShared)).as("r"))
+      .select(col("doc_id"), col("r.test_id").as("test_id"),
+        col("r.n_shared").as("n_shared"))
     runToCompletion(flagged, sink, "append")
     s.table(sink)
       .orderBy(col("n_shared").desc, col("doc_id").asc,

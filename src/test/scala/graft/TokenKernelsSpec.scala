@@ -124,6 +124,68 @@ class TokenKernelsSpec extends SparkSuite {
     }
   }
 
+  test("native sortedPairCount == map-lookup fold on the real corpus " +
+      "shingle pairs, codegen and interpreted") {
+    import graft.functions.TextFunctions.wordShingles
+    // Doc side: sorted xxhash64 shingles (dups kept). Test side: the
+    // map the r8 fold used, PLUS the kernel's sorted keys + counts —
+    // both derived from the same shingle stream.
+    val sh = docs.limit(40)
+      .select(col("doc_id"),
+        explode(wordShingles(col("text"), 3)).as("sng"))
+      .groupBy(col("doc_id"), xxhash64(col("sng")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val tests = sh.where(col("doc_id") < 5)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("h"), col("c"))))
+        .as("m"),
+        sort_array(collect_list(struct(col("h"), col("c")))).as("e"))
+      .select(col("doc_id").as("test_id"), col("m"),
+        col("e.h").as("keys"), col("e.c").as("cnts"))
+    def run() = docs.limit(40).where(col("doc_id") >= 5)
+      .select(col("doc_id"),
+        sort_array(transform(wordShingles(col("text"), 3),
+          g => xxhash64(g))).as("sngs"))
+      .crossJoin(broadcast(tests))
+      .select(col("doc_id"), col("test_id"),
+        graft.plans.SortedPairCount(col("sngs"), col("keys"),
+          col("cnts")).as("nat"),
+        expr("""aggregate(sngs, CAST(0 AS BIGINT),
+              (acc, g) -> acc + coalesce(element_at(m, g),
+                                         CAST(0 AS BIGINT)))""")
+          .as("ref"))
+      .collect()
+    for (rows <- Seq(run(), withCodegenOff(run()))) {
+      assert(rows.nonEmpty)
+      assert(rows.exists(_.getLong(2) > 0L),
+        "fixture must exercise at least one non-empty intersection")
+      for (r <- rows)
+        assert(r.getLong(2) == r.getLong(3),
+          s"pair-count drift for (${r.getLong(0)}, ${r.getLong(1)}): " +
+            s"${r.getLong(2)} vs ${r.getLong(3)}")
+    }
+  }
+
+  test("sortedPairCount edge cases: empty sides, dup doc hashes, " +
+      "disjoint and superset keys") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq.empty[Long], Seq(1L, 5L), Seq(2L, 3L), 0L),
+      (2L, Seq(1L, 1L, 5L), Seq.empty[Long], Seq.empty[Long], 0L),
+      (3L, Seq(1L, 1L, 5L), Seq(1L, 5L), Seq(2L, 3L), 7L),
+      (4L, Seq(2L, 3L, 4L), Seq(1L, 5L), Seq(2L, 3L), 0L),
+      (5L, Seq(3L), Seq(1L, 2L, 3L, 4L), Seq(1L, 1L, 9L, 1L), 9L),
+      (6L, Seq(-5L, -5L, 0L, 2L), Seq(-5L, 2L), Seq(4L, 1L), 9L))
+      .toDF("id", "doc", "keys", "cnts", "want")
+      .select(col("id"), col("want"),
+        graft.plans.SortedPairCount(col("doc"), col("keys"),
+          col("cnts")).as("got"))
+      .collect()
+    for (r <- rows)
+      assert(r.getLong(2) == r.getLong(1),
+        s"case ${r.getLong(0)}: got ${r.getLong(2)} want ${r.getLong(1)}")
+  }
+
   test("token kernels stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
