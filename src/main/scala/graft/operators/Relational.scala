@@ -194,6 +194,37 @@ object Relational extends graft.QueryGroup {
         round((fixedSum(col("value")).cast("double") / 1e6), 6).as("sum_value"))
       .orderBy(col("bucket").asc, col("event_type").asc)
 
+  /** Telemetry spike detection over the event stream — the
+    * operational-monitoring face of the hourly rollup: flag every
+    * (event_type, hour) bucket whose count exceeds its type's mean by
+    * more than 3 standard deviations, entirely in INTEGER arithmetic
+    * so both engines agree exactly: with n buckets, S = Σc,
+    * SS = Σc², the test `c > μ + 3σ` is
+    * `(c·n − S)² > 9·(n·SS − S²)` and `c·n > S` — no floating-point
+    * mean/stddev anywhere (counts ≤ ~10⁴ per bucket keep every term
+    * far inside BIGINT; the oracle casts DuckDB's HUGEINT sums down).
+    *
+    * Scale: the only corpus-sized operation is the first
+    * (type, hour) count — one shuffle with map-side partial
+    * aggregation; the per-type moments reduce the bucket table
+    * (|types| × |hours|, ~thousands of rows at any corpus size) and
+    * join back as a BROADCAST. At 100 TB/day of telemetry the bucket
+    * table is still tiny — the stats side never shuffles the data. */
+  def anomalyHours(s: SparkSession, dir: String): DataFrame = {
+    val buckets = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val stats = buckets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    buckets.join(broadcast(stats), "event_type")
+      .where(col("c") * col("n") > col("s") &&
+        (col("c") * col("n") - col("s")) * (col("c") * col("n") - col("s")) >
+          lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("event_type"), col("bucket"), col("c").as("n_events"))
+      .orderBy(col("bucket").asc, col("event_type").asc)
+  }
+
   /** Gap-based sessionization: a session breaks after >30 min of user
     * inactivity. lag → new-session flag → running session index →
     * per-session rollup. Two narrow windows on user_id. */
@@ -611,6 +642,7 @@ object Relational extends graft.QueryGroup {
     "q_window_running" -> ((s, d) => windowRunning(s, d)),
     "q_semi_anti" -> ((s, d) => semiAnti(s, d)),
     "q_events_bucket" -> ((s, d) => eventsBucket(s, d)),
+    "q_anomaly" -> ((s, d) => anomalyHours(s, d)),
     "q_sessionize" -> ((s, d) => sessionize(s, d)),
     "q_event_funnel" -> ((s, d) => eventFunnel(s, d)),
     "q_retention" -> ((s, d) => retention(s, d)),
@@ -830,6 +862,19 @@ object Relational extends graft.QueryGroup {
         |  GROUP BY c_mktsegment)
         |SELECT * FROM s_semi UNION ALL SELECT * FROM s_anti
         |ORDER BY tag ASC, c_mktsegment ASC""".stripMargin,
+    "q_anomaly" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(c) AS BIGINT) AS s,
+        |              CAST(sum(c * c) AS BIGINT) AS ss
+        |       FROM b GROUP BY 1)
+        |SELECT event_type, bucket, c AS n_events
+        |FROM b JOIN st USING (event_type)
+        |WHERE c * n > s
+        |  AND (c * n - s) * (c * n - s) > 9 * (n * ss - s * s)
+        |ORDER BY bucket ASC, event_type ASC""".stripMargin,
     "q_events_bucket" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         |       count(*) AS n,

@@ -86,11 +86,40 @@ class EventsSpec extends SparkSuite {
     }
   }
 
+  test("q_anomaly: integer 3-sigma rule == float z-score recomputation; " +
+      "every flagged bucket is above its type's mean") {
+    val got = Relational.anomalyHours(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    // Driver-side float recomputation: per-type population stddev over
+    // hourly counts; flag c > mu + 3*sigma. The integer form must
+    // select the exact same set (counts are small enough that the
+    // float math is exact here; the integer form is what holds up at
+    // scale without rounding hazards).
+    val hourUs = 3600L * 1000000L
+    val buckets = raw.groupBy(t => (t._2, t._3 / hourUs * hourUs / 1000))
+      .map { case ((typ, hourMs), xs) => (typ, hourMs, xs.size.toLong) }
+      .toSeq
+    val want = buckets.groupBy(_._1).flatMap { case (_, bs) =>
+      val n = bs.size.toDouble
+      val mu = bs.map(_._3).sum / n
+      val sigma = math.sqrt(bs.map(b => (b._3 - mu) * (b._3 - mu)).sum / n)
+      bs.filter(b => b._3 > mu + 3 * sigma)
+    }.toSet
+    assert(got.nonEmpty, "fixture must flag at least one bucket")
+    assert(got.toSet === want,
+      s"integer rule drifted from float z-score: got ${got.toSet} want $want")
+    val means = buckets.groupBy(_._1).map { case (t, bs) =>
+      t -> bs.map(_._3).sum.toDouble / bs.size }
+    for ((typ, _, c) <- got)
+      assert(c > means(typ), s"flagged bucket at/below mean for $typ")
+  }
+
   test("event rows: plans stay equi-join + hash-agg (no cartesian), " +
       "props pruned from the scan") {
     for ((n, df) <- Seq(
         "funnel" -> Relational.eventFunnel(spark, sfDir),
-        "retention" -> Relational.retention(spark, sfDir))) {
+        "retention" -> Relational.retention(spark, sfDir),
+        "anomaly" -> Relational.anomalyHours(spark, sfDir))) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n: cartesian in plan:\n$p")
       assert(!p.contains("props"), s"$n: events.props must be pruned")
