@@ -749,6 +749,38 @@ object Curation extends graft.QueryGroup {
   }
 
   /** DSIR bucket count (hashed-unigram feature space size). */
+  /** Shared oracle derivation of the per-doc DSIR importance weight
+    * (the `d` relation) — q_dsir and q_dsir_sample read different
+    * projections of the same chain, so the two oracles cannot
+    * drift. */
+  private lazy val dsirOracleCte: String = {
+    val h = MinHash.hash60Sql("t")
+    s"""WITH tok AS (SELECT doc_id, source,
+       |                    unnest(str_split(text, ' ')) AS t
+       |             FROM documents),
+       |bk AS (SELECT doc_id, $h % $DsirBuckets AS b,
+       |              CASE WHEN source = '$SeedSource' THEN 1 ELSE 0 END
+       |                AS tgt
+       |       FROM tok),
+       |m AS (SELECT b, count(*) AS cc, CAST(sum(tgt) AS BIGINT) AS tc
+       |      FROM bk GROUP BY b),
+       |tots AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot,
+       |                CAST(sum(tc) AS BIGINT) AS ttot FROM m),
+       |r AS (SELECT b,
+       |             greatest(CAST(round(1e6 * (tc + 1) /
+       |                  (ttot + $DsirBuckets)) AS BIGINT), 1) AS pt,
+       |             greatest(CAST(round(1e6 * (cc + 1) /
+       |                  (ctot + $DsirBuckets)) AS BIGINT), 1) AS pc
+       |      FROM m, tots),
+       |sc AS (SELECT bk.doc_id,
+       |              CAST(round(1e6 * r.pt / r.pc) AS BIGINT) AS u
+       |       FROM bk JOIN r ON bk.b = r.b),
+       |d AS (SELECT doc_id, count(*) AS n_tokens,
+       |             CAST((2 * sum(u) + count(*)) // (2 * count(*))
+       |                  AS BIGINT) AS imp_ppm
+       |      FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
   private[graft] val DsirBuckets = 1024L
 
   /** Keep threshold for [[dsirWeights]] in micro-units: keep docs at
@@ -781,6 +813,25 @@ object Curation extends graft.QueryGroup {
     * vocab size — that is the point of the hash trick. */
   def dsirWeights(s: SparkSession, dir: String): DataFrame =
     dsirWeightsOver(Tables.documents(s, dir))
+
+  /** The importance-RESAMPLING step DSIR actually takes on top of
+    * the weights (q_dsir's `keep` is a hard threshold; resampling is
+    * what matches the target distribution in expectation): accept
+    * each doc with probability ∝ its importance weight via a
+    * deterministic hash-Bernoulli draw — keep iff
+    * `hash60('dsirs:' || doc_id) mod 1e6 < min(imp_ppm, 1e6)`
+    * (weights above 1e6 always keep). Deterministic per doc, so the
+    * sample is reproducible and shard-stable, and both engines draw
+    * the identical set. Scale: the weight derivation is q_dsir's
+    * (one token shuffle + broadcast bucket ratios); the draw itself
+    * is a map-only filter on the per-doc aggregate. */
+  def dsirSample(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsOver(Tables.documents(s, dir))
+      .where(pmod(MinHash.hash60(
+          concat(lit("dsirs:"), col("doc_id").cast("string"))),
+          lit(1000000L)) < least(col("imp_ppm"), lit(1000000L)))
+      .select(col("doc_id"), col("n_tokens"), col("imp_ppm"))
+      .orderBy(col("doc_id").asc)
 
   /** `in`: any (doc_id, source, text) relation (scale-smoke
     * injection point). */
@@ -906,6 +957,7 @@ object Curation extends graft.QueryGroup {
     "q_collocations" -> ((s, d) => collocations(s, d)),
     "q_sample_fixed" -> ((s, d) => sampleFixed(s, d)),
     "q_dsir" -> ((s, d) => dsirWeights(s, d)),
+    "q_dsir_sample" -> ((s, d) => dsirSample(s, d)),
     "q_pipeline" -> ((s, d) => pipeline(s, d)),
     "q_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "q_quality_hist" -> ((s, d) => qualityHistogram(s, d)),
@@ -1225,35 +1277,18 @@ object Curation extends graft.QueryGroup {
          |${(1 to BpeSteps).map(row).mkString("\nUNION ALL\n")}
          |ORDER BY step ASC""".stripMargin
     },
-    "q_dsir" -> {
-      val h = MinHash.hash60Sql("t")
-      s"""WITH tok AS (SELECT doc_id, source,
-         |                    unnest(str_split(text, ' ')) AS t
-         |             FROM documents),
-         |bk AS (SELECT doc_id, $h % $DsirBuckets AS b,
-         |              CASE WHEN source = '$SeedSource' THEN 1 ELSE 0 END
-         |                AS tgt
-         |       FROM tok),
-         |m AS (SELECT b, count(*) AS cc, CAST(sum(tgt) AS BIGINT) AS tc
-         |      FROM bk GROUP BY b),
-         |tots AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot,
-         |                CAST(sum(tc) AS BIGINT) AS ttot FROM m),
-         |r AS (SELECT b,
-         |             greatest(CAST(round(1e6 * (tc + 1) /
-         |                  (ttot + $DsirBuckets)) AS BIGINT), 1) AS pt,
-         |             greatest(CAST(round(1e6 * (cc + 1) /
-         |                  (ctot + $DsirBuckets)) AS BIGINT), 1) AS pc
-         |      FROM m, tots),
-         |sc AS (SELECT bk.doc_id,
-         |              CAST(round(1e6 * r.pt / r.pc) AS BIGINT) AS u
-         |       FROM bk JOIN r ON bk.b = r.b),
-         |d AS (SELECT doc_id, count(*) AS n_tokens,
-         |             CAST((2 * sum(u) + count(*)) // (2 * count(*))
-         |                  AS BIGINT) AS imp_ppm
-         |      FROM sc GROUP BY doc_id)
+    "q_dsir" ->
+      s"""$dsirOracleCte
          |SELECT doc_id, n_tokens, imp_ppm,
          |       CASE WHEN imp_ppm >= $DsirKeepPpm THEN 1 ELSE 0 END AS keep
-         |FROM d ORDER BY doc_id ASC""".stripMargin
+         |FROM d ORDER BY doc_id ASC""".stripMargin,
+    "q_dsir_sample" -> {
+      val draw = MinHash.hash60Sql("'dsirs:' || CAST(doc_id AS VARCHAR)")
+      s"""$dsirOracleCte
+         |SELECT doc_id, n_tokens, imp_ppm
+         |FROM d
+         |WHERE $draw % 1000000 < least(imp_ppm, 1000000)
+         |ORDER BY doc_id ASC""".stripMargin
     },
     "q_sample_stratified" -> {
       val h = MinHash.hash60Sql("'smp:' || CAST(doc_id AS VARCHAR)")

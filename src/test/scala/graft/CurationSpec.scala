@@ -494,6 +494,28 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("q_dsir_sample: the accepted set is exactly the hash-Bernoulli " +
+      "draw over q_dsir's weights; certain-keeps always kept") {
+    val weights = Curation.dsirWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Curation.dsirSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Driver-side recomputation of the draw from the weights row set:
+    // keep iff hash60("dsirs:"+id) mod 1e6 < min(imp_ppm, 1e6).
+    val want = weights.filter { case (id, _, w) =>
+      graft.functions.MinHash.hash60Local(s"dsirs:$id") % 1000000L <
+        math.min(w, 1000000L)
+    }
+    assert(got.nonEmpty && got.size < weights.size,
+      s"draw must be a proper subset: ${got.size} of ${weights.size}")
+    assert(got.toSet === want.toSet, "accepted set drifted from the draw")
+    // Weights >= 1e6 are certain keeps (importance resampling never
+    // drops a doc more target-like than the proposal).
+    val certain = weights.collect { case (id, _, w) if w >= 1000000L => id }
+    val kept = got.map(_._1).toSet
+    certain.foreach(id => assert(kept(id), s"certain-keep doc $id dropped"))
+  }
+
   test("dsir: 1M synth docs, zero storage") {
     // The scoring pass at a size where a shuffle-joined token stream
     // or an unbroadcast ratio table would dominate: every doc gets a
