@@ -132,6 +132,48 @@ object Lexical extends graft.QueryGroup {
       .orderBy(col("dist").asc, col("doc_id").asc)
       .limit(10)
 
+  /** Edit-distance ≤ 1 similarity SELF-JOIN via FastSS deletion
+    * neighborhoods — the corpus-vs-corpus version of the fuzzy tier
+    * (the reference's trigram tier matches ONE query against the
+    * corpus; entity resolution needs every near-identical pair, and
+    * the brute-force form is a quadratic cross join). Blocking rule:
+    * lev(a,b) ≤ 1 ⟹ a and b share an element of
+    * {s} ∪ del1(s) (equality shares the name itself; a substitution
+    * shares the deletion at the differing position; an insertion/
+    * deletion shares the shorter string) — so an equi-join on the
+    * variant recovers EVERY true pair, and the exact `levenshtein`
+    * verify on candidates discards the false ones (sharing a
+    * deletion only bounds the distance by 2, e.g. "ab"/"ba"):
+    * prefilter + verify, lossless, same contract as q_name_trigram —
+    * brute-force parity pinned in RerankLexicalSpec.
+    *
+    * Scale: |name|+1 variant rows per name, one equi-join on the
+    * variant string (star join per deletion bucket — candidate count
+    * is Σ bucket², never n²), one pair-distinct shuffle. A corpus
+    * with pathological hot blocks (millions of near-identical names)
+    * would cap or salt the variant buckets — the same hot-key lever
+    * as the dedup band joins; the verify step keeps any such cap
+    * from changing semantics silently. */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    def vars = Tables.customer(s, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      .select(col("id"), col("nm"),
+        explode(array_union(array(col("nm")),
+          transform(sequence(lit(1), length(col("nm"))),
+            i => concat(col("nm").substr(lit(1), i - 1),
+              col("nm").substr(i + 1, length(col("nm"))))))).as("v"))
+    vars.select(col("id").as("a_key"), col("nm").as("a_nm"), col("v"))
+      .join(vars.select(col("id").as("b_key"), col("nm").as("b_nm"),
+        col("v")), "v")
+      .where(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"), col("a_nm"), col("b_nm"))
+      .distinct()
+      .where(levenshtein(col("a_nm"), col("b_nm")) <= 1)
+      .select(col("a_key"), col("b_key"),
+        levenshtein(col("a_nm"), col("b_nm")).cast("long").as("dist"))
+      .orderBy(col("a_key").asc, col("b_key").asc)
+  }
+
   /** Array-containment metadata filter — the reference's GIN
     * `keywords @> ARRAY[...]` / colors containment (reference:
     * README.md "Direct SQL Queries", db/init.sql GIN indexes). The
@@ -199,6 +241,7 @@ object Lexical extends graft.QueryGroup {
     "q_name_tiered" -> ((s, d) => nameTiered(s, d)),
     "q_text_ilike" -> ((s, d) => textIlike(s, d)),
     "q_levenshtein" -> ((s, d) => nameLevenshtein(s, d)),
+    "q_fuzzy_join" -> ((s, d) => fuzzyJoin(s, d)),
     "q_meta_array_contains" -> ((s, d) => metaArrayContains(s, d)),
     "q_meta_range" -> ((s, d) => metaRange(s, d)),
   )
@@ -245,6 +288,25 @@ object Lexical extends graft.QueryGroup {
       s"""SELECT doc_id, lower(substr(text, 1, 24)) AS name,
          |       levenshtein(lower(substr(text, 1, 24)), '$trigramQuery') AS dist
          |FROM documents ORDER BY dist ASC, doc_id ASC LIMIT 10""".stripMargin,
+    // Same FastSS derivation: deletion-variant blocking + exact
+    // levenshtein verify (the quadratic cross join is the brute-force
+    // form both engines avoid; losslessness is spec-proven against it
+    // at sf0.001 scale in RerankLexicalSpec).
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+        |v AS (SELECT id, nm,
+        |             unnest(list_distinct(list_append(
+        |               [substr(nm, 1, i - 1) || substr(nm, i + 1)
+        |                for i in generate_series(1, length(nm))], nm)))
+        |               AS v
+        |      FROM n),
+        |p AS (SELECT DISTINCT a.id AS a_key, a.nm AS a_nm,
+        |                      b.id AS b_key, b.nm AS b_nm
+        |      FROM v a JOIN v b ON a.v = b.v AND a.id < b.id)
+        |SELECT a_key, b_key,
+        |       CAST(levenshtein(a_nm, b_nm) AS BIGINT) AS dist
+        |FROM p WHERE levenshtein(a_nm, b_nm) <= 1
+        |ORDER BY a_key ASC, b_key ASC""".stripMargin,
     "q_meta_array_contains" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE list_has_all(list_distinct(str_split(text, ' ')),

@@ -71,6 +71,37 @@ class RerankLexicalSpec extends SparkSuite {
     }
   }
 
+  test("q_fuzzy_join: FastSS blocking is lossless vs the brute-force " +
+      "quadratic scan; no self/duplicate pairs; plan has no cartesian") {
+    val names = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // Driver-side brute force: every unordered pair with lev <= 1.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && lev(na, nb) <= 1
+    } yield (ia, ib, lev(na, nb).toLong)).toSet
+    val got = Lexical.fuzzyJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "fixture must produce near-identical pairs")
+    assert(got.length === got.toSet.size, "duplicate pairs emitted")
+    got.foreach { case (a, b, _) => assert(a < b, s"unordered pair ($a,$b)") }
+    assert(got.toSet === want,
+      s"FastSS join diverged from brute force: got ${got.length} " +
+        s"want ${want.size}")
+    val p = Lexical.fuzzyJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
   test("trigram prefilter operating point at 1M names: selective query " +
       "prunes, stopword query measured honest, both lossless") {
     // The text twin of the ANN operating-point audits: 1M synthetic
