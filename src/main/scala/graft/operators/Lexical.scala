@@ -148,29 +148,37 @@ object Lexical extends graft.QueryGroup {
     * brute-force parity pinned in RerankLexicalSpec.
     *
     * Scale: |name|+1 variant rows per name, one equi-join on the
-    * variant string (star join per deletion bucket — candidate count
-    * is Σ bucket², never n²), one pair-distinct shuffle. A corpus
-    * with pathological hot blocks (millions of near-identical names)
+    * variant (star join per deletion bucket — candidate count is
+    * Σ bucket², never n²), one pair-distinct shuffle. Everything
+    * that crosses an exchange is LONGS: variants join on their
+    * xxhash64 (a collision only ADDS a candidate, which the verify
+    * kills — losslessness is untouched), the pair-distinct dedups
+    * (a_key, b_key) alone, and the names come back via two
+    * broadcast joins for the single verify pass. A corpus with
+    * pathological hot blocks (millions of near-identical names)
     * would cap or salt the variant buckets — the same hot-key lever
     * as the dedup band joins; the verify step keeps any such cap
     * from changing semantics silently. */
   def fuzzyJoin(s: SparkSession, dir: String): DataFrame = {
-    def vars = Tables.customer(s, dir)
+    def names = Tables.customer(s, dir)
       .select(col("c_custkey").as("id"), col("c_name").as("nm"))
-      .select(col("id"), col("nm"),
-        explode(array_union(array(col("nm")),
-          transform(sequence(lit(1), length(col("nm"))),
-            i => concat(col("nm").substr(lit(1), i - 1),
-              col("nm").substr(i + 1, length(col("nm"))))))).as("v"))
-    vars.select(col("id").as("a_key"), col("nm").as("a_nm"), col("v"))
-      .join(vars.select(col("id").as("b_key"), col("nm").as("b_nm"),
-        col("v")), "v")
+    def vars = names.select(col("id"),
+      explode(array_union(array(xxhash64(col("nm"))),
+        transform(sequence(lit(1), length(col("nm"))),
+          i => xxhash64(concat(col("nm").substr(lit(1), i - 1),
+            col("nm").substr(i + 1, length(col("nm")))))))).as("vh"))
+    vars.select(col("id").as("a_key"), col("vh"))
+      .join(vars.select(col("id").as("b_key"), col("vh")), "vh")
       .where(col("a_key") < col("b_key"))
-      .select(col("a_key"), col("b_key"), col("a_nm"), col("b_nm"))
+      .select(col("a_key"), col("b_key"))
       .distinct()
-      .where(levenshtein(col("a_nm"), col("b_nm")) <= 1)
+      .join(broadcast(names.select(col("id").as("a_key"),
+        col("nm").as("a_nm"))), "a_key")
+      .join(broadcast(names.select(col("id").as("b_key"),
+        col("nm").as("b_nm"))), "b_key")
       .select(col("a_key"), col("b_key"),
         levenshtein(col("a_nm"), col("b_nm")).cast("long").as("dist"))
+      .where(col("dist") <= 1)
       .orderBy(col("a_key").asc, col("b_key").asc)
   }
 
