@@ -86,7 +86,13 @@ object Dedup extends graft.QueryGroup {
     * member to its canonical winner — the pairs a dedup actually
     * consumes. Two narrow shuffles of (band_key, doc_id) rows. */
   private[graft] def bandCandidates(sig: DataFrame): DataFrame =
-    starCandidates(bandKeys(sig), "doc_id")
+    candidatesFromBands(bandKeys(sig))
+
+  /** Star candidates from ANY (doc_id, bk) band relation — shared by
+    * the batch signature path and the streaming at-ingest band sink
+    * (q_stream_neardup), so the candidate rule cannot drift. */
+  private[graft] def candidatesFromBands(bands: DataFrame): DataFrame =
+    starCandidates(bands, "doc_id")
       .select(col("rep").as("did_a"), col("doc_id").as("did_b"))
       .distinct()
 
@@ -119,7 +125,7 @@ object Dedup extends graft.QueryGroup {
 
   /** (doc_id, bk) band-key relation from a MinHash signature: band b's
     * key concatenates its two minhash rows. */
-  private def bandKeys(sig: DataFrame): DataFrame = {
+  private[graft] def bandKeys(sig: DataFrame): DataFrame = {
     val keys = (0 until NumBands).map(b =>
       concat_ws(":", lit(b), col(s"h${2 * b}"), col(s"h${2 * b + 1}")))
     sig.select(col("doc_id"), explode(array(keys: _*)).as("bk"))
@@ -156,7 +162,7 @@ object Dedup extends graft.QueryGroup {
         Seq("did_b"))
 
   /** Candidates → exact Jaccard on per-doc feature sets → top-N. */
-  private def jaccardVerify(cand: DataFrame, sets: DataFrame,
+  private[graft] def jaccardVerify(cand: DataFrame, sets: DataFrame,
       topN: Int): DataFrame =
     withSets(cand, sets)
       .select(col("did_a"), col("did_b"),

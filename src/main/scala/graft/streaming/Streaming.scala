@@ -855,6 +855,60 @@ object Streaming extends graft.QueryGroup {
         col("test_id").asc)
   }
 
+  /** q_stream_neardup — CONTINUOUS near-dup index maintenance, the
+    * streaming face of [[graft.operators.Dedup.minhashLsh]]: every
+    * arriving document computes its MinHash band keys AT INGEST —
+    * the md5-per-token signature pass that dominates the batch
+    * build — and appends them to the standing band table; the pair
+    * derivation (bucket-star candidates + exact Jaccard verify)
+    * serves from that table batch-side, exactly the stored
+    * text-index contract (q_stream_index) applied to the dedup
+    * tier. The per-row signature is the same xor-min over the same
+    * hashed token set the batch groupBy computes (min over a doc's
+    * feature rows ≡ `array_min` over its feature array; empty token
+    * sets drop out on both paths), so sink ≡ batch signature
+    * relation and the row shares q_dedup_minhash's oracle verbatim.
+    * Map-only and STATELESS: no watermark, no state store — any
+    * micro-batch split appends the same band rows.
+    *
+    * Scale: banding cost is paid once per document at ingest and
+    * never re-paid by maintenance (the batch rebuild re-hashes the
+    * whole corpus); the standing (doc_id, bk) table is the exact
+    * relation the batch build shuffles, so candidates stay
+    * star-bounded. */
+  def streamNeardup(s: SparkSession, dir: String): DataFrame =
+    streamNeardupOver(s, documentsStream(s, dir),
+      Tables.documents(s, dir), "graft_stream_neardup")
+
+  /** `in`: any stream with the documents schema; `corpus`: the
+    * batch relation the verify stage hydrates feature sets from
+    * (replay harness injection point). */
+  private[graft] def streamNeardupOver(s: SparkSession, in: DataFrame,
+      corpus: DataFrame, sink: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenSet
+    import graft.operators.Dedup
+    val seeds = graft.functions.MinHash.seeds
+    val sigCols = seeds.zipWithIndex.map { case (sd, i) =>
+      array_min(transform(col("fs"), f => f.bitwiseXOR(lit(sd))))
+        .as(s"h$i")
+    }
+    val banded = Dedup.bandKeys(in
+      .select(col("doc_id"),
+        transform(tokenSet(col("text")),
+          f => graft.functions.MinHash.hash60(f)).as("fs"))
+      .where(size(col("fs")) > 0)
+      .select(col("doc_id") +: sigCols: _*))
+    runToCompletion(banded, sink, "append")
+    // The candidate derivation self-joins the band table; a memory
+    // sink's view re-resolves to IDENTICAL attribute ids on both
+    // sides and Catalyst cannot dedup a MemoryPlan — cut lineage
+    // once so the standing table joins like any stored relation.
+    Dedup.jaccardVerify(
+      Dedup.candidatesFromBands(graft.Checkpoints.cut(s.table(sink))),
+      corpus.select(col("doc_id"), tokenSet(col("text")).as("fs")),
+      topN = 20)
+  }
+
   /** Streaming as-of state/rows. `matched_us = -1` encodes "no prior
     * purchase yet"; matches only ever improve (matched_us is
     * monotonically non-decreasing per click), which is what makes
@@ -1128,6 +1182,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_join" -> ((s, d) => streamJoin(s, d)),
     "q_stream_ann" -> ((s, d) => streamAnn(s, d)),
     "q_stream_contamination" -> ((s, d) => streamContamination(s, d)),
+    "q_stream_neardup" -> ((s, d) => streamNeardup(s, d)),
     "q_stream_multimodal" -> ((s, d) => streamMultimodal(s, d)),
   )
 
@@ -1140,6 +1195,10 @@ object Streaming extends graft.QueryGroup {
     // batch scan flags — same oracle (Curation group).
     "q_stream_contamination" ->
       graft.operators.Curation.oracles("q_contamination"),
+    // The at-ingest band build must serve exactly the batch LSH
+    // pairs — same oracle (Dedup group).
+    "q_stream_neardup" ->
+      graft.operators.Dedup.oracles("q_dedup_minhash"),
     // Metadata-at-ingest must equal the batch extraction — same
     // oracle (Multimodal group).
     "q_stream_multimodal" ->

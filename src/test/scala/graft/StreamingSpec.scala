@@ -131,6 +131,33 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("at-ingest near-dup banding stays exact under multi-batch " +
+      "document replay, and equals the batch LSH pairs") {
+    // Docs arriving across three interleaved micro-batches must
+    // append exactly the band relation the batch signature build
+    // produces (per-row xor-min sig == groupBy xor-min sig), so the
+    // served pairs equal the one-shot batch MinHash-LSH row.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_split_ndup").toString
+    tmpDirs += tmp
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until 3).foreach { i =>
+      d.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val got = Streaming.streamNeardupOver(spark, stream,
+      Tables.documents(spark, sfDir), "graft_split_ndup")
+      .collect().toSeq
+    val want = graft.operators.Dedup.minhashLsh(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("online ANN serving stays exact under multi-batch query replay") {
     // Queries arriving across three micro-batches (interleaved by
     // vec_id mod 3, so every batch holds queries from the whole id
