@@ -748,6 +748,54 @@ object Curation extends graft.QueryGroup {
       .limit(k)
   }
 
+  /** Skip-gram context window (word2vec's default shape, trimmed to
+    * the corpus: ±2 positions). */
+  private[graft] val SkipgramWindow = 2
+  private val SkipgramK = 50
+
+  /** (center, context, cnt) skip-gram pair counts — the FULL grouped
+    * relation [[skipgrams]] cuts. Pair enumeration is a map-only zip
+    * over each doc's token array (one "c>x" string per (position,
+    * offset, direction) — the exact multiset word2vec trains on);
+    * the only exchange is the map-side-combined pair-count agg. */
+  private[graft] def skipgramCounts(s: SparkSession, dir: String): DataFrame = {
+    val t = col("ts")
+    def zw(d: Int, swap: Boolean) = {
+      val a = slice(t, lit(1), greatest(size(t) - d, lit(0)))
+      val b = slice(t, lit(d + 1), greatest(size(t) - d, lit(0)))
+      val (l, r) = if (swap) (b, a) else (a, b)
+      zip_with(l, r, (x, y) => concat(x, lit(">"), y))
+    }
+    val arrs = (1 to SkipgramWindow).flatMap(d => Seq(zw(d, false), zw(d, true)))
+    Tables.documents(s, dir)
+      .select(tokens(col("text")).as("ts"))
+      .select(explode(concat(arrs: _*)).as("p"))
+      .select(substring_index(col("p"), ">", 1).as("center"),
+        substring_index(col("p"), ">", -1).as("context"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** SKIP-GRAM extraction — the (center, context) training-pair
+    * multiset an embedding run consumes (word2vec/GloVe co-occurrence
+    * gathering): every position pairs with its neighbors at offsets
+    * ±1..±[[SkipgramWindow]], counted exactly; top-[[SkipgramK]] by
+    * support. Distinct from q_collocations (adjacent-pair PMI
+    * STATISTIC): this row materializes the raw windowed pair counts
+    * an embedding trainer or co-occurrence-matrix factorization
+    * reads, both directions, all offsets pooled.
+    *
+    * Scale: no per-doc shuffle and no positional self-join (a
+    * doc_id-equi self-join on positions goes O(len²) per doc under
+    * SMJ); pair generation is O(len·window) inside one projection,
+    * then ONE pair-keyed count agg (uniform word-pair keys, map-side
+    * combine) and a bounded TakeOrdered cut. Nothing else scales with
+    * the token stream. */
+  def skipgrams(s: SparkSession, dir: String, k: Int = SkipgramK): DataFrame =
+    skipgramCounts(s, dir)
+      .orderBy(col("cnt").desc, col("center").asc, col("context").asc)
+      .limit(k)
+
   /** DSIR bucket count (hashed-unigram feature space size). */
   /** Shared oracle derivation of the per-doc DSIR importance weight
     * (the `d` relation) — q_dsir and q_dsir_sample read different
@@ -955,6 +1003,7 @@ object Curation extends graft.QueryGroup {
     "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "q_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "q_collocations" -> ((s, d) => collocations(s, d)),
+    "q_skipgrams" -> ((s, d) => skipgrams(s, d)),
     "q_sample_fixed" -> ((s, d) => sampleFixed(s, d)),
     "q_dsir" -> ((s, d) => dsirWeights(s, d)),
     "q_dsir_sample" -> ((s, d) => dsirSample(s, d)),
@@ -1225,6 +1274,23 @@ object Curation extends graft.QueryGroup {
          |        JOIN un b ON b.w = pr.w2, tot
          |WHERE pr.cab >= $CoocMinPair
          |ORDER BY lift_ppm DESC, pr.w1 ASC, pr.w2 ASC LIMIT 20""".stripMargin,
+    "q_skipgrams" ->
+      s"""WITH t AS (SELECT str_split(text, ' ') AS ts FROM documents),
+         |pr AS (SELECT unnest(
+         |         flatten([[ts[i] || '>' || ts[i + 1],
+         |                   ts[i + 1] || '>' || ts[i]]
+         |                  for i in generate_series(1, len(ts) - 1)]) ||
+         |         flatten([[ts[i] || '>' || ts[i + 2],
+         |                   ts[i + 2] || '>' || ts[i]]
+         |                  for i in generate_series(1, len(ts) - 2)]))
+         |         AS p
+         |       FROM t),
+         |c AS (SELECT split_part(p, '>', 1) AS center,
+         |             split_part(p, '>', 2) AS context,
+         |             CAST(count(*) AS BIGINT) AS cnt
+         |      FROM pr GROUP BY 1, 2)
+         |SELECT center, context, cnt FROM c
+         |ORDER BY cnt DESC, center ASC, context ASC LIMIT 50""".stripMargin,
     "q_sample_fixed" -> {
       val h = MinHash.hash60Sql("'smp:' || doc_id")
       s"""SELECT doc_id, source, CAST($h AS BIGINT) AS rk

@@ -225,6 +225,53 @@ object Relational extends graft.QueryGroup {
       .orderBy(col("bucket").asc, col("event_type").asc)
   }
 
+  /** Bit-interleave of two 8-bit bucket columns into a 16-bit
+    * Z-value — the Morton curve, as a plain integer expression
+    * (shift/mask/add, codegen'd on Spark, same arithmetic in the
+    * DuckDB oracle). */
+  private def zExpr(a: String, b: String): String =
+    (0 until 8).map(i =>
+      s"(shiftleft((shiftright($a, $i) & 1), ${2 * i + 1}) + " +
+        s"shiftleft((shiftright($b, $i) & 1), ${2 * i}))").mkString(" + ")
+
+  /** q_zorder — Z-ORDER layout audit (the Delta/Iceberg
+    * `OPTIMIZE ZORDER BY` lever): assign each event to the file a
+    * Morton-curve sort on (user_id, value) would place it in, and
+    * emit the per-file min/max footer stats a reader's file-skipping
+    * would consult. Each dim is ranged into 8 bits by exact integer
+    * division against the global min/max (value via its cent
+    * fixed-point); the 16-bit Z-value DIV 256 is the file id — every
+    * file covers one 16×16 Z-square, so a point predicate on EITHER
+    * dim overlaps only the ~16/256 files whose square crosses it,
+    * which is the property a single-dim sort cannot give the second
+    * dim (spec asserts both-dim pruning from these stats; a
+    * linear-sort layout prunes only its own sort key).
+    *
+    * Scale: one broadcast min/max row, one map-only projection
+    * computing the Z-value (pure integer shift/add inside
+    * whole-stage codegen), one ≤256-key agg. At 100 TB the same
+    * projection feeds a repartitionByRange(z) write instead of the
+    * audit agg — the stats here are exactly the parquet footers that
+    * layout produces. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val r = e.agg(min(col("user_id")).as("mnu"), max(col("user_id")).as("mxu"),
+      min(col("vc")).as("mnv"), max(col("vc")).as("mxv"))
+    e.crossJoin(broadcast(r))
+      .select(col("user_id"), col("vc"),
+        expr("CAST((user_id - mnu) * 256 div (mxu - mnu + 1) AS INT)")
+          .as("a8"),
+        expr("CAST((vc - mnv) * 256 div (mxv - mnv + 1) AS INT)").as("b8"))
+      .select(col("user_id"), col("vc"),
+        expr(s"CAST((${zExpr("a8", "b8")}) div 256 AS BIGINT)").as("file_id"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"),
+        min(col("vc")).as("min_vc"), max(col("vc")).as("max_vc"))
+      .orderBy(col("file_id").asc)
+  }
+
   /** Gap-based sessionization: a session breaks after >30 min of user
     * inactivity. lag → new-session flag → running session index →
     * per-session rollup. Two narrow windows on user_id. */
@@ -648,6 +695,7 @@ object Relational extends graft.QueryGroup {
     "q_retention" -> ((s, d) => retention(s, d)),
     "q_join_bucketed" -> ((s, d) => joinBucketed(s, d)),
     "q_time_decay" -> ((s, d) => timeDecay(s, d)),
+    "q_zorder" -> ((s, d) => zorderLayout(s, d)),
   )
 
   // DuckDB parity notes: money math uses the same DECIMAL casts so
@@ -667,7 +715,32 @@ object Relational extends graft.QueryGroup {
        |                THEN CAST(round(o_totalprice * 100) AS BIGINT) END),
        |            0) AS BIGINT) AS "${st}_cents"""".stripMargin
 
+  /** DuckDB form of [[zExpr]] — same shift/mask/add arithmetic. */
+  private def zExprSql(a: String, b: String): String =
+    (0 until 8).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""WITH e AS (SELECT user_id,
+         |                  CAST(round(value * 100) AS BIGINT) AS vc
+         |           FROM events),
+         |r AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+         |             min(vc) AS mnv, max(vc) AS mxv FROM e),
+         |b AS (SELECT user_id, vc,
+         |             CAST((user_id - mnu) * 256 // (mxu - mnu + 1) AS INT)
+         |               AS a8,
+         |             CAST((vc - mnv) * 256 // (mxv - mnv + 1) AS INT) AS b8
+         |      FROM e, r),
+         |z AS (SELECT user_id, vc,
+         |             CAST((${zExprSql("a8", "b8")}) // 256 AS BIGINT)
+         |               AS file_id
+         |      FROM b)
+         |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |       min(user_id) AS min_u, max(user_id) AS max_u,
+         |       min(vc) AS min_vc, max(vc) AS max_vc
+         |FROM z GROUP BY file_id ORDER BY file_id ASC""".stripMargin,
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

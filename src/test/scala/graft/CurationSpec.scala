@@ -474,6 +474,35 @@ class CurationSpec extends SparkSuite {
     assert(got.head._4 > 1000000L)
   }
 
+  test("skipgrams: counts match a driver-side window scan and are " +
+      "direction-symmetric") {
+    import graft.functions.TextFunctions.tokens
+    val full = Curation.skipgramCounts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // Exact recomputation: every position pairs with neighbors at
+    // offsets ±1..±window.
+    val docs = Tables.documents(spark, sfDir)
+      .select(tokens(col("text")).as("ts")).collect()
+      .map(_.getSeq[String](0)).toSeq
+    val want = docs.flatMap { ts =>
+      for {
+        i <- ts.indices
+        d <- 1 to Curation.SkipgramWindow
+        j <- Seq(i - d, i + d) if j >= 0 && j < ts.size
+      } yield (ts(i), ts(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    assert(full === want)
+    // The multiset is symmetric by construction: cnt(a,b) == cnt(b,a).
+    full.foreach { case ((a, b), c) => assert(full((b, a)) === c) }
+    // The registered row is the deterministic top-50 cut of it.
+    val got = Curation.skipgrams(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.size === 50)
+    val sorted = full.toSeq.map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(50)
+    assert(got === sorted)
+  }
+
   test("dsir: target slice scores highest on average; mean is exact") {
     val imp = Curation.dsirWeights(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
