@@ -703,16 +703,25 @@ object Ann extends graft.QueryGroup {
       .select(col("vec_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Layout-version string folded into the stored-index fingerprint:
+    * any change to the PQ geometry, probe constants, or on-disk
+    * format bumps the path, so a constants change can never serve a
+    * stale /tmp index built under the old layout (the
+    * Relational.BucketLayout convention). */
+  private[graft] val ResIvfPqLayout =
+    s"v2:cells=$IvfCells:probe=$NProbe:m=$PqM:k=$PqK:refine=$RefineR"
+
   /** Index location for [[ivfPqResStored]], keyed by a fingerprint of
-    * the embeddings parquet (name/size/mtime) so regenerated testdata
-    * can NEVER serve a stale index (the r7 testdata regeneration made
-    * this failure mode concrete). */
+    * the embeddings parquet (name/size/mtime) AND [[ResIvfPqLayout]]
+    * so neither regenerated testdata nor a constants/encode change
+    * can serve a stale index (the r7 testdata regeneration made the
+    * first failure mode concrete; r8 ADVICE named the second). */
   private[graft] def resIvfPqIndexPath(dir: String): String = {
     val f = new java.io.File(dir, "embeddings.parquet")
     val files: Array[java.io.File] =
       if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
     val sig = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-      .mkString("|")
+      .mkString("|") + "|" + ResIvfPqLayout
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     s"${System.getProperty("java.io.tmpdir")}/graft_resivfpq_" +
@@ -732,8 +741,25 @@ object Ann extends graft.QueryGroup {
     val out = resIvfPqIndexPath(dir)
     val marker = new java.io.File(out, "_built")
     if (!marker.exists()) {
-      writeResIvfPqIndex(s, dir, out)
-      marker.createNewFile()
+      // Atomic publish: build the three sub-parquets into a private
+      // temp dir, then rename into the fingerprinted location — a
+      // crashed or concurrent build can never leave a half-written
+      // index that a racing session reads (the marker lives INSIDE
+      // the renamed dir, so it is atomic with the data).
+      val tmp = new java.io.File(out + ".build." +
+        java.lang.ProcessHandle.current().pid())
+      writeResIvfPqIndex(s, dir, tmp.getPath)
+      new java.io.File(tmp, "_built").createNewFile()
+      if (!tmp.renameTo(new java.io.File(out))) {
+        // a concurrent builder won the rename race — serve theirs
+        if (!marker.exists())
+          throw new IllegalStateException(
+            s"resIvfPq index publish failed: $out")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp)
+      }
     }
     probeResIvfPqIndex(s, dir, out)
   }

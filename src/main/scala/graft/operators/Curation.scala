@@ -659,11 +659,16 @@ object Curation extends graft.QueryGroup {
         .limit(1).collect()(0)
       val lr = top.getString(0).split("\\|")
       val (l, r) = (lr(0), lr(1))
-      val pat = s"|$l|$r|"
-      val rep = s"|$l$r|"
+      // Column literals, not SQL interpolation: learned tokens are raw
+      // corpus characters — a quote/backslash in a word must not reach
+      // the SQL parser. (A '|' inside a corpus word would corrupt the
+      // '|'-delimited state encoding IDENTICALLY on both engines — the
+      // oracle shares the delimiter — so the twin stays hash-exact;
+      // the delimiter choice assumes prose-like corpora either way.)
+      val pat = lit(s"|$l|$r|")
+      val rep = lit(s"|$l$r|")
       cur = cur.select(col("w"), col("f"),
-          expr(s"replace(replace(state, '$pat', '$rep'), '$pat', '$rep')")
-            .as("state"))
+          replace(replace(col("state"), pat, rep), pat, rep).as("state"))
         .transform(graft.Checkpoints.cut)
       val toksAfter = cur.agg(
         sum(col("f") * size(filter(split(col("state"), "\\|"),
@@ -1274,15 +1279,17 @@ object Curation extends graft.QueryGroup {
          |        JOIN un b ON b.w = pr.w2, tot
          |WHERE pr.cab >= $CoocMinPair
          |ORDER BY lift_ppm DESC, pr.w1 ASC, pr.w2 ASC LIMIT 20""".stripMargin,
-    "q_skipgrams" ->
+    "q_skipgrams" -> {
+      // Offset arms generated from SkipgramWindow (the RankIters /
+      // RedundancyWidths pattern) — one constant drives both engines.
+      val arms = (1 to SkipgramWindow).map(d =>
+        s"""flatten([[ts[i] || '>' || ts[i + $d],
+           |                   ts[i + $d] || '>' || ts[i]]
+           |                  for i in generate_series(1, len(ts) - $d)])"""
+          .stripMargin).mkString(" ||\n         ")
       s"""WITH t AS (SELECT str_split(text, ' ') AS ts FROM documents),
          |pr AS (SELECT unnest(
-         |         flatten([[ts[i] || '>' || ts[i + 1],
-         |                   ts[i + 1] || '>' || ts[i]]
-         |                  for i in generate_series(1, len(ts) - 1)]) ||
-         |         flatten([[ts[i] || '>' || ts[i + 2],
-         |                   ts[i + 2] || '>' || ts[i]]
-         |                  for i in generate_series(1, len(ts) - 2)]))
+         |         $arms)
          |         AS p
          |       FROM t),
          |c AS (SELECT split_part(p, '>', 1) AS center,
@@ -1290,7 +1297,8 @@ object Curation extends graft.QueryGroup {
          |             CAST(count(*) AS BIGINT) AS cnt
          |      FROM pr GROUP BY 1, 2)
          |SELECT center, context, cnt FROM c
-         |ORDER BY cnt DESC, center ASC, context ASC LIMIT 50""".stripMargin,
+         |ORDER BY cnt DESC, center ASC, context ASC LIMIT 50""".stripMargin
+    },
     "q_sample_fixed" -> {
       val h = MinHash.hash60Sql("'smp:' || doc_id")
       s"""SELECT doc_id, source, CAST($h AS BIGINT) AS rk

@@ -201,8 +201,11 @@ object Relational extends graft.QueryGroup {
     * so both engines agree exactly: with n buckets, S = Σc,
     * SS = Σc², the test `c > μ + 3σ` is
     * `(c·n − S)² > 9·(n·SS − S²)` and `c·n > S` — no floating-point
-    * mean/stddev anywhere (counts ≤ ~10⁴ per bucket keep every term
-    * far inside BIGINT; the oracle casts DuckDB's HUGEINT sums down).
+    * mean/stddev anywhere. The squared terms ride on DECIMAL(38,0)
+    * (Spark) / HUGEINT (DuckDB) — the timeDecay/collocations
+    * wide-integer pattern — so per-bucket counts up to ~10¹² at the
+    * 100 TB/day telemetry scale stay exact instead of silently
+    * wrapping BIGINT.
     *
     * Scale: the only corpus-sized operation is the first
     * (type, hour) count — one shuffle with map-side partial
@@ -217,10 +220,11 @@ object Relational extends graft.QueryGroup {
     val stats = buckets.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("ss"))
+    def d(c: String) = col(c).cast("decimal(38,0)")
     buckets.join(broadcast(stats), "event_type")
       .where(col("c") * col("n") > col("s") &&
-        (col("c") * col("n") - col("s")) * (col("c") * col("n") - col("s")) >
-          lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+        (d("c") * d("n") - d("s")) * (d("c") * d("n") - d("s")) >
+          lit(9L).cast("decimal(38,0)") * (d("n") * d("ss") - d("s") * d("s")))
       .select(col("event_type"), col("bucket"), col("c").as("n_events"))
       .orderBy(col("bucket").asc, col("event_type").asc)
   }
@@ -430,16 +434,32 @@ object Relational extends graft.QueryGroup {
     * when the bucketed files are absent for this exact data;
     * otherwise attach the existing files with a CLUSTERED BY DDL (the
     * bucket ids live in the file names Spark's bucketed write
-    * produced, so re-registration is metadata-only). */
+    * produced, so re-registration is metadata-only).
+    *
+    * The probe-or-build is guarded by an OS file lock on a sibling
+    * `.lock` file: the cache lives in this host's /tmp, so two
+    * concurrent sessions with the same data fingerprint serialize
+    * here instead of interleaving overwrite builds or attaching a
+    * half-written table (r8 ADVICE). The loser of the race blocks,
+    * then sees `_SUCCESS` and attaches metadata-only. */
   private def ensureBucketed(s: SparkSession, t: String, path: String,
       ddlCols: String, build: => Unit): Unit = {
-    if (!s.catalog.tableExists(t)) {
-      if (new java.io.File(path, "_SUCCESS").exists())
-        s.sql(s"""CREATE TABLE $t ($ddlCols) USING parquet
-                 |CLUSTERED BY (k) SORTED BY (k) INTO $BucketN BUCKETS
-                 |LOCATION '$path'""".stripMargin.replace("\n", " "))
-      else build
-    }
+    if (s.catalog.tableExists(t)) return
+    val lockFile = new java.io.File(path + ".lock")
+    lockFile.getParentFile.mkdirs()
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lk = ch.lock()
+    try {
+      if (!s.catalog.tableExists(t)) {
+        if (new java.io.File(path, "_SUCCESS").exists())
+          s.sql(s"""CREATE TABLE $t ($ddlCols) USING parquet
+                   |CLUSTERED BY (k) SORTED BY (k) INTO $BucketN BUCKETS
+                   |LOCATION '$path'""".stripMargin.replace("\n", " "))
+        else build
+      }
+    } finally { lk.release(); ch.close() }
   }
 
   /** q_join_bucketed — the CO-LOCATED join: orders and lineitem
@@ -946,7 +966,8 @@ object Relational extends graft.QueryGroup {
         |SELECT event_type, bucket, c AS n_events
         |FROM b JOIN st USING (event_type)
         |WHERE c * n > s
-        |  AND (c * n - s) * (c * n - s) > 9 * (n * ss - s * s)
+        |  AND (c::HUGEINT * n - s) * (c::HUGEINT * n - s)
+        |      > 9 * (n::HUGEINT * ss - s::HUGEINT * s)
         |ORDER BY bucket ASC, event_type ASC""".stripMargin,
     "q_events_bucket" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
