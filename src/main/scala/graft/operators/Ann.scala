@@ -716,17 +716,9 @@ object Ann extends graft.QueryGroup {
     * so neither regenerated testdata nor a constants/encode change
     * can serve a stale index (the r7 testdata regeneration made the
     * first failure mode concrete; r8 ADVICE named the second). */
-  private[graft] def resIvfPqIndexPath(dir: String): String = {
-    val f = new java.io.File(dir, "embeddings.parquet")
-    val files: Array[java.io.File] =
-      if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
-    val sig = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-      .mkString("|") + "|" + ResIvfPqLayout
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_resivfpq_" +
-      s"${new java.io.File(dir).getName}_$h"
-  }
+  private[graft] def resIvfPqIndexPath(dir: String): String =
+    graft.IndexCache.path("graft_resivfpq", dir,
+      Seq("embeddings.parquet"), ResIvfPqLayout)
 
   /** q_ann_ivfpq_res: serve the probe from the STORED index, building
     * it first only when absent for this exact data (fingerprinted
@@ -737,32 +729,10 @@ object Ann extends graft.QueryGroup {
     * into every serve would grade a cost no deployment pays per
     * query (r7 verdict). The inline twin [[ivfPqResSearch]] stays
     * the stored≡inline proof surface; both share the same oracle. */
-  def ivfPqResStored(s: SparkSession, dir: String): DataFrame = {
-    val out = resIvfPqIndexPath(dir)
-    val marker = new java.io.File(out, "_built")
-    if (!marker.exists()) {
-      // Atomic publish: build the three sub-parquets into a private
-      // temp dir, then rename into the fingerprinted location — a
-      // crashed or concurrent build can never leave a half-written
-      // index that a racing session reads (the marker lives INSIDE
-      // the renamed dir, so it is atomic with the data).
-      val tmp = new java.io.File(out + ".build." +
-        java.lang.ProcessHandle.current().pid())
-      writeResIvfPqIndex(s, dir, tmp.getPath)
-      new java.io.File(tmp, "_built").createNewFile()
-      if (!tmp.renameTo(new java.io.File(out))) {
-        // a concurrent builder won the rename race — serve theirs
-        if (!marker.exists())
-          throw new IllegalStateException(
-            s"resIvfPq index publish failed: $out")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(tmp)
-      }
-    }
-    probeResIvfPqIndex(s, dir, out)
-  }
+  def ivfPqResStored(s: SparkSession, dir: String): DataFrame =
+    probeResIvfPqIndex(s, dir,
+      graft.IndexCache.ensure(resIvfPqIndexPath(dir))(
+        tmp => writeResIvfPqIndex(s, dir, tmp)))
 
   /** Materialize the LSH index: the corpus written PARTITIONED BY its
     * bucket code. At 100 TB this is the one-off batch index build;

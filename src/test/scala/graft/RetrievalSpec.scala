@@ -448,4 +448,42 @@ class RetrievalSpec extends SparkSuite {
     assert(!p.contains("Generate") && !p.toLowerCase.contains("posexplode"),
       s"corpus explode must be materialized once via the cut, got:\n$p")
   }
+
+  test("q_phrase_idx: stored positional probe is partition-pruned, " +
+      "equals the inline scan, and append-delta equals rebuild") {
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_pos_full").toString
+    val incr = java.nio.file.Files
+      .createTempDirectory("graft_pos_incr").toString
+    try {
+      Retrieval.writePosIndex(spark, sfDir, full)
+      val phrase = Retrieval.PhraseTerms
+      val probe = Retrieval.probePhraseIndex(spark, full, phrase, sfDir)
+      // Pruning asserted on the pre-cut positions read — the final
+      // plan shows only the materialized stitch.
+      val p = Retrieval.posProbePostings(spark, full, phrase)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(nonEmptyPartitionFilter(p),
+        s"positions probe must prune to the phrase terms' buckets:\n$p")
+      val inline = Retrieval.phraseSearch(spark, sfDir).collect().toSeq
+      assert(probe.collect().toSeq === inline,
+        "stored positional probe must serve the inline scan's answer")
+      // O(batch) maintenance: standing + appended delta ≡ rebuild.
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      Retrieval.appendPosDelta(
+        docs.where(col("doc_id") % Dedup.IncrMod =!= 0), incr)
+      Retrieval.appendPosDelta(
+        docs.where(col("doc_id") % Dedup.IncrMod === 0), incr)
+      val viaIncr = Retrieval.probePhraseIndex(spark, incr, phrase, sfDir)
+        .collect().toSeq
+      assert(viaIncr === inline,
+        "standing + appended positional delta must serve the rebuild answer")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(full)).deleteRecursively()
+      new Directory(new java.io.File(incr)).deleteRecursively()
+    }
+  }
 }
