@@ -102,6 +102,37 @@ class RerankLexicalSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
   }
 
+  test("q_fuzzy_join hot-bucket cap at 1.1M names: a million-member " +
+      "identical block keeps candidate volume linear; star edges verified") {
+    // Zero-storage adversarial corpus: 1M names IDENTICAL (every
+    // variant bucket they touch is a million-hot — the pairwise
+    // bucket join would emit ~5·10¹¹ candidates) + 100k distinct
+    // names whose buckets stay honest. The cap must (a) keep
+    // candidate volume O(n·L), (b) leave the cold names' pairs
+    // exactly as the uncapped join computes them (the sf-fixture
+    // lossless test pins that), (c) still emit the hot block as
+    // verified star edges off its min-id representative.
+    val n = 1100000L
+    val hotN = 1000000L
+    val names = spark.range(n).select(col("id"),
+      when(col("id") < hotN, lit("hotblockname"))
+        .otherwise(concat(lit("cold"), col("id").cast("string"))).as("nm"))
+    val cand = graft.operators.Lexical.fuzzyCandidates(names)
+    val cnt = cand.count()
+    // L ≤ 12 ⇒ ≤ 13 variants/name ⇒ star candidates ≤ 13·n before the
+    // pair-distinct; anything quadratic would be ~10¹¹.
+    assert(cnt <= 20L * n,
+      s"candidate volume must stay linear under the cap, got $cnt")
+    info(f"candidates at n=$n with a $hotN-member identical block: " +
+      f"$cnt (${cnt.toDouble / n}%.2f per name)")
+    // The hot block survives as verified rep→member star edges: every
+    // member pairs with the block's min id (0), distance 0 ≤ 1.
+    val hotEdges = graft.operators.Lexical.fuzzyJoinOver(spark, names)
+      .where(col("a_key") === 0L && col("b_key") < hotN)
+    assert(hotEdges.count() === hotN - 1,
+      "identical block must collapse to rep star edges, all verified")
+  }
+
   test("trigram prefilter operating point at 1M names: selective query " +
       "prunes, stopword query measured honest, both lossless") {
     // The text twin of the ANN operating-point audits: 1M synthetic
