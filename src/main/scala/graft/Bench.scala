@@ -16,26 +16,23 @@ import java.nio.file.{Files, Paths}
   * reads as broken instead of as a fast one.
   */
 object Bench {
-  /** Stdout per-query keys (r8, the structural fix for the tail-window
-    * budget): the driver captures only the LAST ~1927 chars of stdout,
-    * and seven rounds of hand-trimmed name abbreviations (family
-    * prefixes + ~60 segment rules) were down to ~33 chars of headroom
-    * at 133 rows — the trim well had run dry. The stdout flavor now
-    * keys each query by its ORDINAL in the ascii-sorted full-name
-    * list, base-36, two digits ("00","01",…,"0z","10",…) — a fixed
-    * 9-10 bytes/row regardless of name length (~560 chars of headroom
-    * at 140 rows; capacity 1296 rows). The mapping is deterministic
-    * (sorted registry order) and self-published every run:
-    * bench_out.json carries the full `stdout_keys` short→full map,
-    * and BASELINE.md + SURVEY §6 document the rule. Values stay
-    * whole seconds at 1 decimal (the r7 verdict rejected coarser
-    * units as silently skewing BENCH vs BASELINE). */
-  private[graft] def shortKeys(names: Iterable[String]): Map[String, String] = {
-    val d = "0123456789abcdefghijklmnopqrstuvwxyz"
-    names.toSeq.sorted.zipWithIndex.map { case (n, i) =>
-      n -> s"${d(i / 36)}${d(i % 36)}"
-    }.toMap
-  }
+  /** Stdout per-query encoding (r9, the second structural step for
+    * the tail-window budget): the driver captures only the LAST
+    * ~1927 chars of stdout. r8's 2-char base-36 ordinal KEYS
+    * (9-10 bytes/row) hit their own tripwire at 167 rows (the spec
+    * demands ≥150 chars of pessimistic headroom at registry+7), so
+    * the stdout flavor now drops keys entirely: `"queries"` is a
+    * JSON ARRAY of per-query seconds in ascii-sorted full-name
+    * order — 4-5 bytes/row, capacity ~370 rows at the same margin.
+    * The order is deterministic (sorted registry) and self-published
+    * every run: bench_out.json carries the full name-keyed map AND
+    * the `stdout_order` full-name array, and BASELINE.md + SURVEY §6
+    * document the rule. Values stay whole seconds at 1 decimal (the
+    * r7 verdict rejected coarser units as silently skewing BENCH vs
+    * BASELINE). Errors in the compact flavor are keyed by the same
+    * ordinal (as a string). */
+  private[graft] def stdoutOrder(names: Iterable[String]): Seq[String] =
+    names.toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,22 +119,27 @@ object Bench {
                  compact: Boolean): String = {
       // compact=true is the stdout flavor: the driver captures only the
       // LAST ~2000 chars of stdout (measured r5: 1927-char budget after
-      // sbt's `[success]` epilogue). Stdout uses the fixed 2-char
-      // ordinal keys (see shortKeys), and drops `"unit":"sec"`
-      // (seconds is the contract; the verdict sanctioned dropping it).
-      // bench_out.json keeps full keys, full precision, the unit, and
-      // the short→full mapping.
-      val short = Bench.shortKeys(results.map(_._1))
-      def key(k: String): String = if (compact) short(k) else k
-      val qs = results.map { case (k, v) => s"${q(key(k))}:${fmtQ(v)}" }
-        .mkString("{", ",", "}")
+      // sbt's `[success]` epilogue). Stdout emits "queries" as the
+      // keyless ordinal ARRAY (see stdoutOrder), and drops
+      // `"unit":"sec"` (seconds is the contract; the verdict
+      // sanctioned dropping it). bench_out.json keeps full keys, full
+      // precision, the unit, and the ordinal→name order.
+      val order = Bench.stdoutOrder(results.map(_._1))
+      val idx = order.zipWithIndex.toMap
+      // results are already sorted by name == stdout order.
+      val qs =
+        if (compact) results.map { case (_, v) => fmtQ(v) }
+          .mkString("[", ",", "]")
+        else results.map { case (k, v) => s"${q(k)}:${fmtQ(v)}" }
+          .mkString("{", ",", "}")
       // Stdout error messages are capped harder than bench_out's 200
       // chars: one long exception message must not push the metric
-      // line past the driver's ~1927-char tail window (the remaining
-      // headroom at 98 queries is ~40 chars; a truncated message
-      // still identifies the failure, bench_out.json keeps the rest).
+      // line past the driver's ~1927-char tail window; a truncated
+      // message still identifies the failure, bench_out.json keeps
+      // the rest. Compact keys errors by the query's stdout ordinal.
       val errJson = errors.map { case (k, v) =>
-          s"${q(key(k))}:${q(if (compact) v.take(60) else v)}" }
+          val kk = if (compact) idx(k).toString else k
+          s"${q(kk)}:${q(if (compact) v.take(60) else v)}" }
         .mkString("{", ",", "}")
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       // Omit the errors object when empty — every byte of the stdout
@@ -148,12 +150,11 @@ object Bench {
       // this lever); bench_out.json still records it.
       val sfName = new java.io.File(sfDir).getName // "sf0.1" — path prefix is tail-budget
       val sfPart = if (compact) "" else s""","sf":${q(sfName)}"""
-      // bench_out.json self-publishes the stdout short→full key map so
-      // any round's archived stdout line is decodable from the same
+      // bench_out.json self-publishes the stdout ordinal order so any
+      // round's archived stdout line is decodable from the same
       // commit without re-deriving the sorted registry.
       val keysPart = if (compact) "" else
-        short.toSeq.map { case (full, sk) => s"${q(sk)}:${q(full)}" }
-          .sortBy(_.toString).mkString(""","stdout_keys":{""", ",", "}")
+        order.map(q).mkString(""","stdout_order":[""", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},${unitPart}"queries":$qs$errPart$sfPart$keysPart}"""
     }
     Files.writeString(Paths.get("bench_out.json"),

@@ -94,6 +94,100 @@ object Graph extends graft.QueryGroup {
       .limit(k)
   }
 
+  /** Convergence tolerance for [[rankConverged]], in rank ppm: stop
+    * at the first iteration whose largest per-node rank move is ≤
+    * this. Tolerance-based (not delta == 0) BY NECESSITY: the
+    * truncating integer update is not a contraction at the last ppm —
+    * the sf0.001 corpus settles into a measured 2-CYCLE (5 nodes
+    * oscillating ±1 ppm forever), so an exact-fixpoint stop would
+    * never terminate there. 64 ppm is far below any rank gap the
+    * top-k output could see and ~3 decades under the first
+    * iteration's ~1e8 moves. */
+  private[graft] val RankTol = 64L
+
+  /** Loud iteration cap for [[rankConverged]] — the q_dedup_converged
+    * discipline: an under-converged result must throw, never return
+    * silently. Measured first-hit iterations: 22 (sf0.001), 15
+    * (sf0.01), 18 (sf0.1); geometric decay at damping 17/20 makes 32
+    * generous for any corpus this graph family produces. */
+  private[graft] val RankMaxIters = 32
+
+  /** q_rank_converged — [[rankRefs]]' iteration run to CONVERGENCE
+    * with an explicit rank-delta check (the q_dedup_converged
+    * treatment): iterate the exact integer update, after each step
+    * measure the max per-node |Δrank| (one driver-side scalar per
+    * iteration, [[RankMaxIters]]-bounded — the MMR loop discipline),
+    * stop at the first iteration ≤ [[RankTol]], and emit the top-k at
+    * THAT iteration plus the stop iteration itself (`conv_iter`).
+    * The oracle unrolls [[RankMaxIters]] stages with per-stage delta
+    * CTEs and SELECTS the stage the same rule picks — so the
+    * data-dependent stopping decision is itself graded hash-exact.
+    *
+    * Scale: per iteration one co-partitioned contribution join + one
+    * map-side-combined agg + a max-reduce on the O(nodes) rank table
+    * (reads the iteration's already-materialized lineage cut);
+    * iteration count is bounded by the damping factor's geometric
+    * decay, not by corpus size — 100 TB converges in the same ~20
+    * steps, each a 2-exchange BSP superstep. */
+  def rankConverged(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    rankConvergedOver(Tables.documents(s, dir), k)
+
+  private[graft] def rankConvergedOver(in: DataFrame,
+      k: Int = 20): DataFrame = {
+    val (ranks, t, _) = convergeRanks(in)
+    val e = edgesOver(in).transform(graft.Checkpoints.cut)
+    val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    ranks
+      .join(indeg.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+      .join(out.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r").as("rank_ppm"),
+        lit(t.toLong).as("conv_iter"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("outdeg"), lit(0L)).as("n_out"))
+      .orderBy(col("rank_ppm").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The convergence loop: returns (converged ranks, stop iteration,
+    * the per-iteration max-|Δ| trace). Throws past [[RankMaxIters]]
+    * while still above [[RankTol]]. */
+  private[graft] def convergeRanks(in: DataFrame):
+      (DataFrame, Int, Seq[Long]) = {
+    val e = edgesOver(in).transform(graft.Checkpoints.cut)
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eo = e.join(out, Seq("src")).transform(graft.Checkpoints.cut)
+    var ranks = in.select(col("doc_id"), lit(1000000L).as("r"))
+      .transform(graft.Checkpoints.cut)
+    val trace = scala.collection.mutable.ArrayBuffer[Long]()
+    var t = 0
+    while (true) {
+      t += 1
+      if (t > RankMaxIters)
+        throw new IllegalStateException(
+          s"rank iteration still moving > $RankTol ppm after " +
+            s"$RankMaxIters steps — raise RankMaxIters for this graph")
+      val contrib = eo.join(ranks, eo("src") === ranks("doc_id"))
+        .select(col("dst"), expr("r DIV outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      // next carries prev r alongside, so the delta reduce below
+      // reads the materialized cut — no second pass over the join.
+      val next = ranks.join(contrib, ranks("doc_id") === contrib("dst"),
+          "left")
+        .select(ranks("doc_id"),
+          (lit(150000L) +
+            expr("17 * coalesce(sc, 0L) DIV 20").cast("long")).as("r"),
+          col("r").as("prev_r"))
+        .transform(graft.Checkpoints.cut)
+      val mx = next.agg(max(abs(col("r") - col("prev_r")))).collect()(0)
+        .getLong(0)
+      trace += mx
+      ranks = next.select(col("doc_id"), col("r"))
+      if (mx <= RankTol) return (ranks, t, trace.toSeq)
+    }
+    sys.error("unreachable")
+  }
+
   /** q_graph_triangles — exact triangle census of the undirected
     * cross-reference graph: nodes, canonical edges, wedges
     * (Σ_v C(deg v, 2)), triangles, and the global clustering
@@ -227,8 +321,102 @@ object Graph extends graft.QueryGroup {
       .limit(CnTopK)
   }
 
+  /** q_graph_incr — O(batch) GRAPH-tier index maintenance, the
+    * missing member of the incremental matrix (dedup bands, IVF
+    * cells, text postings, trigram postings, positional postings,
+    * segment hashes all refresh in O(batch); the link graph now
+    * does too). An ingest batch (the [[Dedup.IncrMod]] rule: edges
+    * whose SOURCE doc is a batch doc, minus edges the standing
+    * corpus already has) updates the common-neighbor candidate
+    * table by exact wedge algebra instead of a rebuild:
+    *
+    *   cn_full = cn_standing                     (the STORED table)
+    *           + wedges(full adj)   @ affected centers
+    *           − wedges(standing adj) @ affected centers
+    *
+    * Affected centers = endpoints of new edges — for every other
+    * center the standing and full adjacencies are identical, so the
+    * correction is exactly zero there; the two delta passes touch
+    * ONLY affected centers via a left-semi prune BELOW the wedge
+    * join+agg (plan-asserted in GraphSpec). Center eligibility (the
+    * q_graph_cn hub cap) is evaluated on FULL degrees on all three
+    * arms, so a center the batch pushes past the cap has its
+    * standing wedges evicted by the same algebra. The oracle is
+    * q_graph_cn's one-pass full rebuild — hash equality IS the
+    * delta-merge ≡ rebuild proof (the q_text_incremental contract).
+    *
+    * Scale: the standing arm is the stored CN table a deployment
+    * reads, the delta arms cost O(batch-degree²·cap) and the merge
+    * is one additive agg — corpus size appears nowhere in the
+    * refresh path. */
+  def graphIncremental(s: SparkSession, dir: String): DataFrame =
+    graphIncrementalOver(Tables.documents(s, dir))
+
+  private[graft] def graphIncrementalOver(in: DataFrame): DataFrame = {
+    def canon(e: DataFrame) =
+      e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val eFull = edgesOver(in).transform(graft.Checkpoints.cut)
+    val ue = canon(eFull).transform(graft.Checkpoints.cut)
+    val sUe = canon(eFull.where(col("src") % Dedup.IncrMod =!= 0))
+      .transform(graft.Checkpoints.cut)
+    val nUe = ue.join(sUe, Seq("u", "v"), "left_anti")
+      .transform(graft.Checkpoints.cut)
+    val elig = degreesOf(ue).where(col("d") <= CnDegCap)
+      .select(col("x").as("c"))
+    val affected = nUe.select(col("u").as("c"))
+      .unionAll(nUe.select(col("v").as("c"))).distinct()
+    val eligAff = elig.join(affected, Seq("c"), "left_semi")
+      .transform(graft.Checkpoints.cut)
+    def adjOf(e: DataFrame) =
+      e.select(col("u").as("c"), col("v").as("x"))
+        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
+    def wedges(adj: DataFrame, centers: DataFrame, w: Long) = {
+      val a2 = adj.join(centers, Seq("c"), "left_semi")
+      a2.as("a").join(a2.as("b"),
+          col("a.c") === col("b.c") && col("a.x") < col("b.x"))
+        .select(col("a.x").as("u"), col("b.x").as("v"), lit(w).as("w"))
+    }
+    wedges(adjOf(sUe), elig, 1L)
+      .unionAll(wedges(adjOf(ue), eligAff, 1L))
+      .unionAll(wedges(adjOf(sUe), eligAff, -1L))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("n_common"))
+      .where(col("n_common") > 0)
+      .join(ue, Seq("u", "v"), "left_anti")
+      .orderBy(col("n_common").desc, col("u").asc, col("v").asc)
+      .limit(CnTopK)
+  }
+
+  /** The delta arm's pruned wedge relation — exposed pre-agg so the
+    * plan spec can assert the affected-center left-semi prune sits
+    * below the join+agg. */
+  private[graft] def incrDeltaWedges(s: SparkSession,
+      dir: String): DataFrame = {
+    val in = Tables.documents(s, dir)
+    def canon(e: DataFrame) =
+      e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val eFull = edgesOver(in)
+    val ue = canon(eFull)
+    val sUe = canon(eFull.where(col("src") % Dedup.IncrMod =!= 0))
+    val nUe = ue.join(sUe, Seq("u", "v"), "left_anti")
+    val elig = degreesOf(ue).where(col("d") <= CnDegCap)
+      .select(col("x").as("c"))
+    val affected = nUe.select(col("u").as("c"))
+      .unionAll(nUe.select(col("v").as("c"))).distinct()
+    val eligAff = elig.join(affected, Seq("c"), "left_semi")
+    val adj = ue.select(col("u").as("c"), col("v").as("x"))
+      .unionAll(ue.select(col("v").as("c"), col("u").as("x")))
+    val a2 = adj.join(eligAff, Seq("c"), "left_semi")
+    a2.as("a").join(a2.as("b"),
+        col("a.c") === col("b.c") && col("a.x") < col("b.x"))
+      .groupBy(col("a.x"), col("b.x")).agg(count(lit(1)).as("nw"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rank_refs" -> ((s, d) => rankRefs(s, d)),
+    "q_rank_converged" -> ((s, d) => rankConverged(s, d)),
+    "q_graph_incr" -> ((s, d) => graphIncremental(s, d)),
     "q_graph_triangles" -> ((s, d) => graphTriangles(s, d)),
     "q_graph_degree_dist" -> ((s, d) => graphDegreeDist(s, d)),
     "q_graph_cn" -> ((s, d) => graphCommonNeighbors(s, d)),
@@ -267,6 +455,59 @@ object Graph extends graft.QueryGroup {
          |FROM r$RankIters rN
          |     LEFT JOIN i ON i.dst = rN.doc_id
          |     LEFT JOIN o ON o.src = rN.doc_id
+         |ORDER BY rank_ppm DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+    "q_rank_converged" -> {
+      // The same unrolled integer iteration as q_rank_refs, but with
+      // per-stage max-|Δ| CTEs (d$i), a conv CTE picking the FIRST
+      // stage at or under RankTol, and the final select UNIONing one
+      // guarded arm per stage — static SQL, data-dependent stop, the
+      // identical rule the Spark loop applies.
+      val h = MinHash.hash60Sql("'rel:' || tok")
+      def iter(i: Int): String = {
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (SELECT dst, CAST(sum(r // outdeg) AS BIGINT) AS sc
+           |        FROM eo JOIN $prev ON eo.src = $prev.doc_id
+           |        GROUP BY dst),
+           |r$i AS MATERIALIZED (
+           |        SELECT d.doc_id,
+           |               CAST(150000 + (17 * coalesce(c$i.sc, 0)) // 20
+           |                    AS BIGINT) AS r
+           |        FROM docs d LEFT JOIN c$i ON c$i.dst = d.doc_id),
+           |d$i AS (SELECT $i AS t, max(abs(a.r - b.r)) AS mx
+           |        FROM r$i a JOIN $prev b USING (doc_id))""".stripMargin
+      }
+      val arms = (1 to RankMaxIters).map(i =>
+        s"SELECT doc_id, r FROM r$i, conv WHERE conv.t = $i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH nd AS (SELECT count(*) AS nd FROM documents),
+         |docs AS MATERIALIZED (SELECT doc_id FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_sort(list_distinct(
+         |                str_split(text, ' ')))[1:$EdgeRefs]) AS tok
+         |       FROM documents),
+         |ed AS MATERIALIZED (
+         |       SELECT DISTINCT doc_id AS src, $h % nd.nd AS dst
+         |       FROM tk, nd WHERE doc_id <> $h % nd.nd),
+         |o AS MATERIALIZED (
+         |       SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+         |eo AS MATERIALIZED (
+         |       SELECT ed.src, ed.dst, o.outdeg
+         |       FROM ed JOIN o ON ed.src = o.src),
+         |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r
+         |       FROM docs),
+         |${(1 to RankMaxIters).map(iter).mkString(",\n")},
+         |dd AS (${(1 to RankMaxIters)
+            .map(i => s"SELECT t, mx FROM d$i").mkString(" UNION ALL ")}),
+         |conv AS (SELECT min(t) AS t FROM dd WHERE mx <= $RankTol),
+         |fin AS ($arms),
+         |i AS (SELECT dst, count(*) AS n_in FROM ed GROUP BY dst)
+         |SELECT fin.doc_id, fin.r AS rank_ppm,
+         |       CAST((SELECT t FROM conv) AS BIGINT) AS conv_iter,
+         |       CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in,
+         |       CAST(coalesce(o.outdeg, 0) AS BIGINT) AS n_out
+         |FROM fin
+         |     LEFT JOIN i ON i.dst = fin.doc_id
+         |     LEFT JOIN o ON o.src = fin.doc_id
          |ORDER BY rank_ppm DESC, doc_id ASC LIMIT 20""".stripMargin
     },
     "q_graph_triangles" -> {
@@ -318,7 +559,14 @@ object Graph extends graft.QueryGroup {
          |       CAST(max(d) AS BIGINT) AS max_deg
          |FROM deg GROUP BY 1 ORDER BY 1 ASC""".stripMargin
     },
-    "q_graph_cn" -> {
+    "q_graph_cn" -> cnSql,
+    // Same one-pass full-rebuild oracle: the hash match IS the
+    // delta-merge ≡ rebuild proof (the q_bm25_indexed contract).
+    "q_graph_incr" -> cnSql,
+  )
+
+  /** q_graph_cn's full-rebuild SQL — also q_graph_incr's oracle. */
+  private lazy val cnSql: String = {
       val h = MinHash.hash60Sql("'rel:' || tok")
       s"""WITH nd AS (SELECT count(*) AS nd FROM documents),
          |tk AS (SELECT doc_id, unnest(list_sort(list_distinct(
@@ -342,6 +590,5 @@ object Graph extends graft.QueryGroup {
          |       WHERE ue.u IS NULL)
          |SELECT u, v, n_common FROM ne
          |ORDER BY n_common DESC, u ASC, v ASC LIMIT $CnTopK""".stripMargin
-    },
-  )
+  }
 }

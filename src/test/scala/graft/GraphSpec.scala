@@ -159,4 +159,66 @@ class GraphSpec extends SparkSuite {
     assert(top.forall(_.getAs[Long]("rank_ppm") >= 150000L))
     info(s"top rank_ppm = ${top.head.getAs[Long]("rank_ppm")}")
   }
+
+  test("q_graph_incr: delta-merge equals the rebuild; affected-center " +
+      "semi-join prunes below the wedge join+agg") {
+    // Semantics: the standing+delta merge must equal the one-pass
+    // full rebuild (q_graph_cn) row for row — the same equality the
+    // gate grades via the shared oracle, asserted here without DuckDB.
+    val inc = Graph.graphIncremental(spark, sfDir).collect().toSeq
+    val full = Graph.graphCommonNeighbors(spark, sfDir).collect().toSeq
+    assert(inc === full, "incremental CN diverged from the rebuild")
+    assert(inc.nonEmpty)
+    // Plan: the delta arm's wedge enumeration must be pruned to the
+    // affected centers BEFORE the self-join + aggregation — the
+    // O(batch) property. LeftSemi below the top HashAggregate.
+    val p = Graph.incrDeltaWedges(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"affected-center prune must be a left-semi join:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    val semiIdx = p.lastIndexOf("LeftSemi")
+    assert(aggIdx >= 0 && semiIdx > aggIdx,
+      s"semi-join must sit BELOW the wedge aggregation:\n$p")
+  }
+
+  test("q_rank_converged: tolerance fixpoint — stop rule exact, " +
+      "converged ranks equal the unrolled iteration, trace decays") {
+    val (ranks, t, trace) = Graph.convergeRanks(
+      Tables.documents(spark, sfDir))
+    // The stop rule: FIRST iteration at or under the tolerance —
+    // every earlier delta above it, the last one under.
+    assert(t === trace.length)
+    assert(trace.last <= Graph.RankTol, s"stopped above tol: $trace")
+    assert(trace.init.forall(_ > Graph.RankTol),
+      s"stopped late — an earlier iteration was already under: $trace")
+    assert(t <= Graph.RankMaxIters)
+    // Geometric decay at damping 17/20: by iteration 5 the max move
+    // must have fallen ≥10× from iteration 1 (measured 37×/39×/686×
+    // at the three SFs — this is the loose structural bound, not a
+    // tuned constant).
+    assert(trace.length >= 5 && trace(4) * 10 <= trace.head,
+      s"delta trace not decaying: $trace")
+    // Converged ranks ≡ the plain iteration unrolled to exactly t
+    // steps, recomputed driver-side with the same integer rules.
+    val e = Graph.edges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSeq
+    val nodes = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val out = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to t) {
+      val contrib = e.groupBy(_._2).map { case (d, xs) =>
+        d -> xs.map { case (s, _) => r(s) / out(s) }.sum
+      }
+      r = nodes.map(n => n -> (150000L + 17 * contrib.getOrElse(n, 0L) / 20))
+        .toMap
+    }
+    val got = ranks.collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("r")).toMap
+    assert(got === r, "converged ranks diverge from the t-step unroll")
+    // conv_iter surfaces in the graded row and matches the loop's t.
+    val row = Graph.rankConverged(spark, sfDir).collect()
+    assert(row.forall(_.getAs[Long]("conv_iter") === t.toLong))
+  }
 }

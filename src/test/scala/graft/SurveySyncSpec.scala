@@ -62,39 +62,30 @@ class SurveySyncSpec extends AnyFunSuite {
         s"register $actual")
   }
 
-  test("bench stdout short keys are bijective 2-char ordinals") {
+  test("bench stdout order is the sorted registry, total and unique") {
     val names = SparkEntry.queries.keySet
-    val short = Bench.shortKeys(names)
-    assert(short.keySet == names)
-    assert(short.values.toSet.size == names.size,
-      "short-key collision — two queries share a stdout key")
-    assert(short.values.forall(_.length == 2))
-    // Deterministic: the ordinal of the sorted full-name list, so the
-    // published mapping can be re-derived from any commit.
-    val sorted = names.toSeq.sorted
-    assert(short(sorted.head) == "00")
+    val order = Bench.stdoutOrder(names)
+    assert(order.toSet == names)
+    assert(order == order.sorted,
+      "stdout ordinal order must be the ascii sort of full names — " +
+        "the self-published decode rule")
+    assert(order.distinct.size == names.size)
   }
 
   test("bench stdout line fits the driver tail window with headroom") {
     // The driver parses the metric line out of the LAST ~1927 chars of
     // stdout (measured r5). Simulate the compact line's length at the
     // current registry size PLUS 7 future rows, with pessimistic
-    // 4-char per-query values ("12.3") — r7 ended with 33 chars of
-    // headroom under hand-trimmed name abbreviations; the 2-char
-    // ordinal scheme must never get back there.
+    // 4-char per-query values ("12.3"). r8's 2-char ordinal KEYS hit
+    // this tripwire at 167 rows; the r9 keyless ordinal ARRAY spends
+    // 5 pessimistic bytes/row, so the same 150-char margin holds to
+    // ~350 rows — if the registry ever approaches THAT, the next step
+    // is moving per-query data off stdout entirely.
     val n = SparkEntry.queries.size + 7
-    val line = 26 + 6 + 12 + // {"metric":"total","value":NNN.NN,"queries":{
-      n * 10 - 1 + // "xx":12.3 rows, comma-separated
-      2 // }}
+    val line = 26 + 6 + 12 + // {"metric":"total","value":NNN.NN,"queries":[
+      n * 5 - 1 + // 12.3 values, comma-separated
+      2 // ]}
     val headroom = 1927 - line
-    // 150 chars = 15 MORE rows beyond the +7 already simulated at the
-    // pessimistic 10 bytes/row — and the pessimism is itself ~1.1
-    // bytes/row of slack (the real r8 driver line measured 1350 chars
-    // at 146 rows = 8.9 bytes/row after trailing-zero trimming), so
-    // the effective margin is ~300 real chars. Still far above r7's
-    // 33-char squeeze; the scheme's hard capacity is ~188 rows, and
-    // the next structural step (if the registry approaches the 170s)
-    // is moving the per-query map off stdout per the r7 verdict.
     assert(headroom >= 150, s"stdout headroom $headroom < 150 at $n rows")
   }
 }
