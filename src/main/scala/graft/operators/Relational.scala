@@ -229,6 +229,66 @@ object Relational extends graft.QueryGroup {
       .orderBy(col("bucket").asc, col("event_type").asc)
   }
 
+  /** q_changepoint — CHANGEPOINT detection over the event stream
+    * (the level-shift companion to [[anomalyHours]]' spike test —
+    * "when did this metric's regime change", the question behind
+    * every deploy/incident timeline): per event type, over the
+    * hourly count series, find the bucket boundary that maximizes
+    * the between-segment mean gap — the classic two-sample split
+    * scan (CUSUM's maximum form), entirely in exact integer
+    * arithmetic: with m buckets, prefix sum S1 at split k,
+    * total S, the score is |S1·n2 − S2·n1| · 1e6 DIV (n1·n2) — the
+    * before/after mean difference in micro-events, no floats. Emits
+    * per type the argmax split (the LAST bucket of the before
+    * segment), segment sizes, both segment means in micro-events,
+    * and the gap.
+    * Products ride DECIMAL(38,0) (1e12-event buckets × 1e4-bucket
+    * histories stay exact — the anomalyHours/timeDecay pattern).
+    *
+    * Scale: the only corpus-sized op is the (type, hour) count — one
+    * map-side-combined shuffle; the split scan is a window
+    * cumulative sum + map-only scoring + one argmax agg over the
+    * tiny bucket table (|types|×|hours| rows at any corpus size). */
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("bucket").asc)
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = b
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("s1", sum(col("c")).over(w))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("c")).over(wAll))
+      .where(col("k") < col("m")) // split AFTER bucket k; k = 1..m-1
+      .select(col("event_type"), col("bucket"), col("k"),
+        (col("m") - col("k")).as("n2"), col("s1"),
+        (col("s") - col("s1")).as("s2"))
+      .select(col("event_type"), col("bucket"), col("k"), col("n2"),
+        col("s1"), col("s2"),
+        // IntegralDivide on decimals — truncation parity with the
+        // oracle's HUGEINT `//` (the wide-integer pattern).
+        expr("""CAST(abs(CAST(s1 AS DECIMAL(38,0)) * n2 -
+                        CAST(s2 AS DECIMAL(38,0)) * k) * 1000000
+                DIV (CAST(k AS DECIMAL(38,0)) * n2) AS BIGINT)""")
+          .as("gap_micro"))
+    val best = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_micro").desc, col("bucket").asc)
+    scored
+      .withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("bucket").as("split_bucket"),
+        col("k").as("n_before"), col("n2").as("n_after"),
+        expr("""CAST(CAST(s1 AS DECIMAL(38,0)) * 1000000 DIV k AS BIGINT)""")
+          .as("mean_before_micro"),
+        expr("""CAST(CAST(s2 AS DECIMAL(38,0)) * 1000000 DIV n2 AS BIGINT)""")
+          .as("mean_after_micro"),
+        col("gap_micro"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** Bit-interleave of two 8-bit bucket columns into a 16-bit
     * Z-value — the Morton curve, as a plain integer expression
     * (shift/mask/add, codegen'd on Spark, same arithmetic in the
@@ -710,6 +770,7 @@ object Relational extends graft.QueryGroup {
     "q_semi_anti" -> ((s, d) => semiAnti(s, d)),
     "q_events_bucket" -> ((s, d) => eventsBucket(s, d)),
     "q_anomaly" -> ((s, d) => anomalyHours(s, d)),
+    "q_changepoint" -> ((s, d) => changepoint(s, d)),
     "q_sessionize" -> ((s, d) => sessionize(s, d)),
     "q_event_funnel" -> ((s, d) => eventFunnel(s, d)),
     "q_retention" -> ((s, d) => retention(s, d)),
@@ -969,6 +1030,37 @@ object Relational extends graft.QueryGroup {
         |  AND (c::HUGEINT * n - s) * (c::HUGEINT * n - s)
         |      > 9 * (n::HUGEINT * ss - s::HUGEINT * s)
         |ORDER BY bucket ASC, event_type ASC""".stripMargin,
+    "q_changepoint" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |                  CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, bucket, c,
+        |             CAST(row_number() OVER tw AS BIGINT) AS k,
+        |             CAST(sum(c) OVER tw AS BIGINT) AS s1,
+        |             CAST(count(*) OVER pw AS BIGINT) AS m,
+        |             CAST(sum(c) OVER pw AS BIGINT) AS s
+        |      FROM b
+        |      WINDOW tw AS (PARTITION BY event_type ORDER BY bucket ASC
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING
+        |                    AND CURRENT ROW),
+        |             pw AS (PARTITION BY event_type)),
+        |sc AS (SELECT event_type, bucket, k, m - k AS n2, s1, s - s1 AS s2,
+        |              CAST(abs(s1::HUGEINT * (m - k) -
+        |                       (s - s1)::HUGEINT * k) * 1000000
+        |                   // (k::HUGEINT * (m - k)) AS BIGINT)
+        |                AS gap_micro
+        |       FROM p WHERE k < m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |              ORDER BY gap_micro DESC, bucket ASC) AS rn
+        |      FROM sc)
+        |SELECT event_type, bucket AS split_bucket, k AS n_before,
+        |       n2 AS n_after,
+        |       CAST(s1::HUGEINT * 1000000 // k AS BIGINT)
+        |         AS mean_before_micro,
+        |       CAST(s2::HUGEINT * 1000000 // n2 AS BIGINT)
+        |         AS mean_after_micro,
+        |       gap_micro
+        |FROM r WHERE rn = 1 ORDER BY event_type ASC""".stripMargin,
     "q_events_bucket" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
         |       count(*) AS n,

@@ -263,7 +263,73 @@ object Sketches extends graft.QueryGroup {
           .as("bucket"))
       .groupBy(col("prio"), col("bucket")).agg(count(lit(1)).as("cnt"))
 
+  // ---------------------------------------------------------------
+  // Theta/KMV set-operation sketch: fixed sampling threshold
+  // θ = 2^60 / ThetaRate over the 60-bit key hash. A key is IN the
+  // sketch iff h(key) < θ — a map-only membership rule, so sketches
+  // of A, B, A∩B, A∪B are all derivable from the SAME per-key bit,
+  // and set-operation estimates are |sample| · ThetaRate. This is
+  // the fixed-threshold mode of the Apache-DataSketches theta
+  // family: intersection/union/Jaccard across segments — the
+  // audience-overlap question HLL cannot answer (HLL unions but
+  // never intersects).
+  // Fixed-RATE is the gate-determinism choice (the q_dedup_recall
+  // precedent): a deployment bounds sketch MEMORY instead by keeping
+  // the K smallest hashes (adaptive θ = k-th min) via a bounded
+  // min-heap aggregate — same estimator, same joins.
+  // ---------------------------------------------------------------
+
+  private[graft] val ThetaRate = 8L
+  private val ThetaCut = (1L << 60) / ThetaRate
+
+  /** q_theta_sketch — audience overlap across event types: for every
+    * type pair, exact distinct-user intersection/union next to the
+    * theta-sketch estimates and the sketch Jaccard in ppm. Shape:
+    * ONE distinct on (type, user) + the per-user type pair self-join
+    * (≤ C(|types|,2) rows per user — linear), map-side-combined
+    * counting aggs; the sketch bit rides the same rows, so the whole
+    * row costs one extra comparison over the exact audit it grades
+    * itself against (at 100 TB the exact columns are dropped and
+    * ONLY the θ-filtered sample crosses the wire — corpus × 1/rate
+    * rows, map-filtered at the scan). */
+  def thetaSketch(s: SparkSession, dir: String): DataFrame =
+    thetaSketchOver(Tables.events(s, dir)
+      .select(col("event_type").as("t"), col("user_id").as("u")))
+
+  /** [[thetaSketch]] over ANY (t, u) membership relation —
+    * the scale-smoke injection point. */
+  private[graft] def thetaSketchOver(in: DataFrame): DataFrame = {
+    val ut = in.select(col("t"), col("u"))
+      .distinct()
+      .withColumn("smp",
+        (MinHash.hash60(concat(lit("tsk:"), col("u").cast("string"))) <
+          ThetaCut).cast("long"))
+      .transform(graft.Checkpoints.cut)
+    val per = ut.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), sum(col("smp")).as("sm"))
+    val pair = ut.select(col("t").as("ta"), col("u"), col("smp"))
+      .join(ut.select(col("t").as("tb"), col("u")), Seq("u"))
+      .where(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("inter_exact"), sum(col("smp")).as("ism"))
+    pair
+      .join(broadcast(per.select(col("t").as("ta"), col("n").as("na"),
+        col("sm").as("sa"))), Seq("ta"))
+      .join(broadcast(per.select(col("t").as("tb"), col("n").as("nb"),
+        col("sm").as("sb"))), Seq("tb"))
+      .select(col("ta"), col("tb"), col("na"), col("nb"),
+        col("inter_exact"),
+        (col("na") + col("nb") - col("inter_exact")).as("union_exact"),
+        (col("ism") * ThetaRate).as("inter_est"),
+        ((col("sa") + col("sb") - col("ism")) * ThetaRate).as("union_est"),
+        expr(s"""CAST(ism * 1000000 DIV
+                 greatest(sa + sb - ism, 1L) AS BIGINT)""")
+          .as("jaccard_est_ppm"))
+      .orderBy(col("ta").asc, col("tb").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theta_sketch" -> ((s, d) => thetaSketch(s, d)),
     "q_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
     "q_cms_freq" -> ((s, d) => cmsFreq(s, d)),
     "q_bloom_semi" -> ((s, d) => bloomSemi(s, d)),
@@ -273,6 +339,33 @@ object Sketches extends graft.QueryGroup {
   private def h60(e: String): String = MinHash.hash60Sql(e)
 
   val oracles: Map[String, String] = Map(
+    "q_theta_sketch" -> {
+      val h = h60("'tsk:' || CAST(u AS VARCHAR)")
+      s"""WITH ut AS (SELECT DISTINCT event_type AS t, user_id AS u
+         |            FROM events),
+         |us AS (SELECT t, u,
+         |              CASE WHEN $h < ${(1L << 60) / ThetaRate}
+         |                   THEN 1 ELSE 0 END AS smp
+         |       FROM ut),
+         |per AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(smp) AS BIGINT) AS sm
+         |        FROM us GROUP BY t),
+         |pr AS (SELECT a.t AS ta, b.t AS tb,
+         |              CAST(count(*) AS BIGINT) AS inter_exact,
+         |              CAST(sum(a.smp) AS BIGINT) AS ism
+         |       FROM us a JOIN us b ON a.u = b.u AND a.t < b.t
+         |       GROUP BY a.t, b.t)
+         |SELECT ta, tb, pa.n AS na, pb.n AS nb, inter_exact,
+         |       pa.n + pb.n - inter_exact AS union_exact,
+         |       ism * $ThetaRate AS inter_est,
+         |       (pa.sm + pb.sm - ism) * $ThetaRate AS union_est,
+         |       CAST(ism * 1000000 //
+         |            greatest(pa.sm + pb.sm - ism, 1) AS BIGINT)
+         |         AS jaccard_est_ppm
+         |FROM pr JOIN per pa ON pr.ta = pa.t
+         |        JOIN per pb ON pr.tb = pb.t
+         |ORDER BY ta ASC, tb ASC""".stripMargin
+    },
     "q_hdr_quantile" ->
       s"""WITH o AS (SELECT o_orderpriority AS prio,
          |                  CAST(round(o_totalprice * 100) AS BIGINT) AS v

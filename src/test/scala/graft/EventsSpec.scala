@@ -114,11 +114,50 @@ class EventsSpec extends SparkSuite {
       assert(c > means(typ), s"flagged bucket at/below mean for $typ")
   }
 
+  test("q_changepoint: exact driver-side split-scan recomputation; " +
+      "argmax is the true max-gap boundary") {
+    val got = Relational.changepoint(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // Driver-side recomputation of the whole scan: hourly counts per
+    // type, every split's integer mean gap, argmax with the (gap
+    // desc, bucket asc) tiebreak.
+    val hourUs = 3600L * 1000000L
+    val buckets = raw.groupBy(t => (t._2, t._3 / hourUs * hourUs / 1000))
+      .map { case ((typ, hourMs), xs) => (typ, hourMs, xs.size.toLong) }
+      .toSeq
+    val want = buckets.groupBy(_._1).map { case (typ, bs0) =>
+      val bs = bs0.sortBy(_._2)
+      val total = bs.map(_._3).sum
+      val m = bs.size.toLong
+      val splits = bs.init.zipWithIndex.map { case ((_, bMs, _), i) =>
+        val k = i + 1L
+        val s1 = bs.take(i + 1).map(_._3).sum
+        val (n2, s2) = (m - k, total - s1)
+        val gap = (BigInt(s1) * n2 - BigInt(s2) * k).abs * 1000000 /
+          (BigInt(k) * n2)
+        (bMs, k, n2, s1, s2, gap.toLong)
+      }
+      val (bMs, k, n2, s1, s2, gap) =
+        splits.maxBy { case (ms, _, _, _, _, g) => (g, -ms) }
+      (typ, bMs, k, n2, s1 * 1000000L / k, s2 * 1000000L / n2, gap)
+    }.toSet
+    assert(got.nonEmpty && got.toSet === want,
+      s"split scan drifted: got ${got.toSet}\nwant $want")
+    // The reported gap really is mean_after − mean_before (up to the
+    // two DIV truncations), and every type with ≥2 buckets reports.
+    for ((_, _, _, _, mb, ma, gap) <- got)
+      assert((ma - mb).abs - gap <= 2, "gap inconsistent with means")
+    assert(got.length ===
+      buckets.groupBy(_._1).count { case (_, bs) => bs.size >= 2 })
+  }
+
   test("event rows: plans stay equi-join + hash-agg (no cartesian), " +
       "props pruned from the scan") {
     for ((n, df) <- Seq(
         "funnel" -> Relational.eventFunnel(spark, sfDir),
         "retention" -> Relational.retention(spark, sfDir),
+        "changepoint" -> Relational.changepoint(spark, sfDir),
         "anomaly" -> Relational.anomalyHours(spark, sfDir))) {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n: cartesian in plan:\n$p")

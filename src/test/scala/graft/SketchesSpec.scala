@@ -116,6 +116,61 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("q_theta_sketch: exact driver-side recomputation of sketch " +
+      "and audit columns") {
+    import graft.functions.MinHash.hash60Local
+    val got = Sketches.thetaSketch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))
+    val ut = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val cut = (1L << 60) / Sketches.ThetaRate
+    def smp(u: Long): Long =
+      if (hash60Local("tsk:" + u.toString) < cut) 1L else 0L
+    val byType = ut.groupBy(_._1)
+    val types = byType.keys.toSeq.sorted
+    val want = (for {
+      (ta, i) <- types.zipWithIndex; tb <- types.drop(i + 1)
+      ua = byType(ta).map(_._2).toSet; ub = byType(tb).map(_._2).toSet
+      inter = ua & ub
+      sa = ua.toSeq.map(smp).sum; sb = ub.toSeq.map(smp).sum
+      ism = inter.toSeq.map(smp).sum
+      if inter.nonEmpty || true
+    } yield (ta, tb, ua.size.toLong, ub.size.toLong, inter.size.toLong,
+      (ua | ub).size.toLong, ism * Sketches.ThetaRate,
+      (sa + sb - ism) * Sketches.ThetaRate,
+      ism * 1000000L / math.max(sa + sb - ism, 1L))).toSeq
+    assert(got.toSeq.sortBy(x => (x._1, x._2)) ===
+      want.sortBy(x => (x._1, x._2)))
+    assert(got.nonEmpty)
+  }
+
+  test("theta sketch accuracy at 1M keys, zero storage: estimates " +
+      "within 3% of exact on overlapping segments") {
+    // Two segments over 1M keys: A = [0, 700k), B = [300k, 1M) —
+    // exact intersection 400k, union 1M. At rate 1/8 the sample is
+    // ~125k keys, so relative error ~1/sqrt(50k) ≈ 0.5%; 3% is the
+    // loose structural bound.
+    val n = 1000000L
+    val a = spark.range(0L, 700000L).select(lit("A").as("t"),
+      col("id").as("u"))
+    val b = spark.range(300000L, n).select(lit("B").as("t"),
+      col("id").as("u"))
+    val r = Sketches.thetaSketchOver(a.unionAll(b)).collect()(0)
+    val interEst = r.getAs[Long]("inter_est").toDouble
+    val unionEst = r.getAs[Long]("union_est").toDouble
+    assert(math.abs(interEst - 400000.0) <= 12000.0,
+      s"intersection estimate off: $interEst")
+    assert(math.abs(unionEst - 1000000.0) <= 30000.0,
+      s"union estimate off: $unionEst")
+    assert(r.getAs[Long]("inter_exact") === 400000L)
+    info(f"inter est $interEst%.0f vs 400000, union est $unionEst%.0f " +
+      f"vs 1000000, jaccard ${r.getAs[Long]("jaccard_est_ppm")} ppm " +
+      "(exact 400000 ppm)")
+  }
+
   test("q_pivot: declared values mean ONE scan and no discovery job") {
     val df = Relational.pivotAgg(spark, sfDir)
     val p = plan(df)
