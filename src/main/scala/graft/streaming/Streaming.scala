@@ -185,6 +185,32 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("event_type").asc)
   }
 
+  /** Continuous theta-sketch maintenance — the streaming twin of
+    * [[graft.operators.Sketches.thetaSketch]]: the sketch's whole
+    * state is the distinct (type, user) MEMBERSHIP (the θ-sample bit
+    * is a pure function of the key, so maintaining membership IS
+    * maintaining the sketch), kept at ingest by watermark-bounded
+    * streaming dedup; the pair-overlap estimates are the serve-side
+    * rollup over that maintained table. Same oracle as the batch row
+    * — the hash match proves at-ingest maintenance ≡ batch build,
+    * and the replay spec proves it under adversarial micro-batch
+    * splits. State: one entry per live (type, user) key within the
+    * horizon — the q_stream_dedup bound; re-emission after state
+    * expiry is absorbed by the rollup's distinct (membership is a
+    * set, idempotent by definition). */
+  def streamTheta(s: SparkSession, dir: String): DataFrame =
+    streamThetaOver(s, eventsStream(s, dir), "graft_stream_theta")
+
+  private[graft] def streamThetaOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    val member = in
+      .withWatermark("ts", "35 days")
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
+      .select(col("event_type").as("t"), col("user_id").as("u"))
+    runToCompletion(member, sink, "append")
+    graft.operators.Sketches.thetaSketchOver(s.table(sink))
+  }
+
   final case class UpEvent(user_id: Long, event_type: String,
     event_id: Long, us: Long)
   final case class UpWinner(us: Long, event_id: Long)
@@ -1170,6 +1196,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
     "q_stream_window" -> ((s, d) => streamWindow(s, d)),
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
+    "q_stream_theta" -> ((s, d) => streamTheta(s, d)),
     "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
     "q_stream_sessionize_wm" -> ((s, d) => streamSessionizeWm(s, d)),
     "q_stream_asof" -> ((s, d) => streamAsof(s, d)),
@@ -1332,6 +1359,9 @@ object Streaming extends graft.QueryGroup {
         |SELECT event_type, count(*) AS n_keys,
         |       count(DISTINCT user_id) AS n_users
         |FROM d GROUP BY event_type ORDER BY event_type ASC""".stripMargin,
+    // The batch theta row's oracle verbatim — stream maintenance must
+    // serve the identical sketch (the stream-equals-batch contract).
+    "q_stream_theta" -> graft.operators.Sketches.oracles("q_theta_sketch"),
     // Exactly the batch q_asof_join semantics (Temporal group) — the
     // gate proves the stateful resolver equals the LATERAL top-1.
     "q_stream_asof" ->

@@ -24,6 +24,19 @@ class StreamingSpec extends SparkSuite
     assert(streamRows === batchRows)
   }
 
+  test("q_stream_theta (at-ingest sketch maintenance) == batch theta " +
+      "sketch, and stays exact under multi-batch out-of-order replay") {
+    val batchRows = graft.operators.Sketches.thetaSketch(spark, sfDir)
+      .collect().toSeq
+    val streamRows = Streaming.streamTheta(spark, sfDir).collect().toSeq
+    assert(streamRows.nonEmpty)
+    assert(streamRows === batchRows)
+    val replayed = Streaming.streamThetaOver(spark, splitReplay("theta"),
+      "graft_stream_theta_rp").collect().toSeq
+    assert(replayed === batchRows,
+      "sketch membership must be split/order-invariant")
+  }
+
   test("q_stream_sessionize (flatMapGroupsWithState) == batch sessionize") {
     val streamRows = Streaming.streamSessionize(spark, sfDir).collect().toSeq
     val batchRows = Relational.sessionize(spark, sfDir).collect().toSeq
