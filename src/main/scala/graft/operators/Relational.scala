@@ -249,11 +249,16 @@ object Relational extends graft.QueryGroup {
     * map-side-combined shuffle; the split scan is a window
     * cumulative sum + map-only scoring + one argmax agg over the
     * tiny bucket table (|types|×|hours| rows at any corpus size). */
-  def changepoint(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val b = Tables.events(s, dir)
+  def changepoint(s: SparkSession, dir: String): DataFrame =
+    changepointScan(Tables.events(s, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The split scan over ANY (event_type, bucket, c) hourly-count
+    * relation — shared by the batch row and the streaming twin
+    * (whose maintained window state IS this relation). */
+  private[graft] def changepointScan(b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("bucket").asc)
     val wAll = Window.partitionBy(col("event_type"))

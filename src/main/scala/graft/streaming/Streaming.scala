@@ -211,6 +211,30 @@ object Streaming extends graft.QueryGroup {
     graft.operators.Sketches.thetaSketchOver(s.table(sink))
   }
 
+  /** Continuous CHANGEPOINT monitoring — the q_changepoint twin: the
+    * detector's whole input is the (type, hour) count table, which
+    * is exactly the q_stream_window maintained state (watermarked
+    * tumbling counts, complete mode so unclosed windows emit too);
+    * the split scan runs serve-side over that tiny table each time
+    * the monitor is read. Same oracle as the batch row — continuous
+    * count maintenance ≡ batch scan, graded hash-exact; count
+    * aggregation is order/split-invariant so the replay spec holds
+    * by the q_stream_window argument. */
+  def streamChangepoint(s: SparkSession, dir: String): DataFrame =
+    streamChangepointOver(s, eventsStream(s, dir), "graft_stream_cp")
+
+  private[graft] def streamChangepointOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    val agg = in
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    runToCompletion(agg, sink, "complete")
+    graft.operators.Relational.changepointScan(
+      s.table(sink).select(col("event_type"),
+        col("window.start").as("bucket"), col("c")))
+  }
+
   final case class UpEvent(user_id: Long, event_type: String,
     event_id: Long, us: Long)
   final case class UpWinner(us: Long, event_id: Long)
@@ -1197,6 +1221,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_window" -> ((s, d) => streamWindow(s, d)),
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q_stream_theta" -> ((s, d) => streamTheta(s, d)),
+    "q_stream_changepoint" -> ((s, d) => streamChangepoint(s, d)),
     "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
     "q_stream_sessionize_wm" -> ((s, d) => streamSessionizeWm(s, d)),
     "q_stream_asof" -> ((s, d) => streamAsof(s, d)),
@@ -1362,6 +1387,8 @@ object Streaming extends graft.QueryGroup {
     // The batch theta row's oracle verbatim — stream maintenance must
     // serve the identical sketch (the stream-equals-batch contract).
     "q_stream_theta" -> graft.operators.Sketches.oracles("q_theta_sketch"),
+    "q_stream_changepoint" ->
+      graft.operators.Relational.oracles("q_changepoint"),
     // Exactly the batch q_asof_join semantics (Temporal group) — the
     // gate proves the stateful resolver equals the LATERAL top-1.
     "q_stream_asof" ->

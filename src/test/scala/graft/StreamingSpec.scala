@@ -37,6 +37,19 @@ class StreamingSpec extends SparkSuite
       "sketch membership must be split/order-invariant")
   }
 
+  test("q_stream_changepoint (continuous count maintenance) == batch " +
+      "changepoint, and stays exact under out-of-order replay") {
+    val batchRows = Relational.changepoint(spark, sfDir).collect().toSeq
+    val streamRows = Streaming.streamChangepoint(spark, sfDir)
+      .collect().toSeq
+    assert(streamRows.nonEmpty)
+    assert(streamRows === batchRows)
+    val replayed = Streaming.streamChangepointOver(spark,
+      splitReplay("cp"), "graft_stream_cp_rp").collect().toSeq
+    assert(replayed === batchRows,
+      "hourly counts must be split/order-invariant")
+  }
+
   test("q_stream_sessionize (flatMapGroupsWithState) == batch sessionize") {
     val streamRows = Streaming.streamSessionize(spark, sfDir).collect().toSeq
     val batchRows = Relational.sessionize(spark, sfDir).collect().toSeq
