@@ -18,6 +18,7 @@ object SparkEntry {
     Dedup,
     Relational,
     Temporal,
+    TimeSeries,
     Curation,
     Sketches,
     TextAnalysis,

@@ -165,6 +165,91 @@ object Ann extends graft.QueryGroup {
       .select(col("cid"), microMean(col("ms"), col("n")).as("cvec"))
   }
 
+  /** k for the CONVERGED Lloyd clustering row (distinct from
+    * [[IvfCells]] so the two quantizers stay independent dials). */
+  private[graft] val KmK = 8
+
+  /** Loud iteration cap for [[kmeansConverged]] — the
+    * q_rank_converged discipline: an under-converged result throws,
+    * never returns silently. Measured first assignment-fixpoint:
+    * 12 (sf0.001), 20 (sf0.01), 26 (sf0.1); 40 is the same ~1.5×
+    * headroom RankMaxIters carries over its measured max. */
+  private[graft] val KmMaxIters = 40
+
+  /** q_kmeans — Lloyd's k-means run to ASSIGNMENT FIXPOINT (the full
+    * clustering the one-step [[ivfCentroidsOf]] quantizer
+    * approximates): seeds are the md5-ordered first [[KmK]] vectors
+    * (the proven q_ann_ivf seeding), each iteration assigns every
+    * vector to its nearest centroid with the native
+    * [[graft.plans.NearestCell]] argmin (map-only — centroids ride
+    * one broadcast array row) and recomputes exact fixed-point
+    * centroid means ([[graft.plans.ElementwiseSum]], one narrow
+    * shuffle of [[Dim]]-long states), stopping at the first
+    * iteration whose assignment equals the previous one. Output is
+    * the per-cluster audit (size + the exact micro-unit member
+    * checksum that pins every final assignment) plus `conv_iter` —
+    * the data-dependent stopping decision is itself graded, against
+    * a [[KmMaxIters]]-stage unrolled oracle whose `conv_iter` scalar
+    * is the same first-zero-changes rule (past the fixpoint the
+    * assignment map is stationary, so the oracle's cap-stage stats
+    * ARE the converged stats).
+    *
+    * Scale: per iteration one map-only assignment pass + one
+    * map-side-combined centroid aggregate (k×[[Dim]] longs of
+    * state) + an O(n) changed-count reduce over the materialized
+    * cut — the BSP shape that holds at 100 TB; iteration count is a
+    * property of the manifold, not the corpus size. */
+  def kmeansConverged(s: SparkSession, dir: String): DataFrame =
+    kmeansConvergedOver(Tables.embeddings(s, dir))
+
+  private[graft] def kmeansConvergedOver(e0: DataFrame): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
+      .transform(graft.Checkpoints.cut)
+    def assignTo(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(asArray(cents)))
+        .select(col("vec_id"),
+          graft.plans.NearestCell(col("embedding"), col("cents")).as("cid"))
+    def centroidsOf(assign: DataFrame): DataFrame =
+      assign.join(e, Seq("vec_id"))
+        .select(col("cid"), microInts(col("embedding")).as("mi"))
+        .groupBy(col("cid"))
+        .agg(graft.plans.ElementwiseSum(col("mi"), Dim).as("ms"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), microMean(col("ms"), col("n")).as("cvec"))
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(KmK)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    var assign = assignTo(seeds).transform(graft.Checkpoints.cut)
+    var t = 0
+    while (true) {
+      t += 1
+      if (t > KmMaxIters)
+        throw new IllegalStateException(
+          s"k-means assignment still moving after $KmMaxIters Lloyd " +
+            "steps — raise KmMaxIters for this corpus")
+      val next = assignTo(centroidsOf(assign))
+        .withColumnRenamed("cid", "ncid")
+        .transform(graft.Checkpoints.cut)
+      val changed = next.join(assign, Seq("vec_id"))
+        .where(col("ncid") =!= col("cid")).count()
+      assign = next.select(col("vec_id"), col("ncid").as("cid"))
+      if (changed == 0L) {
+        val rs = e.select(col("vec_id"),
+          aggregate(microInts(col("embedding")),
+            lit(0L), (acc, m) => acc + m.cast("long")).as("rsum"))
+        return assign.join(rs, Seq("vec_id"))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("rsum")).as("sum_micro"))
+          .select(col("cid").as("cluster_id"), col("n_members"),
+            col("sum_micro"), lit(t.toLong).as("conv_iter"))
+          .orderBy(col("cluster_id").asc)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** IVF search for query vec_id=0: deterministic coarse quantizer
     * (md5-ordered 16-seed sample, one exact Lloyd step), assign all
     * vectors to nearest centroid, probe the 2 cells nearest the
@@ -1175,7 +1260,62 @@ object Ann extends graft.QueryGroup {
     "q_ann_ivfpq" -> ((s, d) => ivfPqSearch(s, d)),
     "q_ann_ivfpq_res" -> ((s, d) => ivfPqResStored(s, d)),
     "q_hard_negatives_vec" -> ((s, d) => hardNegativesVec(s, d)),
+    "q_kmeans" -> ((s, d) => kmeansConverged(s, d)),
   )
+
+  /** Stage `t` of the unrolled k-means oracle: centroids from the
+    * previous assignment, re-assignment, and the changed-row count
+    * that drives the conv_iter scalar. */
+  // AS MATERIALIZED on every stage CTE (the q_rank_converged oracle
+  // discipline): each a{t} is referenced by two downstream CTEs, and
+  // without the hint DuckDB inlines the whole prior chain into each
+  // reference — exponential plan blowup across 40 stages.
+  private def kmStage(t: Int): String =
+    s"""c$t AS MATERIALIZED (SELECT cid, list(c ORDER BY pos) AS cv FROM (
+       |  SELECT a.cid, g.i AS pos,
+       |         CAST(sum(CAST(round(e.v[g.i] * 1e6) AS BIGINT)) AS DOUBLE)
+       |           / count(*) / 1e6 AS c
+       |  FROM a${t - 1} a JOIN e USING (vec_id),
+       |       generate_series(1, $Dim) AS g(i)
+       |  GROUP BY a.cid, g.i) GROUP BY cid),
+       |a$t AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+       |                     for i in generate_series(1, $Dim)]) ASC,
+       |           c.cid ASC) AS rn
+       |  FROM e, c$t c) WHERE rn = 1),
+       |g$t AS MATERIALIZED (SELECT CAST($t AS BIGINT) AS t, count(*) AS chg
+       |        FROM a$t n JOIN a${t - 1} p USING (vec_id)
+       |        WHERE n.cid <> p.cid)""".stripMargin
+
+  private def kmeansOracle: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+       |       FROM embeddings),
+       |seeds AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e
+       |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+       |          LIMIT $KmK),
+       |a0 AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, s.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           list_sum([(e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i])
+       |                     for i in generate_series(1, $Dim)]) ASC,
+       |           s.cid ASC) AS rn
+       |  FROM e, seeds s) WHERE rn = 1),
+       |${(1 to KmMaxIters).map(kmStage).mkString(",\n")},
+       |conv AS (SELECT min(t) AS ci FROM (
+       |  ${(1 to KmMaxIters).map(t => s"SELECT * FROM g$t")
+             .mkString(" UNION ALL ")}) WHERE chg = 0),
+       |rs AS (SELECT vec_id,
+       |              CAST(list_sum([CAST(round(v[i] * 1e6) AS BIGINT)
+       |                   for i in generate_series(1, $Dim)]) AS BIGINT)
+       |                AS rsum
+       |       FROM e)
+       |SELECT a.cid AS cluster_id, count(*) AS n_members,
+       |       CAST(sum(rs.rsum) AS BIGINT) AS sum_micro,
+       |       (SELECT ci FROM conv) AS conv_iter
+       |FROM a$KmMaxIters a JOIN rs USING (vec_id)
+       |GROUP BY a.cid ORDER BY cluster_id ASC""".stripMargin
 
   private val bucketSql = Lsh.bucketCodeSql("v", planes)
   private val probeXors =
@@ -1660,5 +1800,6 @@ object Ann extends graft.QueryGroup {
          |FROM cent t LEFT JOIN nc ON t.cid = nc.cell
          |            LEFT JOIN nb ON t.cid = nb.cell
          |ORDER BY cell ASC""".stripMargin,
+    "q_kmeans" -> kmeansOracle,
   )
 }

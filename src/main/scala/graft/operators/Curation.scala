@@ -702,6 +702,56 @@ object Curation extends graft.QueryGroup {
       .orderBy(col("rk").asc, col("doc_id").asc)
       .limit(FixedSampleK)
 
+  /** Sample size for [[samplePps]]. */
+  private[graft] val PpsK = 40L
+  /** Prefix-sum block width for [[samplePps]] (docs per segment). */
+  private[graft] val PpsBlock = 64L
+
+  /** q_sample_pps — SYSTEMATIC probability-proportional-to-size
+    * sampling (the length-weighted companion to q_sample_fixed's
+    * uniform fixed-K rule — a token-budgeted eval set wants docs
+    * with probability ∝ their length, not uniformly): lay the docs
+    * end-to-end on the cumulative-weight axis in doc_id order, drop
+    * [[PpsK]] equally-spaced boundaries (step = total/K), keep every
+    * doc whose weight interval captures ≥1 boundary; `n_hits` is the
+    * capture multiplicity (a doc longer than the step is sampled
+    * with multiplicity, the textbook PPS-systematic rule). Entirely
+    * integer (boundary test by long floor-division), zero RNG —
+    * byte-identical reruns, the q_sample_* contract.
+    *
+    * Scale: the cumulative weight is the SEGMENTED two-pass prefix
+    * sum (the q_concurrency decomposition): within-block running
+    * sums under a (block = doc_id DIV [[PpsBlock]]) window plus a
+    * blocks-sized carry table — no global single-reducer window;
+    * the oracle is the naive global window, so the decomposition is
+    * graded hash-exact. The boundary products ride BIGINT here;
+    * at 100-TB corpus sizes (Σw·K ≳ 2⁶³) they move to
+    * DECIMAL(38,0)/HUGEINT — the collocations wide-int discipline. */
+  def samplePps(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("w"),
+        expr(s"doc_id DIV $PpsBlock").as("blk"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCarry = Window.orderBy(col("blk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = d.groupBy(col("blk")).agg(sum(col("w")).as("bt"))
+      .withColumn("carry", coalesce(sum(col("bt")).over(wCarry), lit(0L)))
+      .select(col("blk"), col("carry"))
+    val total = d.agg(sum(col("w")).as("total"))
+    d.withColumn("inblk", sum(col("w")).over(wIn))
+      .join(broadcast(carries), Seq("blk"))
+      .withColumn("cumw", col("inblk") + col("carry"))
+      .crossJoin(broadcast(total))
+      .withColumn("hi", expr(s"(cumw * $PpsK) DIV total"))
+      .withColumn("lo", expr(s"((cumw - w) * $PpsK) DIV total"))
+      .where(col("hi") > col("lo"))
+      .select(col("doc_id"), col("w"),
+        (col("cumw") - col("w")).as("cum_before"),
+        (col("hi") - col("lo")).as("n_hits"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Minimum pair support for [[collocations]] (sized to the
     * testdata corpus: ~27k adjacent pairs at sf0.01, max single-pair
     * support 48 — the production knob is corpus-calibrated). */
@@ -1010,6 +1060,7 @@ object Curation extends graft.QueryGroup {
     "q_collocations" -> ((s, d) => collocations(s, d)),
     "q_skipgrams" -> ((s, d) => skipgrams(s, d)),
     "q_sample_fixed" -> ((s, d) => sampleFixed(s, d)),
+    "q_sample_pps" -> ((s, d) => samplePps(s, d)),
     "q_dsir" -> ((s, d) => dsirWeights(s, d)),
     "q_dsir_sample" -> ((s, d) => dsirSample(s, d)),
     "q_pipeline" -> ((s, d) => pipeline(s, d)),
@@ -1305,6 +1356,21 @@ object Curation extends graft.QueryGroup {
          |FROM documents
          |ORDER BY rk ASC, doc_id ASC LIMIT $FixedSampleK""".stripMargin
     },
+    // Independent derivation: the naive single global cumulative
+    // window vs the segmented two-pass prefix sum.
+    "q_sample_pps" ->
+      s"""WITH d AS (SELECT doc_id, n_chars AS w FROM documents),
+         |c AS (SELECT doc_id, w,
+         |             sum(w) OVER (ORDER BY doc_id ASC
+         |                          ROWS UNBOUNDED PRECEDING) AS cumw
+         |      FROM d),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM d)
+         |SELECT doc_id, w, CAST(cumw - w AS BIGINT) AS cum_before,
+         |       CAST((cumw * $PpsK) // total
+         |            - ((cumw - w) * $PpsK) // total AS BIGINT) AS n_hits
+         |FROM c, t
+         |WHERE (cumw * $PpsK) // total > ((cumw - w) * $PpsK) // total
+         |ORDER BY doc_id ASC""".stripMargin,
     "q_bpe_apply" -> {
       // One unrolled learn-and-apply stage: pair counts over v{i-1},
       // top pair into t{i} (count desc, pair asc — the Spark

@@ -146,6 +146,35 @@ object Relational extends graft.QueryGroup {
       .orderBy(col("c_mktsegment").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** q_grouping_sets — NON-HIERARCHICAL grouping sets
+    * ((returnflag), (linestatus)): the two independent marginal
+    * rollups neither `rollup` (hierarchical prefixes) nor `cube`
+    * (all 4 subsets) expresses without waste — cube would compute
+    * and discard the (flag, status) and () cells. `grouping_id`
+    * disambiguates which marginal a row belongs to (1 = status
+    * aggregated away, 2 = flag aggregated away — same bitmask both
+    * engines). Revenue follows the repo cent-exact convention:
+    * exact DECIMAL per item, exact DECIMAL sum, one terminal round.
+    * Plan: ONE map-side-combining hash aggregate over the expanded
+    * grouping-set rows — at 100 TB this is one exchange of
+    * (|flags| + |statuses|) cells, vs two full scans for the
+    * UNION-ALL-of-two-group-bys a user would hand-write. */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (dec2(col("l_extendedprice")) * (one - dec4(col("l_discount"))))
+          .as("dp"))
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n_items"),
+        expr("CAST(round(sum(dp) * 100) AS BIGINT)").as("revenue_cents"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n_items"), col("revenue_cents"))
+      .orderBy(col("gid").asc, col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last)
+  }
+
   /** Running sum + inter-event gap per user over event time; the
     * window partitions on user_id (cardinality grows with data).
     * Running value accumulates in exact micro-units — an ordered
@@ -771,6 +800,7 @@ object Relational extends graft.QueryGroup {
     "q_top_n_window" -> ((s, d) => topNWindow(s, d)),
     "q_rollup" -> ((s, d) => rollupAgg(s, d)),
     "q_cube" -> ((s, d) => cubeAgg(s, d)),
+    "q_grouping_sets" -> ((s, d) => groupingSetsAgg(s, d)),
     "q_window_running" -> ((s, d) => windowRunning(s, d)),
     "q_semi_anti" -> ((s, d) => semiAnti(s, d)),
     "q_events_bucket" -> ((s, d) => eventsBucket(s, d)),
@@ -983,6 +1013,15 @@ object Relational extends graft.QueryGroup {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |       count(*) AS n_items,
+         |       CAST(round(sum($revExpr) * 100) AS BIGINT) AS revenue_cents
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY gid ASC, l_returnflag ASC NULLS LAST,
+         |         l_linestatus ASC NULLS LAST""".stripMargin,
     "q_cube" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
         |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE),

@@ -53,13 +53,13 @@ object Sketches extends graft.QueryGroup {
   // identical to the last bit across engines.
   // ---------------------------------------------------------------
 
-  private val HllM = 256
-  private val HllWindow = 16
+  private[graft] val HllM = 256
+  private[graft] val HllWindow = 16
   /** alpha_256 · m² · 2^17 (the fixed-point scale), one literal shared
     * verbatim with the oracle: 0.7213/(1+1.079/256) · 65536 · 131072. */
-  private val HllNum = "6169914595.23982"
+  private[graft] val HllNum = "6169914595.23982"
 
-  private def hllRho(r16: Column): Column =
+  private[graft] def hllRho(r16: Column): Column =
     when(r16 === 0, lit(HllWindow + 1))
       .otherwise(lit(HllWindow + 1) - length(bin(r16)))
 

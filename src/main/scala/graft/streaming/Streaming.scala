@@ -211,6 +211,71 @@ object Streaming extends graft.QueryGroup {
     graft.operators.Sketches.thetaSketchOver(s.table(sink))
   }
 
+  /** Continuous HLL-register maintenance — the streaming form of
+    * [[graft.operators.Sketches.hllDistinct]]'s register build, over
+    * the (event_type, user_id) stream: the 256-register max-rho
+    * sketch is maintained AT INGEST by a complete-mode streaming
+    * aggregation whose whole state is the register table itself —
+    * O(types × 256) entries regardless of arrival volume, the
+    * at-scale distinct-count shape (contrast the theta twin, whose
+    * state is the live membership). The exact-distinct audit column
+    * (batch row convention: the sketch is never trusted blind) rides
+    * a second, watermark-bounded dedup stream; the serve-side fold
+    * is the SAME [[graft.operators.Sketches.hllEstimate]] the batch
+    * row uses, so stream-maintained registers provably feed the
+    * identical estimator. max is associative/commutative/idempotent,
+    * so the register table is exact under any micro-batch split or
+    * replay — the q_stream_window argument. */
+  def streamHll(s: SparkSession, dir: String): DataFrame =
+    streamHllOver(s, eventsStream(s, dir), "graft_stream_hll")
+
+  private[graft] def streamHllOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    import graft.operators.Sketches
+    val h = graft.functions.MinHash.hash60(
+      concat(lit("hll:"), col("user_id").cast("string")))
+    val prep = in.select(col("event_type").as("g"),
+      pmod(h, lit(Sketches.HllM.toLong)).as("bucket"),
+      Sketches.hllRho(shiftright(h, 8).bitwiseAND(lit(0xffffL)))
+        .as("rho"),
+      col("user_id").as("k"), col("ts"))
+    val regs = prep.groupBy(col("g"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    runToCompletion(regs, sink + "_regs", "complete")
+    val member = prep
+      .withWatermark("ts", "35 days")
+      .dropDuplicatesWithinWatermark("g", "k")
+      .select(col("g"), col("bucket"), col("k"))
+    runToCompletion(member, sink + "_mem", "append")
+    val nd = s.table(sink + "_mem").distinct()
+      .groupBy(col("g"), col("bucket"))
+      .agg(countDistinct(col("k")).as("nd"))
+    Sketches.hllEstimate(
+        s.table(sink + "_regs").join(nd, Seq("g", "bucket")))
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type").asc)
+  }
+
+  /** Continuous OHLC candle maintenance — the streaming twin of
+    * [[graft.operators.TimeSeries.ohlc]]: the per-(type, day) candle
+    * is maintained AT INGEST by a complete-mode streaming aggregation
+    * over the shared [[graft.operators.TimeSeries.ohlcAgg]]
+    * definition — open/close are lexicographic (us, id, value)
+    * struct extremes, so every column of the candle is associative/
+    * commutative and the maintained state (one candle per open
+    * (type, day) cell) is exact under any micro-batch split or
+    * arrival order. Same oracle as the batch row. */
+  def streamOhlc(s: SparkSession, dir: String): DataFrame =
+    streamOhlcOver(s, eventsStream(s, dir), "graft_stream_ohlc")
+
+  private[graft] def streamOhlcOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    import graft.operators.TimeSeries
+    runToCompletion(TimeSeries.ohlcAgg(TimeSeries.ohlcProject(in)),
+      sink, "complete")
+    s.table(sink).orderBy(col("event_type").asc, col("d").asc)
+  }
+
   /** Continuous CHANGEPOINT monitoring — the q_changepoint twin: the
     * detector's whole input is the (type, hour) count table, which
     * is exactly the q_stream_window maintained state (watermarked
@@ -1221,6 +1286,8 @@ object Streaming extends graft.QueryGroup {
     "q_stream_window" -> ((s, d) => streamWindow(s, d)),
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q_stream_theta" -> ((s, d) => streamTheta(s, d)),
+    "q_stream_hll" -> ((s, d) => streamHll(s, d)),
+    "q_stream_ohlc" -> ((s, d) => streamOhlc(s, d)),
     "q_stream_changepoint" -> ((s, d) => streamChangepoint(s, d)),
     "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
     "q_stream_sessionize_wm" -> ((s, d) => streamSessionizeWm(s, d)),
@@ -1387,6 +1454,37 @@ object Streaming extends graft.QueryGroup {
     // The batch theta row's oracle verbatim — stream maintenance must
     // serve the identical sketch (the stream-equals-batch contract).
     "q_stream_theta" -> graft.operators.Sketches.oracles("q_theta_sketch"),
+    // Continuous candle maintenance must equal the batch downsample
+    // exactly — same oracle (TimeSeries group).
+    "q_stream_ohlc" -> graft.operators.TimeSeries.oracles("q_ohlc"),
+    // Events-keyed HLL: the batch estimator SQL over (type, user) —
+    // register maintenance at ingest must land on the same sketch.
+    "q_stream_hll" -> {
+      import graft.operators.Sketches.{HllM, HllNum, HllWindow}
+      val h = graft.functions.MinHash.hash60Sql(
+        "'hll:' || CAST(user_id AS VARCHAR)")
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |         $h % $HllM AS bucket,
+         |         ($h >> 8) & 65535 AS r16,
+         |         user_id
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, bucket,
+         |         max(CASE WHEN r16 = 0 THEN ${HllWindow + 1}
+         |                  ELSE ${HllWindow + 1} - length(bin(r16)) END) AS m,
+         |         count(DISTINCT user_id) AS nd
+         |  FROM b GROUP BY event_type, bucket)
+         |SELECT event_type,
+         |       CAST(sum(nd) AS BIGINT) AS n_exact,
+         |       count(*) AS regs_hit,
+         |       round($HllNum / CAST(
+         |         CAST(sum(1::BIGINT << (${HllWindow + 1} - m)) AS BIGINT) +
+         |         ($HllM - count(*)) * ${1L << (HllWindow + 1)}
+         |         AS DOUBLE), 3) AS est
+         |FROM r GROUP BY event_type
+         |ORDER BY event_type ASC""".stripMargin
+    },
     "q_stream_changepoint" ->
       graft.operators.Relational.oracles("q_changepoint"),
     // Exactly the batch q_asof_join semantics (Temporal group) — the

@@ -10,6 +10,28 @@ import graft.operators.{Curation, Dedup}
   */
 class CurationSpec extends SparkSuite {
 
+  test("q_sample_pps: K boundaries all land, multiplicities exact, " +
+      "segmented prefix == naive driver recomputation") {
+    val got = Curation.samplePps(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.map(_._4).sum === Curation.PpsK,
+      "every sampling boundary lands in exactly one doc interval")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val total = docs.map(_._2).sum
+    var cum = 0L
+    val want = docs.flatMap { case (id, w) =>
+      val lo = cum * Curation.PpsK / total
+      cum += w
+      val hi = cum * Curation.PpsK / total
+      if (hi > lo) Some((id, w, cum - w, hi - lo)) else None
+    }
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("stratified sample is deterministic and rate-configured") {
     val a = Curation.sampleStratified(spark, sfDir).collect()
     val b = Curation.sampleStratified(spark, sfDir).collect()

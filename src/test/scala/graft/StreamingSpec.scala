@@ -50,6 +50,36 @@ class StreamingSpec extends SparkSuite
       "hourly counts must be split/order-invariant")
   }
 
+  test("q_stream_hll (at-ingest register maintenance) == batch HLL " +
+      "estimator, and stays exact under out-of-order replay") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    val batchRows = Sketches.hllEstimate(Sketches.hllRegisters(
+        Tables.events(spark, sfDir), col("event_type"), col("user_id")))
+      .withColumnRenamed("g", "event_type")
+      .orderBy(col("event_type").asc).collect().toSeq
+    val streamRows = Streaming.streamHll(spark, sfDir).collect().toSeq
+    assert(streamRows.nonEmpty)
+    assert(streamRows === batchRows)
+    val replayed = Streaming.streamHllOver(spark, splitReplay("hll"),
+      "graft_stream_hll_rp").collect().toSeq
+    assert(replayed === batchRows,
+      "max-rho registers must be split/order-invariant")
+  }
+
+  test("q_stream_ohlc (continuous candle maintenance) == batch OHLC, " +
+      "and stays exact under out-of-order replay") {
+    val batchRows = graft.operators.TimeSeries.ohlc(spark, sfDir)
+      .collect().toSeq
+    val streamRows = Streaming.streamOhlc(spark, sfDir).collect().toSeq
+    assert(streamRows.nonEmpty)
+    assert(streamRows === batchRows)
+    val replayed = Streaming.streamOhlcOver(spark, splitReplay("ohlc"),
+      "graft_stream_ohlc_rp").collect().toSeq
+    assert(replayed === batchRows,
+      "struct-extreme candles must be split/order-invariant")
+  }
+
   test("q_stream_sessionize (flatMapGroupsWithState) == batch sessionize") {
     val streamRows = Streaming.streamSessionize(spark, sfDir).collect().toSeq
     val batchRows = Relational.sessionize(spark, sfDir).collect().toSeq
