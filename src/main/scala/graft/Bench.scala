@@ -48,6 +48,13 @@ object Bench {
       .config(graft.streaming.Streaming.StatePartitionsKey, "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The iterative fixpoint rows localCheckpoint every step
+      // (26+18+… cuts per rep); superseded cut blocks are reclaimed
+      // by the ContextCleaner only after a JVM GC notices them, and
+      // the default 30-min periodic GC never fires inside one suite
+      // pass — so the blocks pile onto the storage memory the late
+      // streaming rows then fight for. One minute bounds the pile.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM + parquet footers once so the first measured query
@@ -95,6 +102,17 @@ object Bench {
       }
       val r1 = once()
       val r2 = if (r1 >= 0) once() else -1.0
+      // Suite-hygiene between queries: drop the memory-sink temp
+      // views the streaming twins leave behind (each pins its full
+      // output in driver memory; 19 streams × 2 reps accumulate into
+      // real GC pressure by the end of the 180-row alphabet —
+      // measured: q_stream_sessionize_wm 5.1/8.6 s late-suite vs
+      // 1.8 s solo on identical code). Cross-talk hygiene, not a
+      // measurement change: each query's OWN reps still pay their
+      // own sink machinery in full.
+      spark.catalog.listTables().collect()
+        .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
+        .foreach(t => spark.catalog.dropTempView(t.name))
       name -> (if (r1 >= 0 && r2 >= 0) math.min(r1, r2) else -1.0)
     }
     def q(s: String): String = "\"" + s.flatMap {

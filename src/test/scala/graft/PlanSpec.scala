@@ -499,4 +499,55 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"),
       s"the composed ingest pass needs no window:\n$p")
   }
+
+  test("q_ohlc: one aggregate with map-side combine, NO window — " +
+      "open/close ride the agg as struct extremes") {
+    val p = plan(TimeSeries.ohlc(spark, sfDir))
+    assert(!p.contains("Window"),
+      s"time-ordered open/close must not need a window:\n$p")
+    // Struct extremes plan as SortAggregate (immutable buffer type),
+    // still with a partial stage before the one (type, day) exchange
+    // — the map-side combine is the scale property.
+    assert(p.contains("partial_min(struct") && p.contains("partial_sum"),
+      s"expected a map-side partial aggregate:\n$p")
+  }
+
+  test("q_concurrency / q_sample_pps: every sweep window is " +
+      "segment-keyed; the carry tables broadcast") {
+    val pc = plan(TimeSeries.concurrency(spark, sfDir))
+    assert(pc.contains("BroadcastHashJoin"),
+      s"days-sized carry table must broadcast:\n$pc")
+    assert(!pc.contains("CartesianProduct"), pc)
+    val ps = plan(Curation.samplePps(spark, sfDir))
+    assert(ps.contains("BroadcastHashJoin"),
+      s"blocks-sized carry table must broadcast:\n$ps")
+  }
+
+  test("q_kmeans: assignment is map-only — no shuffle join reunites " +
+      "points with labels; only the centroid agg exchanges") {
+    // Plan-audit the per-iteration building block (one assignment
+    // pass over a labeled relation): the NearestCell argmin must sit
+    // above the scan with a broadcast exchange only — a SortMergeJoin
+    // or ShuffledHashJoin here would mean the corpus re-shuffles
+    // every Lloyd step.
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(Ann.KmK)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cents = seeds
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
+        .as("cents"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cid",
+        graft.plans.NearestCell(col("embedding"), col("cents")))
+      .drop("cents")
+    val p = plan(assigned)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"assignment must not shuffle the corpus:\n$p")
+    assert(p.contains("nearest_cell") || p.contains("NearestCell"),
+      s"expected the fused argmin kernel:\n$p")
+  }
 }
