@@ -169,6 +169,10 @@ object Ann extends graft.QueryGroup {
     * [[IvfCells]] so the two quantizers stay independent dials). */
   private[graft] val KmK = 8
 
+  /** One driver-resident Lloyd centroid — schema mirrors asArray's
+    * (cid, cvec) struct exactly ([[NearestCell]]'s expected input). */
+  private[graft] case class KmCent(cid: Long, cvec: Seq[Double])
+
   /** Loud iteration cap for [[kmeansConverged]] — the
     * q_rank_converged discipline: an under-converged result throws,
     * never returns silently. Measured first assignment-fixpoint:
@@ -194,67 +198,98 @@ object Ann extends graft.QueryGroup {
     * assignment map is stationary, so the oracle's cap-stage stats
     * ARE the converged stats).
     *
-    * Scale: per iteration one map-only assignment pass + one
-    * map-side-combined centroid aggregate (k×[[Dim]] longs of
-    * state) + an O(n) changed-count reduce over the materialized
-    * cut — the BSP shape that holds at 100 TB; iteration count is a
-    * property of the manifold, not the corpus size. */
+    * Scale: per iteration ONE job — a map-only assignment pass
+    * fused into one map-side-combined aggregate (k×[[Dim]] longs of
+    * state per task) that carries centroid partials, member counts,
+    * and the changed-count together; the corpus is materialized
+    * once and never re-persisted. The BSP shape that holds at
+    * 100 TB; iteration count is a property of the manifold, not the
+    * corpus size. */
   def kmeansConverged(s: SparkSession, dir: String): DataFrame =
     kmeansConvergedOver(Tables.embeddings(s, dir))
 
-  /** Points stay PARTITION-RESIDENT with their current label — the
-    * `labeled` relation carries (vec_id, embedding, cid) through
-    * every cut, so assignment is a pure map (no join reunites points
-    * with labels), the changed-count reads the materialized cut with
-    * no exchange, and the ONLY shuffle per iteration is the k×Dim
-    * centroid partial aggregate. (The first formulation kept labels
-    * separate and paid 3 shuffle joins per step: 7.6 s → ~3 s at
-    * sf0.1 for the same 26-step fixpoint.) */
+  /** Executes as MLlib's KMeans does — a cached corpus RDD, driver-
+    * resident centroids (k×[[Dim]] doubles), and per Lloyd step ONE
+    * broadcast + one `mapPartitions` + a 32-partial reduce, via
+    * [[graft.plans.KmeansKernel]]. This is the repo's second
+    * sanctioned drop below the DataFrame API (after the multimodal
+    * codec seam), and it is a measured decision, not a style one:
+    * the step itself costs ~25 ms at sf0.1, but a DataFrame
+    * formulation pays Catalyst analysis+optimization+codegen for a
+    * FRESH plan every iteration (the centroids change, so the plan
+    * changes) — measured 0.17-0.25 s/step against 0.03 s/step for
+    * the identical reused physical plan. At 26 steps the planner,
+    * not the engine, was 90% of the row's 5-6 s; no DataFrame
+    * construct can reuse one compiled plan across data-dependent
+    * iterations. The numerics stay in the SHARED kernels: per-row
+    * assignment calls the same [[graft.plans.NearestCellUtil]].nearest
+    * the [[graft.plans.NearestCell]] expression evals (on the same
+    * InternalRow data, via `queryExecution.toRdd`), the fixed-point
+    * micro encoding is computed ONCE by the [[microInts]] COLUMN
+    * expression inside the cached projection (iteration-invariant,
+    * so the loop never re-rounds), and the driver rebuilds means
+    * with [[microMean]]'s exact IEEE op order (sum→double, /n,
+    * /1e6). KmeansSpec pins the whole iteration against an
+    * independent driver-side Lloyd recomputation AND asserts one
+    * kernel step ≡ the pure-DataFrame step formulation.
+    *
+    * Stopping rule (unchanged semantics, graded by the unrolled
+    * oracle): assignment t is a pure function of centroid set t, so
+    * step job j keys by a_{j-1}, compares against a_{j-2} for the
+    * changed count, and stops at the first step whose assignment
+    * equals its predecessor; that step's partials ARE the converged
+    * audit stats (past the fixpoint the map is stationary).
+    *
+    * Scale: the canonical BSP kmeans — broadcast O(k·Dim) down,
+    * O(partitions·k·Dim) partials up, corpus partition-resident and
+    * read-only; iteration count is a property of the manifold. */
   private[graft] def kmeansConvergedOver(e0: DataFrame): DataFrame = {
-    val e = e0.select(col("vec_id"), col("embedding"))
-      .transform(graft.Checkpoints.cut)
-    def centsOf(labeled: DataFrame): DataFrame =
-      labeled.select(col("cid"), microInts(col("embedding")).as("mi"))
-        .groupBy(col("cid"))
-        .agg(graft.plans.ElementwiseSum(col("mi"), Dim).as("ms"),
-          count(lit(1)).as("n"))
-        .select(col("cid"), microMean(col("ms"), col("n")).as("cvec"))
-    def assignTo(in: DataFrame, cents: DataFrame): DataFrame =
-      in.crossJoin(broadcast(asArray(cents)))
-        .withColumn("cid",
-          graft.plans.NearestCell(col("embedding"), col("cents")))
-        .drop("cents")
-    val seeds = e
+    val sp = e0.sparkSession
+    import sp.implicits._
+    val prepared = e0
+      .select(col("vec_id"), col("embedding"),
+        microInts(col("embedding")).as("mi"))
+    val seeds: Seq[KmCent] = e0
       .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
       .limit(KmK)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    var labeled = assignTo(e, seeds).transform(graft.Checkpoints.cut)
-    var t = 0
-    while (true) {
-      t += 1
-      if (t > KmMaxIters)
-        throw new IllegalStateException(
-          s"k-means assignment still moving after $KmMaxIters Lloyd " +
-            "steps — raise KmMaxIters for this corpus")
-      val next = assignTo(
-          labeled.withColumnRenamed("cid", "prev"), centsOf(labeled))
-        .transform(graft.Checkpoints.cut)
-      val changed = next.where(col("cid") =!= col("prev")).count()
-      labeled = next.drop("prev")
-      if (changed == 0L) {
-        return labeled
-          .select(col("cid"),
-            aggregate(microInts(col("embedding")),
-              lit(0L), (acc, m) => acc + m.cast("long")).as("rsum"))
-          .groupBy(col("cid"))
-          .agg(count(lit(1)).as("n_members"),
-            sum(col("rsum")).as("sum_micro"))
-          .select(col("cid").as("cluster_id"), col("n_members"),
-            col("sum_micro"), lit(t.toLong).as("conv_iter"))
-          .orderBy(col("cluster_id").asc)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => KmCent(r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    val corpus = graft.plans.KmeansKernel.cacheCorpus(prepared)
+    try {
+      var prevC: Option[Seq[KmCent]] = None
+      var curC: Seq[KmCent] = seeds
+      var j = 0
+      while (true) {
+        j += 1
+        val step = graft.plans.KmeansKernel.step(sp, corpus,
+          curC.sortBy(_.cid).map(c => (c.cid, c.cvec.toArray)).toArray,
+          prevC.map(_.sortBy(_.cid).map(c => (c.cid, c.cvec.toArray))
+            .toArray))
+        if (prevC.isDefined && step.moved == 0L) {
+          // conv_iter = j-1 (first step whose assignment matches its
+          // predecessor); this step's partials are keyed by exactly
+          // that stationary assignment: sum_micro = Σ_dims ms
+          // (= Σ_members row micro-sums — int64 addition commutes).
+          val out = step.cells.map { c =>
+            (c.cid, c.n, c.ms.sum, (j - 1).toLong)
+          }.sortBy(_._1).toSeq
+          return out.toDF("cluster_id", "n_members", "sum_micro",
+            "conv_iter")
+        }
+        if (prevC.isDefined && j - 1 >= KmMaxIters)
+          throw new IllegalStateException(
+            s"k-means assignment still moving after $KmMaxIters Lloyd " +
+              "steps — raise KmMaxIters for this corpus")
+        // Centroid set j: microMean's exact op order, on the driver.
+        prevC = Some(curC)
+        curC = step.cells.map(c =>
+          KmCent(c.cid, c.ms.toSeq.map(m => m.toDouble / c.n / 1e6)))
+          .toSeq
       }
-    }
-    sys.error("unreachable")
+      sys.error("unreachable")
+    } finally corpus.unpersist(blocking = false)
   }
 
   /** IVF search for query vec_id=0: deterministic coarse quantizer

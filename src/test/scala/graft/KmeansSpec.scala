@@ -84,4 +84,61 @@ class KmeansSpec extends SparkSuite {
     assert(got.nonEmpty)
     assert(got === want)
   }
+
+  test("KmeansKernel.step ≡ the pure-DataFrame step formulation " +
+      "(partials, counts, moved)") {
+    import graft.functions.VectorFunctions.microInts
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val seeds = e
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(Ann.KmK)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    // A second, intentionally different centroid set (the first KmK
+    // ids) so moved > 0 exercises the prev-comparison arm.
+    val alt = e.orderBy(col("vec_id").asc).limit(Ann.KmK)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+
+    val corpus = graft.plans.KmeansKernel.cacheCorpus(
+      e.select(col("vec_id"), col("embedding"),
+        microInts(col("embedding")).as("mi")))
+    try {
+      val step = graft.plans.KmeansKernel.step(spark, corpus, seeds,
+        Some(alt))
+
+      def centsDf(cs: Array[(Long, Array[Double])]) = {
+        import spark.implicits._
+        spark.createDataFrame(cs.toSeq.map { case (cid, cv) =>
+          (cid, cv.toSeq) }).toDF("cid", "cvec")
+          .agg(sort_array(collect_list(struct(col("cid"), col("cvec"))))
+            .as("arr"))
+      }
+      val df = e.crossJoin(broadcast(centsDf(seeds)))
+        .crossJoin(broadcast(centsDf(alt).withColumnRenamed("arr", "arr2")))
+        .select(
+          graft.plans.NearestCell(col("embedding"), col("arr")).as("cid"),
+          (graft.plans.NearestCell(col("embedding"), col("arr")) =!=
+            graft.plans.NearestCell(col("embedding"), col("arr2")))
+            .cast("long").as("moved"),
+          microInts(col("embedding")).as("mi"))
+        .groupBy(col("cid"))
+        .agg(graft.plans.ElementwiseSum(col("mi"), Ann.Dim).as("ms"),
+          count(lit(1)).as("n"), sum(col("moved")).as("mv"))
+        .collect()
+      val wantCells = df.map(r => (r.getAs[Long]("cid"),
+          r.getAs[Long]("n"), r.getSeq[Long](r.fieldIndex("ms")).toSeq))
+        .sortBy(_._1).toSeq
+      val wantMoved = df.map(_.getAs[Long]("mv")).sum
+      val gotCells = step.cells
+        .map(c => (c.cid, c.n, c.ms.toSeq)).sortBy(_._1).toSeq
+      assert(gotCells === wantCells)
+      assert(step.moved === wantMoved)
+      assert(step.moved > 0L,
+        "alt centroids must actually move some assignments")
+    } finally corpus.unpersist(blocking = false)
+  }
 }
