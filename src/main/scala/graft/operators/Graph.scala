@@ -151,41 +151,29 @@ object Graph extends graft.QueryGroup {
 
   /** The convergence loop: returns (converged ranks, stop iteration,
     * the per-iteration max-|Δ| trace). Throws past [[RankMaxIters]]
-    * while still above [[RankTol]]. */
+    * while still above [[RankTol]]. Executes through
+    * [[graft.plans.RankKernel]] — the GraphX-shape co-partitioned
+    * integer BSP loop (one exchange per superstep, distributed
+    * O(nodes) state, per-step lineage cut under the
+    * [[graft.Checkpoints]] policy); the DataFrame-per-step
+    * formulation paid fresh Catalyst analysis every iteration
+    * (0.15-0.25 s/step vs ~40 ms of work — the q_kmeans
+    * measurement), which at ~20 convergence steps was 90% of the
+    * row. q_rank_refs keeps the declarative DataFrame loop (3
+    * fixed steps — planning cost amortizes); the two are graded
+    * against the SAME unrolled-oracle family, and GraphSpec pins
+    * this loop's ranks/stop/trace to a driver-side unroll. */
   private[graft] def convergeRanks(in: DataFrame):
       (DataFrame, Int, Seq[Long]) = {
-    val e = edgesOver(in).transform(graft.Checkpoints.cut)
-    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eo = e.join(out, Seq("src")).transform(graft.Checkpoints.cut)
-    var ranks = in.select(col("doc_id"), lit(1000000L).as("r"))
-      .transform(graft.Checkpoints.cut)
-    val trace = scala.collection.mutable.ArrayBuffer[Long]()
-    var t = 0
-    while (true) {
-      t += 1
-      if (t > RankMaxIters)
-        throw new IllegalStateException(
-          s"rank iteration still moving > $RankTol ppm after " +
-            s"$RankMaxIters steps — raise RankMaxIters for this graph")
-      val contrib = eo.join(ranks, eo("src") === ranks("doc_id"))
-        .select(col("dst"), expr("r DIV outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      // next carries prev r alongside, so the delta reduce below
-      // reads the materialized cut — no second pass over the join.
-      val next = ranks.join(contrib, ranks("doc_id") === contrib("dst"),
-          "left")
-        .select(ranks("doc_id"),
-          (lit(150000L) +
-            expr("17 * coalesce(sc, 0L) DIV 20").cast("long")).as("r"),
-          col("r").as("prev_r"))
-        .transform(graft.Checkpoints.cut)
-      val mx = next.agg(max(abs(col("r") - col("prev_r")))).collect()(0)
-        .getLong(0)
-      trace += mx
-      ranks = next.select(col("doc_id"), col("r"))
-      if (mx <= RankTol) return (ranks, t, trace.toSeq)
-    }
-    sys.error("unreachable")
+    val sp = in.sparkSession
+    import sp.implicits._
+    val e = edgesOver(in)
+    val (ranks, t, trace) = graft.plans.RankKernel.converge(sp,
+      e.select(col("src"), col("dst")).as[(Long, Long)].rdd,
+      in.select(col("doc_id")).as[Long].rdd,
+      in.count(), // metadata-only on a parquet scan; sizes the state
+      RankTol, RankMaxIters)
+    (ranks.toDF("doc_id", "r"), t, trace)
   }
 
   /** q_graph_triangles — exact triangle census of the undirected
