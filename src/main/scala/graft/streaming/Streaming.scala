@@ -1007,7 +1007,16 @@ object Streaming extends graft.QueryGroup {
       array_min(transform(col("fs"), f => f.bitwiseXOR(lit(sd))))
         .as(s"h$i")
     }
+    // The signature pass (md5 per token + NumHashes xor-min folds) is
+    // the batch's CPU bill paid at ingest — but a micro-batch's
+    // parallelism is its FILE SPLITS, and a compact arrival file is
+    // one split, serializing the whole pass on one core (measured:
+    // 6-9 s for the row vs ~2 s warm at sf0.1). Redistribute rows
+    // before the heavy map so signature CPU tracks cores, not arrival
+    // file layout; the exchanged rows are raw (doc_id, text) — tiny
+    // next to the hash work they unlock — and the op stays stateless.
     val banded = Dedup.bandKeys(in
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         transform(tokenSet(col("text")),
           f => graft.functions.MinHash.hash60(f)).as("fs"))
