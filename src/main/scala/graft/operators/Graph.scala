@@ -268,7 +268,13 @@ object Graph extends graft.QueryGroup {
     graphDegreeDistOver(Tables.documents(s, dir))
 
   private[graft] def graphDegreeDistOver(in: DataFrame): DataFrame =
-    degreesOf(canonicalEdges(in))
+    degreeDistOf(canonicalEdges(in))
+
+  /** The histogram rendering over any canonical (u, v) edge set —
+    * shared with the stream twin (q_stream_graph serves it from the
+    * standing at-ingest edge table). */
+  private[graft] def degreeDistOf(ue: DataFrame): DataFrame =
+    degreesOf(ue)
       .groupBy(length(bin(col("d"))).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_nodes"),
         min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))

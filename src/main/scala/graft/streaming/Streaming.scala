@@ -1033,6 +1033,58 @@ object Streaming extends graft.QueryGroup {
       topN = 20)
   }
 
+  /** q_stream_graph — CONTINUOUS link-graph maintenance, the
+    * streaming face of group M: every arriving document derives its
+    * out-edges AT INGEST (the [[graft.operators.Graph.edgesOver]]
+    * content rule — tokenize, sort, take [[graft.operators.Graph
+    * .EdgeRefs]], hash into the id space) and appends them to the
+    * standing edge table; the whole-graph analytics (here the degree
+    * distribution — the first diagnostic run on any web-scale graph)
+    * serve from that table batch-side, the stored-index contract
+    * (q_stream_index / q_stream_neardup) applied to the graph tier.
+    * The row shares q_graph_degree_dist's oracle verbatim, so sink ≡
+    * batch edge relation is what the gate grades.
+    *
+    * Map-only and STATELESS: the id-space modulus (a fixed deployment
+    * config; here the corpus count) rides a one-row broadcast
+    * crossJoin, per-doc dst dedup is `array_distinct` on the doc's
+    * own edge array (src is unique per doc, so per-doc dedup ≡ the
+    * batch rule's global distinct on (src, dst)), and any micro-batch
+    * split appends the same edge rows. Cross-doc (u, v) collapse —
+    * genuinely global — happens serve-side, exactly where the batch
+    * op pays it.
+    *
+    * Scale: edge derivation is paid once per document at ingest and
+    * never re-paid by re-analysis (the batch path re-tokenizes the
+    * whole corpus per run); the standing (src, dst) table is the
+    * exact relation every group-M op starts from, so ANY of them —
+    * triangles, CC, rank — can serve from the same sink. */
+  def streamGraph(s: SparkSession, dir: String): DataFrame =
+    streamGraphOver(s, documentsStream(s, dir),
+      Tables.documents(s, dir), "graft_stream_graph")
+
+  private[graft] def streamGraphOver(s: SparkSession, in: DataFrame,
+      corpus: DataFrame, sink: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenSet
+    import graft.operators.Graph
+    val nd = corpus.agg(count(lit(1)).as("nd")).withColumn("one", lit(1))
+    val edges = in
+      .withColumn("one", lit(1))
+      .join(broadcast(nd), "one")
+      .select(col("doc_id").as("src"),
+        explode(array_distinct(transform(
+          slice(sort_array(tokenSet(col("text"))), 1, Graph.EdgeRefs),
+          t => pmod(graft.functions.MinHash.hash60(
+            concat(lit("rel:"), t)), col("nd"))))).as("dst"))
+      .where(col("src") =!= col("dst"))
+    runToCompletion(edges, sink, "append")
+    Graph.degreeDistOf(
+      graft.Checkpoints.cut(s.table(sink))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct())
+  }
+
   /** Streaming as-of state/rows. `matched_us = -1` encodes "no prior
     * purchase yet"; matches only ever improve (matched_us is
     * monotonically non-decreasing per click), which is what makes
@@ -1311,6 +1363,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_ann" -> ((s, d) => streamAnn(s, d)),
     "q_stream_contamination" -> ((s, d) => streamContamination(s, d)),
     "q_stream_neardup" -> ((s, d) => streamNeardup(s, d)),
+    "q_stream_graph" -> ((s, d) => streamGraph(s, d)),
     "q_stream_multimodal" -> ((s, d) => streamMultimodal(s, d)),
   )
 
@@ -1327,6 +1380,10 @@ object Streaming extends graft.QueryGroup {
     // pairs — same oracle (Dedup group).
     "q_stream_neardup" ->
       graft.operators.Dedup.oracles("q_dedup_minhash"),
+    // At-ingest edge extraction must serve exactly the batch degree
+    // distribution — same oracle (Graph group).
+    "q_stream_graph" ->
+      graft.operators.Graph.oracles("q_graph_degree_dist"),
     // Metadata-at-ingest must equal the batch extraction — same
     // oracle (Multimodal group).
     "q_stream_multimodal" ->

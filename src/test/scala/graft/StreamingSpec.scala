@@ -214,6 +214,33 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("at-ingest edge extraction stays exact under multi-batch " +
+      "document replay, and equals the batch degree distribution") {
+    // Docs arriving across three interleaved micro-batches must
+    // append exactly the edge relation the batch rule derives
+    // (per-doc array_distinct ≡ global distinct, src unique per
+    // doc), so the served histogram equals the one-shot batch row.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_split_graph").toString
+    tmpDirs += tmp
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until 3).foreach { i =>
+      d.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val got = Streaming.streamGraphOver(spark, stream,
+      Tables.documents(spark, sfDir), "graft_split_graph")
+      .collect().toSeq
+    val want = graft.operators.Graph.graphDegreeDist(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("online ANN serving stays exact under multi-batch query replay") {
     // Queries arriving across three micro-batches (interleaved by
     // vec_id mod 3, so every batch holds queries from the whole id
