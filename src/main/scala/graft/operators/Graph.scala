@@ -94,6 +94,65 @@ object Graph extends graft.QueryGroup {
       .limit(k)
   }
 
+  /** Seed-set rule for [[rankPersonalized]]: doc_id ≡ 0 (mod this) —
+    * ~5% of the corpus. A deployment injects its own whitelist (the
+    * curated high-quality set, a topic's labeled docs); the mod rule
+    * keeps the graded row deterministic, the q_dedup_recall
+    * precedent. */
+  private[graft] val PprSeedMod = 20L
+
+  /** Per-seed teleport mass per iteration, in ppm — the personalized
+    * analog of q_rank_refs' flat 150000: all (1−d) mass concentrates
+    * on the seed set instead of spreading uniformly. */
+  private[graft] val PprBase = 3000000L
+
+  /** q_rank_personalized — PERSONALIZED PageRank: the damped
+    * iteration with its teleport restricted to a seed set (topic- /
+    * quality-sensitive importance — "what does the curated core
+    * endorse?"): r₀ = 1 000 000 on seeds else 0, and each step
+    * r' = (v∈S ? [[PprBase]] : 0) + 17·Σ(r DIV outdeg) DIV 20 — the
+    * q_rank_refs integer rules with the uniform base swapped for the
+    * seed-concentrated one. Non-seed docs hold rank ONLY through
+    * paths from seeds, so the top-k reads as the seed set's
+    * endorsement neighborhood; emits is_seed (as 0/1) alongside the
+    * degrees. [[RankIters]] fixed steps, the same unrolled-oracle
+    * family, the same BSP scale shape as q_rank_refs (the
+    * convergence dial lives on q_rank_converged). */
+  def rankPersonalized(s: SparkSession, dir: String,
+      k: Int = 20): DataFrame =
+    rankPersonalizedOver(Tables.documents(s, dir), k)
+
+  private[graft] def rankPersonalizedOver(in: DataFrame,
+      k: Int = 20): DataFrame = {
+    val docs = in.select(col("doc_id"))
+    val isSeed = pmod(col("doc_id"), lit(PprSeedMod)) === 0L
+    val e = edgesOver(in).transform(graft.Checkpoints.cut)
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eo = e.join(out, Seq("src")).transform(graft.Checkpoints.cut)
+    var ranks = docs.select(col("doc_id"),
+      when(isSeed, lit(1000000L)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to RankIters) {
+      val contrib = eo.join(ranks, eo("src") === ranks("doc_id"))
+        .select(col("dst"), expr("r DIV outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      ranks = docs.join(contrib, docs("doc_id") === contrib("dst"), "left")
+        .select(docs("doc_id"),
+          (when(isSeed, lit(PprBase)).otherwise(lit(0L)) +
+            expr("17 * coalesce(sc, 0L) DIV 20").cast("long")).as("r"))
+        .transform(graft.Checkpoints.cut)
+    }
+    val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
+    ranks
+      .join(indeg.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+      .join(out.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r").as("rank_ppm"),
+        when(isSeed, lit(1L)).otherwise(lit(0L)).as("is_seed"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("outdeg"), lit(0L)).as("n_out"))
+      .orderBy(col("rank_ppm").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Convergence tolerance for [[rankConverged]], in rank ppm: stop
     * at the first iteration whose largest per-node rank move is ≤
     * this. Tolerance-based (not delta == 0) BY NECESSITY: the
@@ -507,6 +566,7 @@ object Graph extends graft.QueryGroup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rank_refs" -> ((s, d) => rankRefs(s, d)),
     "q_rank_converged" -> ((s, d) => rankConverged(s, d)),
+    "q_rank_personalized" -> ((s, d) => rankPersonalized(s, d)),
     "q_graph_cc" -> ((s, d) => graphComponents(s, d)),
     "q_graph_incr" -> ((s, d) => graphIncremental(s, d)),
     "q_graph_triangles" -> ((s, d) => graphTriangles(s, d)),
@@ -542,6 +602,49 @@ object Graph extends graft.QueryGroup {
          |${(1 to RankIters).map(iter).mkString(",\n")},
          |i AS (SELECT dst, count(*) AS n_in FROM ed GROUP BY dst)
          |SELECT rN.doc_id, rN.r AS rank_ppm,
+         |       CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in,
+         |       CAST(coalesce(o.outdeg, 0) AS BIGINT) AS n_out
+         |FROM r$RankIters rN
+         |     LEFT JOIN i ON i.dst = rN.doc_id
+         |     LEFT JOIN o ON o.src = rN.doc_id
+         |ORDER BY rank_ppm DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+    "q_rank_personalized" -> {
+      // The q_rank_refs unroll with the seed-concentrated base: r0
+      // is 1e6 on seeds else 0, each stage's base is PprBase on
+      // seeds else 0.
+      val h = MinHash.hash60Sql("'rel:' || tok")
+      def iter(i: Int): String = {
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (SELECT dst, CAST(sum(r // outdeg) AS BIGINT) AS sc
+           |        FROM eo JOIN $prev ON eo.src = $prev.doc_id
+           |        GROUP BY dst),
+           |r$i AS (SELECT d.doc_id,
+           |               CAST((CASE WHEN d.doc_id % $PprSeedMod = 0
+           |                     THEN $PprBase ELSE 0 END)
+           |                    + (17 * coalesce(c$i.sc, 0)) // 20
+           |                    AS BIGINT) AS r
+           |        FROM documents d LEFT JOIN c$i ON c$i.dst = d.doc_id)"""
+          .stripMargin
+      }
+      s"""WITH nd AS (SELECT count(*) AS nd FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_sort(list_distinct(
+         |                str_split(text, ' ')))[1:$EdgeRefs]) AS tok
+         |       FROM documents),
+         |ed AS (SELECT DISTINCT doc_id AS src, $h % nd.nd AS dst
+         |       FROM tk, nd WHERE doc_id <> $h % nd.nd),
+         |o AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+         |eo AS (SELECT ed.src, ed.dst, o.outdeg
+         |       FROM ed JOIN o ON ed.src = o.src),
+         |r0 AS (SELECT doc_id,
+         |              CAST(CASE WHEN doc_id % $PprSeedMod = 0
+         |                   THEN 1000000 ELSE 0 END AS BIGINT) AS r
+         |       FROM documents),
+         |${(1 to RankIters).map(iter).mkString(",\n")},
+         |i AS (SELECT dst, count(*) AS n_in FROM ed GROUP BY dst)
+         |SELECT rN.doc_id, rN.r AS rank_ppm,
+         |       CAST(CASE WHEN rN.doc_id % $PprSeedMod = 0
+         |            THEN 1 ELSE 0 END AS BIGINT) AS is_seed,
          |       CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in,
          |       CAST(coalesce(o.outdeg, 0) AS BIGINT) AS n_out
          |FROM r$RankIters rN

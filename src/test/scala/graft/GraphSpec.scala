@@ -222,6 +222,38 @@ class GraphSpec extends SparkSuite {
     assert(row.forall(_.getAs[Long]("conv_iter") === t.toLong))
   }
 
+  test("q_rank_personalized: exact driver-side recomputation; rank " +
+      "reaches non-seeds only through seed paths") {
+    val got = Graph.rankPersonalized(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank_ppm"),
+        r.getAs[Long]("is_seed"), r.getAs[Long]("n_in"),
+        r.getAs[Long]("n_out"))).toSeq
+    assert(got.size === 20)
+    val e = Graph.edges(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSeq
+    val nodes = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val out = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    def seed(n: Long) = n % Graph.PprSeedMod == 0
+    var r = nodes.map(n => n -> (if (seed(n)) 1000000L else 0L)).toMap
+    for (_ <- 1 to Graph.RankIters) {
+      val contrib = e.groupBy(_._2).map { case (d, xs) =>
+        d -> xs.map { case (s, _) => r(s) / out(s) }.sum
+      }
+      r = nodes.map(n => n -> ((if (seed(n)) Graph.PprBase else 0L) +
+        17 * contrib.getOrElse(n, 0L) / 20)).toMap
+    }
+    val in = e.groupBy(_._2).map { case (d, xs) => d -> xs.size.toLong }
+    val want = nodes.map(n => (n, r(n), if (seed(n)) 1L else 0L,
+        in.getOrElse(n, 0L), out.getOrElse(n, 0L)))
+      .sortBy { case (id, rp, _, _, _) => (-rp, id) }.take(20)
+    assert(got === want)
+    // Personalization structure: every positive-rank non-seed is
+    // reachable from the seed set (mass flows only along seed
+    // paths); a non-seed with rank but no in-edges is impossible.
+    assert(got.filter(_._3 == 0L).forall(x => x._2 == 0L || x._4 > 0))
+  }
+
   test("q_graph_cc: exact fixpoint — labels equal a union-find " +
       "recomputation, stop rule exact, rollup conserves nodes") {
     val docs = Tables.documents(spark, sfDir)
