@@ -784,7 +784,55 @@ object Relational extends graft.QueryGroup {
       .orderBy(col("cnt").desc, col("key").asc)
   }
 
+  /** The column set [[tableStats]] profiles — the non-float,
+    * non-timestamp lineitem columns (float/timestamp min/max STRING
+    * renders are the one thing the two engines format differently;
+    * a deployment profiles those as typed min/max instead). */
+  private[graft] val StatsCols = Seq("l_orderkey", "l_partkey",
+    "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus")
+
+  /** q_table_stats — ANALYZE-style CATALOG STATISTICS collection,
+    * one row per profiled column: row count, null count, exact NDV,
+    * min/max (as strings, one schema for every column type) and the
+    * mean rendered width in micro-chars. These are the numbers a
+    * cost-based optimizer plans from (join ordering, broadcast
+    * decisions, selectivity) — the q_skew_audit of column-level
+    * metadata.
+    *
+    * Shape: ONE aggregate pass computes every column's stats
+    * simultaneously (Catalyst plans the N distinct aggregates as one
+    * Expand — N rows per input row — plus a single partial+final
+    * agg; still one scan, map-side combined), then a map-only
+    * explode unpivots the wide row into the per-column layout.
+    *
+    * Scale: at 100 TB the exact-NDV Expand is the expensive arm —
+    * the deployment swap is q_hll_distinct's mergeable registers
+    * (one pass, no Expand, 2% error) for NDV, and parquet footer
+    * metadata for min/max/null counts (a metadata-only scan, no data
+    * read at all); the output contract stays identical, which is
+    * why the row is graded on the exact path. */
+  def tableStats(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.lineitem(s, dir)
+    val aggs = count(lit(1)).as("n_rows") +: StatsCols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"),
+        sum(length(col(c).cast("string"))).as(s"len_$c"))
+    }
+    val wide = t.agg(aggs.head, aggs.tail: _*)
+    val arms = StatsCols.map(c => struct(
+      lit(c).as("col_name"), col("n_rows"),
+      (col("n_rows") - col(s"cnt_$c")).as("n_null"),
+      col(s"ndv_$c").as("ndv"),
+      col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"),
+      expr(s"1000000 * len_$c DIV cnt_$c").as("avg_len_micro")))
+    wide.select(explode(array(arms: _*)).as("r")).select(col("r.*"))
+      .orderBy(col("col_name").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_stats" -> ((s, d) => tableStats(s, d)),
     "q_salted_join" -> ((s, d) => saltedJoinAgg(s, d)),
     "q_skew_audit" -> ((s, d) => skewAudit(s, d)),
     "q1_pricing" -> ((s, d) => q1Pricing(s, d)),
@@ -838,6 +886,21 @@ object Relational extends graft.QueryGroup {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_table_stats" -> {
+      // One UNION arm per profiled column — the same stats the one
+      // Expand-pass computes; sums are HUGEINT in DuckDB, cast back.
+      val arms = StatsCols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |       count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS ndv,
+           |       CAST(min($c) AS VARCHAR) AS min_v,
+           |       CAST(max($c) AS VARCHAR) AS max_v,
+           |       CAST(1000000 * sum(length(CAST($c AS VARCHAR)))
+           |            // count($c) AS BIGINT) AS avg_len_micro
+           |FROM lineitem""".stripMargin
+      }
+      arms.mkString("\nUNION ALL\n") + "\nORDER BY col_name ASC"
+    },
     "q_zorder" ->
       s"""WITH e AS (SELECT user_id,
          |                  CAST(round(value * 100) AS BIGINT) AS vc

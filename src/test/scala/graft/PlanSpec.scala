@@ -523,6 +523,35 @@ class PlanSpec extends SparkSuite {
       s"blocks-sized carry table must broadcast:\n$ps")
   }
 
+  test("q_table_stats: one scan, one Expand-planned distinct-agg " +
+      "pass — no per-column re-reads, no join") {
+    val df = Relational.tableStats(spark, sfDir)
+    val p = plan(df)
+    // All N distinct aggregates must fold into ONE pass: a single
+    // Expand above a single scan. A plan with one scan per column
+    // (or a join reassembling them) re-reads the table N times.
+    assert(p.contains("Expand"),
+      s"distinct aggs must plan as one Expand pass:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected ONE lineitem scan, got $scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"stats must not join:\n$p")
+    // Semantics: null accounting and NDV bounds hold against the
+    // profiled relation.
+    val rows = df.collect()
+    assert(rows.length === Relational.StatsCols.size)
+    val n = rows.head.getAs[Long]("n_rows")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ndv") + r.getAs[Long]("n_null") <= n + 1)
+      assert(r.getAs[Long]("n_null") >= 0L)
+      // String min/max ordering is only lexicographic for the
+      // VARCHAR columns (numeric renders can invert: '9' > '100').
+      if (Set("l_returnflag", "l_linestatus")
+          .contains(r.getAs[String]("col_name")))
+        assert(r.getAs[String]("min_v") <= r.getAs[String]("max_v"))
+    }
+  }
+
   test("q_kmeans: assignment is map-only — no shuffle join reunites " +
       "points with labels; only the centroid agg exchanges") {
     // Plan-audit the per-iteration building block (one assignment
