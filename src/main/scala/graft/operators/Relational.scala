@@ -370,6 +370,49 @@ object Relational extends graft.QueryGroup {
       .orderBy(col("file_id").asc)
   }
 
+  /** Output-file size target for [[compactionPlan]], in chars of the
+    * modeled inventory. */
+  private[graft] val CompactTarget = 2000L
+
+  /** q_compaction — small-file COMPACTION PLANNER (the lakehouse
+    * `OPTIMIZE`/binpack lever, q_zorder's sibling): treat each
+    * document as a raw ingest drop (file id = doc_id, bytes = text
+    * length) in its source's partition, and assign files to output
+    * bins by deterministic sequential packing — per source, walk
+    * files in id order and start a new bin each time the running
+    * byte offset crosses [[CompactTarget]] (a file straddling the
+    * boundary stays in the bin its start offset lies in, the
+    * standard greedy rule — bins may overfill by < one file, never
+    * underfill while input remains). Emits the per-(source, bin)
+    * manifest: file count, bytes, id span, fill ratio in ppm — the
+    * rewrite task list an OPTIMIZE job executes.
+    *
+    * Scale: compaction planning is METADATA work — the inventory is
+    * one row per file, millions of rows at 100 TB, not the data
+    * itself. One exchange on source, one within-partition running
+    * sum (partitioned window on the high-cardinality source key —
+    * never a global window), one counting agg. The pack preserves id
+    * order inside each source, so compacted files keep ingest
+    * locality (the property that keeps time-range skipping effective
+    * after the rewrite). */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("bytes"))
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .select(col("source"), col("doc_id"), col("bytes"),
+        expr(s"(cum - bytes) DIV ${CompactTarget}L").as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("tot_bytes"),
+        min(col("doc_id")).as("first_file"),
+        max(col("doc_id")).as("last_file"))
+      .withColumn("fill_ppm",
+        expr(s"1000000 * tot_bytes DIV ${CompactTarget}L"))
+      .orderBy(col("source").asc, col("bin").asc)
+  }
+
   /** Gap-based sessionization: a session breaks after >30 min of user
     * inactivity. lag → new-session flag → running session index →
     * per-session rollup. Two narrow windows on user_id. */
@@ -860,6 +903,7 @@ object Relational extends graft.QueryGroup {
     "q_join_bucketed" -> ((s, d) => joinBucketed(s, d)),
     "q_time_decay" -> ((s, d) => timeDecay(s, d)),
     "q_zorder" -> ((s, d) => zorderLayout(s, d)),
+    "q_compaction" -> ((s, d) => compactionPlan(s, d)),
   )
 
   // DuckDB parity notes: money math uses the same DECIMAL casts so
@@ -886,6 +930,22 @@ object Relational extends graft.QueryGroup {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q_compaction" ->
+      s"""WITH f AS (SELECT source, doc_id,
+         |                  CAST(length(text) AS BIGINT) AS bytes
+         |           FROM documents),
+         |c AS (SELECT source, doc_id, bytes,
+         |             CAST(sum(bytes) OVER (PARTITION BY source
+         |               ORDER BY doc_id
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM f)
+         |SELECT source, (cum - bytes) // $CompactTarget AS bin,
+         |       count(*) AS n_files,
+         |       CAST(sum(bytes) AS BIGINT) AS tot_bytes,
+         |       min(doc_id) AS first_file, max(doc_id) AS last_file,
+         |       CAST(1000000 * sum(bytes) // $CompactTarget AS BIGINT)
+         |         AS fill_ppm
+         |FROM c GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC""".stripMargin,
     "q_table_stats" -> {
       // One UNION arm per profiled column — the same stats the one
       // Expand-pass computes; sums are HUGEINT in DuckDB, cast back.

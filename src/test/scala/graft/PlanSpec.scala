@@ -552,6 +552,43 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_compaction: source-partitioned window (no global sort), " +
+      "bins partition the inventory and respect the greedy rule") {
+    val df = Relational.compactionPlan(spark, sfDir)
+    val p = plan(df)
+    // The running sum must be a PARTITIONED window — a
+    // single-partition global exchange here serializes planning on
+    // the whole inventory.
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition, "),
+      s"global single-partition window in the pack:\n$p")
+    val rows = df.collect()
+    // Every file lands in exactly one bin: bin file counts sum to
+    // the inventory, id spans are disjoint and ordered per source.
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_files")).sum === n)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("bin"))
+      assert(sorted.map(_.getAs[Long]("bin")).toSeq ===
+        sorted.indices.map(_.toLong), "bins must be dense from 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_file") < b.getAs[Long]("first_file"))
+        case _ =>
+      }
+      // Greedy rule: a bin only closes once the running offset has
+      // passed its boundary — cumulatively, bins 0..b hold at least
+      // (b+1)·target bytes for every non-final b (per-bin ≥ target
+      // does NOT hold: an overfilled bin eats its successor's span).
+      var cum = 0L
+      sorted.init.zipWithIndex.foreach { case (r, b) =>
+        cum += r.getAs[Long]("tot_bytes")
+        assert(cum >= (b + 1) * Relational.CompactTarget,
+          s"bin $b closed before its boundary: $r")
+      }
+    }
+  }
+
   test("q_kmeans: assignment is map-only — no shuffle join reunites " +
       "points with labels; only the centroid agg exchanges") {
     // Plan-audit the per-iteration building block (one assignment
