@@ -1033,6 +1033,72 @@ object Streaming extends graft.QueryGroup {
       topN = 20)
   }
 
+  /** Columns [[streamStats]] profiles (name, isNumeric). `text` is
+    * deliberately absent: a near-unique unbounded-cardinality column
+    * makes the exact dictionary as big as the data — that column
+    * takes the q_stream_hll register path instead; profiling keys,
+    * enums and small measures exactly is the real deployment split. */
+  private[graft] val StreamStatsCols =
+    Seq(("doc_id", true), ("lang", false), ("source", false),
+      ("n_chars", true))
+
+  /** q_stream_stats — CONTINUOUS CATALOG-STATS maintenance, the
+    * streaming twin of [[graft.operators.Relational.tableStats]]:
+    * per-column row/null counts and rendered-width sums ride a
+    * complete-mode aggregation whose whole state is one row per
+    * column (count/sum are associative — exact under any micro-batch
+    * split, the q_stream_window argument), while exact NDV and
+    * min/max ride a STANDING DICTIONARY — a first-sight
+    * `dropDuplicates` append stream of (column, value), state =
+    * one entry per distinct value, which is the honest price of
+    * exact NDV (the estimator that needs no such state is
+    * q_stream_hll's register table; a deployment profiles unbounded
+    * columns there). min/max serve from the dictionary by sort key —
+    * numerics ride a zero-padded fixed-width render so the string
+    * min IS the numeric min, then report the plain render.
+    *
+    * Scale: the counters state is O(columns); the dictionary is
+    * O(NDV) — for keys/enums/small measures that is tiny and it IS
+    * the dictionary-encoding artifact a columnar writer wants
+    * anyway. Nothing re-reads history; both sinks absorb each batch
+    * incrementally. */
+  def streamStats(s: SparkSession, dir: String): DataFrame =
+    streamStatsOver(s, documentsStream(s, dir), "graft_stream_stats")
+
+  private[graft] def streamStatsOver(s: SparkSession, in: DataFrame,
+      sink: String): DataFrame = {
+    val arms = StreamStatsCols.map { case (c, num) =>
+      val v = col(c).cast("string")
+      struct(lit(c).as("col_name"), v.as("val"),
+        (if (num) lpad(v, 20, "0") else v).as("sortkey"),
+        length(v).as("len"),
+        when(col(c).isNull, 1L).otherwise(0L).as("is_null"))
+    }
+    val unpivot = in.select(explode(array(arms: _*)).as("r"))
+      .select(col("r.*"))
+    val counters = unpivot.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("is_null")).as("n_null"),
+        sum(col("len")).as("sum_len"))
+    runToCompletion(counters, sink + "_cnt", "complete")
+    val dict = unpivot.where(col("is_null") === 0L)
+      .select(col("col_name"), col("val"), col("sortkey"))
+      .dropDuplicates("col_name", "val")
+    runToCompletion(dict, sink + "_dict", "append")
+    val fromDict = s.table(sink + "_dict")
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("ndv"),
+        min(struct(col("sortkey"), col("val"))).getField("val")
+          .as("min_v"),
+        max(struct(col("sortkey"), col("val"))).getField("val")
+          .as("max_v"))
+    s.table(sink + "_cnt").join(fromDict, Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("ndv"),
+        col("min_v"), col("max_v"),
+        expr("1000000 * sum_len DIV (n_rows - n_null)")
+          .as("avg_len_micro"))
+      .orderBy(col("col_name").asc)
+  }
+
   /** q_stream_graph — CONTINUOUS link-graph maintenance, the
     * streaming face of group M: every arriving document derives its
     * out-edges AT INGEST (the [[graft.operators.Graph.edgesOver]]
@@ -1364,6 +1430,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_contamination" -> ((s, d) => streamContamination(s, d)),
     "q_stream_neardup" -> ((s, d) => streamNeardup(s, d)),
     "q_stream_graph" -> ((s, d) => streamGraph(s, d)),
+    "q_stream_stats" -> ((s, d) => streamStats(s, d)),
     "q_stream_multimodal" -> ((s, d) => streamMultimodal(s, d)),
   )
 
@@ -1384,6 +1451,21 @@ object Streaming extends graft.QueryGroup {
     // distribution — same oracle (Graph group).
     "q_stream_graph" ->
       graft.operators.Graph.oracles("q_graph_degree_dist"),
+    // Continuous profiling must equal the one-shot batch profile —
+    // the q_table_stats arm shape over the documents columns.
+    "q_stream_stats" -> {
+      val arms = StreamStatsCols.map { case (c, _) =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |       count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS ndv,
+           |       CAST(min($c) AS VARCHAR) AS min_v,
+           |       CAST(max($c) AS VARCHAR) AS max_v,
+           |       CAST(1000000 * sum(length(CAST($c AS VARCHAR)))
+           |            // count($c) AS BIGINT) AS avg_len_micro
+           |FROM documents""".stripMargin
+      }
+      arms.mkString("\nUNION ALL\n") + "\nORDER BY col_name ASC"
+    },
     // Metadata-at-ingest must equal the batch extraction — same
     // oracle (Multimodal group).
     "q_stream_multimodal" ->

@@ -241,6 +241,30 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("continuous column profiling stays exact under multi-batch " +
+      "document replay") {
+    // Counters are associative (count/sum) and the dictionary is a
+    // set (first-sight dedup is idempotent), so any micro-batch
+    // split must produce the identical profile.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_split_stats").toString
+    tmpDirs += tmp
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until 3).foreach { i =>
+      d.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val got = Streaming.streamStatsOver(spark, stream,
+      "graft_split_stats").collect().toSeq
+    val want = Streaming.streamStats(spark, sfDir).collect().toSeq
+    assert(got.size === Streaming.StreamStatsCols.size)
+    assert(got === want)
+  }
+
   test("online ANN serving stays exact under multi-batch query replay") {
     // Queries arriving across three micro-batches (interleaved by
     // vec_id mod 3, so every batch holds queries from the whole id
