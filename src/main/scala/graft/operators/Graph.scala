@@ -522,14 +522,101 @@ object Graph extends graft.QueryGroup {
     * superstep, per-step max-|Δ| trace). Undirected flow = both
     * directions of each strong edge enter the kernel. */
   private[graft] def convergeComponents(in: DataFrame):
-      (DataFrame, Int, Seq[Long]) = {
+      (DataFrame, Int, Seq[Long]) =
+    convergeComponentsOf(in.sparkSession,
+      in.select(col("doc_id")), strongEdges(in))
+
+  /** q_graph_cc_incr — O(batch) COMPONENT maintenance by
+    * CONTRACTION, the CC member of the incremental matrix (dedup
+    * bands / IVF cells / text+trigram+positional postings / segment
+    * hashes / CN wedges all refresh in O(batch); the component
+    * census now does too). An ingest batch's new strong edges (the
+    * [[Dedup.IncrMod]] source rule, minus edges the standing corpus
+    * already has) update the STORED label table without touching
+    * the corpus graph: map each new edge's endpoints through their
+    * standing labels (components contract to supernodes), run the
+    * min-label propagation on that contracted graph only — its size
+    * is O(batch), its fixpoint is O(log batch) supersteps — and
+    * rewrite exactly the labels whose supernode merged. Every
+    * untouched component keeps its label by construction (the
+    * correction is zero where no new edge lands); the merged
+    * component's final label is the min of its standing labels,
+    * which IS the min doc_id overall — so incremental ≡ rebuild is
+    * a theorem the gate then grades: the oracle is q_graph_cc's
+    * full-rebuild unroll (minus its conv column — the incremental
+    * path's superstep count is the contracted graph's, a different
+    * and smaller number, which is the point).
+    *
+    * Scale: the standing arm is the stored label table a deployment
+    * reads; the delta arm's propagation state is O(affected
+    * components), corpus size appears only in the one hash join
+    * that rewrites merged labels. */
+  def graphCcIncremental(s: SparkSession, dir: String): DataFrame =
+    graphCcIncrementalOver(Tables.documents(s, dir))
+
+  private[graft] def graphCcIncrementalOver(in: DataFrame): DataFrame = {
+    val lab = incrComponentLabels(in)
+    lab.groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(length(bin(col("sz"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("sz")).as("n_nodes"),
+        min(col("sz")).as("min_size"), max(col("sz")).as("max_size"))
+      .orderBy(col("bucket").asc)
+  }
+
+  /** The delta-merged label relation behind [[graphCcIncremental]] —
+    * exposed so GraphSpec can pin labels(incr) ≡ labels(rebuild). */
+  private[graft] def incrComponentLabels(in: DataFrame): DataFrame = {
     val sp = in.sparkSession
     import sp.implicits._
-    val flow = strongEdges(in).as[(Long, Long)].rdd
+    val ue = strongEdges(in).transform(graft.Checkpoints.cut)
+    // Standing graph: strong edges whose SOURCE doc predates the
+    // batch (the q_graph_incr rule, applied before canonicalization
+    // so the same edge-identity survives).
+    val sUe = edgesOver(in).where(col("src") % Dedup.IncrMod =!= 0)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .join(ue, Seq("u", "v"), "left_semi")
+      .transform(graft.Checkpoints.cut)
+    val nUe = ue.join(sUe, Seq("u", "v"), "left_anti")
+      .transform(graft.Checkpoints.cut)
+    // The STORED artifact: standing labels (recomputed here like
+    // q_graph_incr recomputes its standing CN table — the graded row
+    // prices the maintenance algebra, the deployment reads the store).
+    val sLab = convergeComponentsOf(sp,
+      in.select(col("doc_id")), sUe)._1
+    // Contract: new edges between supernodes (= standing labels).
+    val contracted = nUe
+      .join(sLab.select(col("doc_id").as("u"),
+        col("component").as("cu")), Seq("u"))
+      .join(sLab.select(col("doc_id").as("v"),
+        col("component").as("cv")), Seq("v"))
+      .select(col("cu"), col("cv")).where(col("cu") =!= col("cv"))
+      .distinct().transform(graft.Checkpoints.cut)
+    val superNodes = contracted.select(col("cu").as("c"))
+      .unionAll(contracted.select(col("cv").as("c"))).distinct()
+    val (merged, _, _) = convergeComponentsOf(sp,
+      superNodes.select(col("c").as("doc_id")),
+      contracted.select(col("cu").as("u"), col("cv").as("v")))
+    // Rewrite exactly the merged labels; everything else stands.
+    sLab.join(merged.select(col("doc_id").as("component"),
+        col("component").as("final")), Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("final"), col("component")).as("component"))
+  }
+
+  /** Min-label propagation over an explicit (nodes, canonical-edge)
+    * pair — the kernel call shared by [[convergeComponents]] and the
+    * incremental contraction. */
+  private[graft] def convergeComponentsOf(sp: SparkSession,
+      nodes: DataFrame, ue: DataFrame): (DataFrame, Int, Seq[Long]) = {
+    import sp.implicits._
+    val flow = ue.select(col("u"), col("v")).as[(Long, Long)].rdd
       .flatMap { case (u, v) => Iterator((u, v), (v, u)) }
     val (labels, t, trace) = graft.plans.BspKernel.converge(sp,
-      flow, in.select(col("doc_id")).as[Long].rdd,
-      in.count(), 0L, CcMaxIters,
+      flow, nodes.select(col("doc_id")).as[Long].rdd,
+      nodes.count(), 0L, CcMaxIters,
       init = id => id,
       emit = (l, _) => l,
       combine = math.min,
@@ -568,6 +655,7 @@ object Graph extends graft.QueryGroup {
     "q_rank_converged" -> ((s, d) => rankConverged(s, d)),
     "q_rank_personalized" -> ((s, d) => rankPersonalized(s, d)),
     "q_graph_cc" -> ((s, d) => graphComponents(s, d)),
+    "q_graph_cc_incr" -> ((s, d) => graphCcIncremental(s, d)),
     "q_graph_incr" -> ((s, d) => graphIncremental(s, d)),
     "q_graph_triangles" -> ((s, d) => graphTriangles(s, d)),
     "q_graph_degree_dist" -> ((s, d) => graphDegreeDist(s, d)),
@@ -758,14 +846,24 @@ object Graph extends graft.QueryGroup {
     // Same one-pass full-rebuild oracle: the hash match IS the
     // delta-merge ≡ rebuild proof (the q_bm25_indexed contract).
     "q_graph_incr" -> cnSql,
-    "q_graph_cc" -> {
-      // Unrolled min-label propagation, stage-for-stage the Spark
-      // superstep schedule, with per-stage max-|Δ| CTEs, a conv CTE
-      // picking the FIRST all-quiet stage, and one guarded UNION arm
-      // per stage — static SQL, data-dependent stop, the identical
-      // rule the kernel applies (the q_rank_converged contract).
-      // Every stage CTE is AS MATERIALIZED or DuckDB inlines the
-      // whole prior chain into each reference.
+    "q_graph_cc" -> ccSql(withConv = true),
+    // The incremental contraction must land on the identical
+    // component structure — the SAME full-rebuild unroll, minus the
+    // conv column (the delta path's superstep count is the
+    // contracted graph's, a different and smaller number: that IS
+    // the O(batch) claim).
+    "q_graph_cc_incr" -> ccSql(withConv = false),
+  )
+
+  /** q_graph_cc's full-rebuild SQL — also q_graph_cc_incr's oracle
+    * (without the conv column). Unrolled min-label propagation,
+    * stage-for-stage the Spark superstep schedule, with per-stage
+    * max-|Δ| CTEs, a conv CTE picking the FIRST all-quiet stage, and
+    * one guarded UNION arm per stage — static SQL, data-dependent
+    * stop, the identical rule the kernel applies (the
+    * q_rank_converged contract). Every stage CTE is AS MATERIALIZED
+    * or DuckDB inlines the whole prior chain into each reference. */
+  private def ccSql(withConv: Boolean): String = {
       val h = MinHash.hash60Sql("'rel:' || tok")
       def iter(i: Int): String = {
         val prev = if (i == 1) "l0" else s"l${i - 1}"
@@ -809,11 +907,11 @@ object Graph extends graft.QueryGroup {
          |       count(*) AS n_components,
          |       CAST(sum(sz) AS BIGINT) AS n_nodes,
          |       CAST(min(sz) AS BIGINT) AS min_size,
-         |       CAST(max(sz) AS BIGINT) AS max_size,
-         |       CAST((SELECT t FROM conv) AS BIGINT) AS conv_iter
+         |       CAST(max(sz) AS BIGINT) AS max_size${if (withConv)
+           ",\n       CAST((SELECT t FROM conv) AS BIGINT) AS conv_iter"
+         else ""}
          |FROM sz GROUP BY 1 ORDER BY 1 ASC""".stripMargin
-    },
-  )
+  }
 
   /** q_graph_cn's full-rebuild SQL — also q_graph_incr's oracle. */
   private lazy val cnSql: String = {

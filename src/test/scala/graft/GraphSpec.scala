@@ -298,6 +298,29 @@ class GraphSpec extends SparkSuite {
     info(s"conv at $t, trace=$trace")
   }
 
+  test("q_graph_cc_incr: contraction delta-merge lands on exactly " +
+      "the rebuild's labels") {
+    val docs = Tables.documents(spark, sfDir)
+    // Label-level equality — stronger than the graded histogram:
+    // every doc's component id must match the full rebuild.
+    val incr = Graph.incrComponentLabels(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
+      .toMap
+    val full = Graph.convergeComponents(docs)._1.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
+      .toMap
+    assert(incr === full, "contraction merge diverged from rebuild")
+    // And the graded rows agree with q_graph_cc's (minus conv).
+    val got = Graph.graphCcIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val want = Graph.graphComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("scale smoke: 1M synthetic docs through component propagation, " +
       "zero storage") {
     // The fixpoint loop at a size where a per-superstep lineage
