@@ -468,7 +468,13 @@ object Graph extends graft.QueryGroup {
 
   /** The thresholded ("strong") edge subgraph CC runs on. */
   private[graft] def strongEdges(in: DataFrame): DataFrame =
-    canonicalEdges(in).where(
+    strongFilter(canonicalEdges(in))
+
+  /** The strong-edge predicate over any canonical (u, v) set —
+    * shared with the stream twin, which applies it serve-side to
+    * the standing at-ingest edge table. */
+  private[graft] def strongFilter(ue: DataFrame): DataFrame =
+    ue.where(
       pmod(MinHash.hash60(
         concat(lit("cc:"), col("u"), lit(":"), col("v"))),
         lit(CcKeepMod.toLong)) === 0L)
@@ -508,15 +514,20 @@ object Graph extends graft.QueryGroup {
 
   private[graft] def graphComponentsOver(in: DataFrame): DataFrame = {
     val (lab, t, _) = convergeComponents(in)
+    ccHistogram(lab).withColumn("conv_iter", lit(t.toLong))
+      .orderBy(col("bucket").asc)
+  }
+
+  /** The log2 component-size histogram over a (doc_id, component)
+    * label relation — shared by the batch, incremental and stream
+    * faces of the census. */
+  private[graft] def ccHistogram(lab: DataFrame): DataFrame =
     lab.groupBy(col("component"))
       .agg(count(lit(1)).as("sz"))
       .groupBy(length(bin(col("sz"))).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_components"),
         sum(col("sz")).as("n_nodes"),
         min(col("sz")).as("min_size"), max(col("sz")).as("max_size"))
-      .withColumn("conv_iter", lit(t.toLong))
-      .orderBy(col("bucket").asc)
-  }
 
   /** The propagation loop: returns (doc_id → component labels, stop
     * superstep, per-step max-|Δ| trace). Undirected flow = both
@@ -554,16 +565,8 @@ object Graph extends graft.QueryGroup {
   def graphCcIncremental(s: SparkSession, dir: String): DataFrame =
     graphCcIncrementalOver(Tables.documents(s, dir))
 
-  private[graft] def graphCcIncrementalOver(in: DataFrame): DataFrame = {
-    val lab = incrComponentLabels(in)
-    lab.groupBy(col("component"))
-      .agg(count(lit(1)).as("sz"))
-      .groupBy(length(bin(col("sz"))).cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n_components"),
-        sum(col("sz")).as("n_nodes"),
-        min(col("sz")).as("min_size"), max(col("sz")).as("max_size"))
-      .orderBy(col("bucket").asc)
-  }
+  private[graft] def graphCcIncrementalOver(in: DataFrame): DataFrame =
+    ccHistogram(incrComponentLabels(in)).orderBy(col("bucket").asc)
 
   /** The delta-merged label relation behind [[graphCcIncremental]] —
     * exposed so GraphSpec can pin labels(incr) ≡ labels(rebuild). */

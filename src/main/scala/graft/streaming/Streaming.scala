@@ -1129,7 +1129,10 @@ object Streaming extends graft.QueryGroup {
     streamGraphOver(s, documentsStream(s, dir),
       Tables.documents(s, dir), "graft_stream_graph")
 
-  private[graft] def streamGraphOver(s: SparkSession, in: DataFrame,
+  /** The at-ingest edge derivation shared by [[streamGraph]] and
+    * [[streamCc]] (one rule, two serves — the standing table is the
+    * relation every group-M op starts from). */
+  private def ingestEdges(s: SparkSession, in: DataFrame,
       corpus: DataFrame, sink: String): DataFrame = {
     import graft.functions.TextFunctions.tokenSet
     import graft.operators.Graph
@@ -1144,11 +1147,38 @@ object Streaming extends graft.QueryGroup {
             concat(lit("rel:"), t)), col("nd"))))).as("dst"))
       .where(col("src") =!= col("dst"))
     runToCompletion(edges, sink, "append")
-    Graph.degreeDistOf(
-      graft.Checkpoints.cut(s.table(sink))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct())
+    graft.Checkpoints.cut(s.table(sink))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+  }
+
+  private[graft] def streamGraphOver(s: SparkSession, in: DataFrame,
+      corpus: DataFrame, sink: String): DataFrame =
+    graft.operators.Graph.degreeDistOf(
+      ingestEdges(s, in, corpus, sink))
+
+  /** q_stream_cc — the COMPONENT census served from the standing
+    * at-ingest edge table: the same sink [[streamGraph]] maintains
+    * (one ingest rule, many serves) feeds the strong-edge filter and
+    * the BspKernel propagation of q_graph_cc. The served graph IS
+    * the batch graph — identical edges, identical supersteps, so the
+    * row shares q_graph_cc's oracle verbatim INCLUDING the stop
+    * iteration; hash equality grades both the standing table's
+    * completeness and the propagation's stopping decision. */
+  def streamCc(s: SparkSession, dir: String): DataFrame =
+    streamCcOver(s, documentsStream(s, dir),
+      Tables.documents(s, dir), "graft_stream_cc")
+
+  private[graft] def streamCcOver(s: SparkSession, in: DataFrame,
+      corpus: DataFrame, sink: String): DataFrame = {
+    import graft.operators.Graph
+    val ue = Graph.strongFilter(ingestEdges(s, in, corpus, sink))
+    val (lab, t, _) = Graph.convergeComponentsOf(s,
+      corpus.select(col("doc_id")), ue)
+    Graph.ccHistogram(lab)
+      .withColumn("conv_iter", lit(t.toLong))
+      .orderBy(col("bucket").asc)
   }
 
   /** Streaming as-of state/rows. `matched_us = -1` encodes "no prior
@@ -1430,6 +1460,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_contamination" -> ((s, d) => streamContamination(s, d)),
     "q_stream_neardup" -> ((s, d) => streamNeardup(s, d)),
     "q_stream_graph" -> ((s, d) => streamGraph(s, d)),
+    "q_stream_cc" -> ((s, d) => streamCc(s, d)),
     "q_stream_stats" -> ((s, d) => streamStats(s, d)),
     "q_stream_multimodal" -> ((s, d) => streamMultimodal(s, d)),
   )
@@ -1451,6 +1482,11 @@ object Streaming extends graft.QueryGroup {
     // distribution — same oracle (Graph group).
     "q_stream_graph" ->
       graft.operators.Graph.oracles("q_graph_degree_dist"),
+    // The census served from the standing edge table must equal the
+    // batch census exactly, stop iteration included — same oracle
+    // (Graph group).
+    "q_stream_cc" ->
+      graft.operators.Graph.oracles("q_graph_cc"),
     // Continuous profiling must equal the one-shot batch profile —
     // the q_table_stats arm shape over the documents columns.
     "q_stream_stats" -> {

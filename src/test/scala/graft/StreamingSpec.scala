@@ -241,6 +241,32 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("component census served from the standing edge table stays " +
+      "exact under multi-batch document replay") {
+    // The sink must accumulate the identical edge relation under any
+    // split, and the serve-side propagation must stop at the batch
+    // census's exact superstep.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_split_cc").toString
+    tmpDirs += tmp
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until 3).foreach { i =>
+      d.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+    val got = Streaming.streamCcOver(spark, stream,
+      Tables.documents(spark, sfDir), "graft_split_cc")
+      .collect().toSeq
+    val want = graft.operators.Graph.graphComponents(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("continuous column profiling stays exact under multi-batch " +
       "document replay") {
     // Counters are associative (count/sum) and the dictionary is a
