@@ -146,6 +146,22 @@ object Retrieval extends graft.QueryGroup {
   /** [[bm25Batch]] over ANY (doc_id, text) relation and query set —
     * the surface the zero-storage scale smoke drives. */
   private[graft] def bm25BatchOver(in: DataFrame,
+      queries: Seq[(Int, Seq[String])]): DataFrame =
+    bm25BatchScored(in, queries)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("su").desc, col("doc_id").asc)))
+      .where(col("rank") <= BatchK)
+      .select(col("qid"), col("rank"), col("doc_id"), col("n_terms"),
+        round(col("su").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("qid").asc, col("rank").asc)
+
+  /** The pre-cut (qid, doc_id, n_terms, su) scored pool behind
+    * [[bm25BatchOver]] — every doc matching ≥1 query term with its
+    * matched-term count and integer score sum; [[evalNdcg]] reads
+    * the same pool for its ideal ranking. */
+  private[graft] def bm25BatchScored(in: DataFrame,
       queries: Seq[(Int, Seq[String])]): DataFrame = {
     import in.sparkSession.implicits._
     val docs = in
@@ -162,7 +178,7 @@ object Retrieval extends graft.QueryGroup {
     val qmap = queries
       .flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("qid", "term")
-    val scored = tf.join(broadcast(df), Seq("term"))
+    tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),
         bm25Units(col("tf"), col("df"), col("dl"), col("nd"), col("sdl"))
@@ -170,15 +186,72 @@ object Retrieval extends graft.QueryGroup {
       .join(broadcast(qmap), Seq("term"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("u")).as("su"))
-    scored
+  }
+
+  /** Positional DCG discounts in micro units: disc(i) = round(1e6 /
+    * log2(i+1)) for ranks 1..[[BatchK]], computed ONCE on the driver
+    * and embedded as literals in BOTH engines (the MinHash-seed
+    * precedent) — so the graded metric arithmetic is pure integer
+    * with no runtime float log anywhere. */
+  private[graft] val NdcgDiscMicro: Seq[Long] =
+    (1 to BatchK).map(i =>
+      math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Graded-relevance threshold for the MRR arm: a hit is a doc
+    * matching at least this many of the query's terms. */
+  private[graft] val MrrRelMin = 2L
+
+  /** q_eval_ndcg — SEARCH-QUALITY EVALUATION, the metric pass every
+    * retrieval pipeline runs over its own rankings: per query,
+    * nDCG@k and MRR of the [[bm25Batch]] top-k against a graded
+    * relevance the ranker does NOT optimize directly (rel(q, d) =
+    * how many of q's terms d contains — coverage, where BM25 orders
+    * by rarity-weighted frequency, so a rare-term-heavy doc CAN
+    * outrank a fuller match and cost nDCG). DCG sums rel·disc over
+    * the served ranking; IDCG re-ranks the FULL matched pool (the
+    * pre-cut [[bm25BatchScored]] relation, not just the served k) by
+    * relevance — the standard definition, so missing a high-coverage
+    * doc entirely is penalized, not hidden. All arithmetic is exact
+    * integer micro/ppm via the embedded [[NdcgDiscMicro]] constants.
+    *
+    * Scale: one pass over the scored pool (already term-pruned at
+    * the scan), two bounded per-qid windows (pool is O(matched
+    * docs), cut at k), a queries-sized output. Evaluation rides the
+    * SAME relation the search serves from — no second corpus scan. */
+  def evalNdcg(s: SparkSession, dir: String): DataFrame =
+    evalNdcgOver(Tables.documents(s, dir), BatchQueries)
+
+  private[graft] def evalNdcgOver(in: DataFrame,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val disc = array(NdcgDiscMicro.map(lit): _*)
+    val pool = bm25BatchScored(in, queries)
+      .transform(graft.Checkpoints.cut)
+    val served = pool
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid"))
+        w.partitionBy(col("qid"))
           .orderBy(col("su").desc, col("doc_id").asc)))
       .where(col("rank") <= BatchK)
-      .select(col("qid"), col("rank"), col("doc_id"), col("n_terms"),
-        round(col("su").cast("double") / 1e6, 6).as("score"))
-      .orderBy(col("qid").asc, col("rank").asc)
+      .groupBy(col("qid"))
+      .agg(sum(col("n_terms") * element_at(disc, col("rank")))
+          .as("dcg_micro"),
+        min(when(col("n_terms") >= MrrRelMin, col("rank")))
+          .cast("long").as("fr"))
+    val ideal = pool
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col("qid"))
+          .orderBy(col("n_terms").desc, col("doc_id").asc)))
+      .where(col("rank") <= BatchK)
+      .groupBy(col("qid"))
+      .agg(sum(col("n_terms") * element_at(disc, col("rank")))
+        .as("idcg_micro"))
+    served.join(ideal, Seq("qid"))
+      .select(col("qid"), col("dcg_micro"), col("idcg_micro"),
+        expr("1000000 * dcg_micro DIV greatest(idcg_micro, 1L)")
+          .as("ndcg_ppm"),
+        coalesce(col("fr"), lit(0L)).as("first_rel_rank"),
+        coalesce(expr("1000000 DIV fr"), lit(0L)).as("mrr_micro"))
+      .orderBy(col("qid").asc)
   }
 
   /** Query docs for [[hardNegatives]]; terms are CONTENT-DERIVED
@@ -757,6 +830,7 @@ object Retrieval extends graft.QueryGroup {
     "q_bm25" -> ((s, d) => bm25(s, d)),
     "q_bm25_indexed" -> ((s, d) => bm25Indexed(s, d)),
     "q_bm25_batch" -> ((s, d) => bm25Batch(s, d)),
+    "q_eval_ndcg" -> ((s, d) => evalNdcg(s, d)),
     "q_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "q_trgm_idx" -> ((s, d) => trgmIndexed(s, d)),
     "q_text_incremental" -> ((s, d) => textIncremental(s, d)),
@@ -855,6 +929,66 @@ object Retrieval extends graft.QueryGroup {
          |       round(CAST(su AS DOUBLE) / 1e6, 6) AS score
          |FROM r WHERE rank <= $BatchK
          |ORDER BY qid ASC, rank ASC""".stripMargin
+    },
+    "q_eval_ndcg" -> {
+      // The q_bm25_batch chain through the scored pool, then the
+      // metric CTEs: served DCG + first-hit over the top-k, ideal
+      // DCG over the coverage-ranked pool, discounts from the
+      // driver-embedded micro constants (no runtime float log).
+      val qvals = BatchQueries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      val dts = NdcgDiscMicro.zipWithIndex
+        .map { case (dc, i) => s"(${i + 1}, $dc)" }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+         |dl AS (SELECT doc_id, len(t) AS dl FROM d),
+         |st AS (SELECT count(*) AS nd, sum(dl) AS sdl FROM dl),
+         |qm AS (SELECT * FROM (VALUES $qvals) v(qid, term)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(t) AS term FROM d)
+         |       WHERE term IN (SELECT DISTINCT term FROM qm)
+         |       GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |c AS (SELECT tf.doc_id, tf.term,
+         |             CAST(round(
+         |               ln(1.0 + (CAST(st.nd AS DOUBLE) - df.df + 0.5) /
+         |                        (df.df + 0.5)) *
+         |               (tf.tf * ${K1 + 1.0}) /
+         |               (tf.tf + $K1 * (${1.0 - B} + $B * dl.dl * st.nd /
+         |                               st.sdl)) *
+         |               1e6) AS BIGINT) AS u
+         |      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st),
+         |sc AS (SELECT qm.qid, c.doc_id, count(*) AS n_terms,
+         |              sum(c.u) AS su
+         |       FROM c JOIN qm USING (term) GROUP BY qm.qid, c.doc_id),
+         |dt AS (SELECT * FROM (VALUES $dts) v(rank, disc)),
+         |r AS (SELECT qid, doc_id, n_terms,
+         |             CAST(row_number() OVER (PARTITION BY qid
+         |               ORDER BY su DESC, doc_id ASC) AS INTEGER) AS rank
+         |      FROM sc),
+         |srv AS (SELECT r.qid,
+         |               CAST(sum(r.n_terms * dt.disc) AS BIGINT)
+         |                 AS dcg_micro,
+         |               min(CASE WHEN r.n_terms >= $MrrRelMin
+         |                   THEN r.rank END) AS fr
+         |        FROM r JOIN dt USING (rank)
+         |        WHERE r.rank <= $BatchK GROUP BY r.qid),
+         |ir AS (SELECT qid, n_terms,
+         |              CAST(row_number() OVER (PARTITION BY qid
+         |                ORDER BY n_terms DESC, doc_id ASC) AS INTEGER)
+         |                AS rank
+         |       FROM sc),
+         |idl AS (SELECT ir.qid,
+         |               CAST(sum(ir.n_terms * dt.disc) AS BIGINT)
+         |                 AS idcg_micro
+         |        FROM ir JOIN dt USING (rank)
+         |        WHERE ir.rank <= $BatchK GROUP BY ir.qid)
+         |SELECT srv.qid, dcg_micro, idcg_micro,
+         |       CAST(1000000 * dcg_micro // greatest(idcg_micro, 1)
+         |            AS BIGINT) AS ndcg_ppm,
+         |       CAST(coalesce(fr, 0) AS BIGINT) AS first_rel_rank,
+         |       CAST(coalesce(1000000 // fr, 0) AS BIGINT) AS mrr_micro
+         |FROM srv JOIN idl USING (qid) ORDER BY qid ASC""".stripMargin
     },
     // Hard-negative mining: content-derived query terms → shared
     // BM25 scan → MinHash band-bucket positive exclusion → bounded

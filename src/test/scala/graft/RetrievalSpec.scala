@@ -154,6 +154,46 @@ class RetrievalSpec extends SparkSuite {
       s"the batch term IN-list must sit BENEATH the tf Aggregate:\n$plan")
   }
 
+  test("q_eval_ndcg: exact driver-side metric recomputation from " +
+      "the served rankings and the matched pool") {
+    val got = Retrieval.evalNdcg(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.map(_._1) === Retrieval.BatchQueries.map(_._1))
+    // Recompute from the same building blocks, driver-side.
+    val pool = Retrieval.bm25BatchScored(
+        Tables.documents(spark, sfDir), Retrieval.BatchQueries)
+      .collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_terms"), r.getAs[Long]("su")))
+    val disc = Retrieval.NdcgDiscMicro
+    val want = Retrieval.BatchQueries.map(_._1).map { q =>
+      val rows = pool.filter(_._1 == q)
+      val served = rows.sortBy { case (_, id, _, su) => (-su, id) }
+        .take(disc.size)
+      val dcg = served.zipWithIndex
+        .map { case ((_, _, nt, _), i) => nt * disc(i) }.sum
+      val fr = served.indexWhere(_._3 >= Retrieval.MrrRelMin) match {
+        case -1 => 0L
+        case i => i + 1L
+      }
+      val idcg = rows.sortBy { case (_, id, nt, _) => (-nt, id) }
+        .take(disc.size).zipWithIndex
+        .map { case ((_, _, nt, _), i) => nt * disc(i) }.sum
+      (q, dcg, idcg, 1000000L * dcg / math.max(idcg, 1L), fr,
+        if (fr == 0) 0L else 1000000L / fr)
+    }
+    assert(got === want)
+    // Metric sanity: DCG never exceeds IDCG; nDCG in (0, 1e6]; the
+    // eval DISCRIMINATES on this corpus (not all queries perfect —
+    // BM25's rarity weighting vs coverage relevance).
+    got.foreach { case (_, dcg, idcg, nd, _, _) =>
+      assert(dcg <= idcg && nd > 0 && nd <= 1000000L)
+    }
+    assert(got.exists(_._4 < 1000000L),
+      "eval should discriminate: some query below perfect nDCG")
+  }
+
   test("hard negatives: dense per-query ranks, self excluded, and " +
       "no mined negative shares a dedup band bucket with its query") {
     import graft.operators.{Dedup, Retrieval => R}
