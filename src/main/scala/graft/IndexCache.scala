@@ -41,22 +41,35 @@ object IndexCache {
       s"${new java.io.File(dir).getName}_$h"
   }
 
+  /** Per-path JVM monitors: the rename handles cross-PROCESS races
+    * (distinct pids → distinct tmp dirs), but two THREADS of one JVM
+    * — the concurrent-submission pattern the bench measures — share
+    * a pid and would build into the same tmp tree; they serialize
+    * here instead (r9 review item). The thread id in the tmp suffix
+    * is defense in depth. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Ensure `out` holds a fully-built index: absent → run `build`
     * against a temp dir and publish it by atomic rename. Returns
     * `out`. A lost rename race is benign — the winner's index is
     * byte-equivalent (same fingerprint), so the loser deletes its
     * build and serves the winner's. */
   def ensure(out: String)(build: String => Unit): String = {
-    val marker = new java.io.File(out, "_built")
-    if (!marker.exists()) {
-      val tmp = new java.io.File(out + ".build." +
-        java.lang.ProcessHandle.current().pid())
-      build(tmp.getPath)
-      new java.io.File(tmp, "_built").createNewFile()
-      if (!tmp.renameTo(new java.io.File(out))) {
-        if (!marker.exists())
-          throw new IllegalStateException(s"index publish failed: $out")
-        rm(tmp)
+    val lock = jvmLocks.computeIfAbsent(out, _ => new Object)
+    lock.synchronized {
+      val marker = new java.io.File(out, "_built")
+      if (!marker.exists()) {
+        val tmp = new java.io.File(out + ".build." +
+          java.lang.ProcessHandle.current().pid() + "." +
+          Thread.currentThread().getId())
+        build(tmp.getPath)
+        new java.io.File(tmp, "_built").createNewFile()
+        if (!tmp.renameTo(new java.io.File(out))) {
+          if (!marker.exists())
+            throw new IllegalStateException(s"index publish failed: $out")
+          rm(tmp)
+        }
       }
     }
     out

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -67,31 +67,42 @@ object Graph extends graft.QueryGroup {
   def rankRefs(s: SparkSession, dir: String, k: Int = 20): DataFrame =
     rankRefsOver(Tables.documents(s, dir), k)
 
-  private[graft] def rankRefsOver(in: DataFrame, k: Int = 20): DataFrame = {
+  private[graft] def rankRefsOver(in: DataFrame, k: Int = 20): DataFrame =
+    rankedWithDegrees(in, lit(1000000L), lit(150000L))
+      .select(col("doc_id"), col("r").as("rank_ppm"),
+        col("n_in"), col("n_out"))
+      .orderBy(col("rank_ppm").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** The shared [[RankIters]]-step damped integer iteration —
+    * parameterized by the initial rank and the per-stage teleport
+    * base so q_rank_refs (uniform) and q_rank_personalized
+    * (seed-concentrated) run the IDENTICAL loop; returns
+    * (doc_id, r, n_in, n_out). */
+  private def rankedWithDegrees(in: DataFrame, init: Column,
+      base: Column): DataFrame = {
     val docs = in.select(col("doc_id"))
     val e = edgesOver(in).transform(graft.Checkpoints.cut)
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eo = e.join(out, Seq("src")).transform(graft.Checkpoints.cut)
-    var ranks = docs.select(col("doc_id"), lit(1000000L).as("r"))
+    var ranks = docs.select(col("doc_id"), init.as("r"))
     for (_ <- 1 to RankIters) {
       val contrib = eo.join(ranks, eo("src") === ranks("doc_id"))
         .select(col("dst"), expr("r DIV outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
       ranks = docs.join(contrib, docs("doc_id") === contrib("dst"), "left")
         .select(docs("doc_id"),
-          (lit(150000L) +
-            expr("17 * coalesce(sc, 0L) DIV 20").cast("long")).as("r"))
+          (base + expr("17 * coalesce(sc, 0L) DIV 20").cast("long"))
+            .as("r"))
         .transform(graft.Checkpoints.cut)
     }
     val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
     ranks
       .join(indeg.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
       .join(out.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("r").as("rank_ppm"),
+      .select(col("doc_id"), col("r"),
         coalesce(col("n_in"), lit(0L)).as("n_in"),
         coalesce(col("outdeg"), lit(0L)).as("n_out"))
-      .orderBy(col("rank_ppm").desc, col("doc_id").asc)
-      .limit(k)
   }
 
   /** Seed-set rule for [[rankPersonalized]]: doc_id ≡ 0 (mod this) —
@@ -124,31 +135,13 @@ object Graph extends graft.QueryGroup {
 
   private[graft] def rankPersonalizedOver(in: DataFrame,
       k: Int = 20): DataFrame = {
-    val docs = in.select(col("doc_id"))
     val isSeed = pmod(col("doc_id"), lit(PprSeedMod)) === 0L
-    val e = edgesOver(in).transform(graft.Checkpoints.cut)
-    val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eo = e.join(out, Seq("src")).transform(graft.Checkpoints.cut)
-    var ranks = docs.select(col("doc_id"),
-      when(isSeed, lit(1000000L)).otherwise(lit(0L)).as("r"))
-    for (_ <- 1 to RankIters) {
-      val contrib = eo.join(ranks, eo("src") === ranks("doc_id"))
-        .select(col("dst"), expr("r DIV outdeg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      ranks = docs.join(contrib, docs("doc_id") === contrib("dst"), "left")
-        .select(docs("doc_id"),
-          (when(isSeed, lit(PprBase)).otherwise(lit(0L)) +
-            expr("17 * coalesce(sc, 0L) DIV 20").cast("long")).as("r"))
-        .transform(graft.Checkpoints.cut)
-    }
-    val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
-    ranks
-      .join(indeg.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
-      .join(out.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+    rankedWithDegrees(in,
+      init = when(isSeed, lit(1000000L)).otherwise(lit(0L)),
+      base = when(isSeed, lit(PprBase)).otherwise(lit(0L)))
       .select(col("doc_id"), col("r").as("rank_ppm"),
         when(isSeed, lit(1L)).otherwise(lit(0L)).as("is_seed"),
-        coalesce(col("n_in"), lit(0L)).as("n_in"),
-        coalesce(col("outdeg"), lit(0L)).as("n_out"))
+        col("n_in"), col("n_out"))
       .orderBy(col("rank_ppm").desc, col("doc_id").asc)
       .limit(k)
   }
@@ -193,8 +186,11 @@ object Graph extends graft.QueryGroup {
 
   private[graft] def rankConvergedOver(in: DataFrame,
       k: Int = 20): DataFrame = {
-    val (ranks, t, _) = convergeRanks(in)
+    // ONE corpus edge derivation (cut) feeds both the kernel's
+    // adjacency and the serve-side degrees — the tokenize+hash pass
+    // is the row's dominant corpus-sized work.
     val e = edgesOver(in).transform(graft.Checkpoints.cut)
+    val (ranks, t, _) = convergeRanksOf(in, e)
     val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     ranks
@@ -223,10 +219,13 @@ object Graph extends graft.QueryGroup {
     * against the SAME unrolled-oracle family, and GraphSpec pins
     * this loop's ranks/stop/trace to a driver-side unroll. */
   private[graft] def convergeRanks(in: DataFrame):
+      (DataFrame, Int, Seq[Long]) =
+    convergeRanksOf(in, edgesOver(in))
+
+  private[graft] def convergeRanksOf(in: DataFrame, e: DataFrame):
       (DataFrame, Int, Seq[Long]) = {
     val sp = in.sparkSession
     import sp.implicits._
-    val e = edgesOver(in)
     val (ranks, t, trace) = graft.plans.BspKernel.converge(sp,
       e.select(col("src"), col("dst")).as[(Long, Long)].rdd,
       in.select(col("doc_id")).as[Long].rdd,
@@ -410,38 +409,58 @@ object Graph extends graft.QueryGroup {
     graphIncrementalOver(Tables.documents(s, dir))
 
   private[graft] def graphIncrementalOver(in: DataFrame): DataFrame = {
-    def canon(e: DataFrame) =
-      e.select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v")).distinct()
-    val eFull = edgesOver(in).transform(graft.Checkpoints.cut)
-    val ue = canon(eFull).transform(graft.Checkpoints.cut)
-    val sUe = canon(eFull.where(col("src") % Dedup.IncrMod =!= 0))
-      .transform(graft.Checkpoints.cut)
-    val nUe = ue.join(sUe, Seq("u", "v"), "left_anti")
-      .transform(graft.Checkpoints.cut)
-    val elig = degreesOf(ue).where(col("d") <= CnDegCap)
-      .select(col("x").as("c"))
-    val affected = nUe.select(col("u").as("c"))
-      .unionAll(nUe.select(col("v").as("c"))).distinct()
-    val eligAff = elig.join(affected, Seq("c"), "left_semi")
-      .transform(graft.Checkpoints.cut)
-    def adjOf(e: DataFrame) =
-      e.select(col("u").as("c"), col("v").as("x"))
-        .unionAll(e.select(col("v").as("c"), col("u").as("x")))
-    def wedges(adj: DataFrame, centers: DataFrame, w: Long) = {
-      val a2 = adj.join(centers, Seq("c"), "left_semi")
-      a2.as("a").join(a2.as("b"),
-          col("a.c") === col("b.c") && col("a.x") < col("b.x"))
-        .select(col("a.x").as("u"), col("b.x").as("v"), lit(w).as("w"))
-    }
-    wedges(adjOf(sUe), elig, 1L)
-      .unionAll(wedges(adjOf(ue), eligAff, 1L))
-      .unionAll(wedges(adjOf(sUe), eligAff, -1L))
+    val (ue, sUe, elig, eligAff) =
+      incrCnParts(in, graft.Checkpoints.cut)
+    def arm(adj: DataFrame, centers: DataFrame, w: Long) =
+      wedgePairs(adj, centers).select(col("u"), col("v"),
+        lit(w).as("w"))
+    arm(adjOf(sUe), elig, 1L)
+      .unionAll(arm(adjOf(ue), eligAff, 1L))
+      .unionAll(arm(adjOf(sUe), eligAff, -1L))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("n_common"))
       .where(col("n_common") > 0)
       .join(ue, Seq("u", "v"), "left_anti")
       .orderBy(col("n_common").desc, col("u").asc, col("v").asc)
       .limit(CnTopK)
+  }
+
+  /** The shared inputs of the CN-incremental algebra: (full
+    * canonical edges, standing edges, eligible centers, eligible ∩
+    * affected centers). `cut` is Checkpoints.cut in the production
+    * query and identity in the plan spec — ONE construction, so the
+    * spec audits the query's actual shape (r9 review item). */
+  private[graft] def incrCnParts(in: DataFrame,
+      cut: DataFrame => DataFrame):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def canon(e: DataFrame) =
+      e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val eFull = cut(edgesOver(in))
+    val ue = cut(canon(eFull))
+    val sUe = cut(canon(eFull.where(col("src") % Dedup.IncrMod =!= 0)))
+    val nUe = cut(ue.join(sUe, Seq("u", "v"), "left_anti"))
+    val elig = degreesOf(ue).where(col("d") <= CnDegCap)
+      .select(col("x").as("c"))
+    val affected = nUe.select(col("u").as("c"))
+      .unionAll(nUe.select(col("v").as("c"))).distinct()
+    val eligAff = cut(elig.join(affected, Seq("c"), "left_semi"))
+    (ue, sUe, elig, eligAff)
+  }
+
+  /** Both directions of a canonical edge set as (center, neighbor). */
+  private[graft] def adjOf(e: DataFrame): DataFrame =
+    e.select(col("u").as("c"), col("v").as("x"))
+      .unionAll(e.select(col("v").as("c"), col("u").as("x")))
+
+  /** Per-center out-neighbor pairs of the center-pruned adjacency —
+    * the wedge enumeration both the production arms and the plan
+    * spec build from. */
+  private[graft] def wedgePairs(adj: DataFrame,
+      centers: DataFrame): DataFrame = {
+    val a2 = adj.join(centers, Seq("c"), "left_semi")
+    a2.as("a").join(a2.as("b"),
+        col("a.c") === col("b.c") && col("a.x") < col("b.x"))
+      .select(col("a.x").as("u"), col("b.x").as("v"))
   }
 
   /** Loud superstep cap for [[graphComponents]]' label propagation.
@@ -629,28 +648,15 @@ object Graph extends graft.QueryGroup {
 
   /** The delta arm's pruned wedge relation — exposed pre-agg so the
     * plan spec can assert the affected-center left-semi prune sits
-    * below the join+agg. */
+    * below the join+agg. Built from the SAME incrCnParts/adjOf/
+    * wedgePairs construction the production query uses (cut =
+    * identity so the audited plan is the bare join order). */
   private[graft] def incrDeltaWedges(s: SparkSession,
       dir: String): DataFrame = {
-    val in = Tables.documents(s, dir)
-    def canon(e: DataFrame) =
-      e.select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v")).distinct()
-    val eFull = edgesOver(in)
-    val ue = canon(eFull)
-    val sUe = canon(eFull.where(col("src") % Dedup.IncrMod =!= 0))
-    val nUe = ue.join(sUe, Seq("u", "v"), "left_anti")
-    val elig = degreesOf(ue).where(col("d") <= CnDegCap)
-      .select(col("x").as("c"))
-    val affected = nUe.select(col("u").as("c"))
-      .unionAll(nUe.select(col("v").as("c"))).distinct()
-    val eligAff = elig.join(affected, Seq("c"), "left_semi")
-    val adj = ue.select(col("u").as("c"), col("v").as("x"))
-      .unionAll(ue.select(col("v").as("c"), col("u").as("x")))
-    val a2 = adj.join(eligAff, Seq("c"), "left_semi")
-    a2.as("a").join(a2.as("b"),
-        col("a.c") === col("b.c") && col("a.x") < col("b.x"))
-      .groupBy(col("a.x"), col("b.x")).agg(count(lit(1)).as("nw"))
+    val (ue, _, _, eligAff) =
+      incrCnParts(Tables.documents(s, dir), identity)
+    wedgePairs(adjOf(ue), eligAff)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("nw"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -573,30 +573,39 @@ object Relational extends graft.QueryGroup {
     * bucket ids live in the file names Spark's bucketed write
     * produced, so re-registration is metadata-only).
     *
-    * The probe-or-build is guarded by an OS file lock on a sibling
-    * `.lock` file: the cache lives in this host's /tmp, so two
-    * concurrent sessions with the same data fingerprint serialize
-    * here instead of interleaving overwrite builds or attaching a
-    * half-written table (r8 ADVICE). The loser of the race blocks,
-    * then sees `_SUCCESS` and attaches metadata-only. */
+    * The probe-or-build is guarded twice: a per-path JVM monitor
+    * serializes threads of THIS process (java.nio file locks are
+    * held per-JVM — a second same-process locker gets
+    * OverlappingFileLockException, not blocking; r9 review item),
+    * and an OS file lock on a sibling `.lock` file serializes
+    * other PROCESSES sharing this host's /tmp cache — so neither
+    * interleaved overwrite builds nor attaching a half-written
+    * table can happen. The loser of either race blocks, then sees
+    * `_SUCCESS` and attaches metadata-only. */
+  private val bucketLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def ensureBucketed(s: SparkSession, t: String, path: String,
       ddlCols: String, build: => Unit): Unit = {
     if (s.catalog.tableExists(t)) return
-    val lockFile = new java.io.File(path + ".lock")
-    lockFile.getParentFile.mkdirs()
-    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    val lk = ch.lock()
-    try {
-      if (!s.catalog.tableExists(t)) {
-        if (new java.io.File(path, "_SUCCESS").exists())
-          s.sql(s"""CREATE TABLE $t ($ddlCols) USING parquet
-                   |CLUSTERED BY (k) SORTED BY (k) INTO $BucketN BUCKETS
-                   |LOCATION '$path'""".stripMargin.replace("\n", " "))
-        else build
-      }
-    } finally { lk.release(); ch.close() }
+    val jvmLock = bucketLocks.computeIfAbsent(path, _ => new Object)
+    jvmLock.synchronized {
+      val lockFile = new java.io.File(path + ".lock")
+      lockFile.getParentFile.mkdirs()
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lk = ch.lock()
+      try {
+        if (!s.catalog.tableExists(t)) {
+          if (new java.io.File(path, "_SUCCESS").exists())
+            s.sql(s"""CREATE TABLE $t ($ddlCols) USING parquet
+                     |CLUSTERED BY (k) SORTED BY (k) INTO $BucketN BUCKETS
+                     |LOCATION '$path'""".stripMargin.replace("\n", " "))
+          else build
+        }
+      } finally { lk.release(); ch.close() }
+    }
   }
 
   /** q_join_bucketed — the CO-LOCATED join: orders and lineitem

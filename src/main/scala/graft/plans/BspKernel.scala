@@ -136,7 +136,15 @@ object BspKernel {
       trace += mx
       prev.unpersist(blocking = false)
       states = next
-      if (mx <= tol) return (states, t, trace.toSeq)
+      if (mx <= tol) {
+        // The converged states are checkpointed (lineage truncated),
+        // so the loop's working set can release its storage blocks
+        // now instead of waiting for a driver GC to trigger the
+        // ContextCleaner — adjacency is the largest structure here.
+        adj.unpersist(blocking = false)
+        nodeR.unpersist(blocking = false)
+        return (states, t, trace.toSeq)
+      }
     }
     sys.error("unreachable")
   }

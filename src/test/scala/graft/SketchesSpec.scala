@@ -137,7 +137,9 @@ class SketchesSpec extends SparkSuite {
       inter = ua & ub
       sa = ua.toSeq.map(smp).sum; sb = ub.toSeq.map(smp).sum
       ism = inter.toSeq.map(smp).sum
-      if inter.nonEmpty || true
+      // Mirror the query exactly: the pair relation is an inner
+      // self-join on u, so a zero-intersection pair emits NO row.
+      if inter.nonEmpty
     } yield (ta, tb, ua.size.toLong, ub.size.toLong, inter.size.toLong,
       (ua | ub).size.toLong, ism * Sketches.ThetaRate,
       (sa + sb - ism) * Sketches.ThetaRate,
