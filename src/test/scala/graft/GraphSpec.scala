@@ -321,6 +321,26 @@ class GraphSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("BspKernel is partitioning-invariant: 1, 3 and default state " +
+      "partitions produce identical labels, stop and trace") {
+    // The distributed-correctness property: results must not depend
+    // on how state is sharded (a partition-sensitive combine or a
+    // lost-message bug shows up as divergence here).
+    val docs = Tables.documents(spark, sfDir)
+    val key = graft.plans.BspKernel.PartitionsKey
+    def run(): (Map[Long, Long], Int, Seq[Long]) = {
+      val (lab, t, tr) = Graph.convergeComponents(docs)
+      (lab.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        t, tr)
+    }
+    val base = run()
+    for (p <- Seq("1", "3")) {
+      spark.conf.set(key, p)
+      try assert(run() === base, s"diverged at $p state partitions")
+      finally spark.conf.unset(key)
+    }
+  }
+
   test("scale smoke: 1M synthetic docs through component propagation, " +
       "zero storage") {
     // The fixpoint loop at a size where a per-superstep lineage

@@ -103,6 +103,24 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("eval scales: nDCG/MRR over 2M synthetic docs ride the same " +
+      "shared pool pass, zero storage") {
+    // Evaluation must stay O(matched pool): the metric pass reuses
+    // bm25BatchScored, so a 2M-doc corpus costs one term-filtered
+    // scan + two bounded per-qid windows — no second corpus pass.
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 2000000).option("parts", 32).option("seed", 13)
+      .load()
+    val qs = Seq(0 -> Seq("scan", "merge"), 1 -> Seq("hash", "filter"),
+      2 -> Seq("join", "window"))
+    val out = graft.operators.Retrieval.evalNdcgOver(docs, qs).collect()
+    assert(out.map(_.getInt(0)).toSeq === qs.map(_._1))
+    out.foreach { r =>
+      val (dcg, idcg, nd) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dcg > 0 && dcg <= idcg && nd > 0 && nd <= 1000000L)
+    }
+  }
+
   test("bm25 final cut plans as TakeOrdered, not a global sort") {
     // The top-k cut must be the bounded partial-top-k operator —
     // a Sort+Limit over the scored relation would total-sort the

@@ -51,6 +51,44 @@ class ScaleToolsSpec extends SparkSuite {
     }
   }
 
+  test("IndexCache.ensure: concurrent same-JVM callers build ONCE " +
+      "and both serve an intact published index") {
+    // Regression for the r9 review finding: two threads of one
+    // process share a pid, so without the per-path monitor they
+    // built into the same tmp tree and could publish a half-written
+    // index.
+    val out = System.getProperty("java.io.tmpdir") +
+      s"/graft_enstest_${System.nanoTime()}"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build(tmp: String): Unit = {
+      builds.incrementAndGet()
+      val d = new java.io.File(tmp); d.mkdirs()
+      Thread.sleep(100) // widen the race window
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "payload").toPath, "42")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = (1 to 2).map(_ => pool.submit(
+        new java.util.concurrent.Callable[String] {
+          def call(): String = graft.IndexCache.ensure(out)(build)
+        }))
+      val paths = fs.map(_.get())
+      assert(paths.forall(_ == out))
+      assert(builds.get() === 1,
+        s"expected one build under the monitor, got ${builds.get()}")
+      assert(new java.io.File(out, "_built").exists())
+      assert(java.nio.file.Files.readString(
+        new java.io.File(out, "payload").toPath) === "42")
+    } finally {
+      pool.shutdownNow()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(out))
+    }
+  }
+
   test("co-bucketed sorted tables join with no exchange and no sort") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
