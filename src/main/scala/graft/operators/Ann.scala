@@ -411,9 +411,17 @@ object Ann extends graft.QueryGroup {
 
   /** Codebook: PqK seed vectors by md5 order, one broadcast row;
     * position j in the sid-sorted array IS the code value. */
+  /** Un-hinted one-row codebook array — the form [[pqLloydRows]]
+    * consumes: its seed-slice arm is the LEFT side of a left outer
+    * join, where a broadcast hint is unsupported (Spark can only
+    * build-right a left outer join) and draws a HintErrorLogger
+    * warning per plan; the hint belongs only on crossJoin arms. */
+  private def pqCodebookRow(cb: DataFrame): DataFrame =
+    cb.agg(
+      sort_array(collect_list(struct(col("sid"), col("sv")))).as("cb"))
+
   private def pqCodebookArr(cb: DataFrame): DataFrame =
-    broadcast(cb.agg(
-      sort_array(collect_list(struct(col("sid"), col("sv")))).as("cb")))
+    broadcast(pqCodebookRow(cb))
 
   private def pqSeeds(e: DataFrame): DataFrame =
     e.orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
@@ -539,7 +547,7 @@ object Ann extends graft.QueryGroup {
           (x, c) => x - c).as("res"))
     val res = withRes.select(col("vec_id"), col("res").as("embedding"))
     val cbB = pqLloydStep(res.select(col("embedding")),
-      pqCodebookArr(pqSeedsK(res, PqK)))
+      pqCodebookRow(pqSeedsK(res, PqK)))
     val qcells = e.where(col("vec_id") === id).crossJoin(centArr)
       .select(explode(col("cents")).as("c"), col("embedding").as("qvec"))
       .select(col("c.cid").as("cell"), col("c.cvec").as("cvec"),
@@ -773,7 +781,7 @@ object Ann extends graft.QueryGroup {
           (x, c) => x - c).as("res"))
     val res = withRes.select(col("vec_id"), col("res").as("embedding"))
     pqLloydRows(res.select(col("embedding")),
-      pqCodebookArr(pqSeedsK(res, PqK)))
+      pqCodebookRow(pqSeedsK(res, PqK)))
       .write.mode("overwrite").parquet(s"$out/codebook")
     val cbB = pqCodebookArr(s.read.parquet(s"$out/codebook"))
     withRes.crossJoin(cbB)
@@ -1089,15 +1097,20 @@ object Ann extends graft.QueryGroup {
     * [[ivfCentroidsOf]], applied to the PQ codebook. Codewords no
     * argmin selects keep their seed slice. One narrow shuffle of
     * (PqM rows × corpus) PqSub-wide slices. */
-  private def pqLloydStep(e: DataFrame, cb0: DataFrame,
+  private def pqLloydStep(e: DataFrame, cb0Row: DataFrame,
       mm: Int = PqM, w: Int = PqSub): DataFrame =
-    pqCodebookArr(pqLloydRows(e, cb0, mm, w))
+    pqCodebookArr(pqLloydRows(e, cb0Row, mm, w))
 
   /** [[pqLloydStep]] in storable (sid, sv) ROW form — what
     * [[writeResIvfPqIndex]] persists (the arr form above is its
     * broadcast view; parquet round-trips the doubles bit-exactly). */
-  private def pqLloydRows(e: DataFrame, cb0: DataFrame,
+  // Takes the UN-hinted codebook row ([[pqCodebookRow]]): the hint
+  // is added here on the crossJoin arm only — seedSlices feeds the
+  // LEFT of the outer join below, where a broadcast hint is a no-op
+  // that warns (build-left is unsupported for left outer joins).
+  private def pqLloydRows(e: DataFrame, cb0Row: DataFrame,
       mm: Int = PqM, w: Int = PqSub): DataFrame = {
+    val cb0 = broadcast(cb0Row)
     val assigned = e.crossJoin(cb0)
       .select(col("embedding"),
         graft.plans.PqEncode(col("embedding"), col("cb"), mm, w)
@@ -1111,7 +1124,7 @@ object Ann extends graft.QueryGroup {
       .agg(graft.plans.ElementwiseSum(col("msub"), w).as("ms"),
         count(lit(1)).as("cnt"))
       .select(col("mi"), col("j"), microMean(col("ms"), col("cnt")).as("msv"))
-    val seedSlices = cb0
+    val seedSlices = cb0Row
       .select(posexplode(col("cb")).as(Seq("j", "s")))
       .select(col("j"), explode(sequence(lit(0), lit(mm - 1))).as("mi"),
         col("s.sv").as("fullsv"))
@@ -1171,9 +1184,9 @@ object Ann extends graft.QueryGroup {
     // Residual codebook: the same md5-ordered seed rule, over the
     // residual corpus; optionally one exact Lloyd refinement.
     val res = withRes.select(col("vec_id"), col("res").as("embedding"))
-    val cbSeed = pqCodebookArr(pqSeedsK(res, pqK))
-    val cbB = if (lloyd) pqLloydStep(res.select(col("embedding")), cbSeed,
-      pqM, w) else cbSeed
+    val cbSeedRow = pqCodebookRow(pqSeedsK(res, pqK))
+    val cbB = if (lloyd) pqLloydStep(res.select(col("embedding")),
+      cbSeedRow, pqM, w) else broadcast(cbSeedRow)
     // What the materialized index stores: (cell, codes) — no full
     // vectors; one map-only encode pass.
     val a1 = withRes.crossJoin(cbB)
@@ -1288,6 +1301,273 @@ object Ann extends graft.QueryGroup {
           round(col("sd").cast("double") / col("n_batch") / 1e6, 6))
           .otherwise(lit(0.0d)).as("mean_d2"))
       .orderBy(col("cell").asc)
+  }
+
+  // ------------------------------------------------------------------
+  // q_ann_graph: batch-built navigable k-NN graph + beam-search probe
+  // — the graph-traversal index family the reference actually serves
+  // from (pgvector HNSW, db/init.sql:50-58), re-expressed for batch
+  // Spark: the BUILD is the distributed job (per-cell ring init +
+  // hub layer + NN-descent sweeps, every stage a bounded equi-join),
+  // the stored artifact is the edge table, and the PROBE evaluates
+  // beam·deg·hops candidates — independent of cell occupancy, the
+  // cost model HNSW trades on.
+  // ------------------------------------------------------------------
+
+  /** kNN-graph out-degree per node. */
+  private[graft] val GraphDeg = 8
+  /** Beam width of the probe. */
+  private[graft] val GraphBeam = 8
+  /** Unrolled beam hops (fixed, so the DuckDB oracle can mirror one
+    * CTE stage per hop — the q_rank_converged discipline). */
+  private[graft] val GraphHops = 4
+  /** NN-descent refinement sweeps over the init graph. */
+  private[graft] val GraphSweeps = 2
+
+  /** Build the navigable kNN graph over any (vec_id, embedding)
+    * corpus. Three deterministic stages, each a bounded equi-join:
+    *
+    *  1. RING INIT — assign vectors to the [[ivfCentroidsOf]] coarse
+    *     cells (map-only argmin), rank within cell by md5 order, and
+    *     link each node to its `deg` ring successors: a connected
+    *     within-cell backbone built with per-cell windows (parallel
+    *     across cells, never a global sort).
+    *  2. HUB LAYER — each cell's rank-1 node links to every other
+    *     cell's rank-1 node (nCells² tiny rows): the HNSW upper
+    *     layer's role, global navigability from any entry.
+    *  3. NN-DESCENT sweeps — candidates(a) = current neighbors ∪
+    *     neighbors-of-neighbors (both directions), keep the `deg`
+    *     most similar per node ([[graft.plans.TopKByScore]], ties to
+    *     the smaller id): each sweep costs O(n · (2·deg)²) scored
+    *     pairs — bounded by construction, never occupancy-quadratic.
+    *
+    * Hub edges are unioned back into the final graph (descent would
+    * otherwise replace them with similar neighbors and strand the
+    * entry layer). */
+  private[graft] def knnGraphOf(e: DataFrame, nCells: Int, deg: Int,
+      sweeps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centArr = broadcast(asArray(ivfCentroidsOf(e, nCells)))
+    val a1 = e.crossJoin(centArr)
+      .select(col("vec_id"), col("embedding"),
+        NearestCell(col("embedding"), col("cents")).as("cell"))
+      .transform(graft.Checkpoints.cut)
+    val wCell = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    val rk = a1.select(col("vec_id"), col("cell"),
+        row_number().over(wCell).as("rk"),
+        count(lit(1)).over(Window.partitionBy(col("cell"))).as("nc"))
+      .transform(graft.Checkpoints.cut)
+    val ring = rk
+      .select(col("cell"), col("vec_id").as("src"), col("rk"), col("nc"),
+        explode(sequence(lit(1), lit(deg))).as("j"))
+      .select(col("cell"), col("src"),
+        (pmod(col("rk") - 1 + col("j"), col("nc")) + 1).as("trk"))
+      .join(rk.select(col("cell"), col("rk").as("trk"),
+        col("vec_id").as("dst")), Seq("cell", "trk"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val hubs = rk.where(col("rk") === 1).select(col("vec_id").as("h"))
+    val hubEdges = hubs
+      .join(hubs.select(col("h").as("h2")), col("h") =!= col("h2"))
+      .select(col("h").as("src"), col("h2").as("dst"))
+      .transform(graft.Checkpoints.cut)
+    val ev = a1.select(col("vec_id"), col("embedding"))
+    var edges = ring.unionAll(hubEdges).distinct()
+      .transform(graft.Checkpoints.cut)
+    for (_ <- 1 to sweeps) {
+      val und = edges
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val cand = und.as("a")
+        .join(und.select(col("src").as("mid"), col("dst")).as("b"),
+          col("a.dst") === col("b.mid"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .unionAll(und)
+        .distinct()
+      val scored = cand
+        .join(ev.select(col("vec_id").as("src"), col("embedding").as("sv")),
+          Seq("src"))
+        .join(ev.select(col("vec_id").as("dst"), col("embedding").as("dv")),
+          Seq("dst"))
+        .select(col("src"), col("dst"),
+          cosineSim(col("sv"), col("dv")).as("sim"))
+      edges = scored.groupBy(col("src"))
+        .agg(graft.plans.TopKByScore(col("sim"), col("dst"), deg).as("tk"))
+        .select(col("src"), explode(col("tk")).as("t"))
+        .select(col("src"), col("t.id").as("dst"))
+        .transform(graft.Checkpoints.cut)
+    }
+    edges.unionAll(hubEdges).distinct()
+  }
+
+  /** Batched beam search over a built graph: every query advances in
+    * the SAME jobs (per-hop: one frontier equi-join against the edge
+    * table, one score join, one bounded top-beam aggregate) — no
+    * driver loop over queries, no collect. `qs` = (qid, qvec);
+    * `entries` = (qid, vec_id) seed nodes. Returns the EVALUATED set
+    * (qid, vec_id, sim) — visited nodes; callers cut top-k / count
+    * scan cost from it. Beam_t = the `beam` best of everything
+    * evaluated so far (best-first over the visited set — simplest
+    * deterministic schedule, and what the unrolled oracle mirrors);
+    * frontier_t = unvisited out-neighbors of beam_{t-1}. Probe cost
+    * per query ≤ 1 + hops · beam · deg evaluations, independent of
+    * cell occupancy. */
+  private[graft] def beamSearchAll(graph: DataFrame, e: DataFrame,
+      qs: DataFrame, entries: DataFrame, beam: Int,
+      hops: Int): DataFrame = {
+    def scoreIds(ids: DataFrame) = ids.join(e, Seq("vec_id"))
+      .join(qs, Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("qvec")).as("sim"))
+    var visited = scoreIds(entries).transform(graft.Checkpoints.cut)
+    var beamDf = visited.select(col("qid"), col("vec_id"))
+    for (_ <- 1 to hops) {
+      val frontier = beamDf.select(col("qid"), col("vec_id").as("src"))
+        .join(graph, Seq("src"))
+        .select(col("qid"), col("dst").as("vec_id")).distinct()
+        .join(visited, Seq("qid", "vec_id"), "left_anti")
+      visited = visited.unionAll(scoreIds(frontier))
+        .transform(graft.Checkpoints.cut)
+      beamDf = visited.groupBy(col("qid"))
+        .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), beam)
+          .as("tk"))
+        .select(col("qid"), explode(col("tk")).as("t"))
+        .select(col("qid"), col("t.id").as("vec_id"))
+    }
+    visited
+  }
+
+  /** Layout version for the STORED kNN-graph index. */
+  private[graft] val AnnGraphLayout =
+    s"v1:cells=$IvfCells:deg=$GraphDeg:sweeps=$GraphSweeps:" +
+      "graph+entries+centroids"
+
+  /** Fingerprint-keyed location of the stored kNN-graph index. */
+  private[graft] def annGraphIndexPath(dir: String): String =
+    graft.IndexCache.path("graft_anng_idx", dir,
+      Seq("embeddings.parquet"), AnnGraphLayout)
+
+  /** Build the stored kNN-graph index over the corpus (query vector
+    * vec_id 0 excluded — it is the online side): the edge table, the
+    * per-cell entry nodes, and the coarse centroids a query needs to
+    * pick its entry cell. */
+  private[graft] def writeAnnGraphIndex(s: SparkSession, dir: String,
+      out: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") =!= 0)
+    // ONE quantizer for everything in this index: centroids, graph
+    // cells and entry ranks all derive from the corpus (query vector
+    // excluded — it is the online side), so a probe's entry cell is
+    // provably a cell of the graph it then walks.
+    ivfCentroidsOf(corpus, IvfCells).write.parquet(s"$out/centroids")
+    val centArr = broadcast(asArray(
+      s.read.parquet(s"$out/centroids")))
+    knnGraphOf(corpus, IvfCells, GraphDeg, GraphSweeps)
+      .write.parquet(s"$out/graph")
+    // Entry node per cell: the rank-1 (min-md5) member — recomputed
+    // here with the same window the ring init used.
+    val a1 = corpus.crossJoin(centArr)
+      .select(col("vec_id"),
+        NearestCell(col("embedding"), col("cents")).as("cell"))
+    val wCell = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    a1.select(col("cell"), col("vec_id"),
+        row_number().over(wCell).as("rk"))
+      .where(col("rk") === 1).select(col("cell"), col("vec_id"))
+      .write.parquet(s"$out/entries")
+  }
+
+  private[graft] def ensureAnnGraphIndex(s: SparkSession,
+      dir: String): String =
+    graft.IndexCache.ensure(annGraphIndexPath(dir))(
+      writeAnnGraphIndex(s, dir, _))
+
+  /** q_ann_graph — RECALL AUDIT of the graph index (the q_ann_recall
+    * contract, applied to the graph family): beam search for query
+    * vec_id 0 from the entry node of its nearest cell, k=10, vs the
+    * exact brute-force top-10; emits (k, n_brute, n_hits, recall,
+    * n_eval) where n_eval is the probe's total evaluated-candidate
+    * count — the scan-cost disclosure (≤ 1 + hops·beam·deg = 257
+    * here, vs probed-cell occupancy for IVF). The whole build→probe→
+    * audit chain is deterministic, so the DuckDB oracle replays it
+    * stage for stage (ring + hubs + unrolled descent sweeps +
+    * unrolled beam hops) and the gate grades it hash-exact. */
+  def annGraphRecall(s: SparkSession, dir: String, id: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val idx = ensureAnnGraphIndex(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val graph = s.read.parquet(s"$idx/graph")
+    val centArr = broadcast(asArray(s.read.parquet(s"$idx/centroids")))
+    val qs = e.where(col("vec_id") === id)
+      .select(lit(id).as("qid"), col("embedding").as("qvec"))
+    val qcell = qs.crossJoin(centArr)
+      .select(col("qid"), NearestCell(col("qvec"), col("cents")).as("cell"))
+    val entries = qcell
+      .join(s.read.parquet(s"$idx/entries"), Seq("cell"))
+      .select(col("qid"), col("vec_id"))
+    val visited = beamSearchAll(graph, e, qs, entries, GraphBeam,
+      GraphHops).transform(graft.Checkpoints.cut)
+    val approx = visited
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"), lit(1).as("hit"))
+    val q = e.where(col("vec_id") === id)
+      .select(col("embedding").as("qvec"))
+    val brute = e.where(col("vec_id") =!= id).crossJoin(broadcast(q))
+      .select(col("vec_id"), cosineSim(col("embedding"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(k)
+      .select(col("vec_id"))
+    val nEval = visited.agg(count(lit(1)).as("n_eval"))
+    brute.join(approx, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .crossJoin(broadcast(nEval))
+      .select(lit(k.toLong).as("k"), col("n_brute"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"),
+        col("n_eval"))
+  }
+
+  /** Graph twin of [[lshOperatingPoint]]: build the kNN graph over
+    * an arbitrary corpus, beam-probe `nQueries` queries in ONE
+    * batched search, and return (mean recall@k vs exact, mean corpus
+    * fraction evaluated per query) — the operating point the graph
+    * family is adopted (or not) on, measured next to LSH/IVF/IVFPQ
+    * on the same manifold (AnnIndexSpec). */
+  def graphOperatingPoint(corpus: DataFrame, nCells: Int, deg: Int,
+      sweeps: Int, beam: Int, hops: Int, nQueries: Int,
+      k: Int): (Double, Double) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = corpus.select(col("vec_id"), col("embedding"))
+      .transform(graft.Checkpoints.cut)
+    val n = e.count()
+    val graph = knnGraphOf(e, nCells, deg, sweeps)
+      .transform(graft.Checkpoints.cut)
+    val centArr = broadcast(asArray(ivfCentroidsOf(e, nCells)))
+    val a1 = e.crossJoin(centArr)
+      .select(col("vec_id"),
+        NearestCell(col("embedding"), col("cents")).as("cell"))
+    val wCell = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    val entryByCell = a1.select(col("cell"), col("vec_id"),
+        row_number().over(wCell).as("rk"))
+      .where(col("rk") === 1).select(col("cell"), col("vec_id"))
+    val qs = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val entries = qs.crossJoin(centArr)
+      .select(col("qid"), NearestCell(col("qvec"), col("cents")).as("cell"))
+      .join(entryByCell, Seq("cell"))
+      .select(col("qid"), col("vec_id"))
+    val visited = beamSearchAll(graph, e, qs, entries, beam, hops)
+      .where(col("vec_id") =!= col("qid"))
+      .transform(graft.Checkpoints.cut)
+    val evaluated = visited.count()
+    val hits = topkIds(visited, k)
+      .join(exactTopK(e, nQueries, k), Seq("qid", "vec_id")).count()
+    (hits.toDouble / (nQueries.toLong * k),
+      evaluated.toDouble / (nQueries.toLong * n))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -57,7 +57,13 @@ object BspKernel {
     * partitioning (callers know it from a metadata-only count).
     * `edges` is directed message flow — callers pass both directions
     * for undirected propagation. Nodes with an empty inbox rebuild
-    * with `hasInbox = false` and the inbox argument 0. */
+    * with `hasInbox = false` and the inbox argument 0.
+    *
+    * PRECONDITION: every edge endpoint (src AND dst) must appear in
+    * `nodes`. A src outside `nodes` fails loudly in the message
+    * stage (below); a dst outside `nodes` has no state row to
+    * rebuild, so its messages are dropped by the rebuild
+    * zipPartitions — callers own the closure over their node set. */
   def converge(sp: SparkSession, edges: RDD[(Long, Long)],
       nodes: RDD[Long], nNodes: Long, tol: Long, maxIters: Int,
       init: Long => Long, emit: (Long, Int) => Long,
@@ -110,7 +116,11 @@ object BspKernel {
         val sm = scala.collection.mutable.LongMap.empty[Long]
         sIt.foreach { case (id, s) => sm.update(id, s) }
         aIt.flatMap { case (src, dsts) =>
-          val m = emit(sm(src), dsts.length)
+          // Loud contract check: a LongMap miss would otherwise
+          // surface as an opaque executor-side NoSuchElementException.
+          val m = emit(sm.getOrElse(src, sys.error(
+            s"BSP contract violation: edge source $src not in nodes")),
+            dsts.length)
           dsts.iterator.map(d => (d, m))
         }
       }.reduceByKey(part, combine)
@@ -138,9 +148,26 @@ object BspKernel {
         }
       })
       next.count()
-      val mx = acc.value
+      // Clamp: with an empty node set (reachable from the CC
+      // contraction when a batch merges nothing) no task ever adds to
+      // the accumulator and acc.value is Long.MinValue — convergence
+      // is still correct (MinValue ≤ tol) but the returned trace must
+      // stay a valid non-negative |Δ| sequence.
+      val mx = math.max(acc.value, 0L)
       trace += mx
       prev.unpersist(blocking = false)
+      // unpersist only frees storage blocks; the superseded step's
+      // reliable-checkpoint FILES would otherwise accumulate (~20 per
+      // converge() call) unless the deployment sets
+      // spark.cleaner.referenceTracking.cleanCheckpoints — delete
+      // them here, now that `next` is materialized AND checkpointed
+      // (its lineage no longer references prev). The FINAL step's
+      // checkpoint is the returned RDD's backing data and is kept.
+      prev.getCheckpointFile.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(sp.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+      }
       states = next
       if (mx <= tol) {
         // The converged states are checkpointed (lineage truncated),

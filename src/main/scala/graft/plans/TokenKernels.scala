@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared kernels for the per-token array folds — the last
@@ -108,6 +108,44 @@ object TokenKernelsUtil {
       i += 1
     }
     java.lang.Long.valueOf(acc)
+  }
+
+  /** Distinct terms of a token array with occurrence counts, in
+    * first-occurrence order — semantics of the composed
+    * `transform(array_distinct(toks), t -> struct(t,
+    * size(filter(toks, x -> x === t))))` posting projection in
+    * [[graft.streaming.Streaming.streamIndexOver]], but ONE hash-map
+    * pass where the composed form re-scans the whole array per
+    * DISTINCT term: O(len) vs O(len × distinct) per doc — quadratic
+    * on long documents (the r9 verdict's worst non-stream-machinery
+    * marginal). Null elements replicate the composed form exactly:
+    * `null === x` is never true, so a null token yields one
+    * (null, 0) posting. */
+  def termFreqs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val c = m.get(t)
+      if (c == null)
+        // clone: the lookup string may point into a reusable buffer;
+        // only the one retained copy per distinct term pays it.
+        m.put(if (t == null) null else t.clone(),
+          Array(if (t == null) 0L else 1L))
+      else if (t != null) c(0) += 1
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Occurrence-weighted intersection of a SORTED long-hash array
@@ -253,6 +291,39 @@ case class SpanHashes(child: Expression, w: Int)
 object SpanHashes {
   def apply(text: Column, w: Int): Column =
     GraftBridge.column(SpanHashes(GraftBridge.expression(text), w))
+}
+
+/** Native term-frequency postings: `term_freqs(toks)` →
+  * array<struct<term, tf>> in first-occurrence order — the per-doc
+  * posting-delta kernel of the streaming text index. Value-identical
+  * to the composed array_distinct + per-term filter-count form
+  * (TokenKernelsSpec), linear in doc length where the composed form
+  * is O(len × distinct). */
+case class TermFreqs(child: Expression)
+    extends UnaryExpression with StringArrayInput {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = true),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(arr: Any): Any =
+    TokenKernelsUtil.termFreqs(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TokenKernelsUtil.termFreqs($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TermFreqs = copy(child = newChild)
+
+  override def prettyName: String = "term_freqs"
+}
+
+object TermFreqs {
+  def apply(toks: Column): Column =
+    GraftBridge.column(TermFreqs(GraftBridge.expression(toks)))
 }
 
 /** Native sorted-merge pair count: `sorted_pair_count(doc, keys,

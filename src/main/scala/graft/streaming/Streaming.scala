@@ -760,8 +760,11 @@ object Streaming extends graft.QueryGroup {
     * q_text_incremental / Retrieval.appendBm25Delta; this is the
     * same contract fed by a STREAM): each arriving document emits
     * its posting DELTA rows map-only — per-doc tf computed inside
-    * the row from the token array (array_distinct + filter-count —
-    * no aggregation, no watermark, no state store), so any
+    * the row from the token array (the one-pass
+    * [[graft.plans.TermFreqs]] kernel: O(len) per doc where the
+    * prior array_distinct + per-term filter-count form was
+    * O(len × distinct), quadratic on long documents — no
+    * aggregation, no watermark, no state store), so any
     * micro-batch split appends exactly the same delta multiset. The
     * sink rollup (per term: df = posting count, tf mass) must then
     * equal the one-shot batch index content whatever the split —
@@ -780,10 +783,7 @@ object Streaming extends graft.QueryGroup {
     val deltas = in
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(transform(array_distinct(col("toks")), t =>
-          struct(t.as("term"),
-            size(filter(col("toks"), x => x === t)).cast("long").as("tf"))))
-          .as("p"))
+        explode(graft.plans.TermFreqs(col("toks"))).as("p"))
       .select(col("doc_id"), col("dl"),
         col("p.term").as("term"), col("p.tf").as("tf"))
     runToCompletion(deltas, sink, "append")
@@ -1036,8 +1036,14 @@ object Streaming extends graft.QueryGroup {
   /** Columns [[streamStats]] profiles (name, isNumeric). `text` is
     * deliberately absent: a near-unique unbounded-cardinality column
     * makes the exact dictionary as big as the data — that column
-    * takes the q_stream_hll register path instead; profiling keys,
-    * enums and small measures exactly is the real deployment split. */
+    * takes the q_stream_hll register path instead. The same caveat
+    * applies to any KEY column kept here: `doc_id` is unique per
+    * row, so its exact dictionary carries O(corpus rows) state —
+    * priced deliberately, because exact key min/max/NDV is the
+    * uniqueness audit a catalog wants (and the dictionary rows are
+    * two longs rendered); a deployment that only needs approximate
+    * key NDV moves it to the register path and keeps exact
+    * dictionaries for enums and small measures. */
   private[graft] val StreamStatsCols =
     Seq(("doc_id", true), ("lang", false), ("source", false),
       ("n_chars", true))
@@ -1058,10 +1064,13 @@ object Streaming extends graft.QueryGroup {
     * min IS the numeric min, then report the plain render.
     *
     * Scale: the counters state is O(columns); the dictionary is
-    * O(NDV) — for keys/enums/small measures that is tiny and it IS
-    * the dictionary-encoding artifact a columnar writer wants
-    * anyway. Nothing re-reads history; both sinks absorb each batch
-    * incrementally. */
+    * O(NDV) per column — tiny for enums/small measures (where it IS
+    * the dictionary-encoding artifact a columnar writer wants), but
+    * O(corpus rows) for the unique key column `doc_id` (see
+    * [[StreamStatsCols]] — the exact-uniqueness audit is priced
+    * deliberately; approximate deployments profile keys via the
+    * q_stream_hll register path instead). Nothing re-reads history;
+    * both sinks absorb each batch incrementally. */
   def streamStats(s: SparkSession, dir: String): DataFrame =
     streamStatsOver(s, documentsStream(s, dir), "graft_stream_stats")
 

@@ -141,4 +141,25 @@ class KmeansSpec extends SparkSuite {
         "alt centroids must actually move some assignments")
     } finally corpus.unpersist(blocking = false)
   }
+
+  test("KmeansKernel iteration is partitioning-invariant: 1, 3 and " +
+      "default corpus partitions produce identical cells and conv_iter") {
+    // The GraphSpec/BspKernel lesson generalized (the r9 message-loss
+    // bug was invisible whenever state sized to ONE partition): every
+    // RDD kernel must pin that its result does not depend on how its
+    // data is sharded. Here the per-partition partials are int64
+    // sums + counts (commutative), so any divergence is a real
+    // merge/assignment bug.
+    val e = Tables.embeddings(spark, sfDir)
+    def run(in: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long,
+        Long)] =
+      Ann.kmeansConvergedOver(in).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val base = run(e)
+    assert(base.nonEmpty)
+    for (p <- Seq(1, 3))
+      assert(run(e.repartition(p)) === base,
+        s"diverged at $p corpus partitions")
+  }
 }

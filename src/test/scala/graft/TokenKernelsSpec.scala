@@ -186,18 +186,118 @@ class TokenKernelsSpec extends SparkSuite {
         s"case ${r.getLong(0)}: got ${r.getLong(2)} want ${r.getLong(1)}")
   }
 
+  /** The composed form [[graft.plans.TermFreqs]] replaced (r9 verdict
+    * item: O(len × distinct) per doc — the q_stream_index quadratic). */
+  private def termFreqsBuiltin(
+      toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(array_distinct(toks), t =>
+      struct(t.as("term"),
+        size(filter(toks, x => x === t)).cast("long").as("tf")))
+
+  test("native termFreqs == composed distinct+filter-count postings on " +
+      "the real corpus, codegen and interpreted") {
+    def run() = docs
+      .select(col("doc_id"),
+        graft.plans.TermFreqs(tokens(col("text"))).as("nat"),
+        termFreqsBuiltin(tokens(col("text"))).as("ref"))
+      .collect()
+    for (rows <- Seq(run(), withCodegenOff(run()))) {
+      assert(rows.nonEmpty)
+      for (r <- rows) {
+        val nat = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getString(0), p.getLong(1)))
+        val ref = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(p => (p.getString(0), p.getLong(1)))
+        assert(nat === ref,
+          s"term-freq drift for doc ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("termFreqs edge cases: empty, dups, null token, first-occurrence " +
+      "order") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("b", "a", "b", "c", "b", "a")),
+      (3L, Seq("x", null, "x", null)),
+      (4L, Seq("", "", "x")))
+      .toDF("id", "toks")
+      .select(col("id"),
+        graft.plans.TermFreqs(col("toks")).as("nat"),
+        termFreqsBuiltin(col("toks")).as("ref"))
+      .collect()
+    for (r <- rows) {
+      val nat = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (Option(p.getString(0)), p.getLong(1)))
+      val ref = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(p => (Option(p.getString(0)), p.getLong(1)))
+      assert(nat === ref, s"drift for id ${r.getLong(0)}")
+    }
+    // First-occurrence order and the (null, 0) posting, pinned
+    // explicitly (the composed form's null === x is never true).
+    val byId = rows.map(r => r.getLong(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => (Option(p.getString(0)), p.getLong(1)))).toMap
+    assert(byId(2L) === Seq((Some("b"), 3L), (Some("a"), 2L),
+      (Some("c"), 1L)))
+    assert(byId(3L) === Seq((Some("x"), 2L), (None, 0L)))
+    assert(byId(4L) === Seq((Some(""), 2L), (Some("x"), 1L)))
+  }
+
+  test("long-doc smoke: 50k-token docs through the tf/span/max-freq " +
+      "kernels stay per-doc-linearithmic") {
+    import spark.implicits._
+    // Row-LENGTH scaling (the r9 q_stream_index lesson: row-COUNT
+    // smokes never see a per-doc quadratic). 16 docs × 50k tokens,
+    // vocab 25k (every term appears exactly twice): the replaced
+    // composed posting form costs len × distinct = 1.25e9 interpreted
+    // compares PER DOC here (minutes for the batch); the one-pass
+    // kernels finish the whole batch well inside the bound.
+    val vocab = 25000
+    val toks = 50000
+    val docs = (0L until 16L).map { d =>
+      (d, (0 until toks).map(i => s"w${(i * 7 + d) % vocab}")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = docs.select(col("doc_id"),
+        size(graft.plans.TermFreqs(tokens(col("text")))).as("n_terms"),
+        aggregate(graft.plans.TermFreqs(tokens(col("text"))),
+          lit(0L), (acc, p) => acc + p.getField("tf")).as("tf_sum"),
+        TextAnalysis.maxWordFreq(tokens(col("text"))).as("mx"),
+        size(graft.plans.SpanHashes(col("text"),
+          graft.operators.Dedup.SpanW)).as("n_spans"))
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    for (r <- got) {
+      assert(r.getAs[Int]("n_terms") === vocab)
+      assert(r.getAs[Long]("tf_sum") === toks.toLong)
+      assert(r.getAs[Long]("mx") === 2L)
+      assert(r.getAs[Int]("n_spans") ===
+        toks - graft.operators.Dedup.SpanW + 1)
+    }
+    info(f"16 × 50k-token docs through 4 kernels in $secs%.2f s")
+    assert(secs < 60.0,
+      f"long-doc kernel pass took $secs%.1f s — a per-doc quadratic " +
+        "regression (the bound separates: the composed posting form " +
+        "alone needs minutes here)")
+  }
+
   test("token kernels stay inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val p = docs
         .select(TextAnalysis.maxWordFreq(tokens(col("text"))),
           TextAnalysis.rollingFp,
-          graft.plans.SpanHashes(col("text"), graft.operators.Dedup.SpanW))
+          graft.plans.SpanHashes(col("text"), graft.operators.Dedup.SpanW),
+          graft.plans.TermFreqs(tokens(col("text"))))
         .queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
       assert(!p.contains("Found 0 WholeStageCodegen"),
         s"kernels must stay codegen'd:\n$p")
-      for (k <- Seq("max_token_freq", "rolling_fp", "span_hashes"))
+      for (k <- Seq("max_token_freq", "rolling_fp", "span_hashes",
+          "term_freqs"))
         assert(p.contains(k), s"$k missing from stages:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
