@@ -531,4 +531,19 @@ class DedupSpec extends SparkSuite {
         s"qid $qid: $nTwin exact twins but only $h caught")
     }
   }
+
+  test("q_dedup_incremental: stored-serve ≡ inline standing rebuild") {
+    // The AnnIndexSpec pattern: the graded row probes the
+    // fingerprinted standing rep index; its verdicts must equal the
+    // inline form that recomputes the index in-plan, row for row.
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val stored = rows(Dedup.incrementalDedup(spark, sfDir))
+    val inline = rows(Dedup.incrementalDedupInline(spark, sfDir))
+    assert(stored === inline, "stored probe diverged from inline")
+    assert(stored.nonEmpty)
+    assert(stored.exists(_._2 == "dup"),
+      "fixture must exercise at least one dup verdict")
+  }
 }

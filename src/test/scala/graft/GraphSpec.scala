@@ -310,6 +310,13 @@ class GraphSpec extends SparkSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
       .toMap
     assert(incr === full, "contraction merge diverged from rebuild")
+    // Stored ≡ inline (the AnnIndexSpec pattern): the graded row
+    // reads the standing labels/strong-edges from the fingerprinted
+    // store; its labels must equal the inline form's exactly.
+    val stored = Graph.ccIncrLabelsStored(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
+      .toMap
+    assert(stored === full, "stored-serve labels diverged from rebuild")
     // And the graded rows agree with q_graph_cc's (minus conv).
     val got = Graph.graphCcIncremental(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
