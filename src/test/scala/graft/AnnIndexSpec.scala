@@ -150,6 +150,29 @@ class AnnIndexSpec extends SparkSuite {
     assert(scanFrac < 0.10, f"scan fraction $scanFrac%.4f not under 10%%")
   }
 
+  test("clustered manifold: kNN-graph beam-search operating point " +
+      "reaches recall@10 >= 0.8 at < 2% evaluated on 100k vectors") {
+    // The graph-family member of the operating-point panel (the
+    // index structure the reference's pgvector HNSW serves from):
+    // probe cost is beam·deg·hops candidate evaluations per query —
+    // INDEPENDENT of cell occupancy, the lever that separates graph
+    // indexes from IVF as cells fatten. Same corpus, same exact
+    // ground truth as the LSH/IVF/IVFPQ rows above.
+    val corpus = spark.read.format("graft-synth")
+      .option("shape", "embeddings")
+      .option("rows", 100000).option("parts", 16).option("seed", 42)
+      .option("centers", 64).option("sigma", 0.15)
+      .load()
+    val (recall, evalFrac) = Ann.graphOperatingPoint(corpus,
+      nCells = 128, deg = 8, sweeps = 2, beam = 24, hops = 8,
+      nQueries = 10, k = 10)
+    info(f"measured operating point: recall@10 = $recall%.3f, " +
+      f"evaluated fraction = $evalFrac%.4f")
+    assert(recall >= 0.8, f"recall@10 $recall%.3f below the 0.8 bar")
+    assert(evalFrac < 0.02, f"evaluated fraction $evalFrac%.4f not " +
+      "under 2%")
+  }
+
   test("clustered manifold: composed IVFPQ+refine operating point — " +
       "IVF-grade recall with ~33x fewer full-width reads") {
     // The composed pipeline's measured story: ADC scans the same
