@@ -508,10 +508,13 @@ object Graph extends graft.QueryGroup {
     val nd = s.read.parquet(s"$idx/meta")
     val sUe = s.read.parquet(s"$idx/edges")
     val sDeg = s.read.parquet(s"$idx/degrees")
+    // No lineage cut on nUe: all its consumers live in ONE query
+    // plan, where ReuseExchange collapses the repeated subtree — an
+    // eager cut here paid a whole extra job for a <1k-row relation
+    // (measured: the cut made the row ~25% slower).
     val nUe = canonPairs(
         edgesOverMod(in.where(col("doc_id") % Dedup.IncrMod === 0), nd))
       .join(sUe, Seq("u", "v"), "left_anti")
-      .transform(graft.Checkpoints.cut)
     // Degree DELTA per affected center from the new edges alone;
     // full degree = stored standing degree (0 if unseen) + delta.
     val dDelta = adjOf(nUe).groupBy(col("c")).agg(count(lit(1)).as("dd"))
@@ -674,10 +677,13 @@ object Graph extends graft.QueryGroup {
     val in = Tables.documents(s, dir)
     val nd = s.read.parquet(s"$idx/meta")
     val sUe = s.read.parquet(s"$idx/strong")
+    // No cut on nUe: its two consumers (the u- and v-side label
+    // joins) sit inside the one `contracted` plan, which is itself
+    // cut — ReuseExchange covers the shared subtree (the CN serve's
+    // measured lesson).
     val nUe = strongFilter(canonPairs(
         edgesOverMod(in.where(col("doc_id") % Dedup.IncrMod === 0), nd)))
       .join(sUe, Seq("u", "v"), "left_anti")
-      .transform(graft.Checkpoints.cut)
     mergeComponentLabels(s, s.read.parquet(s"$idx/labels"), nUe)
   }
 
