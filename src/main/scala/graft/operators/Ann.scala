@@ -1352,15 +1352,15 @@ object Ann extends graft.QueryGroup {
     *
     * Hub edges are unioned back into the final graph (descent would
     * otherwise replace them with similar neighbors and strand the
-    * entry layer). */
-  private[graft] def knnGraphOf(e: DataFrame, nCells: Int, deg: Int,
+    * entry layer).
+    *
+    * Takes the celled corpus `a1` = (vec_id, embedding, cell) — the
+    * caller computes the quantizer + assignment ONCE and shares it
+    * with the entry-node derivation (review finding: the previous
+    * signature recomputed both, two full-corpus jobs per build). */
+  private[graft] def knnGraphOf(a1: DataFrame, deg: Int,
       sweeps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centArr = broadcast(asArray(ivfCentroidsOf(e, nCells)))
-    val a1 = e.crossJoin(centArr)
-      .select(col("vec_id"), col("embedding"),
-        NearestCell(col("embedding"), col("cents")).as("cell"))
-      .transform(graft.Checkpoints.cut)
     def ringOver(part: DataFrame, key: String): DataFrame = {
       val wk = Window.partitionBy(col(key))
         .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
@@ -1396,7 +1396,7 @@ object Ann extends graft.QueryGroup {
       .select(col("src"), explode(col("tk")).as("t"))
       .select(col("src"), col("t.id").as("dst"))
     val bring = ringOver(
-      e.select(col("vec_id"),
+      a1.select(col("vec_id"),
         Lsh.bucketCode(col("embedding"), planes).as("bucket")), "bucket")
     val hubs = rk.where(col("rk") === 1).select(col("vec_id").as("h"))
     val hubEdges = hubs
@@ -1492,23 +1492,29 @@ object Ann extends graft.QueryGroup {
     // ONE quantizer for everything in this index: centroids, graph
     // cells and entry ranks all derive from the corpus (query vector
     // excluded — it is the online side), so a probe's entry cell is
-    // provably a cell of the graph it then walks.
-    ivfCentroidsOf(corpus, IvfCells).write.parquet(s"$out/centroids")
+    // provably a cell of the graph it then walks. overwrite: a
+    // failed build's pid+thread-keyed tmp dir must not wedge a
+    // same-thread retry.
+    ivfCentroidsOf(corpus, IvfCells)
+      .write.mode("overwrite").parquet(s"$out/centroids")
     val centArr = broadcast(asArray(
       s.read.parquet(s"$out/centroids")))
-    knnGraphOf(corpus, IvfCells, GraphDeg, GraphSweeps)
-      .write.parquet(s"$out/graph")
-    // Entry node per cell: the rank-1 (min-md5) member — recomputed
-    // here with the same window the ring init used.
+    // Assign ONCE; the graph build and the entry-node derivation
+    // share this pass (review finding: each recomputed it).
     val a1 = corpus.crossJoin(centArr)
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("embedding"),
         NearestCell(col("embedding"), col("cents")).as("cell"))
+      .transform(graft.Checkpoints.cut)
+    knnGraphOf(a1, GraphDeg, GraphSweeps)
+      .write.mode("overwrite").parquet(s"$out/graph")
+    // Entry node per cell: the rank-1 (min-md5) member — the same
+    // window the ring init used, over the same assignment.
     val wCell = Window.partitionBy(col("cell"))
       .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
     a1.select(col("cell"), col("vec_id"),
         row_number().over(wCell).as("rk"))
       .where(col("rk") === 1).select(col("cell"), col("vec_id"))
-      .write.parquet(s"$out/entries")
+      .write.mode("overwrite").parquet(s"$out/entries")
   }
 
   private[graft] def ensureAnnGraphIndex(s: SparkSession,
@@ -1540,8 +1546,9 @@ object Ann extends graft.QueryGroup {
     val entries = qcell
       .join(s.read.parquet(s"$idx/entries"), Seq("cell"))
       .select(col("qid"), col("vec_id"))
+    // beamSearchAll's final hop already cut `visited` — no re-cut.
     val visited = beamSearchAll(graph, e, qs, entries, GraphBeam,
-      GraphHops).transform(graft.Checkpoints.cut)
+      GraphHops)
     val approx = visited
       .orderBy(col("sim").desc, col("vec_id").asc).limit(k)
       .select(col("vec_id"), lit(1).as("hit"))
@@ -1574,12 +1581,15 @@ object Ann extends graft.QueryGroup {
     val e = corpus.select(col("vec_id"), col("embedding"))
       .transform(graft.Checkpoints.cut)
     val n = e.count()
-    val graph = knnGraphOf(e, nCells, deg, sweeps)
-      .transform(graft.Checkpoints.cut)
+    // One quantizer + one assignment, shared by the build and the
+    // entry derivation (the writeAnnGraphIndex discipline).
     val centArr = broadcast(asArray(ivfCentroidsOf(e, nCells)))
     val a1 = e.crossJoin(centArr)
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("embedding"),
         NearestCell(col("embedding"), col("cents")).as("cell"))
+      .transform(graft.Checkpoints.cut)
+    val graph = knnGraphOf(a1, deg, sweeps)
+      .transform(graft.Checkpoints.cut)
     val wCell = Window.partitionBy(col("cell"))
       .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
     val entryByCell = a1.select(col("cell"), col("vec_id"),
@@ -1591,9 +1601,10 @@ object Ann extends graft.QueryGroup {
       .select(col("qid"), NearestCell(col("qvec"), col("cents")).as("cell"))
       .join(entryByCell, Seq("cell"))
       .select(col("qid"), col("vec_id"))
+    // beamSearchAll's final hop already cut `visited`; the qid
+    // self-filter is a cheap post-map over that checkpoint.
     val visited = beamSearchAll(graph, e, qs, entries, beam, hops)
       .where(col("vec_id") =!= col("qid"))
-      .transform(graft.Checkpoints.cut)
     val evaluated = visited.count()
     val hits = topkIds(visited, k)
       .join(exactTopK(e, nQueries, k), Seq("qid", "vec_id")).count()

@@ -757,7 +757,7 @@ object Dedup extends graft.QueryGroup {
     * schemas (the [[graft.operators.Retrieval.TextIndexLayout]]
     * discipline). */
   private[graft] val DedupIndexLayout =
-    s"v1:bands=$NumBands:mh=$NumHashes:reps+repfeats"
+    s"v1:bands=$NumBands:mh=$NumHashes:mod=$IncrMod:reps+repfeats"
 
   /** Fingerprint-keyed location of the standing dedup index. */
   private[graft] def dedupIndexPath(dir: String): String =
@@ -778,14 +778,16 @@ object Dedup extends graft.QueryGroup {
       out: String): Unit = {
     val standing = Tables.documents(s, dir)
       .where(col("doc_id") % IncrMod =!= 0)
+    // overwrite: a failed build leaves its pid+thread-keyed tmp dir
+    // behind, and a same-thread retry must be able to self-heal.
     bucketReps(bandKeys(signature(standing.select(col("doc_id"),
         explode(tokenSet(col("text"))).as("f")))), "doc_id")
-      .write.parquet(s"$out/reps")
+      .write.mode("overwrite").parquet(s"$out/reps")
     val repIds = s.read.parquet(s"$out/reps")
       .select(col("rep").as("doc_id")).distinct()
     standing.select(col("doc_id"), tokenSet(col("text")).as("fs"))
       .join(repIds, Seq("doc_id"), "left_semi")
-      .write.parquet(s"$out/repfeats")
+      .write.mode("overwrite").parquet(s"$out/repfeats")
   }
 
   /** Build-once/probe-many handle on the standing dedup index. */
@@ -1036,12 +1038,10 @@ object Dedup extends graft.QueryGroup {
     // Per vector: max cosine to any SMALLER same-cell neighbor — one
     // bounded agg; the ladder is then three conditional sums.
     val mx = pairs.groupBy(col("v")).agg(max(col("sim")).as("mx"))
-    val counts = mx.agg(SemTaus.map(t =>
+    val cs = SemTaus.map(t =>
       coalesce(sum(when(col("mx") >= lit(t) / lit(1000000.0d), 1L)
-        .otherwise(0L)), lit(0L)).as(s"p$t")).head,
-      SemTaus.map(t =>
-        coalesce(sum(when(col("mx") >= lit(t) / lit(1000000.0d), 1L)
-          .otherwise(0L)), lit(0L)).as(s"p$t")).tail: _*)
+        .otherwise(0L)), lit(0L)).as(s"p$t"))
+    val counts = mx.agg(cs.head, cs.tail: _*)
     val total = e.agg(count(lit(1)).as("n_vecs"))
     counts.crossJoin(broadcast(total))
       .select(col("n_vecs"), explode(array(SemTaus.map(t =>

@@ -395,7 +395,7 @@ object Graph extends graft.QueryGroup {
     * [[graft.operators.Retrieval.TextIndexLayout]] discipline). */
   private[graft] val GraphIndexLayout =
     s"v1:refs=$EdgeRefs:keep=$CcKeepMod:cap=$CnDegCap:it=$CcMaxIters:" +
-      "meta+edges+degrees+strong+labels+cn"
+      s"mod=${Dedup.IncrMod}:meta+edges+degrees+strong+labels+cn"
 
   /** Fingerprint-keyed location of the standing graph store. */
   private[graft] def graphIndexPath(dir: String): String =
@@ -424,21 +424,25 @@ object Graph extends graft.QueryGroup {
   private[graft] def writeGraphIndex(s: SparkSession, dir: String,
       out: String): Unit = {
     val in = Tables.documents(s, dir)
-    in.agg(count(lit(1)).as("nd")).write.parquet(s"$out/meta")
+    // overwrite: a failed build leaves its pid+thread-keyed tmp dir
+    // behind, and a same-thread retry must be able to self-heal.
+    in.agg(count(lit(1)).as("nd"))
+      .write.mode("overwrite").parquet(s"$out/meta")
     val nd = s.read.parquet(s"$out/meta")
     canonPairs(
       edgesOverMod(in.where(col("doc_id") % Dedup.IncrMod =!= 0), nd))
-      .write.parquet(s"$out/edges")
+      .write.mode("overwrite").parquet(s"$out/edges")
     val sUe = s.read.parquet(s"$out/edges")
-    degreesOf(sUe).write.parquet(s"$out/degrees")
-    strongFilter(sUe).write.parquet(s"$out/strong")
+    degreesOf(sUe).write.mode("overwrite").parquet(s"$out/degrees")
+    strongFilter(sUe).write.mode("overwrite").parquet(s"$out/strong")
     convergeComponentsOf(s, in.select(col("doc_id")),
-      s.read.parquet(s"$out/strong"))._1.write.parquet(s"$out/labels")
+      s.read.parquet(s"$out/strong"))._1
+      .write.mode("overwrite").parquet(s"$out/labels")
     val eligS = s.read.parquet(s"$out/degrees")
       .where(col("d") <= CnDegCap).select(col("x").as("c"))
     wedgePairs(adjOf(sUe), eligS)
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_common"))
-      .write.parquet(s"$out/cn")
+      .write.mode("overwrite").parquet(s"$out/cn")
   }
 
   /** Build-once/probe-many handle on the standing graph store. */

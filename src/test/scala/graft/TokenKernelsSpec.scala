@@ -267,7 +267,9 @@ class TokenKernelsSpec extends SparkSuite {
           lit(0L), (acc, p) => acc + p.getField("tf")).as("tf_sum"),
         TextAnalysis.maxWordFreq(tokens(col("text"))).as("mx"),
         size(graft.plans.SpanHashes(col("text"),
-          graft.operators.Dedup.SpanW)).as("n_spans"))
+          graft.operators.Dedup.SpanW)).as("n_spans"),
+        size(graft.functions.TextFunctions.wordShingles(col("text"), 3))
+          .as("n_shingles"))
       .collect()
     val secs = (System.nanoTime() - t0) / 1e9
     for (r <- got) {
@@ -276,8 +278,13 @@ class TokenKernelsSpec extends SparkSuite {
       assert(r.getAs[Long]("mx") === 2L)
       assert(r.getAs[Int]("n_spans") ===
         toks - graft.operators.Dedup.SpanW + 1)
+      // wordShingles is a distinct SET; token i = w[(7i+d) % vocab]
+      // makes the triple at i a pure function of i % vocab, so the
+      // 49998 positions collapse to exactly `vocab` distinct
+      // shingles.
+      assert(r.getAs[Int]("n_shingles") === vocab)
     }
-    info(f"16 × 50k-token docs through 4 kernels in $secs%.2f s")
+    info(f"16 × 50k-token docs through 5 kernels in $secs%.2f s")
     assert(secs < 60.0,
       f"long-doc kernel pass took $secs%.1f s — a per-doc quadratic " +
         "regression (the bound separates: the composed posting form " +
