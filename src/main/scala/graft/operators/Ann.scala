@@ -1484,11 +1484,19 @@ object Ann extends graft.QueryGroup {
     * per-cell entry nodes, and the coarse centroids a query needs to
     * pick its entry cell. */
   private[graft] def writeAnnGraphIndex(s: SparkSession, dir: String,
-      out: String): Unit = {
+      out: String): Unit =
+    writeAnnGraphIndexOver(s,
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .where(col("vec_id") =!= 0), out)
+
+  /** The graph-index build over ANY (vec_id, embedding) relation —
+    * one definition shared by the full-corpus index (q_ann_graph)
+    * and the STANDING index the incremental row inserts into
+    * (q_ann_graph_incr). */
+  private[graft] def writeAnnGraphIndexOver(s: SparkSession,
+      corpus: DataFrame, out: String): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"))
-      .where(col("vec_id") =!= 0)
     // ONE quantizer for everything in this index: centroids, graph
     // cells and entry ranks all derive from the corpus (query vector
     // excluded — it is the online side), so a probe's entry cell is
@@ -1521,6 +1529,25 @@ object Ann extends graft.QueryGroup {
       dir: String): String =
     graft.IndexCache.ensure(annGraphIndexPath(dir))(
       writeAnnGraphIndex(s, dir, _))
+
+  /** Layout of the STANDING graph index q_ann_graph_incr inserts
+    * into: the base layout plus the standing/batch split modulus it
+    * filters by (bump-on-any-change — a modulus change must never
+    * serve a stale store). */
+  private[graft] val AnnGraphIncrLayout =
+    AnnGraphLayout + s":standing=mod${Dedup.IncrMod}"
+
+  private[graft] def annGraphIncrIndexPath(dir: String): String =
+    graft.IndexCache.path("graft_anngi_idx", dir,
+      Seq("embeddings.parquet"), AnnGraphIncrLayout)
+
+  private[graft] def ensureAnnGraphIncrIndex(s: SparkSession,
+      dir: String): String =
+    graft.IndexCache.ensure(annGraphIncrIndexPath(dir))(out =>
+      writeAnnGraphIndexOver(s,
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+          .where(col("vec_id") % Dedup.IncrMod =!= 0), out))
 
   /** q_ann_graph — RECALL AUDIT of the graph index (the q_ann_recall
     * contract, applied to the graph family): beam search for query
@@ -1566,6 +1593,136 @@ object Ann extends graft.QueryGroup {
       .select(lit(k.toLong).as("k"), col("n_brute"), col("n_hits"),
         round(col("n_hits").cast("double") / k, 6).as("recall"),
         col("n_eval"))
+  }
+
+  /** q_ann_graph_incr — INCREMENTAL maintenance of the graph index,
+    * closing the index-maintenance matrix for the graph family (the
+    * reference upserts embeddings batch after batch into its HNSW
+    * index, db/ingest_cards.py ON CONFLICT over db/init.sql:50-58 —
+    * pgvector's insert IS a beam-search-then-link walk): the
+    * incoming batch (vec_id % [[Dedup.IncrMod]] == 0, the split
+    * every incremental row shares) probes the STORED standing graph
+    * ([[ensureAnnGraphIncrIndex]] — built once over the standing
+    * corpus, fingerprint-keyed) and links in micro-batch-parallel
+    * HNSW-insert fashion:
+    *
+    *  1. each batch vector beam-searches from its nearest cell's
+    *     entry node (the SAME batched walk q_ann_graph serves with —
+    *     ≤ 1 + hops·beam·deg standing vectors evaluated per insert,
+    *     independent of corpus size);
+    *  2. its OUT-edges are the [[GraphDeg]] most similar visited
+    *     nodes (ties to the smaller id, the TopKByScore rule);
+    *  3. REVERSE edges (standing node → new vector) respect the
+    *     degree cap: each touched standing node keeps the
+    *     [[GraphDeg]] best of (its existing out-edges ∪ the new
+    *     reverse edges) — the HNSW neighbor-prune, bounded to
+    *     batch·deg touched nodes.
+    *
+    * Probes are embarrassingly parallel against the FROZEN standing
+    * graph (the micro-batch commit model: this batch's edges land
+    * atomically at the end; the next batch sees them) — no
+    * sequential insert dependency, which is the property that lets
+    * the maintenance pass scale out. Per-insert audit row:
+    * (vec_id, cell, n_eval, nn, n_out, n_rev_kept) — entry cell,
+    * evaluated-candidate count (scan-cost disclosure), nearest
+    * standing neighbor found, out-edges added, reverse edges
+    * surviving the cap. The graded row reads the store and scans
+    * batch vectors only — O(batch) work; the DuckDB oracle replays
+    * standing build → batched probe → link stage for stage. */
+  def annGraphInsert(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureAnnGraphIncrIndex(s, dir)
+    annGraphInsertFrom(s, dir,
+      s.read.parquet(s"$idx/graph"),
+      s.read.parquet(s"$idx/centroids"),
+      s.read.parquet(s"$idx/entries"))
+  }
+
+  /** Spec-only twin of [[annGraphInsert]] that recomputes the
+    * standing index IN-PLAN instead of reading the store — the
+    * stored ≡ inline proof's other arm (the incrementalDedupInline
+    * pattern). */
+  private[graft] def annGraphInsertInline(s: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val standing = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") % Dedup.IncrMod =!= 0)
+    val cents = ivfCentroidsOf(standing, IvfCells)
+      .transform(graft.Checkpoints.cut)
+    val a1 = standing.crossJoin(broadcast(asArray(cents)))
+      .select(col("vec_id"), col("embedding"),
+        NearestCell(col("embedding"), col("cents")).as("cell"))
+      .transform(graft.Checkpoints.cut)
+    val wCell = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    val entries = a1.select(col("cell"), col("vec_id"),
+        row_number().over(wCell).as("rk"))
+      .where(col("rk") === 1).select(col("cell"), col("vec_id"))
+    annGraphInsertFrom(s, dir, knnGraphOf(a1, GraphDeg, GraphSweeps),
+      cents, entries)
+  }
+
+  private def annGraphInsertFrom(s: SparkSession, dir: String,
+      graph: DataFrame, centroids: DataFrame,
+      entryByCell: DataFrame): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val standing = all.where(col("vec_id") % Dedup.IncrMod =!= 0)
+    val batch = all.where(col("vec_id") % Dedup.IncrMod === 0)
+    val centArr = broadcast(asArray(centroids))
+    val qs = batch.select(col("vec_id").as("qid"),
+      col("embedding").as("qvec"))
+    val qcell = qs.crossJoin(centArr)
+      .select(col("qid"), NearestCell(col("qvec"), col("cents")).as("cell"))
+      .transform(graft.Checkpoints.cut)
+    val entries = qcell
+      .join(entryByCell, Seq("cell"))
+      .select(col("qid"), col("vec_id"))
+    // One batched walk for the whole batch (beamSearchAll's final
+    // hop already cut `visited`).
+    val visited = beamSearchAll(graph, standing, qs, entries,
+      GraphBeam, GraphHops)
+    // Out-edges: per insert, the deg best of everything evaluated.
+    val outE = visited.groupBy(col("qid"))
+      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), GraphDeg)
+        .as("tk"))
+      .select(col("qid"), explode(col("tk")).as("t"))
+      .select(col("qid"), col("t.id").as("d"), col("t.score").as("sim"))
+      .transform(graft.Checkpoints.cut)
+    // Reverse prune: each TOUCHED standing node ranks its existing
+    // out-edges (scored on demand — the stored graph is ids-only)
+    // against the new reverse edges and keeps the deg best. Work is
+    // bounded by batch·deg touched nodes × ≤2·deg candidates.
+    val touched = outE.select(col("d")).distinct()
+    val ev = standing
+    val exOut = graph.join(broadcast(touched), graph("src") === col("d"))
+      .join(ev.select(col("vec_id").as("src"),
+        col("embedding").as("sv")), Seq("src"))
+      .join(ev.select(col("vec_id").as("dst"),
+        col("embedding").as("dv")), Seq("dst"))
+      .select(col("src").as("d"), col("dst").as("nbr"),
+        cosineSim(col("sv"), col("dv")).as("sim"))
+    val revNew = outE.select(col("d"), col("qid").as("nbr"), col("sim"))
+    val revKept = exOut.unionAll(revNew).groupBy(col("d"))
+      .agg(graft.plans.TopKByScore(col("sim"), col("nbr"), GraphDeg)
+        .as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.id").as("nbr"))
+    val nRev = revKept.where(col("nbr") % Dedup.IncrMod === 0)
+      .groupBy(col("nbr").as("qid"))
+      .agg(count(lit(1)).as("n_rev_kept"))
+    val nEval = visited.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_eval"))
+    val nn = visited.groupBy(col("qid"))
+      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), 1).as("tk"))
+      .select(col("qid"), col("tk").getItem(0).getField("id").as("nn"))
+    val nOut = outE.groupBy(col("qid")).agg(count(lit(1)).as("n_out"))
+    qcell.join(nEval, Seq("qid")).join(nn, Seq("qid"))
+      .join(nOut, Seq("qid")).join(nRev, Seq("qid"), "left")
+      .select(col("qid").as("vec_id"), col("cell"), col("n_eval"),
+        col("nn"), col("n_out"),
+        coalesce(col("n_rev_kept"), lit(0L)).as("n_rev_kept"))
+      .orderBy(col("vec_id").asc)
   }
 
   /** Graph twin of [[lshOperatingPoint]]: build the kNN graph over
@@ -1624,6 +1781,7 @@ object Ann extends graft.QueryGroup {
     "q_ann_ivfpq" -> ((s, d) => ivfPqSearch(s, d)),
     "q_ann_ivfpq_res" -> ((s, d) => ivfPqResStored(s, d)),
     "q_ann_graph" -> ((s, d) => annGraphRecall(s, d)),
+    "q_ann_graph_incr" -> ((s, d) => annGraphInsert(s, d)),
     "q_hard_negatives_vec" -> ((s, d) => hardNegativesVec(s, d)),
     "q_kmeans" -> ((s, d) => kmeansConverged(s, d)),
   )
@@ -1750,34 +1908,30 @@ object Ann extends graft.QueryGroup {
     * NN-descent sweeps, [[GraphHops]] unrolled beam hops, then the
     * q_ann_recall comparison against the brute-force top-10 plus the
     * evaluated-candidate count. */
-  private def annGraphOracle: String = {
-    def sweep(i: Int, prev: String): String =
-      s"""u$i AS MATERIALIZED (SELECT src, dst FROM $prev
-         |  UNION ALL SELECT dst AS src, src AS dst FROM $prev),
-         |n$i AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-         |    SELECT a.src AS src, b.dst AS dst
-         |    FROM u$i a JOIN u$i b ON a.dst = b.src WHERE b.dst <> a.src
-         |    UNION ALL SELECT src, dst FROM u$i)),
-         |s$i AS MATERIALIZED (SELECT n$i.src, n$i.dst,
-         |    list_cosine_similarity(ca.v, cb.v) AS sim
-         |  FROM n$i JOIN c ca ON ca.vec_id = n$i.src
-         |           JOIN c cb ON cb.vec_id = n$i.dst),
-         |g$i AS MATERIALIZED (SELECT src, dst FROM (
-         |    SELECT src, dst, row_number() OVER (PARTITION BY src
-         |      ORDER BY sim DESC, dst ASC) AS rn FROM s$i)
-         |  WHERE rn <= $GraphDeg),""".stripMargin
-    def hop(i: Int): String =
-      s"""f$i AS MATERIALIZED (SELECT DISTINCT g.dst AS vec_id
-         |  FROM gf g JOIN b${i - 1} ON g.src = b${i - 1}.vec_id
-         |  WHERE g.dst NOT IN (SELECT vec_id FROM v${i - 1})),
-         |v$i AS MATERIALIZED (SELECT vec_id, sim FROM v${i - 1}
-         |  UNION ALL SELECT c.vec_id,
-         |    list_cosine_similarity(c.v, (SELECT v FROM qv)) AS sim
-         |  FROM c JOIN f$i USING (vec_id)),
-         |b$i AS MATERIALIZED (SELECT vec_id FROM v$i
-         |  ORDER BY sim DESC, vec_id ASC LIMIT $GraphBeam),""".stripMargin
+  private def graphSweepCte(i: Int, prev: String): String =
+    s"""u$i AS MATERIALIZED (SELECT src, dst FROM $prev
+       |  UNION ALL SELECT dst AS src, src AS dst FROM $prev),
+       |n$i AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT a.src AS src, b.dst AS dst
+       |    FROM u$i a JOIN u$i b ON a.dst = b.src WHERE b.dst <> a.src
+       |    UNION ALL SELECT src, dst FROM u$i)),
+       |s$i AS MATERIALIZED (SELECT n$i.src, n$i.dst,
+       |    list_cosine_similarity(ca.v, cb.v) AS sim
+       |  FROM n$i JOIN c ca ON ca.vec_id = n$i.src
+       |           JOIN c cb ON cb.vec_id = n$i.dst),
+       |g$i AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY sim DESC, dst ASC) AS rn FROM s$i)
+       |  WHERE rn <= $GraphDeg),""".stripMargin
+
+  /** The standing-graph BUILD as a CTE prefix (e → … → gf), shared
+    * by [[annGraphOracle]] (standing = all but the online query
+    * vector) and [[annGraphIncrOracle]] (standing = the non-batch
+    * split) — one SQL definition of the build, exactly like
+    * [[writeAnnGraphIndexOver]] is the one Spark definition. */
+  private def graphBuildCtes(standingWhere: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |c AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id <> 0),
+       |c AS MATERIALIZED (SELECT vec_id, v FROM e WHERE $standingWhere),
        |seeds AS MATERIALIZED (SELECT vec_id AS sid, v AS sv FROM c
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
        |  LIMIT $IvfCells),
@@ -1834,10 +1988,23 @@ object Ann extends graft.QueryGroup {
        |g0 AS MATERIALIZED (SELECT src, dst FROM ck
        |  UNION SELECT src, dst FROM bring
        |  UNION SELECT src, dst FROM hubE),
-       |${sweep(1, "g0")}
-       |${sweep(2, "g1")}
+       |${graphSweepCte(1, "g0")}
+       |${graphSweepCte(2, "g1")}
        |gf AS MATERIALIZED (SELECT src, dst FROM g2
-       |  UNION SELECT src, dst FROM hubE),
+       |  UNION SELECT src, dst FROM hubE),""".stripMargin
+
+  private def annGraphOracle: String = {
+    def hop(i: Int): String =
+      s"""f$i AS MATERIALIZED (SELECT DISTINCT g.dst AS vec_id
+         |  FROM gf g JOIN b${i - 1} ON g.src = b${i - 1}.vec_id
+         |  WHERE g.dst NOT IN (SELECT vec_id FROM v${i - 1})),
+         |v$i AS MATERIALIZED (SELECT vec_id, sim FROM v${i - 1}
+         |  UNION ALL SELECT c.vec_id,
+         |    list_cosine_similarity(c.v, (SELECT v FROM qv)) AS sim
+         |  FROM c JOIN f$i USING (vec_id)),
+         |b$i AS MATERIALIZED (SELECT vec_id FROM v$i
+         |  ORDER BY sim DESC, vec_id ASC LIMIT $GraphBeam),""".stripMargin
+    s"""${graphBuildCtes("vec_id <> 0")}
        |qv AS (SELECT v FROM e WHERE vec_id = 0),
        |qcell AS MATERIALIZED (SELECT cid AS cell FROM cent, qv
        |  ORDER BY list_sum([(qv.v[i] - cent.cv[i]) * (qv.v[i] - cent.cv[i])
@@ -1865,8 +2032,80 @@ object Ann extends graft.QueryGroup {
        |FROM brute b LEFT JOIN approx a ON b.vec_id = a.vec_id""".stripMargin
   }
 
+  /** Unrolled oracle for [[annGraphInsert]] — the standing build
+    * (shared [[graphBuildCtes]] prefix over the non-batch split),
+    * then the MULTI-QUERY beam walk (per-qid windows replace the
+    * single-query LIMITs) and the two link stages (out-edge cut,
+    * reverse prune), mirroring the Spark row stage for stage. */
+  private def annGraphIncrOracle: String = {
+    val mod = Dedup.IncrMod
+    def hop(i: Int): String =
+      s"""f$i AS MATERIALIZED (SELECT DISTINCT b.qid, g.dst AS vec_id
+         |  FROM gf g JOIN b${i - 1} b ON g.src = b.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} v
+         |                    WHERE v.qid = b.qid AND v.vec_id = g.dst)),
+         |v$i AS MATERIALIZED (SELECT qid, vec_id, sim FROM v${i - 1}
+         |  UNION ALL SELECT f.qid, f.vec_id,
+         |    list_cosine_similarity(c.v, q.qv) AS sim
+         |  FROM f$i f JOIN c ON c.vec_id = f.vec_id
+         |             JOIN q ON q.qid = f.qid),
+         |b$i AS MATERIALIZED (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, vec_id ASC) AS rn FROM v$i)
+         |  WHERE rn <= $GraphBeam),""".stripMargin
+    s"""${graphBuildCtes(s"vec_id % $mod <> 0")}
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e
+       |  WHERE vec_id % $mod = 0),
+       |qc AS MATERIALIZED (SELECT qid, cell FROM (
+       |    SELECT q.qid, cent.cid AS cell,
+       |           row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY list_sum([(q.qv[i] - cent.cv[i])
+       |                         * (q.qv[i] - cent.cv[i])
+       |                         for i in generate_series(1, $Dim)]) ASC,
+       |               cent.cid ASC) AS rn
+       |    FROM q, cent) WHERE rn = 1),
+       |v0 AS MATERIALIZED (SELECT qc.qid, c.vec_id,
+       |    list_cosine_similarity(c.v, q.qv) AS sim
+       |  FROM qc JOIN rk ON rk.cell = qc.cell AND rk.rk = 1
+       |  JOIN c ON c.vec_id = rk.vec_id
+       |  JOIN q ON q.qid = qc.qid),
+       |b0 AS MATERIALIZED (SELECT qid, vec_id FROM v0),
+       |${(1 to GraphHops).map(hop).mkString("\n")}
+       |oute AS MATERIALIZED (SELECT qid, vec_id AS d, sim FROM (
+       |    SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id ASC) AS rn FROM v$GraphHops)
+       |  WHERE rn <= $GraphDeg),
+       |tch AS (SELECT DISTINCT d FROM oute),
+       |exout AS MATERIALIZED (SELECT g.src AS d, g.dst AS nbr,
+       |    list_cosine_similarity(ca.v, cb.v) AS sim
+       |  FROM gf g JOIN tch ON g.src = tch.d
+       |  JOIN c ca ON ca.vec_id = g.src JOIN c cb ON cb.vec_id = g.dst),
+       |revk AS MATERIALIZED (SELECT d, nbr FROM (
+       |    SELECT d, nbr, row_number() OVER (PARTITION BY d
+       |      ORDER BY sim DESC, nbr ASC) AS rn
+       |    FROM (SELECT d, nbr, sim FROM exout
+       |          UNION ALL SELECT d, qid AS nbr, sim FROM oute))
+       |  WHERE rn <= $GraphDeg),
+       |nrev AS (SELECT nbr AS qid, count(*) AS n_rev_kept FROM revk
+       |  WHERE nbr % $mod = 0 GROUP BY nbr),
+       |nev AS (SELECT qid, count(*) AS n_eval FROM v$GraphHops
+       |  GROUP BY qid),
+       |nn AS (SELECT qid, vec_id AS nn FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id ASC) AS rn FROM v$GraphHops)
+       |  WHERE rn = 1),
+       |nout AS (SELECT qid, count(*) AS n_out FROM oute GROUP BY qid)
+       |SELECT q.qid AS vec_id, qc.cell, nev.n_eval, nn.nn, nout.n_out,
+       |       coalesce(nrev.n_rev_kept, CAST(0 AS BIGINT)) AS n_rev_kept
+       |FROM q JOIN qc USING (qid) JOIN nev USING (qid)
+       |JOIN nn USING (qid) JOIN nout USING (qid)
+       |LEFT JOIN nrev USING (qid)
+       |ORDER BY vec_id ASC""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_ann_graph" -> annGraphOracle,
+    "q_ann_graph_incr" -> annGraphIncrOracle,
     "q_ann_sq8" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |g AS (SELECT min(list_min(v)) AS gmin, max(list_max(v)) AS gmax

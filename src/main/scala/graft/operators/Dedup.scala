@@ -1030,6 +1030,16 @@ object Dedup extends graft.QueryGroup {
       .select(col("vec_id"), col("embedding"),
         graft.plans.NearestCell(col("embedding"), col("cents")).as("cell"))
       .transform(graft.Checkpoints.cut)
+    semanticCensus(a1, e)
+  }
+
+  /** The prune census over ANY (vec_id, embedding, cell) assignment
+    * — the stage [[semanticDedupOver]] and the streaming twin
+    * (q_stream_semantic, which maintains the assignment at ingest)
+    * share, so the stream's census is provably the batch census.
+    * `e` only supplies the total count. */
+  private[graft] def semanticCensus(a1: DataFrame,
+      e: DataFrame): DataFrame = {
     val pairs = a1.as("a")
       .join(a1.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

@@ -393,7 +393,11 @@ object Graph extends graft.QueryGroup {
     * propagation schedule, or table schemas so a warm cache can
     * never serve the old format (the
     * [[graft.operators.Retrieval.TextIndexLayout]] discipline). */
-  private[graft] val GraphIndexLayout =
+  // lazy: CcKeepMod/CcMaxIters are declared later in this object, and
+  // a strict val would capture their pre-init 0s — making the
+  // bump-on-any-change rule a silent no-op for those two dials
+  // (caught via the compiler's uninitialized-reference warning, r10).
+  private[graft] lazy val GraphIndexLayout =
     s"v1:refs=$EdgeRefs:keep=$CcKeepMod:cap=$CnDegCap:it=$CcMaxIters:" +
       s"mod=${Dedup.IncrMod}:meta+edges+degrees+strong+labels+cn"
 

@@ -1033,6 +1033,53 @@ object Streaming extends graft.QueryGroup {
       topN = 20)
   }
 
+  /** q_stream_semantic — CONTINUOUS SemDeDup maintenance, the
+    * streaming face of [[graft.operators.Dedup.semanticDedup]]:
+    * every arriving vector computes its cluster assignment AT
+    * INGEST — a per-row argmin against the broadcast standing
+    * quantizer (trained once on the standing corpus, the
+    * q_stream_ann contract) — and appends (vec_id, cell) to the
+    * standing assignment table; the within-cell prune census serves
+    * from that table batch-side through the SAME
+    * [[graft.operators.Dedup.semanticCensus]] stage the batch row
+    * runs, so the row shares q_dedup_semantic's oracle verbatim
+    * (sink ≡ batch assignment). Map-only and STATELESS: no
+    * watermark, no state store — any micro-batch split appends the
+    * same assignment rows.
+    *
+    * Scale: the assignment argmin is paid once per vector at ingest
+    * and never re-paid by maintenance (the batch rebuild re-assigns
+    * the whole corpus); census work stays Σ cell-occupancy² —
+    * bounded by the cell dial, never corpus-quadratic. */
+  def streamSemantic(s: SparkSession, dir: String): DataFrame =
+    streamSemanticOver(s, embeddingsStream(s, dir),
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      "graft_stream_semantic")
+
+  /** `in`: any stream with the embeddings schema; `corpus`: the
+    * batch relation the quantizer trains on and the census hydrates
+    * embeddings from (replay harness injection point). */
+  private[graft] def streamSemanticOver(s: SparkSession, in: DataFrame,
+      corpus: DataFrame, sink: String): DataFrame = {
+    import graft.operators.Dedup
+    val centArr = Ann.asArray(Ann.ivfCentroidsOf(corpus, Dedup.SemCells))
+    // Constant-key equi-join against the one-row broadcast centroid
+    // array (the streamAnn spelling of "stream-static broadcast
+    // join"); the argmin itself is per-row, map-only.
+    val assigned = in
+      .select(col("vec_id"), col("embedding")).withColumn("one", lit(1))
+      .join(broadcast(centArr.withColumn("one", lit(1))), "one")
+      .select(col("vec_id"),
+        graft.plans.NearestCell(col("embedding"), col("cents")).as("cell"))
+    runToCompletion(assigned, sink, "append")
+    // Census from the standing assignment table; embeddings hydrate
+    // batch-side (the streamNeardup lineage-cut discipline).
+    val a1 = graft.Checkpoints.cut(s.table(sink))
+      .join(corpus, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    Dedup.semanticCensus(a1, corpus)
+  }
+
   /** Columns [[streamStats]] profiles (name, isNumeric). `text` is
     * deliberately absent: a near-unique unbounded-cardinality column
     * makes the exact dictionary as big as the data — that column
@@ -1468,6 +1515,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_ann" -> ((s, d) => streamAnn(s, d)),
     "q_stream_contamination" -> ((s, d) => streamContamination(s, d)),
     "q_stream_neardup" -> ((s, d) => streamNeardup(s, d)),
+    "q_stream_semantic" -> ((s, d) => streamSemantic(s, d)),
     "q_stream_graph" -> ((s, d) => streamGraph(s, d)),
     "q_stream_cc" -> ((s, d) => streamCc(s, d)),
     "q_stream_stats" -> ((s, d) => streamStats(s, d)),
@@ -1487,6 +1535,10 @@ object Streaming extends graft.QueryGroup {
     // pairs — same oracle (Dedup group).
     "q_stream_neardup" ->
       graft.operators.Dedup.oracles("q_dedup_minhash"),
+    // The at-ingest cluster assignment must yield exactly the batch
+    // SemDeDup census — same oracle (Dedup group).
+    "q_stream_semantic" ->
+      graft.operators.Dedup.oracles("q_dedup_semantic"),
     // At-ingest edge extraction must serve exactly the batch degree
     // distribution — same oracle (Graph group).
     "q_stream_graph" ->

@@ -323,6 +323,34 @@ class AnnIndexSpec extends SparkSuite {
     }
   }
 
+  test("graph insert: stored-serve ≡ inline standing rebuild, every " +
+      "batch vector links within the probe-cost bound") {
+    // Stored ≡ inline (the incrementalDedup pattern): the graded row
+    // probes the fingerprinted standing graph; it must equal the
+    // twin that recomputes build + probe + link in-plan, row for row.
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val stored = rows(Ann.annGraphInsert(spark, sfDir))
+    val inline = rows(Ann.annGraphInsertInline(spark, sfDir))
+    assert(stored === inline, "stored probe diverged from inline")
+    // One audit row per batch vector, exactly.
+    val mod = graft.operators.Dedup.IncrMod
+    val batchIds = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") % mod === 0)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(stored.map(_._1) === batchIds)
+    // Probe cost bound (independent of corpus size), link bounds,
+    // and standing-ness of the found neighbor.
+    val cap = 1 + Ann.GraphHops * Ann.GraphBeam * Ann.GraphDeg
+    stored.foreach { case (vid, _, nEval, nn, nOut, nRevKept) =>
+      assert(nEval >= 1 && nEval <= cap, s"$vid n_eval=$nEval")
+      assert(nOut >= 1 && nOut <= Ann.GraphDeg)
+      assert(nRevKept >= 0 && nRevKept <= nOut)
+      assert(nn % mod != 0, s"$vid linked to batch id $nn")
+    }
+  }
+
   test("IVFPQ+refine: returned sims are the EXACT cosines (refine " +
       "undoes ADC distortion) and the hits come from probed cells") {
     // The composed pipeline's contract: ADC may rank the shortlist

@@ -214,6 +214,35 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("at-ingest cluster assignment stays exact under multi-batch " +
+      "vector replay, and equals the batch SemDeDup census") {
+    // Vectors arriving across three interleaved micro-batches must
+    // append exactly the assignment the batch quantizer computes
+    // (per-row broadcast argmin is batch-split-invariant), so the
+    // served census equals the one-shot batch SemDeDup row.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_split_sem").toString
+    tmpDirs += tmp
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until 3).foreach { i =>
+      e.where(pmod(col("vec_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(tmp)
+    }
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val got = Streaming.streamSemanticOver(spark, stream, corpus,
+      "graft_split_sem").collect().toSeq
+    val want = graft.operators.Dedup.semanticDedup(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("at-ingest edge extraction stays exact under multi-batch " +
       "document replay, and equals the batch degree distribution") {
     // Docs arriving across three interleaved micro-batches must
