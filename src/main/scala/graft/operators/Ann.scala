@@ -1672,9 +1672,12 @@ object Ann extends graft.QueryGroup {
     val centArr = broadcast(asArray(centroids))
     val qs = batch.select(col("vec_id").as("qid"),
       col("embedding").as("qvec"))
+    // No eager cut: both consumers (entries, the final assembly)
+    // live in plans where recomputing the map-only broadcast argmin
+    // over the tiny batch is cheaper than a dedicated checkpoint job
+    // (the nUe lesson).
     val qcell = qs.crossJoin(centArr)
       .select(col("qid"), NearestCell(col("qvec"), col("cents")).as("cell"))
-      .transform(graft.Checkpoints.cut)
     val entries = qcell
       .join(entryByCell, Seq("cell"))
       .select(col("qid"), col("vec_id"))
@@ -1688,7 +1691,6 @@ object Ann extends graft.QueryGroup {
         .as("tk"))
       .select(col("qid"), explode(col("tk")).as("t"))
       .select(col("qid"), col("t.id").as("d"), col("t.score").as("sim"))
-      .transform(graft.Checkpoints.cut)
     // Reverse prune: each TOUCHED standing node ranks its existing
     // out-edges (scored on demand — the stored graph is ids-only)
     // against the new reverse edges and keeps the deg best. Work is
