@@ -100,6 +100,17 @@ object Multimodal extends graft.QueryGroup {
 
   val ResizeStride = 4
 
+  /** The stride-decimation rule as ONE column expression — every
+    * ResizeStride-th byte of the hex-rendered payload — shared by
+    * resize, the composed pipeline and the dedup row's perceptual
+    * tier so the downsample rule cannot drift between them. */
+  private[graft] def resHxOf(hx: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array_join(transform(sequence(lit(0),
+      ceil(length(hx).cast("double") / (2 * ResizeStride))
+        .cast("int") - 1),
+      i => hx.substr(i * (2 * ResizeStride) + 1, lit(2))), "")
+
   /** "Resize"/downsample plumbing: deterministic stride decimation —
     * keep every [[ResizeStride]]-th byte of the payload (the
     * 4×-downsample role; a real deployment swaps the per-byte rule
@@ -110,14 +121,9 @@ object Multimodal extends graft.QueryGroup {
     * accounting, content hash of the resized payload. */
   def multimodalResize(s: SparkSession, dir: String): DataFrame =
     payloads(s, dir)
-      .select(col("doc_id"), col("hx"),
-        ceil(length(col("hx")).cast("double") / (2 * ResizeStride))
-          .cast("int").as("nb"))
       .select(col("doc_id"),
         (length(col("hx")) / 2).cast("long").as("bytes_in"),
-        array_join(transform(sequence(lit(0), col("nb") - 1),
-          i => col("hx").substr(i * (2 * ResizeStride) + 1, lit(2))), "")
-          .as("res_hx"))
+        resHxOf(col("hx")).as("res_hx"))
       .select(col("doc_id"), col("bytes_in"),
         (length(col("res_hx")) / 2).cast("long").as("bytes_out"),
         md5(col("res_hx")).as("res_md5"))
@@ -144,11 +150,7 @@ object Multimodal extends graft.QueryGroup {
     payloads(s, dir)
       .select(col("doc_id"), col("source"),
         (length(col("hx")) / 2).cast("long").as("bytes_in"),
-        array_join(transform(sequence(lit(0),
-          ceil(length(col("hx")).cast("double") / (2 * ResizeStride))
-            .cast("int") - 1),
-          i => col("hx").substr(i * (2 * ResizeStride) + 1, lit(2))), "")
-          .as("res_hx"))
+        resHxOf(col("hx")).as("res_hx"))
       .select(col("doc_id"), col("source"), col("bytes_in"),
         (length(col("res_hx")) / 2).cast("long").as("bytes_out"),
         transform(sequence(lit(0),
@@ -161,6 +163,50 @@ object Multimodal extends graft.QueryGroup {
         size(col("chunks")).cast("long").as("n_chunks"),
         md5(array_join(col("chunks"), ":")).as("pipe_fp"))
       .orderBy(col("doc_id").asc)
+
+  /** q_multimodal_dedup — MEDIA DEDUP census, the dedup tier (group
+    * E) applied to the binary column (the pipeline-mandate
+    * intersection group I was missing: image/video corpora dedup by
+    * content fingerprint before training, same as text): two
+    * fingerprint tiers per payload —
+    *
+    *  - `exact`: md5 of the full payload (byte-identical dups — the
+    *    q_dedup_exact rule on the binary column);
+    *  - `resized`: md5 of the [[resHxOf]] stride-decimation (the
+    *    aHash/pHash ANALOG in this codec-free environment: perceptual
+    *    hashes downsample then hash, so payloads differing only in
+    *    detail the downsample drops collide — here, bytes at
+    *    non-kept stride positions; a deployment swaps the decimation
+    *    for a codec's scaler exactly like resize does).
+    *
+    * Emits one census row per tier (groups, duplicate payloads,
+    * largest group). Map-only fingerprinting, one bounded-key
+    * aggregation per tier over one corpus scan (the two tiers ride
+    * one unpivot) — never pairwise; at 100 TB this is the same
+    * hash-groupBy shape as q_dedup_exact, shuffle ∝ distinct
+    * fingerprints. MultimodalSpec plants a detail-perturbed payload
+    * (a byte changed at a dropped stride position): the resized tier
+    * collides it, the exact tier does not. */
+  def multimodalDedup(s: SparkSession, dir: String): DataFrame =
+    multimodalDedupOver(payloads(s, dir))
+
+  /** The census over ANY payload relation carrying `hx` (spec
+    * injection point for planted perceptual collisions). */
+  private[graft] def multimodalDedupOver(p: DataFrame): DataFrame = {
+    val f = p.select(
+      explode(array(
+        struct(lit("exact").as("tier"), md5(col("hx")).as("fp")),
+        struct(lit("resized").as("tier"),
+          md5(resHxOf(col("hx"))).as("fp")))).as("r"))
+      .select(col("r.tier"), col("r.fp"))
+    f.groupBy(col("tier"), col("fp")).agg(count(lit(1)).as("n"))
+      .groupBy(col("tier"))
+      .agg(sum(col("n")).as("n_payloads"),
+        count(lit(1)).as("n_groups"),
+        sum(col("n") - 1).as("n_dup_payloads"),
+        max(col("n")).as("max_group"))
+      .orderBy(col("tier").asc)
+  }
 
   /** Decoded-media metadata (deterministic STUB). */
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int,
@@ -214,6 +260,7 @@ object Multimodal extends graft.QueryGroup {
     "q_multimodal_decode" -> ((s, d) => multimodalDecode(s, d)),
     "q_multimodal_framesample" -> ((s, d) => multimodalFramesample(s, d)),
     "q_multimodal_pipeline" -> ((s, d) => multimodalPipeline(s, d)),
+    "q_multimodal_dedup" -> ((s, d) => multimodalDedup(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,6 +278,24 @@ object Multimodal extends graft.QueryGroup {
         |       CAST(sum(w) AS BIGINT) AS sum_w,
         |       CAST(sum(h) AS BIGINT) AS sum_h
         |FROM m GROUP BY source ORDER BY source ASC""".stripMargin,
+    "q_multimodal_dedup" ->
+      s"""WITH p AS (SELECT doc_id, upper(hex(encode(text))) AS hx
+         |           FROM documents),
+         |r AS (SELECT doc_id, md5(hx) AS ex,
+         |             md5(array_to_string(
+         |               [substr(hx, i * ${2 * ResizeStride} + 1, 2)
+         |                for i in generate_series(0,
+         |                  CAST(ceil(length(hx) / ${2.0 * ResizeStride})
+         |                    AS INT) - 1)], '')) AS nr
+         |      FROM p),
+         |u AS (SELECT 'exact' AS tier, ex AS fp FROM r
+         |      UNION ALL SELECT 'resized' AS tier, nr AS fp FROM r),
+         |g AS (SELECT tier, fp, count(*) AS n FROM u GROUP BY tier, fp)
+         |SELECT tier, CAST(sum(n) AS BIGINT) AS n_payloads,
+         |       count(*) AS n_groups,
+         |       CAST(sum(n - 1) AS BIGINT) AS n_dup_payloads,
+         |       CAST(max(n) AS BIGINT) AS max_group
+         |FROM g GROUP BY tier ORDER BY tier ASC""".stripMargin,
     "q_multimodal_resize" ->
       s"""WITH p AS (SELECT doc_id, upper(hex(encode(text))) AS hx
          |           FROM documents),

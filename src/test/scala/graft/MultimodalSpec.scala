@@ -88,4 +88,32 @@ class MultimodalSpec extends SparkSuite {
     assert(pipe.values.exists(_._3 == 1),
       "expected at least one single-chunk doc to pin the fp reduction")
   }
+
+  test("media dedup: the resized tier collides a detail-perturbed " +
+      "payload the exact tier keeps distinct") {
+    // aHash's defining property, in the codec-free stand-in: a byte
+    // changed at a DROPPED stride position (stride 4 keeps bytes
+    // 0, 4, 8, …; byte 1 is dropped) survives the downsample, so the
+    // perceptual fingerprint collides while the exact one differs.
+    import spark.implicits._
+    val base = "ABCDEFGHIJKLMNOP"
+    val perturbed = "AXCDEFGHIJKLMNOP" // byte 1 changed (dropped)
+    val df = Seq((1L, base, "en", "s", base.length),
+        (2L, perturbed, "en", "s", base.length),
+        (3L, base, "en", "s", base.length)) // exact dup of 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Multimodal.multimodalDedupOver(
+        graft.multimodal.Multimodal.payloadsOver(df))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exact: {1,3} collide, 2 distinct → 2 groups, 1 dup, max 2.
+    assert(rows("exact") === ((3L, 2L, 1L, 2L)))
+    // resized: all three collide → 1 group, 2 dups, max 3.
+    assert(rows("resized") === ((3L, 1L, 2L, 3L)))
+    // On the real corpus the tiers nest: every exact group is inside
+    // a resized group, so resized can only have fewer-or-equal groups.
+    val real = Multimodal.multimodalDedup(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(real("resized") <= real("exact"))
+  }
 }
