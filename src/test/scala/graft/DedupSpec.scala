@@ -603,4 +603,48 @@ class DedupSpec extends SparkSuite {
     assert(stored.exists(_._2 == "dup"),
       "fixture must exercise at least one dup verdict")
   }
+
+  test("semantic dedup candidate recall: the within-cell rule's miss " +
+      "rate is MEASURED on the clustered manifold") {
+    // q_dedup_semantic only compares pairs sharing a quantizer cell —
+    // the Σ occupancy² bound that makes SemDeDup linear-ish. The
+    // price is pairs ≥ τ that straddle a cell boundary; this is the
+    // measurement that says whether the cell dial may be the sole
+    // candidate generator (the q_dedup_recall / q_ann_recall
+    // discipline applied to the semantic tier). 8k vectors on the
+    // 64-center manifold, truth = brute-force cosine ≥ 0.9 pairs.
+    import graft.operators.Ann
+    import graft.functions.VectorFunctions.cosineSim
+    val e = spark.read.format("graft-synth")
+      .option("shape", "embeddings")
+      .option("rows", 8000).option("parts", 8).option("seed", 7)
+      .option("centers", 64).option("sigma", 0.15)
+      .load()
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.Checkpoints.cut)
+    val centArr = broadcast(Ann.asArray(
+      Ann.ivfCentroidsOf(e, Dedup.SemCells)))
+    val a1 = e.crossJoin(centArr)
+      .select(col("vec_id"), col("embedding"),
+        graft.plans.NearestCell(col("embedding"), col("cents")).as("cell"))
+      .transform(graft.Checkpoints.cut)
+    val truth = a1.as("a")
+      .join(broadcast(a1.select(col("vec_id").as("bid"),
+          col("embedding").as("bemb"), col("cell").as("bcell"))),
+        col("vec_id") < col("bid"))
+      .select(
+        (col("cell") === col("bcell")).cast("long").as("co"),
+        cosineSim(col("embedding"), col("bemb")).as("sim"))
+      .where(col("sim") >= 0.9)
+      .agg(count(lit(1)).as("n"), sum(col("co")).as("co"))
+      .head()
+    val (n, co) = (truth.getLong(0), truth.getLong(1))
+    val recall = co.toDouble / n
+    info(f"true cosine>=0.9 pairs: $n, co-celled: $co, " +
+      f"candidate recall = $recall%.3f")
+    assert(n >= 1000L, s"manifold must contain near-dup pairs, got $n")
+    assert(recall >= 0.8,
+      f"within-cell candidate recall $recall%.3f below the 0.8 bar — " +
+        "the cell dial alone would miss too many semantic dups")
+  }
 }
