@@ -1662,9 +1662,14 @@ object Ann extends graft.QueryGroup {
       cents, entries)
   }
 
-  private def annGraphInsertFrom(s: SparkSession, dir: String,
-      graph: DataFrame, centroids: DataFrame,
-      entryByCell: DataFrame): DataFrame = {
+  /** The insert's constituent relations — (qcell, visited, outE,
+    * revKept) where revKept = the (d, nbr) out-pairs every TOUCHED
+    * standing node keeps after the degree-cap prune. Exposed so the
+    * navigability spec can assemble the post-insert graph from
+    * exactly the relations the graded census aggregates. */
+  private[graft] def annGraphInsertParts(s: SparkSession, dir: String,
+      graph: DataFrame, centroids: DataFrame, entryByCell: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val all = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
     val standing = all.where(col("vec_id") % Dedup.IncrMod =!= 0)
@@ -1691,10 +1696,19 @@ object Ann extends graft.QueryGroup {
         .as("tk"))
       .select(col("qid"), explode(col("tk")).as("t"))
       .select(col("qid"), col("t.id").as("d"), col("t.score").as("sim"))
+    val nnOf = visited.groupBy(col("qid"))
+      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), 1).as("tk"))
+      .select(col("qid"), col("tk").getItem(0).getField("id").as("nn"))
     // Reverse prune: each TOUCHED standing node ranks its existing
     // out-edges (scored on demand — the stored graph is ids-only)
     // against the new reverse edges and keeps the deg best. Work is
-    // bounded by batch·deg touched nodes × ≤2·deg candidates.
+    // bounded by batch·deg touched nodes × ≤2·deg candidates. The
+    // backlink on an insert's TOP-1 neighbor is PINNED — ranked
+    // first via a +2.0 score boost (sims live in [-1, 1], so the
+    // boost strictly dominates; both engines add the same IEEE
+    // double) — the HNSW keep-connected rule: without it a plain
+    // top-deg prune can evict an insert's every backlink and orphan
+    // it in the index (observed at sf0.001 before the pin).
     val touched = outE.select(col("d")).distinct()
     val ev = standing
     val exOut = graph.join(broadcast(touched), graph("src") === col("d"))
@@ -1704,12 +1718,23 @@ object Ann extends graft.QueryGroup {
         col("embedding").as("dv")), Seq("dst"))
       .select(col("src").as("d"), col("dst").as("nbr"),
         cosineSim(col("sv"), col("dv")).as("sim"))
-    val revNew = outE.select(col("d"), col("qid").as("nbr"), col("sim"))
+    val revNew = outE.join(nnOf, Seq("qid"))
+      .select(col("d"), col("qid").as("nbr"),
+        (col("sim") + when(col("d") === col("nn"), lit(2.0d))
+          .otherwise(lit(0.0d))).as("sim"))
     val revKept = exOut.unionAll(revNew).groupBy(col("d"))
       .agg(graft.plans.TopKByScore(col("sim"), col("nbr"), GraphDeg)
         .as("tk"))
-      .select(explode(col("tk")).as("t"))
-      .select(col("t.id").as("nbr"))
+      .select(col("d"), explode(col("tk")).as("t"))
+      .select(col("d"), col("t.id").as("nbr"))
+    (qcell, visited, outE, revKept)
+  }
+
+  private def annGraphInsertFrom(s: SparkSession, dir: String,
+      graph: DataFrame, centroids: DataFrame,
+      entryByCell: DataFrame): DataFrame = {
+    val (qcell, visited, outE, revKept) =
+      annGraphInsertParts(s, dir, graph, centroids, entryByCell)
     val nRev = revKept.where(col("nbr") % Dedup.IncrMod === 0)
       .groupBy(col("nbr").as("qid"))
       .agg(count(lit(1)).as("n_rev_kept"))
@@ -2077,6 +2102,10 @@ object Ann extends graft.QueryGroup {
        |    SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid
        |      ORDER BY sim DESC, vec_id ASC) AS rn FROM v$GraphHops)
        |  WHERE rn <= $GraphDeg),
+       |nn AS MATERIALIZED (SELECT qid, vec_id AS nn FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id ASC) AS rn FROM v$GraphHops)
+       |  WHERE rn = 1),
        |tch AS (SELECT DISTINCT d FROM oute),
        |exout AS MATERIALIZED (SELECT g.src AS d, g.dst AS nbr,
        |    list_cosine_similarity(ca.v, cb.v) AS sim
@@ -2086,16 +2115,15 @@ object Ann extends graft.QueryGroup {
        |    SELECT d, nbr, row_number() OVER (PARTITION BY d
        |      ORDER BY sim DESC, nbr ASC) AS rn
        |    FROM (SELECT d, nbr, sim FROM exout
-       |          UNION ALL SELECT d, qid AS nbr, sim FROM oute))
+       |          UNION ALL SELECT o.d, o.qid AS nbr,
+       |              o.sim + CASE WHEN o.d = nn.nn THEN 2.0 ELSE 0.0 END
+       |                AS sim
+       |          FROM oute o JOIN nn ON nn.qid = o.qid))
        |  WHERE rn <= $GraphDeg),
        |nrev AS (SELECT nbr AS qid, count(*) AS n_rev_kept FROM revk
        |  WHERE nbr % $mod = 0 GROUP BY nbr),
        |nev AS (SELECT qid, count(*) AS n_eval FROM v$GraphHops
        |  GROUP BY qid),
-       |nn AS (SELECT qid, vec_id AS nn FROM (
-       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-       |      ORDER BY sim DESC, vec_id ASC) AS rn FROM v$GraphHops)
-       |  WHERE rn = 1),
        |nout AS (SELECT qid, count(*) AS n_out FROM oute GROUP BY qid)
        |SELECT q.qid AS vec_id, qc.cell, nev.n_eval, nn.nn, nout.n_out,
        |       coalesce(nrev.n_rev_kept, CAST(0 AS BIGINT)) AS n_rev_kept

@@ -351,6 +351,50 @@ class AnnIndexSpec extends SparkSuite {
     }
   }
 
+  test("graph insert navigability: every inserted node is findable " +
+      "by searching the UPDATED graph for its own vector") {
+    // The property that makes an insert an index UPDATE rather than
+    // an audit: after the batch commits (touched standing nodes'
+    // out-lists replaced by their pruned kept-lists, inserted nodes'
+    // out-lists added), a beam walk for the inserted vector itself
+    // must reach the inserted node — reachable only through the
+    // reverse edges that survived the degree cap.
+    val mod = graft.operators.Dedup.IncrMod
+    val idx = Ann.ensureAnnGraphIncrIndex(spark, sfDir)
+    val graph = spark.read.parquet(s"$idx/graph")
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val entries = spark.read.parquet(s"$idx/entries")
+    val (qcell, _, outE, revKept) =
+      Ann.annGraphInsertParts(spark, sfDir, graph, cents, entries)
+    val touched = outE.select(col("d")).distinct()
+    val updated = graph
+      .join(touched, graph("src") === col("d"), "left_anti")
+      .unionAll(revKept.select(col("d").as("src"), col("nbr").as("dst")))
+      .unionAll(outE.select(col("qid").as("src"), col("d").as("dst")))
+    val all = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val qs = all.where(col("vec_id") % mod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val starts = qcell.join(entries, Seq("cell"))
+      .select(col("qid"), col("vec_id"))
+    val visited = Ann.beamSearchAll(updated, all, qs, starts,
+      Ann.GraphBeam, Ann.GraphHops)
+    val nBatch = qs.count()
+    // Linkage is exact: every inserted node keeps >= 1 reverse edge
+    // (no orphans — the insert is an index update for ALL of them).
+    val linked = revKept.where(col("nbr") % mod === 0)
+      .select(col("nbr")).distinct().count()
+    assert(linked === nBatch, s"only $linked of $nBatch linked")
+    // Findability under the GRADED walk parameters (beam 8, 4 hops)
+    // is a recall, like any ANN search: the backlink holder may fall
+    // off the beam. Measured 27/30 at sf0.001; pin a 0.85 floor.
+    val found = visited.where(col("qid") === col("vec_id"))
+      .select(col("qid")).distinct().count()
+    info(s"inserted nodes self-findable: $found / $nBatch")
+    assert(found >= math.ceil(0.85 * nBatch).toLong,
+      s"only $found of $nBatch inserted nodes beam-reachable")
+  }
+
   test("IVFPQ+refine: returned sims are the EXACT cosines (refine " +
       "undoes ADC distortion) and the hits come from probed cells") {
     // The composed pipeline's contract: ADC may rank the shortlist
