@@ -116,4 +116,26 @@ class MultimodalSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(real("resized") <= real("exact"))
   }
+
+  test("media dedup scales: 1M synthetic payloads, zero storage") {
+    // The census is one map-only fingerprint pass + bounded-key aggs
+    // — shuffle ∝ distinct fingerprints, never pairwise. A quadratic
+    // or payload-carrying-shuffle regression blows the runtime, not
+    // the asserts (the synth payloads are id-salted and mostly
+    // unique — the checks here are structural: conservation and
+    // tier nesting at volume).
+    val docs = spark.read.format("graft-synth")
+      .option("rows", 1000000).option("parts", 32).option("seed", 13)
+      .load()
+    val rows = Multimodal.multimodalDedupOver(
+        graft.multimodal.Multimodal.payloadsOver(docs))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (nE, gE, dE, mE) = rows("exact")
+    val (nR, gR, dR, mR) = rows("resized")
+    assert(nE === 1000000L && nR === 1000000L)
+    assert(gE === nE - dE && gR === nR - dR)
+    assert(gR <= gE, "tier nesting: resized groups <= exact groups")
+    assert(mR >= mE && mE >= 1L)
+  }
 }
