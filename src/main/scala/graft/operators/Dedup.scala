@@ -1033,11 +1033,40 @@ object Dedup extends graft.QueryGroup {
     semanticCensus(a1, e)
   }
 
+  /** q_dedup_semantic_bridge — the BRIDGED SemDeDup census: same
+    * prune ladder, but each vector is assigned to its TOP-2 cells
+    * ([[graft.operators.Ann.probeCellsTop2]], the per-row argmin
+    * chain q_stream_ann's probe already grades), so a pair is a
+    * candidate when it shares ANY of the two. This closes the
+    * measured cell-boundary miss of the strict within-cell rule
+    * (6.4% of true cosine≥0.9 pairs straddled a boundary on the
+    * 8k/64-center manifold; bridged, the measured miss drops to the
+    * DedupSpec-pinned floor) at a bounded price — candidate volume
+    * rises from Σ occupancy² to ≤ 4× that (each vector appears in 2
+    * cells), still set by the cell dial, never corpus-quadratic.
+    * Duplicate candidate pairs (sharing both cells) collapse in the
+    * per-vector max — the census definition is untouched. */
+  def semanticDedupBridged(s: SparkSession, dir: String): DataFrame =
+    semanticDedupBridgedOver(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")))
+
+  private[graft] def semanticDedupBridgedOver(e: DataFrame): DataFrame = {
+    val centArr =
+      broadcast(Ann.asArray(Ann.ivfCentroidsOf(e, SemCells)))
+    val a2 = e.crossJoin(centArr)
+      .select(col("vec_id"), col("embedding"),
+        explode(Ann.probeCellsTop2(col("embedding"), col("cents")))
+          .as("cell"))
+      .transform(graft.Checkpoints.cut)
+    semanticCensus(a2, e)
+  }
+
   /** The prune census over ANY (vec_id, embedding, cell) assignment
-    * — the stage [[semanticDedupOver]] and the streaming twin
-    * (q_stream_semantic, which maintains the assignment at ingest)
-    * share, so the stream's census is provably the batch census.
-    * `e` only supplies the total count. */
+    * — the stage [[semanticDedupOver]], the bridged variant
+    * ([[semanticDedupBridgedOver]], whose duplicate pairs collapse
+    * in the max) and the streaming twin (q_stream_semantic, which
+    * maintains the assignment at ingest) share, so none of their
+    * census rules can drift. `e` only supplies the total count. */
   private[graft] def semanticCensus(a1: DataFrame,
       e: DataFrame): DataFrame = {
     val pairs = a1.as("a")
@@ -1079,6 +1108,7 @@ object Dedup extends graft.QueryGroup {
     "q_dedup_containment" -> ((s, d) => containment(s, d)),
     "q_dedup_latest" -> ((s, d) => dedupLatest(s, d)),
     "q_dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
+    "q_dedup_semantic_bridge" -> ((s, d) => semanticDedupBridged(s, d)),
   )
 
   // ---- oracle SQL (mirrors the candidate generation exactly) ----
@@ -1164,6 +1194,55 @@ object Dedup extends graft.QueryGroup {
     s"SELECT vec_id, '$b' || ':' || " +
       s"CAST((code >> ${8 * b}) & 255 AS VARCHAR) AS bk FROM c")
     .mkString(" UNION ALL ")
+
+  /** The SemDeDup census oracle, parameterized by how many top
+    * cells each vector is assigned to (1 = the strict
+    * q_dedup_semantic rule, 2 = the bridged rule — duplicate pairs
+    * collapse in the max). */
+  private def semanticOracle(cellRank: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS MATERIALIZED (SELECT vec_id AS sid, v AS sv FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |  LIMIT $SemCells),
+         |d0 AS MATERIALIZED (SELECT e.vec_id, s.sid,
+         |    list_sum([(e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i])
+         |              for i in generate_series(1, ${Ann.Dim})]) AS d
+         |  FROM e, seeds s),
+         |a0 AS MATERIALIZED (SELECT vec_id, sid AS cid FROM (
+         |    SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, sid ASC) AS rn FROM d0) WHERE rn = 1),
+         |dims AS MATERIALIZED (SELECT a0.cid, g.i AS pos,
+         |    CAST(round(e.v[g.i] * 1e6) AS BIGINT) AS m
+         |  FROM a0 JOIN e USING (vec_id),
+         |       generate_series(1, ${Ann.Dim}) AS g(i)),
+         |cdim AS MATERIALIZED (SELECT cid, pos,
+         |    CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
+         |  FROM dims GROUP BY cid, pos),
+         |cent AS MATERIALIZED (SELECT cid, list(c ORDER BY pos) AS cv
+         |  FROM cdim GROUP BY cid),
+         |d1 AS MATERIALIZED (SELECT e.vec_id, t.cid,
+         |    list_sum([(e.v[i] - t.cv[i]) * (e.v[i] - t.cv[i])
+         |              for i in generate_series(1, ${Ann.Dim})]) AS d
+         |  FROM e, cent t),
+         |a1 AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, cid ASC) AS rn FROM d1) WHERE rn <= $cellRank),
+         |p AS MATERIALIZED (SELECT b.vec_id AS v,
+         |    list_cosine_similarity(ea.v, eb.v) AS sim
+         |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id),
+         |m AS MATERIALIZED (SELECT v, max(sim) AS mx FROM p GROUP BY v),
+         |tot AS (SELECT count(*) AS n_vecs FROM e),
+         |agg AS (SELECT ${SemTaus.map(t =>
+             s"COALESCE(CAST(sum(CASE WHEN mx >= $t / 1000000.0 THEN 1 " +
+               s"ELSE 0 END) AS BIGINT), 0) AS p$t").mkString(", ")}
+         |  FROM m)
+         |${SemTaus.map(t =>
+             s"SELECT CAST($t AS BIGINT) AS tau_ppm, n_vecs, " +
+               s"p$t AS n_pruned, n_vecs - p$t AS n_kept FROM agg, tot")
+           .mkString("\nUNION ALL\n")}
+         |ORDER BY tau_ppm ASC""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1478,49 +1557,7 @@ object Dedup extends graft.QueryGroup {
          |                  JOIN e eb ON c.vid_b = eb.vec_id)
          |SELECT vid_a, vid_b, round(sim, 6) AS sim FROM v
          |ORDER BY sim DESC, vid_a ASC, vid_b ASC LIMIT 50""".stripMargin,
-    "q_dedup_semantic" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |seeds AS MATERIALIZED (SELECT vec_id AS sid, v AS sv FROM e
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-         |  LIMIT $SemCells),
-         |d0 AS MATERIALIZED (SELECT e.vec_id, s.sid,
-         |    list_sum([(e.v[i] - s.sv[i]) * (e.v[i] - s.sv[i])
-         |              for i in generate_series(1, ${Ann.Dim})]) AS d
-         |  FROM e, seeds s),
-         |a0 AS MATERIALIZED (SELECT vec_id, sid AS cid FROM (
-         |    SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY d ASC, sid ASC) AS rn FROM d0) WHERE rn = 1),
-         |dims AS MATERIALIZED (SELECT a0.cid, g.i AS pos,
-         |    CAST(round(e.v[g.i] * 1e6) AS BIGINT) AS m
-         |  FROM a0 JOIN e USING (vec_id),
-         |       generate_series(1, ${Ann.Dim}) AS g(i)),
-         |cdim AS MATERIALIZED (SELECT cid, pos,
-         |    CAST(sum(m) AS DOUBLE) / count(*) / 1e6 AS c
-         |  FROM dims GROUP BY cid, pos),
-         |cent AS MATERIALIZED (SELECT cid, list(c ORDER BY pos) AS cv
-         |  FROM cdim GROUP BY cid),
-         |d1 AS MATERIALIZED (SELECT e.vec_id, t.cid,
-         |    list_sum([(e.v[i] - t.cv[i]) * (e.v[i] - t.cv[i])
-         |              for i in generate_series(1, ${Ann.Dim})]) AS d
-         |  FROM e, cent t),
-         |a1 AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY d ASC, cid ASC) AS rn FROM d1) WHERE rn = 1),
-         |p AS MATERIALIZED (SELECT b.vec_id AS v,
-         |    list_cosine_similarity(ea.v, eb.v) AS sim
-         |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  JOIN e ea ON ea.vec_id = a.vec_id
-         |  JOIN e eb ON eb.vec_id = b.vec_id),
-         |m AS MATERIALIZED (SELECT v, max(sim) AS mx FROM p GROUP BY v),
-         |tot AS (SELECT count(*) AS n_vecs FROM e),
-         |agg AS (SELECT ${SemTaus.map(t =>
-             s"COALESCE(CAST(sum(CASE WHEN mx >= $t / 1000000.0 THEN 1 " +
-               s"ELSE 0 END) AS BIGINT), 0) AS p$t").mkString(", ")}
-         |  FROM m)
-         |${SemTaus.map(t =>
-             s"SELECT CAST($t AS BIGINT) AS tau_ppm, n_vecs, " +
-               s"p$t AS n_pruned, n_vecs - p$t AS n_kept FROM agg, tot")
-           .mkString("\nUNION ALL\n")}
-         |ORDER BY tau_ppm ASC""".stripMargin,
+    "q_dedup_semantic" -> semanticOracle(1),
+    "q_dedup_semantic_bridge" -> semanticOracle(2),
   )
 }

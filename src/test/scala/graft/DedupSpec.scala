@@ -626,25 +626,37 @@ class DedupSpec extends SparkSuite {
       Ann.ivfCentroidsOf(e, Dedup.SemCells)))
     val a1 = e.crossJoin(centArr)
       .select(col("vec_id"), col("embedding"),
-        graft.plans.NearestCell(col("embedding"), col("cents")).as("cell"))
+        graft.plans.NearestCell(col("embedding"), col("cents")).as("cell"),
+        Ann.probeCellsTop2(col("embedding"), col("cents")).as("c2"))
       .transform(graft.Checkpoints.cut)
     val truth = a1.as("a")
       .join(broadcast(a1.select(col("vec_id").as("bid"),
-          col("embedding").as("bemb"), col("cell").as("bcell"))),
+          col("embedding").as("bemb"), col("cell").as("bcell"),
+          col("c2").as("bc2"))),
         col("vec_id") < col("bid"))
       .select(
         (col("cell") === col("bcell")).cast("long").as("co"),
+        (size(array_intersect(col("c2"), col("bc2"))) > 0)
+          .cast("long").as("cob"),
         cosineSim(col("embedding"), col("bemb")).as("sim"))
       .where(col("sim") >= 0.9)
-      .agg(count(lit(1)).as("n"), sum(col("co")).as("co"))
+      .agg(count(lit(1)).as("n"), sum(col("co")).as("co"),
+        sum(col("cob")).as("cob"))
       .head()
-    val (n, co) = (truth.getLong(0), truth.getLong(1))
+    val (n, co, cob) = (truth.getLong(0), truth.getLong(1),
+      truth.getLong(2))
     val recall = co.toDouble / n
-    info(f"true cosine>=0.9 pairs: $n, co-celled: $co, " +
-      f"candidate recall = $recall%.3f")
+    val recallB = cob.toDouble / n
+    info(f"true cosine>=0.9 pairs: $n, co-celled: $co " +
+      f"(recall $recall%.3f), top-2-bridged: $cob (recall $recallB%.3f)")
     assert(n >= 1000L, s"manifold must contain near-dup pairs, got $n")
     assert(recall >= 0.8,
       f"within-cell candidate recall $recall%.3f below the 0.8 bar — " +
         "the cell dial alone would miss too many semantic dups")
+    // The bridge rung exists to close the boundary miss: it must
+    // recover most of it (measured 0.936 -> 0.99+ on this manifold).
+    assert(recallB >= recall, "bridging can only add candidates")
+    assert(recallB >= 0.97,
+      f"bridged candidate recall $recallB%.3f below the 0.97 bar")
   }
 }
