@@ -106,10 +106,16 @@ object Multimodal extends graft.QueryGroup {
     * tier so the downsample rule cannot drift between them. */
   private[graft] def resHxOf(hx: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    array_join(transform(sequence(lit(0),
-      ceil(length(hx).cast("double") / (2 * ResizeStride))
-        .cast("int") - 1),
-      i => hx.substr(i * (2 * ResizeStride) + 1, lit(2))), "")
+    // Empty-payload guard: without it, sequence(0, -1) yields the
+    // DESCENDING [0, -1] (step auto-negates), which only matched
+    // DuckDB's empty generate_series because substr of "" is "" on
+    // both sides — make the empty case explicit instead of leaning
+    // on that coincidence.
+    when(length(hx) === 0, lit(""))
+      .otherwise(array_join(transform(sequence(lit(0),
+        ceil(length(hx).cast("double") / (2 * ResizeStride))
+          .cast("int") - 1),
+        i => hx.substr(i * (2 * ResizeStride) + 1, lit(2))), ""))
 
   /** "Resize"/downsample plumbing: deterministic stride decimation —
     * keep every [[ResizeStride]]-th byte of the payload (the

@@ -1533,8 +1533,11 @@ object Ann extends graft.QueryGroup {
   /** Layout of the STANDING graph index q_ann_graph_incr inserts
     * into: the base layout plus the standing/batch split modulus it
     * filters by (bump-on-any-change — a modulus change must never
-    * serve a stale store). */
-  private[graft] val AnnGraphIncrLayout =
+    * serve a stale store). Lazy for the same reason GraphIndexLayout
+    * is: it interpolates a val from ANOTHER object (Dedup.IncrMod),
+    * and a strict val would silently capture 0 under an unlucky
+    * initialization order, freezing the store fingerprint. */
+  private[graft] lazy val AnnGraphIncrLayout =
     AnnGraphLayout + s":standing=mod${Dedup.IncrMod}"
 
   private[graft] def annGraphIncrIndexPath(dir: String): String =

@@ -1033,30 +1033,64 @@ object Dedup extends graft.QueryGroup {
     semanticCensus(a1, e)
   }
 
+  /** Squared-distance ratio dial of the BOUNDARY bridge rule: a
+    * vector joins its second-nearest cell only when d2 ≤ ratio × d1
+    * (squared euclidean — ratio 2.0 ≈ L2 ratio 1.41). A near-dup
+    * pair split across a cell boundary has at least one member close
+    * to the bisector (d2/d1 → 1 as the pair tightens), so bridging
+    * ONLY those vectors recovers the boundary miss while interior
+    * vectors — the bulk — stay single-celled: candidate volume is
+    * (1+f)²·Σ occupancy² with f the measured boundary fraction,
+    * not the 4× of unconditional top-2 (measured on the 8k/64-center
+    * manifold in DedupSpec: bridged fraction and recall both
+    * printed; recall bar 1.00 of true cosine≥0.9 pairs). */
+  private[graft] val BridgeRatio = 2.0d
+
   /** q_dedup_semantic_bridge — the BRIDGED SemDeDup census: same
-    * prune ladder, but each vector is assigned to its TOP-2 cells
-    * ([[graft.operators.Ann.probeCellsTop2]], the per-row argmin
-    * chain q_stream_ann's probe already grades), so a pair is a
-    * candidate when it shares ANY of the two. This closes the
-    * measured cell-boundary miss of the strict within-cell rule
-    * (6.4% of true cosine≥0.9 pairs straddled a boundary on the
-    * 8k/64-center manifold; bridged, the measured miss drops to the
-    * DedupSpec-pinned floor) at a bounded price — candidate volume
-    * rises from Σ occupancy² to ≤ 4× that (each vector appears in 2
-    * cells), still set by the cell dial, never corpus-quadratic.
-    * Duplicate candidate pairs (sharing both cells) collapse in the
-    * per-vector max — the census definition is untouched. */
+    * prune ladder, but BOUNDARY vectors (second-nearest cell within
+    * [[BridgeRatio]] of the nearest, squared) are assigned to both
+    * top cells, so a boundary-straddling pair is a candidate when it
+    * shares either. This closes the measured cell-boundary miss of
+    * the strict within-cell rule (6.4% of true cosine≥0.9 pairs
+    * straddled a boundary on the 8k/64-center manifold; bridged, the
+    * measured miss is zero — DedupSpec) at a bounded price: only the
+    * measured boundary fraction f of vectors duplicates, so the
+    * verify volume is (1+f)²·Σ occupancy², not the 4× of the r10
+    * unconditional top-2 rule — and a pair sharing BOTH cells (the
+    * double-scored case) now requires both members boundary-bridged
+    * onto the same two cells, collapsing in the per-vector max as
+    * before. The census definition is untouched.
+    *
+    * The top-2 (cell, d²) ranking is one fused
+    * [[graft.plans.Top2Cells]] kernel pass per row (map-only against
+    * the broadcast centroid array, inside whole-stage codegen); d² is
+    * the same left-to-right (a−b)² fold
+    * [[graft.plans.NearestCellUtil.nearest]] and the DuckDB oracle
+    * run, so the bridge predicate evaluates bit-identically on both
+    * engines. */
   def semanticDedupBridged(s: SparkSession, dir: String): DataFrame =
     semanticDedupBridgedOver(Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding")))
+
+  /** Boundary-bridged cell array (1 or 2 cells) for a vector against
+    * the broadcast centroid array — shared by the graded row and the
+    * DedupSpec recall measurement so the measured rule IS the served
+    * rule. One fused [[graft.plans.Top2Cells]] pass per row (the
+    * NearestCell kernel's top-2 sibling; Catalyst subexpression
+    * elimination collapses the three references to one evaluation). */
+  private[graft] def bridgedCells(vec: Column, cents: Column): Column = {
+    val t2 = graft.plans.Top2Cells(vec, cents)
+    when(t2("d2") <= lit(BridgeRatio) * t2("d1"),
+        array(t2("c1"), t2("c2")))
+      .otherwise(array(t2("c1")))
+  }
 
   private[graft] def semanticDedupBridgedOver(e: DataFrame): DataFrame = {
     val centArr =
       broadcast(Ann.asArray(Ann.ivfCentroidsOf(e, SemCells)))
     val a2 = e.crossJoin(centArr)
       .select(col("vec_id"), col("embedding"),
-        explode(Ann.probeCellsTop2(col("embedding"), col("cents")))
-          .as("cell"))
+        explode(bridgedCells(col("embedding"), col("cents"))).as("cell"))
       .transform(graft.Checkpoints.cut)
     semanticCensus(a2, e)
   }
@@ -1195,11 +1229,16 @@ object Dedup extends graft.QueryGroup {
       s"CAST((code >> ${8 * b}) & 255 AS VARCHAR) AS bk FROM c")
     .mkString(" UNION ALL ")
 
-  /** The SemDeDup census oracle, parameterized by how many top
-    * cells each vector is assigned to (1 = the strict
-    * q_dedup_semantic rule, 2 = the bridged rule — duplicate pairs
+  /** The SemDeDup census oracle, parameterized by the assignment
+    * rule (false = the strict nearest-cell q_dedup_semantic rule,
+    * true = the boundary bridge: the second-ranked cell also counts
+    * when its d² ≤ [[BridgeRatio]] × the nearest's — duplicate pairs
     * collapse in the max). */
-  private def semanticOracle(cellRank: Int): String =
+  private def semanticOracle(bridged: Boolean): String = {
+    val cellRule =
+      if (bridged)
+        s"WHERE rn = 1 OR (rn = 2 AND d <= $BridgeRatio * dmin)"
+      else "WHERE rn = 1"
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS MATERIALIZED (SELECT vec_id AS sid, v AS sv FROM e
          |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
@@ -1225,8 +1264,10 @@ object Dedup extends graft.QueryGroup {
          |              for i in generate_series(1, ${Ann.Dim})]) AS d
          |  FROM e, cent t),
          |a1 AS MATERIALIZED (SELECT vec_id, cid AS cell FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY d ASC, cid ASC) AS rn FROM d1) WHERE rn <= $cellRank),
+         |    SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, cid ASC) AS rn,
+         |      min(d) OVER (PARTITION BY vec_id) AS dmin
+         |    FROM d1) $cellRule),
          |p AS MATERIALIZED (SELECT b.vec_id AS v,
          |    list_cosine_similarity(ea.v, eb.v) AS sim
          |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -1243,6 +1284,7 @@ object Dedup extends graft.QueryGroup {
                s"p$t AS n_pruned, n_vecs - p$t AS n_kept FROM agg, tot")
            .mkString("\nUNION ALL\n")}
          |ORDER BY tau_ppm ASC""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1557,7 +1599,7 @@ object Dedup extends graft.QueryGroup {
          |                  JOIN e eb ON c.vid_b = eb.vec_id)
          |SELECT vid_a, vid_b, round(sim, 6) AS sim FROM v
          |ORDER BY sim DESC, vid_a ASC, vid_b ASC LIMIT 50""".stripMargin,
-    "q_dedup_semantic" -> semanticOracle(1),
-    "q_dedup_semantic_bridge" -> semanticOracle(2),
+    "q_dedup_semantic" -> semanticOracle(bridged = false),
+    "q_dedup_semantic_bridge" -> semanticOracle(bridged = true),
   )
 }

@@ -627,7 +627,7 @@ class DedupSpec extends SparkSuite {
     val a1 = e.crossJoin(centArr)
       .select(col("vec_id"), col("embedding"),
         graft.plans.NearestCell(col("embedding"), col("cents")).as("cell"),
-        Ann.probeCellsTop2(col("embedding"), col("cents")).as("c2"))
+        Dedup.bridgedCells(col("embedding"), col("cents")).as("c2"))
       .transform(graft.Checkpoints.cut)
     val truth = a1.as("a")
       .join(broadcast(a1.select(col("vec_id").as("bid"),
@@ -647,16 +647,29 @@ class DedupSpec extends SparkSuite {
       truth.getLong(2))
     val recall = co.toDouble / n
     val recallB = cob.toDouble / n
+    // The bridge's candidate-volume price: the measured fraction of
+    // vectors the boundary rule actually duplicates (the r10
+    // unconditional top-2 rule bridged 100%; the verify volume
+    // scales as (1+f)² of the strict rule's).
+    val nVec = a1.count()
+    val nBridged = a1.where(size(col("c2")) === 2).count()
+    val frac = nBridged.toDouble / nVec
     info(f"true cosine>=0.9 pairs: $n, co-celled: $co " +
-      f"(recall $recall%.3f), top-2-bridged: $cob (recall $recallB%.3f)")
+      f"(recall $recall%.3f), boundary-bridged: $cob " +
+      f"(recall $recallB%.3f, bridged fraction $frac%.3f)")
     assert(n >= 1000L, s"manifold must contain near-dup pairs, got $n")
     assert(recall >= 0.8,
       f"within-cell candidate recall $recall%.3f below the 0.8 bar — " +
         "the cell dial alone would miss too many semantic dups")
-    // The bridge rung exists to close the boundary miss: it must
-    // recover most of it (measured 0.936 -> 0.99+ on this manifold).
+    // The bridge rung exists to close the boundary miss: on this
+    // manifold the boundary rule must recover ALL of it (measured
+    // 0.936 strict -> 1.000 bridged), at a fraction of the
+    // unconditional top-2 rule's volume.
     assert(recallB >= recall, "bridging can only add candidates")
-    assert(recallB >= 0.97,
-      f"bridged candidate recall $recallB%.3f below the 0.97 bar")
+    assert(recallB >= 0.999,
+      f"bridged candidate recall $recallB%.3f below the 1.000 bar")
+    assert(frac < 0.8,
+      f"boundary rule bridged $frac%.3f of vectors — not selective; " +
+        "the unconditional top-2 rule would be cheaper to reason about")
   }
 }

@@ -114,4 +114,57 @@ class NearestCellSpec extends SparkSuite {
     }
     assert(ex.getMessage.toLowerCase.contains("nearest_cell"))
   }
+
+  test("Top2Cells: c1 == nearest_cell and (c2, d2) == the composed " +
+      "rank-2 formulation on real vectors") {
+    import graft.plans.Top2Cells
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val seeds = e
+      .orderBy(md5($"vec_id".cast("string")).asc, $"vec_id".asc).limit(16)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val centArr = broadcast(seeds
+      .agg(sort_array(collect_list(struct($"cid", $"cvec"))).as("cents")))
+
+    val native = e.crossJoin(centArr)
+      .select($"vec_id",
+        NearestCell($"embedding", $"cents").as("nc"),
+        Top2Cells($"embedding", $"cents").as("t"))
+      .select($"vec_id", $"nc", $"t.c1", $"t.d1", $"t.c2", $"t.d2")
+    // c1 is exactly the NearestCell assignment.
+    assert(native.where($"nc" =!= $"c1").count() === 0L)
+    assert(native.where($"d2" < $"d1").count() === 0L)
+
+    // (c2, d2) matches ranking all centroids by (d asc, cid asc) and
+    // taking row 2 — the oracle's row_number() formulation.
+    val composed = e.crossJoin(broadcast(seeds))
+      .select($"vec_id",
+        struct(dist2Builtin($"embedding", $"cvec").as("d"), $"cid").as("dc"))
+      .groupBy($"vec_id")
+      .agg(sort_array(collect_list($"dc")).as("ranked"))
+      .select($"vec_id",
+        $"ranked"(1)("cid").as("c2x"), $"ranked"(1)("d").as("d2x"))
+    val bad = native.join(composed, Seq("vec_id"))
+      .where($"c2" =!= $"c2x" || $"d2" =!= $"d2x").count()
+    assert(bad === 0L)
+  }
+
+  test("Top2Cells: tie-break, interpreted parity, <2 usable centroids") {
+    import graft.plans.Top2Cells
+    // Three centroids, all equidistant: ranks are cid-ascending.
+    val cents = centsDf(Seq(
+      (7L, Seq(1.0, 0.0)), (3L, Seq(-1.0, 0.0)), (9L, Seq(1.0, 0.0))))
+    def run() = Seq(Seq(0.0, 5.0)).toDF("v").crossJoin(cents)
+      .select(Top2Cells($"v", $"cents").as("t"))
+      .select($"t.c1", $"t.c2").head()
+    val r = run()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 7L)))
+    val ri = withCodegenOff(run())
+    assert((ri.getLong(0), ri.getLong(1)) === ((3L, 7L)))
+    // One usable centroid: no rank-2 exists — whole struct is null.
+    val one = centsDf(Seq((1L, Seq(0.0, 0.0))))
+    def run1() = Seq(Seq(0.0, 1.0)).toDF("v").crossJoin(one)
+      .select(Top2Cells($"v", $"cents").as("t")).head()
+    assert(run1().isNullAt(0))
+    assert(withCodegenOff(run1()).isNullAt(0))
+  }
 }
