@@ -722,9 +722,14 @@ object Curation extends graft.QueryGroup {
     * Scale: the cumulative weight is the SEGMENTED two-pass prefix
     * sum (the q_concurrency decomposition): within-block running
     * sums under a (block = doc_id DIV [[PpsBlock]]) window plus a
-    * blocks-sized carry table — no global single-reducer window;
-    * the oracle is the naive global window, so the decomposition is
-    * graded hash-exact. The boundary products ride BIGINT here;
+    * blocks-sized carry table — no global single-reducer window over
+    * the CORPUS; the oracle is the naive global window, so the
+    * decomposition is graded hash-exact. The carry table itself does
+    * ride one unpartitioned running sum, so [[PpsBlock]] is the
+    * deployment dial that pins its size: set block ≈ n/16k and the
+    * carry window sees ≤16k rows at any corpus size (the SemCells
+    * occupancy argument; the PlanSpec global-window sweep records
+    * `blk` as dial-bounded on exactly this ground). The boundary products ride BIGINT here;
     * at 100-TB corpus sizes (Σw·K ≳ 2⁶³) they move to
     * DECIMAL(38,0)/HUGEINT — the collocations wide-int discipline. */
   def samplePps(s: SparkSession, dir: String): DataFrame = {

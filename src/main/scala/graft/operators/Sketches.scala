@@ -78,6 +78,22 @@ object Sketches extends graft.QueryGroup {
       .agg(max(col("rho")).as("m"), countDistinct(col("k")).as("nd"))
   }
 
+  /** Fold a bare (group, bucket, m) register table into an
+    * integer-rounded NDV estimate per group — the serve-side fold
+    * for register tables maintained WITHOUT the exact-audit column
+    * (q_stream_stats' unbounded-key arm). Same fixed-point
+    * denominator as [[hllEstimate]]; the only float op is the final
+    * constant division, so the rounded estimate is bit-identical
+    * across engines. */
+  private[graft] def hllNdv(regs: DataFrame, group: String): DataFrame =
+    regs.groupBy(col(group))
+      .agg((sum(expr(s"shiftleft(1L, ${HllWindow + 1} - m)")) +
+        (lit(HllM.toLong) - count(lit(1))) * lit(1L << (HllWindow + 1)))
+        .as("denom_fp"))
+      .select(col(group),
+        round(lit(HllNum).cast("double") / col("denom_fp").cast("double"))
+          .cast("long").as("ndv"))
+
   /** Fold registers into (g, n_exact, regs_hit, est). */
   private[graft] def hllEstimate(regs: DataFrame): DataFrame =
     regs.groupBy(col("g"))

@@ -1082,42 +1082,48 @@ object Streaming extends graft.QueryGroup {
 
   /** Columns [[streamStats]] profiles (name, isNumeric). `text` is
     * deliberately absent: a near-unique unbounded-cardinality column
-    * makes the exact dictionary as big as the data — that column
-    * takes the q_stream_hll register path instead. The same caveat
-    * applies to any KEY column kept here: `doc_id` is unique per
-    * row, so its exact dictionary carries O(corpus rows) state —
-    * priced deliberately, because exact key min/max/NDV is the
-    * uniqueness audit a catalog wants (and the dictionary rows are
-    * two longs rendered); a deployment that only needs approximate
-    * key NDV moves it to the register path and keeps exact
-    * dictionaries for enums and small measures. */
+    * makes the exact dictionary as big as the data — unbounded
+    * columns take the register path ([[StreamStatsHllCols]]). */
   private[graft] val StreamStatsCols =
     Seq(("doc_id", true), ("lang", false), ("source", false),
       ("n_chars", true))
 
+  /** Columns whose NDV rides the q_stream_hll REGISTER path instead
+    * of the exact dictionary: `doc_id` is unique per row, so an
+    * exact dictionary for it would carry one state entry per corpus
+    * row — O(rows), a scale-killer at 100 TB. Registers keep its
+    * standing state at O(256) while min/max (associative) ride the
+    * counters row; bounded columns (enums, small measures) keep the
+    * exact dictionary, which for them IS the dictionary-encoding
+    * artifact a columnar writer wants. A deployment that needs the
+    * exact-uniqueness audit runs it as a BATCH reconciliation pass
+    * (q_table_stats), not as standing stream state. */
+  private[graft] val StreamStatsHllCols = Set("doc_id")
+
   /** q_stream_stats — CONTINUOUS CATALOG-STATS maintenance, the
     * streaming twin of [[graft.operators.Relational.tableStats]]:
-    * per-column row/null counts and rendered-width sums ride a
-    * complete-mode aggregation whose whole state is one row per
-    * column (count/sum are associative — exact under any micro-batch
-    * split, the q_stream_window argument), while exact NDV and
-    * min/max ride a STANDING DICTIONARY — a first-sight
-    * `dropDuplicates` append stream of (column, value), state =
-    * one entry per distinct value, which is the honest price of
-    * exact NDV (the estimator that needs no such state is
-    * q_stream_hll's register table; a deployment profiles unbounded
-    * columns there). min/max serve from the dictionary by sort key —
-    * numerics ride a zero-padded fixed-width render so the string
-    * min IS the numeric min, then report the plain render.
+    * per-column row/null counts, rendered-width sums AND min/max
+    * ride a complete-mode aggregation whose whole state is one row
+    * per column (count/sum/min/max are all associative — exact under
+    * any micro-batch split, the q_stream_window argument; numerics
+    * min/max through a zero-padded fixed-width sort key so the
+    * string extreme IS the numeric extreme, reported as the plain
+    * render). NDV splits by column class: BOUNDED columns keep the
+    * exact STANDING DICTIONARY — a first-sight `dropDuplicates`
+    * append stream of (column, value), state = one entry per
+    * distinct value — while UNBOUNDED key columns
+    * ([[StreamStatsHllCols]]) ride the q_stream_hll REGISTER path:
+    * a complete-mode max-rho table of O(256) entries per column,
+    * folded through the same fixed-point estimator the sketch tier
+    * serves (the oracle replays it bit for bit).
     *
-    * Scale: the counters state is O(columns); the dictionary is
-    * O(NDV) per column — tiny for enums/small measures (where it IS
-    * the dictionary-encoding artifact a columnar writer wants), but
-    * O(corpus rows) for the unique key column `doc_id` (see
-    * [[StreamStatsCols]] — the exact-uniqueness audit is priced
-    * deliberately; approximate deployments profile keys via the
-    * q_stream_hll register path instead). Nothing re-reads history;
-    * both sinks absorb each batch incrementally. */
+    * Scale: counters state is O(columns), registers O(columns×256),
+    * the dictionary O(NDV) for bounded columns only — nothing in the
+    * standing state grows with corpus rows (the r10 registration
+    * profiled `doc_id` through the exact dictionary, one entry per
+    * row — a scale-killer at 100 TB, re-routed here). Nothing
+    * re-reads history; every sink absorbs each batch
+    * incrementally. */
   def streamStats(s: SparkSession, dir: String): DataFrame =
     streamStatsOver(s, documentsStream(s, dir), "graft_stream_stats")
 
@@ -1132,22 +1138,37 @@ object Streaming extends graft.QueryGroup {
     }
     val unpivot = in.select(explode(array(arms: _*)).as("r"))
       .select(col("r.*"))
+    val live = when(col("is_null") === 0L,
+      struct(col("sortkey"), col("val")))
     val counters = unpivot.groupBy(col("col_name"))
       .agg(count(lit(1)).as("n_rows"), sum(col("is_null")).as("n_null"),
-        sum(col("len")).as("sum_len"))
+        sum(col("len")).as("sum_len"),
+        min(live).getField("val").as("min_v"),
+        max(live).getField("val").as("max_v"))
     runToCompletion(counters, sink + "_cnt", "complete")
-    val dict = unpivot.where(col("is_null") === 0L)
-      .select(col("col_name"), col("val"), col("sortkey"))
+    val bounded = !col("col_name").isInCollection(StreamStatsHllCols)
+    val dict = unpivot.where(col("is_null") === 0L && bounded)
+      .select(col("col_name"), col("val"))
       .dropDuplicates("col_name", "val")
     runToCompletion(dict, sink + "_dict", "append")
-    val fromDict = s.table(sink + "_dict")
-      .groupBy(col("col_name"))
-      .agg(count(lit(1)).as("ndv"),
-        min(struct(col("sortkey"), col("val"))).getField("val")
-          .as("min_v"),
-        max(struct(col("sortkey"), col("val"))).getField("val")
-          .as("max_v"))
-    s.table(sink + "_cnt").join(fromDict, Seq("col_name"))
+    // Unbounded key columns: maintain the 256-register max-rho table
+    // at ingest (the q_stream_hll shape — same hash prefix, same
+    // estimator fold serve-side).
+    import graft.operators.Sketches
+    val h = graft.functions.MinHash.hash60(concat(lit("hll:"), col("val")))
+    val regs = unpivot.where(col("is_null") === 0L && !bounded)
+      .select(col("col_name"),
+        pmod(h, lit(Sketches.HllM.toLong)).as("bucket"),
+        Sketches.hllRho(shiftright(h, 8).bitwiseAND(lit(0xffffL)))
+          .as("rho"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("rho")).as("m"))
+    runToCompletion(regs, sink + "_regs", "complete")
+    val ndvDict = s.table(sink + "_dict")
+      .groupBy(col("col_name")).agg(count(lit(1)).as("ndv"))
+    val ndvRegs = Sketches.hllNdv(s.table(sink + "_regs"), "col_name")
+    s.table(sink + "_cnt")
+      .join(ndvDict.unionByName(ndvRegs), Seq("col_name"))
       .select(col("col_name"), col("n_rows"), col("n_null"), col("ndv"),
         col("min_v"), col("max_v"),
         expr("1000000 * sum_len DIV (n_rows - n_null)")
@@ -1550,11 +1571,33 @@ object Streaming extends graft.QueryGroup {
       graft.operators.Graph.oracles("q_graph_cc"),
     // Continuous profiling must equal the one-shot batch profile —
     // the q_table_stats arm shape over the documents columns.
+    // Unbounded key columns (StreamStatsHllCols) report the HLL
+    // register estimate instead of the exact distinct: the oracle
+    // replays the register build + fixed-point fold bit for bit
+    // (the q_hll_distinct SQL, integer-rounded).
     "q_stream_stats" -> {
+      import graft.operators.Sketches.{HllM, HllNum, HllWindow}
       val arms = StreamStatsCols.map { case (c, _) =>
+        val ndvSql =
+          if (!StreamStatsHllCols.contains(c)) s"count(DISTINCT $c)"
+          else {
+            val h = graft.functions.MinHash.hash60Sql(
+              s"'hll:' || CAST($c AS VARCHAR)")
+            s"""(SELECT CAST(round($HllNum / CAST(
+               |    CAST(sum(1::BIGINT << (${HllWindow + 1} - m)) AS BIGINT) +
+               |    ($HllM - count(*)) * ${1L << (HllWindow + 1)}
+               |    AS DOUBLE)) AS BIGINT)
+               |  FROM (SELECT $h % $HllM AS bucket,
+               |          max(CASE WHEN ($h >> 8) & 65535 = 0
+               |                THEN ${HllWindow + 1}
+               |                ELSE ${HllWindow + 1} -
+               |                  length(bin(($h >> 8) & 65535)) END) AS m
+               |        FROM documents WHERE $c IS NOT NULL
+               |        GROUP BY bucket))""".stripMargin
+          }
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
            |       count(*) - count($c) AS n_null,
-           |       count(DISTINCT $c) AS ndv,
+           |       $ndvSql AS ndv,
            |       CAST(min($c) AS VARCHAR) AS min_v,
            |       CAST(max($c) AS VARCHAR) AS max_v,
            |       CAST(1000000 * sum(length(CAST($c AS VARCHAR)))

@@ -616,4 +616,61 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("nearest_cell") || p.contains("NearestCell"),
       s"expected the fused argmin kernel:\n$p")
   }
+
+  test("registry sweep: no GLOBAL window over unbounded input") {
+    // An unpartitioned Window funnels its whole input through ONE
+    // task — the quiet scale-killer the ~120 `WindowExec: No
+    // Partition Defined` suite warnings point at. Every one today
+    // sits above a bounded relation (a limit cut or a ≤K-key
+    // aggregate); this sweep asserts that for every present and
+    // FUTURE registered row, so a new global window over a corpus-
+    // sized relation fails here by name instead of shipping.
+    // Walked on the OPTIMIZED logical plan (post-TopKWindowRewrite,
+    // i.e. what actually runs; physical trees hide subtrees behind
+    // AdaptiveSparkPlanExec).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // Bounded-output subtree: an explicit limit, a global (0-key)
+    // aggregate, an aggregate over an already-bounded input
+    // (aggregation never increases rows), or a grouped aggregate
+    // whose EVERY grouping key is a bounded-domain column — enums/
+    // flags/buckets of the testdata schema, plus DIAL-bounded keys
+    // ("blk": q_sample_pps' segmented-prefix-sum carry, whose block
+    // width is the dial a deployment sets to pin the carry list at
+    // ~thousands of rows regardless of corpus size — the SemCells
+    // occupancy argument). The ≤K-key argument made explicit and
+    // auditable.
+    val boundedKeys = Set(
+      "source", "lang", "split", "event_type", "label", "cell", "cid",
+      "bucket", "band", "tier", "tau_ppm", "stage", "step", "iter",
+      "col_name", "kind", "space", "qid", "q", "prio", "fp_mod", "blk",
+      "l_returnflag", "l_linestatus", "day", "hour", "week", "cohort")
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case a: Aggregate =>
+        a.groupingExpressions.forall(_.references.forall(r =>
+          boundedKeys.contains(r.name.toLowerCase))) || bounded(a.child)
+      case _: LocalRelation | _: OneRowRelation => true
+      case u: Union => u.children.forall(bounded)
+      case j: Join => bounded(j.left) && bounded(j.right)
+      // Generate (explode) multiplies rows per input row by a
+      // row-local array — bounded input stays bounded (the fan-out
+      // is a per-row constant, not corpus-sized).
+      case g: Generate => bounded(g.child)
+      case other if other.children.size == 1 => bounded(other.children.head)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_stream_"))
+      .flatMap { name =>
+        val lp = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.optimizedPlan
+        lp.collect {
+          case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            s"$name(${w.simpleString(60)})"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"global windows over unbounded input: $offenders")
+  }
 }

@@ -318,6 +318,16 @@ class StreamingSpec extends SparkSuite
     val want = Streaming.streamStats(spark, sfDir).collect().toSeq
     assert(got.size === Streaming.StreamStatsCols.size)
     assert(got === want)
+    // Standing-state bound: unbounded key columns must NOT appear in
+    // the exact dictionary (their state is the O(256) register
+    // table) — the r10 registration kept one dictionary entry per
+    // corpus row for doc_id, which this pins out forever.
+    val dict = spark.table("graft_split_stats_dict")
+    assert(dict.where(col("col_name")
+      .isInCollection(Streaming.StreamStatsHllCols)).count() === 0L)
+    val regs = spark.table("graft_split_stats_regs")
+      .groupBy(col("col_name")).count().collect()
+    assert(regs.nonEmpty && regs.forall(_.getLong(1) <= 256L))
   }
 
   test("online ANN serving stays exact under multi-batch query replay") {
