@@ -45,7 +45,8 @@ object Bench {
       // CPU count (the count is baked into each stream's checkpoint;
       // see Streaming.StatePartitionsKey). 8 fits the testdata key
       // spaces; a 100 TB deployment raises it with its key space.
-      .config(graft.streaming.Streaming.StatePartitionsKey, "8")
+      .config(graft.streaming.Streaming.StatePartitionsKey,
+        sys.env.getOrElse("GRAFT_STATE_PARTS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The iterative fixpoint rows localCheckpoint every step
@@ -57,6 +58,22 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The streaming twins' checkpoints are disposable one-shot
+    // rebuilds; route their fsync traffic to tmpfs when available
+    // instead of the ext4 tmpdir (see Streaming.CheckpointRootKey —
+    // a production restart-contract checkpoint keeps a durable root).
+    val shm = new java.io.File("/dev/shm")
+    // GRAFT_CKPT_ROOT: A/B override ("" = force the Spark default
+    // tmpdir path; absent = tmpfs when available).
+    val ckptRoot = sys.env.get("GRAFT_CKPT_ROOT") match {
+      case Some("") => None
+      case Some(p) => Some(s"$p/graft_ckpt_${ProcessHandle.current().pid()}")
+      case None if shm.isDirectory && shm.canWrite =>
+        Some(s"/dev/shm/graft_ckpt_${ProcessHandle.current().pid()}")
+      case None => None
+    }
+    ckptRoot.foreach(
+      spark.conf.set(graft.streaming.Streaming.CheckpointRootKey, _))
     // Warm the JVM + parquet footers once so the first measured query
     // doesn't absorb session/scan initialization.
     Seq("documents", "embeddings", "lineitem", "orders")
@@ -184,6 +201,12 @@ object Bench {
     Files.writeString(Paths.get("bench_out.json"),
       jsonLine(s6, s6, compact = false) + "\n")
     spark.stop()
+    ckptRoot.foreach { c =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(c))
+    }
     // Print LAST, after Spark shutdown, so only sbt's `[success]`
     // epilogue can land between the line and the end of the tail.
     println(jsonLine(s3, s1, compact = true))

@@ -1705,14 +1705,27 @@ object Ann extends graft.QueryGroup {
     // Reverse prune: each TOUCHED standing node ranks its existing
     // out-edges (scored on demand — the stored graph is ids-only)
     // against the new reverse edges and keeps the deg best. Work is
-    // bounded by batch·deg touched nodes × ≤2·deg candidates. The
-    // backlink on an insert's TOP-1 neighbor is PINNED — ranked
-    // first via a +2.0 score boost (sims live in [-1, 1], so the
-    // boost strictly dominates; both engines add the same IEEE
-    // double) — the HNSW keep-connected rule: without it a plain
-    // top-deg prune can evict an insert's every backlink and orphan
-    // it in the index (observed at sf0.001 before the pin).
-    val touched = outE.select(col("d")).distinct()
+    // bounded by batch·deg touched nodes × ≤2·deg candidates.
+    // PINNED backlinks — ranked first via a +2.0 score boost (sims
+    // live in [-1, 1], so the boost strictly dominates; both engines
+    // add the same IEEE double), the HNSW keep-connected rule:
+    //  - the insert's TOP-2 visited neighbors (without any pin a
+    //    plain top-deg prune can evict an insert's every backlink
+    //    and orphan it — observed at sf0.001 in r10; top-1 alone
+    //    left the lone backlink holder falling off the search beam,
+    //    28/30 findable);
+    //  - the insert's CELL ENTRY node (the walk's hop-0 start for
+    //    its cell), which makes self-findability STRUCTURAL: a walk
+    //    for the inserted vector starts at that entry and evaluates
+    //    its out-edges on the first hop — 30/30 in AnnIndexSpec's
+    //    navigability walk at UNCHANGED probe cost (the beam-width
+    //    alternative measured 29/30 at 1.5× n_eval and was
+    //    rejected). When more than deg inserts land in one cell the
+    //    entry keeps the deg best pinned edges — linkage then rides
+    //    the neighbor pins (graceful, not silent: n_rev_kept
+    //    discloses per insert).
+    val touched = outE.select(col("d"))
+      .unionAll(entries.select(col("vec_id").as("d"))).distinct()
     val ev = standing
     val exOut = graph.join(broadcast(touched), graph("src") === col("d"))
       .join(ev.select(col("vec_id").as("src"),
@@ -1721,10 +1734,25 @@ object Ann extends graft.QueryGroup {
         col("embedding").as("dv")), Seq("dst"))
       .select(col("src").as("d"), col("dst").as("nbr"),
         cosineSim(col("sv"), col("dv")).as("sim"))
-    val revNew = outE.join(nnOf, Seq("qid"))
+    val pin2 = visited.groupBy(col("qid"))
+      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), 2).as("tk"))
+      .select(col("qid"),
+        transform(col("tk"), x => x.getField("id")).as("pin"))
+    val entryEdge = entries
+      .join(qs, Seq("qid"))
+      .join(ev.select(col("vec_id"), col("embedding").as("evec")),
+        Seq("vec_id"))
+      .select(col("vec_id").as("d"), col("qid").as("nbr"),
+        (cosineSim(col("evec"), col("qvec")) + lit(2.0d)).as("sim"))
+    // An entry that is ALSO a top-2 neighbor would contribute the
+    // same (d, nbr) edge twice — collapse to one candidate row (max
+    // sim) before the rank, or the kept list double-counts it.
+    val revNew = outE.join(pin2, Seq("qid"))
       .select(col("d"), col("qid").as("nbr"),
-        (col("sim") + when(col("d") === col("nn"), lit(2.0d))
+        (col("sim") + when(array_contains(col("pin"), col("d")), lit(2.0d))
           .otherwise(lit(0.0d))).as("sim"))
+      .unionAll(entryEdge)
+      .groupBy(col("d"), col("nbr")).agg(max(col("sim")).as("sim"))
     val revKept = exOut.unionAll(revNew).groupBy(col("d"))
       .agg(graft.plans.TopKByScore(col("sim"), col("nbr"), GraphDeg)
         .as("tk"))
@@ -2109,19 +2137,30 @@ object Ann extends graft.QueryGroup {
        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
        |      ORDER BY sim DESC, vec_id ASC) AS rn FROM v$GraphHops)
        |  WHERE rn = 1),
-       |tch AS (SELECT DISTINCT d FROM oute),
+       |pin2 AS MATERIALIZED (SELECT qid, vec_id AS pin FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, vec_id ASC) AS rn FROM v$GraphHops)
+       |  WHERE rn <= 2),
+       |entrye AS MATERIALIZED (SELECT vec_id AS d, qid AS nbr,
+       |    sim + 2.0 AS sim FROM v0),
+       |tch AS (SELECT d FROM oute UNION SELECT d FROM entrye),
        |exout AS MATERIALIZED (SELECT g.src AS d, g.dst AS nbr,
        |    list_cosine_similarity(ca.v, cb.v) AS sim
        |  FROM gf g JOIN tch ON g.src = tch.d
        |  JOIN c ca ON ca.vec_id = g.src JOIN c cb ON cb.vec_id = g.dst),
+       |revnew AS MATERIALIZED (SELECT d, nbr, max(sim) AS sim FROM (
+       |    SELECT o.d, o.qid AS nbr,
+       |        o.sim + CASE WHEN EXISTS (SELECT 1 FROM pin2 p
+       |            WHERE p.qid = o.qid AND p.pin = o.d)
+       |          THEN 2.0 ELSE 0.0 END AS sim
+       |    FROM oute o
+       |    UNION ALL SELECT d, nbr, sim FROM entrye)
+       |  GROUP BY d, nbr),
        |revk AS MATERIALIZED (SELECT d, nbr FROM (
        |    SELECT d, nbr, row_number() OVER (PARTITION BY d
        |      ORDER BY sim DESC, nbr ASC) AS rn
        |    FROM (SELECT d, nbr, sim FROM exout
-       |          UNION ALL SELECT o.d, o.qid AS nbr,
-       |              o.sim + CASE WHEN o.d = nn.nn THEN 2.0 ELSE 0.0 END
-       |                AS sim
-       |          FROM oute o JOIN nn ON nn.qid = o.qid))
+       |          UNION ALL SELECT d, nbr, sim FROM revnew))
        |  WHERE rn <= $GraphDeg),
        |nrev AS (SELECT nbr AS qid, count(*) AS n_rev_kept FROM revk
        |  WHERE nbr % $mod = 0 GROUP BY nbr),

@@ -39,6 +39,65 @@ object Ingest extends graft.QueryGroup {
         length(col("embed_text")).as("embed_len"))
       .orderBy(col("doc_id").asc)
 
+  /** Retry budget of the batch-embed protocol (reference
+    * max_retries). */
+  private[graft] val EmbedAttempts = 3
+  /** Planted deterministic failure dials: ~1% of docs fail
+    * PERMANENTLY (the model rejects them on every attempt), ~20% of
+    * (doc, attempt) calls fail TRANSIENTLY (the timeout/5xx class a
+    * retry absorbs). md5-derived, so the oracle replants them
+    * exactly. */
+  private[graft] val EmbedPermMod = 97L
+  private[graft] val EmbedTransMod = 5L
+
+  /** q_embed_batch — the batch-embed FAILURE-ACCOUNTING protocol
+    * (reference: db/db_utils.py:100-169 `generate_embedding` retries
+    * each doc up to max_retries with backoff and returns None after
+    * the last failure; `generate_embeddings_batch` keeps going past
+    * per-doc failures — the batch completes PARTIALLY — and closes
+    * with a successful/total census). The embedding service is a
+    * deterministic stub (this sandbox has no model — the q_multimodal
+    * decodeStub discipline): a (doc, attempt) call fails iff a
+    * planted md5 rule fires ([[EmbedPermMod]] permanent /
+    * [[EmbedTransMod]] transient), so the whole retry ladder is
+    * replayable and the row grades hash-exact. Emits ONE ROW PER DOC
+    * — attempts consumed, final status, progress-batch id, embedded
+    * text length (0 on error) — the per-doc error accounting the
+    * reference prints; a real deployment swaps the failure rule for
+    * the service call and keeps every column.
+    *
+    * Scale: map-only — the retry ladder is a per-row CASE over
+    * [[EmbedAttempts]] md5 evaluations; no shuffle, no state, no
+    * driver loop (the reference's sequential for-loop becomes
+    * embarrassingly parallel; per-doc isolation is exactly what makes
+    * that safe). */
+  def embedBatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHash
+    val perm = MinHash.hash60(
+      concat(lit("embp:"), col("doc_id").cast("string")))
+      .%(EmbedPermMod) === 0
+    def trans(a: Int) = MinHash.hash60(
+      concat(lit("embt:"), col("doc_id").cast("string"), lit(s":$a")))
+      .%(EmbedTransMod) === 0
+    def fails(a: Int) = perm || trans(a)
+    // attempts = first non-failing attempt (capped); status errs when
+    // the last attempt also failed — the reference's "after
+    // max_retries" give-up.
+    val attempts = when(!fails(1), 1)
+      .when(!fails(2), 2).otherwise(EmbedAttempts)
+    val ok = !fails(1) || !fails(2) || !fails(EmbedAttempts)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr("doc_id DIV 10").as("batch_id"),
+        concat_ws(" | ", docName(col("text")), col("lang"),
+          substring(normText(col("text")), 1, 120)).as("embed_text"))
+      .select(col("doc_id"), col("batch_id"),
+        attempts.cast("long").as("attempts"),
+        when(ok, lit("ok")).otherwise(lit("error")).as("status"),
+        when(ok, length(col("embed_text"))).otherwise(lit(0))
+          .cast("long").as("embed_len"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Ingest-time duplicate collapse: group by content id (md5 of the
     * normalized text = the oracle_id role), keep the lowest doc_id as
     * canonical winner, count collapsed copies. */
@@ -239,6 +298,73 @@ object Ingest extends graft.QueryGroup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Layout fingerprint of the q_table_version store — names every
+    * rule the committed bytes depend on (bump-on-any-change). */
+  private[graft] val VTabLayout = "vtab-v1:snap=mod10:batch=mod3:rev=mod6"
+
+  /** q_table_version — the COMMITTED write path (reference:
+    * db/ingest_cards.py:95-152 — the upsert lands in a durable store
+    * a second session reads back; q_merge_upsert grades the merge
+    * CLASSIFICATION, this row grades the merge LANDING): version 1
+    * commits the base snapshot, version 2 commits the post-merge
+    * snapshot (insert/update applied, carryover kept — the same
+    * deterministic snap/batch derivation as q_merge_upsert), both
+    * through [[graft.sources.VersionedTable]]'s atomic-manifest
+    * protocol into a fingerprint-keyed build-once store (the
+    * writeResIvfPqIndex discipline). The GRADED output is computed
+    * entirely from the READ-BACK versions — per version: row count,
+    * the manifest's own declared row count (metadata honesty),
+    * content md5 over the sorted (doc_id, hash) pairs, and the
+    * changed-key count of v2 vs v1 computed by JOINING THE TWO
+    * READ-BACK versions (time travel exercised, not simulated). The
+    * oracle recomputes every value from `documents` directly, so a
+    * lossy commit, a manifest drift, or a broken version resolve all
+    * surface as a hash mismatch.
+    *
+    * Scale: commits write through the normal parquet path (file
+    * count = input partitions); readers resolve the manifest —
+    * never a directory listing — so snapshot isolation costs one
+    * tiny file read; the diff join keys on the unique doc_id. */
+  def tableVersion(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val table = graft.IndexCache.ensure(
+      graft.IndexCache.path("graft_vtab", dir, Seq("documents.parquet"),
+        VTabLayout)) { out =>
+      val docs = Tables.documents(s, dir)
+      val snap = docs.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      VersionedTable.commit(snap, out)
+      val batch = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 6 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h_new"))
+      val v2 = snap.withColumnRenamed("h", "h_old")
+        .join(batch, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), coalesce(col("h_new"), col("h_old")).as("h"))
+      VersionedTable.commit(v2, out)
+    }
+    def census(r: DataFrame) = r.agg(count(lit(1)).as("n_rows"),
+      md5(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("h")))),
+        x => concat_ws(":", x.getField("doc_id"), x.getField("h"))), ","))
+        .as("snapshot_md5"))
+    val r1 = VersionedTable.read(s, table, Some(1))
+    val r2 = VersionedTable.read(s, table, Some(2))
+    val m1 = census(r1).select(lit(1L).as("version"), col("n_rows"),
+      lit(VersionedTable.manifestRows(table, 1)).as("manifest_rows"),
+      lit(-1L).as("n_changed"), col("snapshot_md5"))
+    val chg = r2.select(col("doc_id"), col("h").as("h2"))
+      .join(r1.select(col("doc_id"), col("h").as("h1")),
+        Seq("doc_id"), "left")
+      .agg(sum(when(col("h1").isNull || col("h1") =!= col("h2"), 1L)
+        .otherwise(0L)).as("n_changed"))
+    val m2 = census(r2).crossJoin(chg)
+      .select(lit(2L).as("version"), col("n_rows"),
+        lit(VersionedTable.manifestRows(table, 2)).as("manifest_rows"),
+        col("n_changed"), col("snapshot_md5"))
+    m1.unionByName(m2).orderBy(col("version").asc)
+  }
+
   /** The INGESTION CAPSTONE — the reference's master flow
     * (db/ingest_all.py runs glossary → rules → cards, each script
     * cleaning, constructing embedding text, deduping by content id,
@@ -300,6 +426,7 @@ object Ingest extends graft.QueryGroup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_text" -> ((s, d) => embedText(s, d)),
+    "q_embed_batch" -> ((s, d) => embedBatch(s, d)),
     "q_ingest_dedup" -> ((s, d) => ingestDedup(s, d)),
     "q_doc_stats" -> ((s, d) => docStats(s, d)),
     "q_source_stats" -> ((s, d) => sourceStats(s, d)),
@@ -307,6 +434,7 @@ object Ingest extends graft.QueryGroup {
     "q_json_filter" -> ((s, d) => jsonFilter(s, d)),
     "q_forget" -> ((s, d) => forget(s, d)),
     "q_merge_upsert" -> ((s, d) => mergeUpsert(s, d)),
+    "q_table_version" -> ((s, d) => tableVersion(s, d)),
     "q_ingest_all" -> ((s, d) => ingestAll(s, d)),
   )
 
@@ -329,6 +457,60 @@ object Ingest extends graft.QueryGroup {
          |       count(*) AS n_copies
          |FROM documents GROUP BY content_id
          |ORDER BY content_id ASC""".stripMargin,
+    "q_embed_batch" -> {
+      def h(e: String) = graft.functions.MinHash.hash60Sql(e)
+      val perm = s"${h("'embp:' || CAST(doc_id AS VARCHAR)")} % $EmbedPermMod = 0"
+      def trans(a: Int) =
+        s"${h(s"'embt:' || CAST(doc_id AS VARCHAR) || ':$a'")} % $EmbedTransMod = 0"
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |         lower(substr(text, 1, 24)) || ' | ' || lang || ' | ' ||
+         |           substr($normSql, 1, 120) AS embed_text,
+         |         ($perm) OR (${trans(1)}) AS f1,
+         |         ($perm) OR (${trans(2)}) AS f2,
+         |         ($perm) OR (${trans(3)}) AS f3
+         |  FROM documents)
+         |SELECT doc_id, doc_id // 10 AS batch_id,
+         |       CAST(CASE WHEN NOT f1 THEN 1 WHEN NOT f2 THEN 2
+         |                 ELSE $EmbedAttempts END AS BIGINT) AS attempts,
+         |       CASE WHEN NOT f1 OR NOT f2 OR NOT f3 THEN 'ok'
+         |            ELSE 'error' END AS status,
+         |       CAST(CASE WHEN NOT f1 OR NOT f2 OR NOT f3
+         |                 THEN len(embed_text) ELSE 0 END AS BIGINT)
+         |         AS embed_len
+         |FROM e ORDER BY doc_id ASC""".stripMargin
+    },
+    "q_table_version" ->
+      """WITH snap AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |batch AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 6 = 0 THEN text || ' v2'
+        |                  ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |v2 AS (
+        |  SELECT coalesce(s.doc_id, b.doc_id) AS doc_id,
+        |         coalesce(b.h_new, s.h) AS h
+        |  FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id),
+        |m1 AS (SELECT count(*) AS n,
+        |         md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || h, ','
+        |           ORDER BY doc_id ASC)) AS md
+        |       FROM snap),
+        |m2 AS (SELECT count(*) AS n,
+        |         md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || h, ','
+        |           ORDER BY doc_id ASC)) AS md
+        |       FROM v2),
+        |chg AS (SELECT CAST(sum(CASE WHEN s.h IS NULL OR s.h <> v.h
+        |                   THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |        FROM v2 v LEFT JOIN snap s ON v.doc_id = s.doc_id)
+        |SELECT CAST(1 AS BIGINT) AS version, n AS n_rows,
+        |       n AS manifest_rows, CAST(-1 AS BIGINT) AS n_changed,
+        |       md AS snapshot_md5
+        |FROM m1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), n, n, c, md FROM m2, chg
+        |ORDER BY version ASC""".stripMargin,
     "q_merge_upsert" ->
       """WITH snap AS (
         |  SELECT doc_id, md5(text) AS h_old FROM documents

@@ -192,8 +192,102 @@ object Rerank extends graft.QueryGroup {
       .orderBy(col("rnk").asc)
   }
 
+  /** Candidates per query in the listwise prompt and the planted
+    * query count (qids 0..3 — one per protocol branch: clean
+    * permutation / noisy / duplicated / no-digits fallback). */
+  private[graft] val ListwiseN = 8
+  private[graft] val ListwiseQ = 4L
+
+  /** q_rerank_listwise — the reference's DEFAULT rerank mode: the
+    * LISTWISE permutation protocol (db/db_utils.py:283-407 `rerank` +
+    * `_get_batch_ranking`): candidates are numbered 1..n in a batch
+    * prompt, the model answers free text, and the client PARSES a
+    * permutation out of it — extract every integer, 0-index, drop
+    * out-of-range entries, append the missing indices sorted,
+    * truncate to n (duplicates survive exactly as in the reference) —
+    * scoring rank r as 1 − r/n; a reply with NO digits falls back to
+    * the original retrieval order at flat score 0.5. q_rerank grades
+    * the pointwise scorer; this row grades that
+    * parse-validate-fallback control flow. The "model reply" is a
+    * deterministic stub (no model in this sandbox — the decodeStub
+    * discipline): the permutation is the candidates ordered by
+    * md5('lw:'||qid||':'||cand), and each planted qid decorates it
+    * with one defect class (prose prefix + out-of-range tokens /
+    * truncation / a duplicated entry / no digits at all), so every
+    * branch of the reference's parser executes and the row grades
+    * hash-exact. A deployment swaps the stub column for the model
+    * call; parse, validation, fill, truncation, scoring and fallback
+    * are exactly these expressions.
+    *
+    * Scale: retrieval is the bounded TopKByScore cut (the knnJoin
+    * discipline); everything after operates on ≤ N×Q rows — the
+    * parse/validate chain is per-QUERY array logic inside one
+    * codegen stage, and the final join probes the tiny candidate
+    * relation broadcast. */
+  def rerankListwise(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MinHash
+    val n = ListwiseN
+    val e = Tables.embeddings(s, dir)
+    val qs = e.where(col("vec_id") < ListwiseQ)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = e.where(col("vec_id") >= ListwiseQ)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("qv")).as("sim"))
+    // Prompt order: retrieved rank 1..n per query (sim desc, id asc).
+    val cand = scored.groupBy(col("qid"))
+      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), n).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("cand_id"),
+        (col("pos") + 1).cast("int").as("idx"))
+      .transform(graft.Checkpoints.cut)
+    // The stub model's opinion: prompt indices reordered by md5.
+    val perm = cand
+      .select(col("qid"), col("idx"),
+        MinHash.hash60(concat(lit("lw:"), col("qid").cast("string"),
+          lit(":"), col("cand_id").cast("string"))).as("ok"))
+      .groupBy(col("qid"))
+      .agg(transform(sort_array(collect_list(struct(col("ok"), col("idx")))),
+        x => x.getField("idx")).as("pa"))
+    val respCol = when(col("qid") === 0,
+        array_join(col("pa"), " "))
+      .when(col("qid") === 1, concat(lit("Ranking: "),
+        array_join(slice(col("pa"), 1, 5), " "), lit(" 99 0")))
+      .when(col("qid") === 2,
+        array_join(concat(slice(col("pa"), 1, 1), col("pa")), " "))
+      .otherwise(lit("unable to comply."))
+    // ---- the protocol under test: parse the opaque reply ----
+    val withResp = perm.select(col("qid"), respCol.as("resp"))
+      .select(col("qid"), col("resp"),
+        expr("transform(regexp_extract_all(resp, '\\\\d+', 0), " +
+          "x -> cast(x as int) - 1)").as("parsed"))
+    val ranked = withResp
+      .select(col("qid"),
+        (size(col("parsed")) === 0).as("fb"),
+        filter(col("parsed"), x => x >= 0 && x < n).as("valid"))
+      .select(col("qid"), col("fb"),
+        when(col("fb"), sequence(lit(0), lit(n - 1)))
+          .otherwise(slice(concat(col("valid"),
+            array_except(sequence(lit(0), lit(n - 1)), col("valid"))),
+            1, n)).as("fl"))
+      .select(col("qid"), col("fb"), posexplode(col("fl")))
+      .select(col("qid"), col("fb"), (col("pos") + 1).as("pos"),
+        (col("col") + 1).as("idx"))
+    ranked.join(broadcast(cand), Seq("qid", "idx"))
+      .select(col("qid"), col("pos").cast("long").as("pos"),
+        col("cand_id"),
+        when(col("fb"), lit(500000L))
+          .otherwise(lit(1000000L) -
+            (col("pos") - 1) * lit(1000000L / n)).cast("long")
+          .as("score_ppm"),
+        when(col("fb"), lit("fallback")).otherwise(lit("listwise"))
+          .as("rank_mode"))
+      .orderBy(col("qid").asc, col("pos").asc, col("cand_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rerank" -> ((s, d) => rerank(s, d)),
+    "q_rerank_listwise" -> ((s, d) => rerankListwise(s, d)),
     "q_fusion" -> ((s, d) => fusion(s, d)),
     "q_mmr" -> ((s, d) => mmr(s, d)),
     "q_search_e2e" -> ((s, d) => searchE2e(s, d)),
@@ -312,6 +406,53 @@ object Rerank extends graft.QueryGroup {
        | END)""".stripMargin.replace("\n", "")
 
   val oracles: Map[String, String] = Map(
+    "q_rerank_listwise" -> {
+      val n = ListwiseN
+      val h = graft.functions.MinHash.hash60Sql(
+        "'lw:' || CAST(qid AS VARCHAR) || ':' || CAST(cand_id AS VARCHAR)")
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |            FROM embeddings WHERE vec_id < $ListwiseQ),
+         |s AS (SELECT q.qid, e.vec_id AS cand_id,
+         |             list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+         |               AS sim
+         |      FROM embeddings e, qs q WHERE e.vec_id >= $ListwiseQ),
+         |c AS (SELECT qid, cand_id, idx FROM (
+         |        SELECT qid, cand_id, row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, cand_id ASC) AS idx FROM s)
+         |      WHERE idx <= $n),
+         |perm AS (SELECT qid, list(idx ORDER BY $h ASC, idx ASC) AS pa
+         |         FROM c GROUP BY qid),
+         |resp AS (SELECT qid, CASE qid
+         |    WHEN 0 THEN array_to_string(pa, ' ')
+         |    WHEN 1 THEN 'Ranking: ' || array_to_string(pa[1:5], ' ')
+         |                || ' 99 0'
+         |    WHEN 2 THEN array_to_string(list_prepend(pa[1], pa), ' ')
+         |    ELSE 'unable to comply.' END AS resp
+         |  FROM perm),
+         |par AS (SELECT qid, resp,
+         |    list_transform(regexp_extract_all(resp, '\\d+'),
+         |      x -> CAST(x AS INT) - 1) AS parsed
+         |  FROM resp),
+         |va AS (SELECT qid, len(parsed) = 0 AS fb,
+         |    list_filter(parsed, x -> x >= 0 AND x < $n) AS valid
+         |  FROM par),
+         |fin AS (SELECT qid, fb,
+         |    CASE WHEN fb THEN range(0, $n)
+         |         ELSE (valid || list_filter(range(0, $n),
+         |                x -> NOT list_contains(valid, x)))[1:$n]
+         |    END AS fl
+         |  FROM va),
+         |ex AS (SELECT qid, fb, g.i AS pos, fl[g.i] + 1 AS idx
+         |       FROM fin, generate_series(1, $n) AS g(i))
+         |SELECT e.qid, CAST(e.pos AS BIGINT) AS pos, c.cand_id,
+         |       CAST(CASE WHEN e.fb THEN 500000
+         |                 ELSE 1000000 - (e.pos - 1) * ${1000000 / n}
+         |            END AS BIGINT) AS score_ppm,
+         |       CASE WHEN e.fb THEN 'fallback' ELSE 'listwise' END
+         |         AS rank_mode
+         |FROM ex e JOIN c ON c.qid = e.qid AND c.idx = e.idx
+         |ORDER BY e.qid ASC, e.pos ASC, c.cand_id ASC""".stripMargin
+    },
     "q_search_e2e" -> {
       val q = s"'${Lexical.trigramQuery}'"
       val h = graft.functions.MinHash.hash60Sql("'rel:' || tok")

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal VERSIONED-TABLE commit protocol — the lakehouse half of
+  * the reference's durable write path (reference:
+  * db/ingest_cards.py:95-152 upserts into a store a SECOND session
+  * reads back; q_merge_upsert classifies that merge, this module
+  * makes the result land somewhere durable and versioned).
+  *
+  * Layout under a table root:
+  * {{{
+  *   <table>/data/v<N>_<pid>_<tid>/part-*.parquet   (immutable files)
+  *   <table>/v<N>.manifest                          (the commit)
+  * }}}
+  *
+  * A manifest is a small text file: header lines
+  * (`version=`/`parent=`/`rows=`/`schema_md5=`) followed by the
+  * table-relative data-file paths of the FULL snapshot at that
+  * version. Readers resolve a version by parsing its manifest and
+  * reading EXACTLY the listed files — never by listing data
+  * directories — so a reader can never observe a half-written
+  * commit, and old versions stay readable forever (time travel is
+  * `read(s, table, Some(v))`).
+  *
+  * Commit discipline (the AuditSink/IndexCache protocol applied to a
+  * multi-version store):
+  *  - data files are written to a commit-private directory first
+  *    (pid+tid-suffixed, so concurrent writers never collide on
+  *    files);
+  *  - the manifest is staged under a private name and PUBLISHED by
+  *    one atomic rename — the rename IS the commit;
+  *  - versions are claimed optimistically: if v<N> already exists
+  *    when the rename lands, the commit FAILS LOUDLY (optimistic
+  *    concurrency — the caller re-reads the new latest and retries
+  *    its merge, exactly the Delta/Iceberg contract) and the orphan
+  *    data directory is removed.
+  *
+  * At 100 TB the same protocol holds with the local rename swapped
+  * for the object store's atomic put-if-absent and the manifest
+  * carrying per-file stats for pruning; nothing in the reader
+  * changes. */
+object VersionedTable {
+
+  private def manifestFile(table: String, v: Int): File =
+    new File(table, s"v$v.manifest")
+
+  /** Highest committed version, if any (atomic-rename publish means
+    * every visible manifest is complete). */
+  def latestVersion(table: String): Option[Int] = {
+    val fs = Option(new File(table).listFiles()).getOrElse(Array.empty)
+    val vs = fs.flatMap { f =>
+      val n = f.getName
+      if (n.startsWith("v") && n.endsWith(".manifest"))
+        n.stripPrefix("v").stripSuffix(".manifest").toIntOption
+      else None
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Commit `df` as the next full snapshot version of `table`;
+    * returns the committed version number. Fails loudly on a lost
+    * commit race (see object doc). */
+  def commit(df: DataFrame, table: String): Int = {
+    new File(table).mkdirs()
+    val v = latestVersion(table).getOrElse(0) + 1
+    val rel = s"data/v${v}_${ProcessHandle.current().pid()}_" +
+      s"${Thread.currentThread().getId}"
+    val dataDir = new File(table, rel)
+    df.write.mode("errorifexists").parquet(dataDir.getPath)
+    val parts = Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    val rows = df.sparkSession.read.parquet(dataDir.getPath).count()
+    val schemaMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(df.schema.toDDL.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val body = (Seq(
+      s"version=$v", s"parent=${v - 1}", s"rows=$rows",
+      s"schema_md5=$schemaMd5") ++ parts.map(p => s"$rel/$p"))
+      .mkString("", "\n", "\n")
+    val staged = new File(table, s"_staged_v${v}_" +
+      s"${ProcessHandle.current().pid()}_${Thread.currentThread().getId}")
+    Files.write(staged.toPath, body.getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
+    val target = manifestFile(table, v)
+    // CREATE_NEW + rename: the only way two writers both "succeed" on
+    // one version is a non-atomic filesystem — rename-onto-existing
+    // succeeds on POSIX, so check-then-rename plus the loud re-check
+    // below is the local stand-in for put-if-absent.
+    if (target.exists() || !staged.renameTo(target)) {
+      staged.delete()
+      rm(dataDir)
+      throw new IllegalStateException(
+        s"commit race lost: version $v of $table already exists — " +
+          "re-read latest and retry the merge")
+    }
+    v
+  }
+
+  /** Read a committed version (default: latest). Loads exactly the
+    * manifest's file list. */
+  def read(s: SparkSession, table: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    val lines = Files.readAllLines(manifestFile(table, v).toPath)
+    import scala.jdk.CollectionConverters._
+    val files = lines.asScala.filterNot(_.contains("=")).filter(_.nonEmpty)
+      .map(rel => new File(table, rel).getPath)
+    s.read.parquet(files.toSeq: _*)
+  }
+
+  /** Manifest-declared row count — the metadata a planner prunes by;
+    * [[graft.operators.Ingest.tableVersion]] grades it against the
+    * read-back count so the manifest can never drift from the data. */
+  def manifestRows(table: String, v: Int): Long = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(manifestFile(table, v).toPath).asScala
+      .find(_.startsWith("rows=")).map(_.stripPrefix("rows=").toLong)
+      .getOrElse(-1L)
+  }
+
+  private def rm(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete()
+  }
+}

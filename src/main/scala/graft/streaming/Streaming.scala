@@ -103,6 +103,20 @@ object Streaming extends graft.QueryGroup {
     * scopes the conf. */
   val StatePartitionsKey = "graft.stream.statePartitions"
 
+  /** Optional root for the twins' checkpoint dirs. Unset (default):
+    * Spark's temp-checkpoint path under java.io.tmpdir. The graded
+    * AvailableNow twins use DISPOSABLE checkpoints (each run is a
+    * one-shot rebuild; Spark deletes the temp dir on success), yet
+    * every state-store commit still fsyncs delta+crc files through
+    * it — on an ext4 /tmp that disk round-trip is a fixed per-trigger
+    * tax that NEVER protects anything. Pointing the root at a tmpfs
+    * (e.g. /dev/shm) removes the tax without touching semantics;
+    * measured on the r11 stream panel: see SURVEY §6. A PRODUCTION
+    * stream whose checkpoint is its restart contract keeps a durable
+    * root (object store / HDFS) — this key is for disposable-
+    * checkpoint runs only, which is why it is opt-in. */
+  val CheckpointRootKey = "graft.stream.checkpointRoot"
+
   private def runToCompletion(df: DataFrame, name: String,
       mode: String): Unit = {
     // No query here emits on watermark advancement (complete-mode
@@ -117,11 +131,24 @@ object Streaming extends graft.QueryGroup {
     val prevSp = s.conf.get(spKey)
     s.conf.set(key, "false")
     s.conf.getOption(StatePartitionsKey).foreach(s.conf.set(spKey, _))
+    // Per-query disposable checkpoint under the opt-in root (see
+    // CheckpointRootKey); unique per (query, start) like Spark's own
+    // temp path, deleted on completion like it.
+    val ckpt = s.conf.getOption(CheckpointRootKey).map { root =>
+      s"$root/${name}_${java.util.UUID.randomUUID()}"
+    }
     try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      val w = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow())
+      val q = ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
       q.awaitTermination()
     } finally {
+      ckpt.foreach { c =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(c))
+      }
       s.conf.set(spKey, prevSp)
       prev match {
         case Some(v) => s.conf.set(key, v)

@@ -346,7 +346,11 @@ class AnnIndexSpec extends SparkSuite {
     stored.foreach { case (vid, _, nEval, nn, nOut, nRevKept) =>
       assert(nEval >= 1 && nEval <= cap, s"$vid n_eval=$nEval")
       assert(nOut >= 1 && nOut <= Ann.GraphDeg)
-      assert(nRevKept >= 0 && nRevKept <= nOut)
+      // Backlink holders = out-edge targets ∪ the insert's cell
+      // entry (the r11 structural-findability pin), so the kept
+      // count can exceed n_out by exactly the entry edge.
+      assert(nRevKept >= 0 && nRevKept <= nOut + 1,
+        s"$vid n_rev_kept=$nRevKept n_out=$nOut")
       assert(nn % mod != 0, s"$vid linked to batch id $nn")
     }
   }
@@ -385,13 +389,18 @@ class AnnIndexSpec extends SparkSuite {
     val linked = revKept.where(col("nbr") % mod === 0)
       .select(col("nbr")).distinct().count()
     assert(linked === nBatch, s"only $linked of $nBatch linked")
-    // Findability under the GRADED walk parameters (beam 8, 4 hops)
-    // is a recall, like any ANN search: the backlink holder may fall
-    // off the beam. Measured 27/30 at sf0.001; pin a 0.85 floor.
+    // Findability under the GRADED walk parameters (beam 8, 4 hops):
+    // with only the top-1 backlink pinned this was a recall (the
+    // single backlink holder could fall off the beam — 27-28/30
+    // measured in r10); pinning the TOP-2 backlinks gives every
+    // insert two inbound paths and the walk finds ALL of them, so
+    // the bar is exact (the measurement is deterministic — data +
+    // dials, no RNG; a dial change that breaks full findability
+    // SHOULD fail here by name).
     val found = visited.where(col("qid") === col("vec_id"))
       .select(col("qid")).distinct().count()
     info(s"inserted nodes self-findable: $found / $nBatch")
-    assert(found >= math.ceil(0.85 * nBatch).toLong,
+    assert(found === nBatch,
       s"only $found of $nBatch inserted nodes beam-reachable")
   }
 
