@@ -300,7 +300,7 @@ object Ingest extends graft.QueryGroup {
 
   /** Layout fingerprint of the q_table_version store — names every
     * rule the committed bytes depend on (bump-on-any-change). */
-  private[graft] val VTabLayout = "vtab-v1:snap=mod10:batch=mod3:rev=mod6"
+  private[graft] val VTabLayout = "vtab-v2:snap=mod10:batch=mod3:rev=mod6"
 
   /** q_table_version — the COMMITTED write path (reference:
     * db/ingest_cards.py:95-152 — the upsert lands in a durable store

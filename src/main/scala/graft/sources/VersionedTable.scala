@@ -64,9 +64,35 @@ object VersionedTable {
   /** Commit `df` as the next full snapshot version of `table`;
     * returns the committed version number. Fails loudly on a lost
     * commit race (see object doc). */
-  def commit(df: DataFrame, table: String): Int = {
+  def commit(df: DataFrame, table: String): Int =
+    commitMode(df, table, append = false)
+
+  /** Commit `df` as an APPEND version: the manifest lists only the
+    * NEW files plus `mode=append`; readers resolve the version by
+    * unioning the parent chain down to the last snapshot. This is
+    * the O(batch) ingest shape (a micro-batch lands without
+    * rewriting the table); `commit` (full snapshot) is the
+    * compaction that periodically collapses the chain — together
+    * they are the LSM rhythm the text index's append/compact pair
+    * already grades, applied to table storage. */
+  def commitAppend(df: DataFrame, table: String): Int =
+    commitMode(df, table, append = true)
+
+  private def commitMode(df: DataFrame, table: String,
+      append: Boolean): Int = {
     new File(table).mkdirs()
     val v = latestVersion(table).getOrElse(0) + 1
+    require(!append || v > 1, "append needs a base snapshot commit")
+    commitAt(df, table, v, append)
+  }
+
+  /** The version-CLAIM step of a commit: write data + staged
+    * manifest, publish by atomic rename of `v`'s manifest. Package-
+    * private so the spec can drive the lost-race path directly (two
+    * writers that both read latest = v−1 race on the same v; only
+    * one rename can land). */
+  private[graft] def commitAt(df: DataFrame, table: String, v: Int,
+      append: Boolean): Int = {
     val rel = s"data/v${v}_${ProcessHandle.current().pid()}_" +
       s"${Thread.currentThread().getId}"
     val dataDir = new File(table, rel)
@@ -79,6 +105,7 @@ object VersionedTable {
       .map("%02x".format(_)).mkString
     val body = (Seq(
       s"version=$v", s"parent=${v - 1}", s"rows=$rows",
+      s"mode=${if (append) "append" else "snapshot"}",
       s"schema_md5=$schemaMd5") ++ parts.map(p => s"$rel/$p"))
       .mkString("", "\n", "\n")
     val staged = new File(table, s"_staged_v${v}_" +
@@ -100,17 +127,24 @@ object VersionedTable {
     v
   }
 
-  /** Read a committed version (default: latest). Loads exactly the
-    * manifest's file list. */
+  /** Read a committed version (default: latest). Resolves exactly
+    * the manifest's file list — for an append version, the union of
+    * its parent chain down to (and including) the nearest snapshot
+    * manifest. */
   def read(s: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {
-    val v = version.orElse(latestVersion(table)).getOrElse(
+    val v0 = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalStateException(s"no committed version in $table"))
-    val lines = Files.readAllLines(manifestFile(table, v).toPath)
     import scala.jdk.CollectionConverters._
-    val files = lines.asScala.filterNot(_.contains("=")).filter(_.nonEmpty)
-      .map(rel => new File(table, rel).getPath)
-    s.read.parquet(files.toSeq: _*)
+    def filesOf(v: Int): Seq[String] = {
+      val lines = Files.readAllLines(manifestFile(table, v).toPath)
+        .asScala.toSeq
+      val own = lines.filterNot(_.contains("=")).filter(_.nonEmpty)
+        .map(rel => new File(table, rel).getPath)
+      val isAppend = lines.contains("mode=append")
+      if (isAppend) filesOf(v - 1) ++ own else own
+    }
+    s.read.parquet(filesOf(v0): _*)
   }
 
   /** Manifest-declared row count — the metadata a planner prunes by;
