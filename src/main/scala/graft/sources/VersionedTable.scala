@@ -65,7 +65,7 @@ object VersionedTable {
     * returns the committed version number. Fails loudly on a lost
     * commit race (see object doc). */
   def commit(df: DataFrame, table: String): Int =
-    commitMode(df, table, append = false)
+    commitMode(df, table, append = false, batchId = None)
 
   /** Commit `df` as an APPEND version: the manifest lists only the
     * NEW files plus `mode=append`; readers resolve the version by
@@ -76,14 +76,37 @@ object VersionedTable {
     * they are the LSM rhythm the text index's append/compact pair
     * already grades, applied to table storage. */
   def commitAppend(df: DataFrame, table: String): Int =
-    commitMode(df, table, append = true)
+    commitMode(df, table, append = true, batchId = None)
+
+  /** EXACTLY-ONCE streaming-sink commit: land micro-batch `batchId`
+    * as one table version (batch 0 = the base snapshot, later
+    * batches = appends), recording the batch id in the manifest —
+    * and make the commit IDEMPOTENT on it: a replayed batch whose id
+    * is already committed is a no-op (returns the existing version).
+    * This is the transaction-log rule every lakehouse streaming sink
+    * runs (version-per-batchId); with it, micro-batch retries after
+    * a crash land each batch exactly once, which is what
+    * `foreachBatch` alone does NOT guarantee. Returns the version
+    * holding the batch. */
+  def commitBatch(df: DataFrame, table: String, batchId: Long): Int =
+    committedBatch(table, batchId).getOrElse(
+      commitMode(df, table, append = batchId > 0, batchId = Some(batchId)))
+
+  /** The version holding streaming batch `batchId`, if committed. */
+  def committedBatch(table: String, batchId: Long): Option[Int] = {
+    import scala.jdk.CollectionConverters._
+    (1 to latestVersion(table).getOrElse(0)).find { v =>
+      Files.readAllLines(manifestFile(table, v).toPath).asScala
+        .contains(s"batch_id=$batchId")
+    }
+  }
 
   private def commitMode(df: DataFrame, table: String,
-      append: Boolean): Int = {
+      append: Boolean, batchId: Option[Long]): Int = {
     new File(table).mkdirs()
     val v = latestVersion(table).getOrElse(0) + 1
     require(!append || v > 1, "append needs a base snapshot commit")
-    commitAt(df, table, v, append)
+    commitAt(df, table, v, append, batchId)
   }
 
   /** The version-CLAIM step of a commit: write data + staged
@@ -92,7 +115,7 @@ object VersionedTable {
     * writers that both read latest = v−1 race on the same v; only
     * one rename can land). */
   private[graft] def commitAt(df: DataFrame, table: String, v: Int,
-      append: Boolean): Int = {
+      append: Boolean, batchId: Option[Long] = None): Int = {
     val rel = s"data/v${v}_${ProcessHandle.current().pid()}_" +
       s"${Thread.currentThread().getId}"
     val dataDir = new File(table, rel)
@@ -106,7 +129,9 @@ object VersionedTable {
     val body = (Seq(
       s"version=$v", s"parent=${v - 1}", s"rows=$rows",
       s"mode=${if (append) "append" else "snapshot"}",
-      s"schema_md5=$schemaMd5") ++ parts.map(p => s"$rel/$p"))
+      s"schema_md5=$schemaMd5") ++
+      batchId.map(b => s"batch_id=$b").toSeq ++
+      parts.map(p => s"$rel/$p"))
       .mkString("", "\n", "\n")
     val staged = new File(table, s"_staged_v${v}_" +
       s"${ProcessHandle.current().pid()}_${Thread.currentThread().getId}")

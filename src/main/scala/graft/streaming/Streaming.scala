@@ -921,6 +921,56 @@ object Streaming extends graft.QueryGroup {
     s.table("graft_stream_mm").orderBy(col("doc_id").asc)
   }
 
+  /** q_stream_table — the EXACTLY-ONCE FILE SINK, the streaming twin
+    * of q_table_version and the one twin that lands in DURABLE
+    * storage instead of a memory sink: every micro-batch commits as
+    * one [[graft.sources.VersionedTable]] version keyed by its
+    * batchId (batch 0 = the base snapshot, later batches = append
+    * manifests), and the commit is IDEMPOTENT on the batch id — a
+    * batch replayed after a crash/retry finds its id already
+    * committed and no-ops. That version-per-batchId transaction rule
+    * is exactly how a lakehouse streaming sink turns foreachBatch's
+    * at-least-once delivery into exactly-once table contents
+    * (reference intent: the continuously-upserted store of
+    * db/ingest_cards.py, landed durably). Serving reads the LATEST
+    * version back THROUGH THE MANIFESTS and aggregates the
+    * per-source census, which must equal the one-shot batch profile
+    * whatever the micro-batch split — the gate grades the round-trip
+    * through real files, not a memory table.
+    *
+    * Scale: each commit is O(batch) (append manifests list only the
+    * new files); the read resolves the manifest chain — never a
+    * directory listing; periodic `commit` (snapshot) compaction
+    * bounds chain length exactly like the text tier's LSM pair. */
+  def streamTable(s: SparkSession, dir: String): DataFrame = {
+    // Fresh table root per execution: the graded row REBUILDS its
+    // sink each run like every twin; a deployment passes a durable
+    // root and keeps the chain.
+    val table = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_stream_table_${java.util.UUID.randomUUID()}"
+    try streamTableOver(s, documentsStream(s, dir), table)
+    finally () // table dir left for the session; small, tmp-rooted
+  }
+
+  private[graft] def streamTableOver(s: SparkSession, in: DataFrame,
+      table: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val proj = in.select(col("doc_id"), col("source"), col("n_chars"))
+    val land: (DataFrame, Long) => Unit =
+      (b, id) => { VersionedTable.commitBatch(b, table, id); () }
+    val q = proj.writeStream
+      .foreachBatch(land)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    VersionedTable.read(s, table)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          i => i.cast("string")), ",")).as("ids_md5"))
+      .orderBy(col("source").asc)
+  }
+
   /** q_stream_contamination — CONTINUOUS benchmark-leak guard, the
     * streaming face of [[graft.operators.Curation.contamination]]:
     * every arriving corpus document is scored against the standing
@@ -1568,6 +1618,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_cc" -> ((s, d) => streamCc(s, d)),
     "q_stream_stats" -> ((s, d) => streamStats(s, d)),
     "q_stream_multimodal" -> ((s, d) => streamMultimodal(s, d)),
+    "q_stream_table" -> ((s, d) => streamTable(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1633,6 +1684,14 @@ object Streaming extends graft.QueryGroup {
       }
       arms.mkString("\nUNION ALL\n") + "\nORDER BY col_name ASC"
     },
+    // The exactly-once file sink's read-back census must equal the
+    // one-shot batch profile of the same columns.
+    "q_stream_table" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |         ORDER BY doc_id ASC)) AS ids_md5
+        |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin,
     // Metadata-at-ingest must equal the batch extraction — same
     // oracle (Multimodal group).
     "q_stream_multimodal" ->

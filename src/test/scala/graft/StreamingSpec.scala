@@ -296,6 +296,36 @@ class StreamingSpec extends SparkSuite
     assert(got === want)
   }
 
+  test("exactly-once file sink: multi-batch replay lands one version " +
+      "per batch and the read-back census equals the single-shot run") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.VersionedTable
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_split_vtab").toString
+    tmpDirs += tmp
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until 3).foreach { i =>
+      d.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    }
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val table = s"$tmp/table"
+    val got = Streaming.streamTableOver(spark, stream, table)
+      .collect().toSeq
+    val want = Streaming.queries("q_stream_table")(spark, sfDir)
+      .collect().toSeq
+    assert(got === want)
+    // One committed version per micro-batch, all batch ids recorded
+    // (batch 0 the snapshot, 1..n-1 appends).
+    val nv = VersionedTable.latestVersion(table).getOrElse(0)
+    assert(nv === 3, s"expected 3 versions, got $nv")
+    (0L to 2L).foreach(b =>
+      assert(VersionedTable.committedBatch(table, b).nonEmpty,
+        s"batch $b not recorded"))
+  }
+
   test("continuous column profiling stays exact under multi-batch " +
       "document replay") {
     // Counters are associative (count/sum) and the dictionary is a

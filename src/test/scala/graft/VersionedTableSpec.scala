@@ -94,6 +94,22 @@ class VersionedTableSpec extends SparkSuite
     }
   }
 
+  test("commitBatch is idempotent on the batch id — a replayed " +
+      "micro-batch lands exactly once") {
+    val t = freshTable()
+    val b0 = Seq((1L, "a")).toDF("doc_id", "h")
+    val b1 = Seq((2L, "b")).toDF("doc_id", "h")
+    assert(VersionedTable.commitBatch(b0, t, 0L) === 1)
+    assert(VersionedTable.commitBatch(b1, t, 1L) === 2)
+    // Retry of batch 1 (the at-least-once delivery case): no new
+    // version, no duplicate rows, the existing version is returned.
+    assert(VersionedTable.commitBatch(b1, t, 1L) === 2)
+    assert(VersionedTable.latestVersion(t).contains(2))
+    assert(VersionedTable.read(spark, t).count() === 2L)
+    assert(VersionedTable.committedBatch(t, 1L).contains(2))
+    assert(VersionedTable.committedBatch(t, 7L).isEmpty)
+  }
+
   test("manifests are relocation-safe (relative paths — the atomic-" +
       "publish rename of the fingerprint store cannot break reads)") {
     val root = java.nio.file.Files
