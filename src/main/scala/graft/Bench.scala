@@ -117,8 +117,8 @@ object Bench {
           -1.0
         }
       }
-      val r1 = once()
-      val r2 = if (r1 >= 0) once() else -1.0
+      val rep1 = once()
+      val rep2 = if (rep1 >= 0) once() else -1.0
       // Suite-hygiene between queries: drop the memory-sink temp
       // views the streaming twins leave behind (each pins its full
       // output in driver memory; 19 streams × 2 reps accumulate into
@@ -130,8 +130,17 @@ object Bench {
       spark.catalog.listTables().collect()
         .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
         .foreach(t => spark.catalog.dropTempView(t.name))
-      name -> (if (r1 >= 0 && r2 >= 0) math.min(r1, r2) else -1.0)
+      name -> ((if (rep1 >= 0 && rep2 >= 0) math.min(rep1, rep2) else -1.0,
+        rep1, rep2))
     }
+    // Contention indicator (the r11 verdict's window-fragility ask):
+    // the recorded value is already min-of-2, but a contended VM
+    // shows up as rep disagreement — publish the per-query reps (full
+    // flavor) and the total |rep1−rep2| spread (both flavors) so a
+    // reader can tell window noise from regression without re-running.
+    val spread = results.collect {
+      case (_, (v, a, b)) if v >= 0 => math.abs(a - b)
+    }.sum
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -169,9 +178,9 @@ object Bench {
       val idx = order.zipWithIndex.toMap
       // results are already sorted by name == stdout order.
       val qs =
-        if (compact) results.map { case (_, v) => fmtQ(v) }
+        if (compact) results.map { case (_, (v, _, _)) => fmtQ(v) }
           .mkString("[", ",", "]")
-        else results.map { case (k, v) => s"${q(k)}:${fmtQ(v)}" }
+        else results.map { case (k, (v, _, _)) => s"${q(k)}:${fmtQ(v)}" }
           .mkString("{", ",", "}")
       // Stdout error messages are capped harder than bench_out's 200
       // chars: one long exception message must not push the metric
@@ -182,7 +191,7 @@ object Bench {
           val kk = if (compact) idx(k).toString else k
           s"${q(kk)}:${q(if (compact) v.take(60) else v)}" }
         .mkString("{", ",", "}")
-      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      val total = results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
       // Omit the errors object when empty — every byte of the stdout
       // line spends tail-window budget.
       val errPart = if (errors.isEmpty) "" else s""","errors":$errJson"""
@@ -196,7 +205,15 @@ object Bench {
       // commit without re-deriving the sorted registry.
       val keysPart = if (compact) "" else
         order.map(q).mkString(""","stdout_order":[""", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},${unitPart}"queries":$qs$errPart$sfPart$keysPart}"""
+      // Full flavor: both raw reps per query (min is what "queries"
+      // records; the reps expose contention). Both flavors: the total
+      // rep spread as one scalar.
+      val repsPart = if (compact) "" else
+        results.map { case (k, (_, a, b)) =>
+          s"${q(k)}:[${fmt(a)},${fmt(b)}]" }
+          .mkString(""","reps":{""", ",", "}")
+      val spreadPart = s""","spread":${fmt(spread)}"""
+      s"""{"metric":"total","value":${fmt(total)},${unitPart}"queries":$qs$errPart$sfPart$keysPart$repsPart$spreadPart}"""
     }
     Files.writeString(Paths.get("bench_out.json"),
       jsonLine(s6, s6, compact = false) + "\n")

@@ -224,9 +224,13 @@ object Ingest extends graft.QueryGroup {
     * delete-request list is removed from the corpus by BROADCAST
     * anti-join, and the pass emits the per-source audit a compliance
     * run must produce — docs/chars kept vs forgotten, plus an
-    * order-sensitive MANIFEST hash of exactly which doc ids were
+    * ORDER-INVARIANT manifest digest of exactly which doc ids were
     * erased (the deletion receipt; re-running the pass must
-    * reproduce it bit for bit).
+    * reproduce it bit for bit). The digest is sum(hash60(doc_id)) on
+    * DECIMAL(38,0) — commutative and shard-mergeable with O(1) agg
+    * state (the r11 md5-of-collect_list buffered every forgotten id
+    * of a source in ONE task: the unbounded-buffer class the
+    * PlanSpec collect sweep now rejects).
     *
     * Scale: the request list is tiny (requests, not corpus) →
     * broadcast left-anti + broadcast semi probes, never a corpus
@@ -248,16 +252,16 @@ object Ingest extends graft.QueryGroup {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_forgotten"),
         sum(col("n_chars")).as("chars_forgotten"),
-        md5(array_join(transform(
-          array_sort(collect_list(col("doc_id"))),
-          i => i.cast("string")), ",")).as("manifest_md5"))
+        sum(graft.functions.MinHash.hash60(col("doc_id").cast("string"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").as("manifest_digest"))
     kept.join(gone, Seq("source"), "full_outer")
       .select(col("source"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("chars_kept"), lit(0L)).as("chars_kept"),
         coalesce(col("n_forgotten"), lit(0L)).as("n_forgotten"),
         coalesce(col("chars_forgotten"), lit(0L)).as("chars_forgotten"),
-        coalesce(col("manifest_md5"), lit("")).as("manifest_md5"))
+        coalesce(col("manifest_digest"), lit("")).as("manifest_digest"))
       .orderBy(col("source").asc)
   }
 
@@ -300,7 +304,7 @@ object Ingest extends graft.QueryGroup {
 
   /** Layout fingerprint of the q_table_version store — names every
     * rule the committed bytes depend on (bump-on-any-change). */
-  private[graft] val VTabLayout = "vtab-v2:snap=mod10:batch=mod3:rev=mod6"
+  private[graft] val VTabLayout = "vtab-v3:snap=mod10:batch=mod3:rev=mod6"
 
   /** q_table_version — the COMMITTED write path (reference:
     * db/ingest_cards.py:95-152 — the upsert lands in a durable store
@@ -314,12 +318,21 @@ object Ingest extends graft.QueryGroup {
     * writeResIvfPqIndex discipline). The GRADED output is computed
     * entirely from the READ-BACK versions — per version: row count,
     * the manifest's own declared row count (metadata honesty),
-    * content md5 over the sorted (doc_id, hash) pairs, and the
-    * changed-key count of v2 vs v1 computed by JOINING THE TWO
-    * READ-BACK versions (time travel exercised, not simulated). The
-    * oracle recomputes every value from `documents` directly, so a
-    * lossy commit, a manifest drift, or a broken version resolve all
-    * surface as a hash mismatch.
+    * an ORDER-INVARIANT content digest over the (doc_id, hash)
+    * pairs, and the changed-key count of v2 vs v1 computed by
+    * JOINING THE TWO READ-BACK versions (time travel exercised, not
+    * simulated). The oracle recomputes every value from `documents`
+    * directly, so a lossy commit, a manifest drift, or a broken
+    * version resolve all surface as a hash mismatch.
+    *
+    * The digest is sum(hash60(doc_id || ':' || h)) on DECIMAL(38,0):
+    * commutative + associative, so the aggregate is shard-mergeable
+    * with O(1) state per task — the r11 formulation collect_list'd
+    * the ENTIRE snapshot into one final-merge task's buffer (the
+    * unbounded-buffer sibling of the global-window class), which is
+    * a driver-OOM at 100 TB. A single changed pair moves the sum by
+    * a ~60-bit hash delta, so corruption detection is retained;
+    * 38 digits of headroom means no overflow before ~1e19 rows.
     *
     * Scale: commits write through the normal parquet path (file
     * count = input partitions); readers resolve the manifest —
@@ -344,15 +357,15 @@ object Ingest extends graft.QueryGroup {
       VersionedTable.commit(v2, out)
     }
     def census(r: DataFrame) = r.agg(count(lit(1)).as("n_rows"),
-      md5(array_join(transform(
-        array_sort(collect_list(struct(col("doc_id"), col("h")))),
-        x => concat_ws(":", x.getField("doc_id"), x.getField("h"))), ","))
-        .as("snapshot_md5"))
+      sum(graft.functions.MinHash.hash60(
+        concat_ws(":", col("doc_id"), col("h")))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("string").as("snapshot_digest"))
     val r1 = VersionedTable.read(s, table, Some(1))
     val r2 = VersionedTable.read(s, table, Some(2))
     val m1 = census(r1).select(lit(1L).as("version"), col("n_rows"),
       lit(VersionedTable.manifestRows(table, 1)).as("manifest_rows"),
-      lit(-1L).as("n_changed"), col("snapshot_md5"))
+      lit(-1L).as("n_changed"), col("snapshot_digest"))
     val chg = r2.select(col("doc_id"), col("h").as("h2"))
       .join(r1.select(col("doc_id"), col("h").as("h1")),
         Seq("doc_id"), "left")
@@ -361,7 +374,7 @@ object Ingest extends graft.QueryGroup {
     val m2 = census(r2).crossJoin(chg)
       .select(lit(2L).as("version"), col("n_rows"),
         lit(VersionedTable.manifestRows(table, 2)).as("manifest_rows"),
-        col("n_changed"), col("snapshot_md5"))
+        col("n_changed"), col("snapshot_digest"))
     m1.unionByName(m2).orderBy(col("version").asc)
   }
 
@@ -480,8 +493,10 @@ object Ingest extends graft.QueryGroup {
          |         AS embed_len
          |FROM e ORDER BY doc_id ASC""".stripMargin
     },
-    "q_table_version" ->
-      """WITH snap AS (
+    "q_table_version" -> {
+      val dig = graft.functions.MinHash.hash60Sql(
+        "CAST(doc_id AS VARCHAR) || ':' || h")
+      s"""WITH snap AS (
         |  SELECT doc_id, md5(text) AS h FROM documents
         |  WHERE doc_id % 10 <> 0),
         |batch AS (
@@ -494,23 +509,22 @@ object Ingest extends graft.QueryGroup {
         |         coalesce(b.h_new, s.h) AS h
         |  FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id),
         |m1 AS (SELECT count(*) AS n,
-        |         md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || h, ','
-        |           ORDER BY doc_id ASC)) AS md
+        |         CAST(sum(CAST($dig AS DECIMAL(38,0))) AS VARCHAR) AS md
         |       FROM snap),
         |m2 AS (SELECT count(*) AS n,
-        |         md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || h, ','
-        |           ORDER BY doc_id ASC)) AS md
+        |         CAST(sum(CAST($dig AS DECIMAL(38,0))) AS VARCHAR) AS md
         |       FROM v2),
         |chg AS (SELECT CAST(sum(CASE WHEN s.h IS NULL OR s.h <> v.h
         |                   THEN 1 ELSE 0 END) AS BIGINT) AS c
         |        FROM v2 v LEFT JOIN snap s ON v.doc_id = s.doc_id)
         |SELECT CAST(1 AS BIGINT) AS version, n AS n_rows,
         |       n AS manifest_rows, CAST(-1 AS BIGINT) AS n_changed,
-        |       md AS snapshot_md5
+        |       md AS snapshot_digest
         |FROM m1
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), n, n, c, md FROM m2, chg
-        |ORDER BY version ASC""".stripMargin,
+        |ORDER BY version ASC""".stripMargin
+    },
     "q_merge_upsert" ->
       """WITH snap AS (
         |  SELECT doc_id, md5(text) AS h_old FROM documents
@@ -623,8 +637,9 @@ object Ingest extends graft.QueryGroup {
          |      GROUP BY source),
          |g AS (SELECT source, count(*) AS n_forgotten,
          |             CAST(sum(n_chars) AS BIGINT) AS chars_forgotten,
-         |             md5(string_agg(CAST(doc_id AS VARCHAR), ','
-         |                            ORDER BY doc_id)) AS manifest_md5
+         |             CAST(sum(CAST(${graft.functions.MinHash.hash60Sql(
+                         "CAST(doc_id AS VARCHAR)")}
+         |               AS DECIMAL(38,0))) AS VARCHAR) AS manifest_digest
          |      FROM documents
          |      WHERE doc_id IN (SELECT doc_id FROM req)
          |      GROUP BY source)
@@ -634,7 +649,7 @@ object Ingest extends graft.QueryGroup {
          |       CAST(coalesce(g.n_forgotten, 0) AS BIGINT) AS n_forgotten,
          |       CAST(coalesce(g.chars_forgotten, 0) AS BIGINT)
          |         AS chars_forgotten,
-         |       coalesce(g.manifest_md5, '') AS manifest_md5
+         |       coalesce(g.manifest_digest, '') AS manifest_digest
          |FROM k FULL OUTER JOIN g ON k.source = g.source
          |ORDER BY source ASC""".stripMargin
     },

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.File
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, StandardOpenOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -18,13 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * }}}
   *
   * A manifest is a small text file: header lines
-  * (`version=`/`parent=`/`rows=`/`schema_md5=`) followed by the
-  * table-relative data-file paths of the FULL snapshot at that
-  * version. Readers resolve a version by parsing its manifest and
-  * reading EXACTLY the listed files — never by listing data
-  * directories — so a reader can never observe a half-written
-  * commit, and old versions stay readable forever (time travel is
-  * `read(s, table, Some(v))`).
+  * (`version=`/`parent=`/`rows=`/`schema_md5=`/`chain_depth=`/
+  * `batch_ids=`) followed by the table-relative data-file paths of
+  * the snapshot (or, for an append, only the new files). Readers
+  * resolve a version by parsing its manifest and reading EXACTLY the
+  * listed files — never by listing data directories — so a reader
+  * can never observe a half-written commit, and old versions stay
+  * readable forever (time travel is `read(s, table, Some(v))`).
   *
   * Commit discipline (the AuditSink/IndexCache protocol applied to a
   * multi-version store):
@@ -32,23 +32,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (pid+tid-suffixed, so concurrent writers never collide on
   *    files);
   *  - the manifest is staged under a private name and PUBLISHED by
-  *    one atomic rename — the rename IS the commit;
-  *  - versions are claimed optimistically: if v<N> already exists
-  *    when the rename lands, the commit FAILS LOUDLY (optimistic
-  *    concurrency — the caller re-reads the new latest and retries
-  *    its merge, exactly the Delta/Iceberg contract) and the orphan
-  *    data directory is removed.
+  *    one atomic `Files.createLink` — hard-link creation is the
+  *    POSIX put-if-absent: it atomically FAILS if the target exists,
+  *    unlike rename, which silently replaces it (two racing writers
+  *    could both pass a check-then-rename);
+  *  - versions are claimed optimistically: a lost claim FAILS LOUDLY
+  *    (optimistic concurrency — the caller re-reads the new latest
+  *    and retries its merge via [[commitWithRetry]], exactly the
+  *    Delta/Iceberg contract) and the orphan data directory is
+  *    removed.
   *
-  * At 100 TB the same protocol holds with the local rename swapped
+  * Transaction registry: every manifest carries the FULL
+  * batchId→version map of the streaming commits below it
+  * (`batch_ids=`), so [[committedBatch]] resolves any batch id from
+  * ONE manifest read — O(1) files per micro-batch instead of the
+  * O(versions) manifest walk a naive scan pays (O(n²) over a
+  * stream's life). Entry size is ~a dozen bytes per batch; a
+  * deployment truncates ids below the checkpoint watermark at
+  * snapshot time.
+  *
+  * Compaction policy: each manifest records its append-chain depth;
+  * an append that would push the chain past [[AutoCompactEvery]] is
+  * AUTOMATICALLY committed as a full snapshot instead (content =
+  * parent chain ∪ batch), so read cost stays bounded by the dial no
+  * matter how long the table lives — the LSM rhythm the text index's
+  * append/compact pair grades, applied to table storage.
+  *
+  * At 100 TB the same protocol holds with the local hard-link swapped
   * for the object store's atomic put-if-absent and the manifest
   * carrying per-file stats for pruning; nothing in the reader
   * changes. */
 object VersionedTable {
 
+  /** Append-chain length that triggers an automatic snapshot — the
+    * read-amplification dial (a reader unions at most this many
+    * append manifests above a snapshot). */
+  val AutoCompactEvery = 16
+
   private def manifestFile(table: String, v: Int): File =
     new File(table, s"v$v.manifest")
 
-  /** Highest committed version, if any (atomic-rename publish means
+  /** Highest committed version, if any (atomic-link publish means
     * every visible manifest is complete). */
   def latestVersion(table: String): Option[Int] = {
     val fs = Option(new File(table).listFiles()).getOrElse(Array.empty)
@@ -61,6 +85,28 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  private def manifestLines(table: String, v: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(manifestFile(table, v).toPath).asScala.toSeq
+  }
+
+  private def headerOf(lines: Seq[String], key: String): Option[String] =
+    lines.find(_.startsWith(s"$key=")).map(_.stripPrefix(s"$key="))
+
+  /** batchId→version registry carried by manifest `v` (empty for a
+    * manifest written before the registry existed or planted by
+    * hand — those tables fall back to "no streaming history"). */
+  private def registryOf(lines: Seq[String]): Map[Long, Int] =
+    headerOf(lines, "batch_ids").filter(_.nonEmpty)
+      .map(_.split(",").map { e =>
+        val Array(b, v) = e.split(":")
+        b.toLong -> v.toInt
+      }.toMap).getOrElse(Map.empty)
+
+  private def chainDepthOf(lines: Seq[String]): Int =
+    headerOf(lines, "chain_depth").flatMap(_.toIntOption).getOrElse(
+      if (lines.contains("mode=append")) AutoCompactEvery else 0)
+
   /** Commit `df` as the next full snapshot version of `table`;
     * returns the committed version number. Fails loudly on a lost
     * commit race (see object doc). */
@@ -71,34 +117,64 @@ object VersionedTable {
     * NEW files plus `mode=append`; readers resolve the version by
     * unioning the parent chain down to the last snapshot. This is
     * the O(batch) ingest shape (a micro-batch lands without
-    * rewriting the table); `commit` (full snapshot) is the
-    * compaction that periodically collapses the chain — together
-    * they are the LSM rhythm the text index's append/compact pair
-    * already grades, applied to table storage. */
+    * rewriting the table); when the chain hits [[AutoCompactEvery]]
+    * the append is automatically promoted to a compacting snapshot
+    * (see object doc). */
   def commitAppend(df: DataFrame, table: String): Int =
     commitMode(df, table, append = true, batchId = None)
 
   /** EXACTLY-ONCE streaming-sink commit: land micro-batch `batchId`
     * as one table version (batch 0 = the base snapshot, later
-    * batches = appends), recording the batch id in the manifest —
-    * and make the commit IDEMPOTENT on it: a replayed batch whose id
-    * is already committed is a no-op (returns the existing version).
-    * This is the transaction-log rule every lakehouse streaming sink
-    * runs (version-per-batchId); with it, micro-batch retries after
-    * a crash land each batch exactly once, which is what
-    * `foreachBatch` alone does NOT guarantee. Returns the version
-    * holding the batch. */
+    * batches = appends), recording the batch id in the manifest
+    * registry — and make the commit IDEMPOTENT on it: a replayed
+    * batch whose id is already committed is a no-op (returns the
+    * existing version). This is the transaction-log rule every
+    * lakehouse streaming sink runs (version-per-batchId); with it,
+    * micro-batch retries after a crash land each batch exactly once,
+    * which is what `foreachBatch` alone does NOT guarantee. Returns
+    * the version holding the batch. */
   def commitBatch(df: DataFrame, table: String, batchId: Long): Int =
     committedBatch(table, batchId).getOrElse(
       commitMode(df, table, append = batchId > 0, batchId = Some(batchId)))
 
-  /** The version holding streaming batch `batchId`, if committed. */
-  def committedBatch(table: String, batchId: Long): Option[Int] = {
-    import scala.jdk.CollectionConverters._
-    (1 to latestVersion(table).getOrElse(0)).find { v =>
-      Files.readAllLines(manifestFile(table, v).toPath).asScala
-        .contains(s"batch_id=$batchId")
+  /** The version holding streaming batch `batchId`, if committed —
+    * resolved from the LATEST manifest's registry: one file read per
+    * lookup regardless of chain length. */
+  def committedBatch(table: String, batchId: Long): Option[Int] =
+    latestVersion(table).flatMap(v =>
+      registryOf(manifestLines(table, v)).get(batchId))
+
+  /** Optimistic-concurrency retry loop — the caller-side half of the
+    * loud lost-race contract: `merge` receives the CURRENT latest
+    * snapshot (None for an empty table) and returns the next full
+    * snapshot, which is committed AT the version the merge READ + 1
+    * — so any writer that landed between the read and the claim
+    * conflicts (the claim's put-if-absent fails), the new latest is
+    * re-read and the merge REPLAYED against it. The replay is what
+    * makes this safe: a blind retry of the stale result would
+    * silently drop the winner's commit (classic lost update —
+    * `commit()` alone recomputes latest at claim time and cannot see
+    * that the merge's read went stale). Returns the committed
+    * version. */
+  def commitWithRetry(s: SparkSession, table: String,
+      merge: Option[DataFrame] => DataFrame, maxAttempts: Int = 5): Int = {
+    new File(table).mkdirs()
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val readV = latestVersion(table)
+      val base = readV.map(v => read(s, table, Some(v)))
+      val next = merge(base)
+      try return commitAt(next, table, readV.getOrElse(0) + 1,
+        append = false)
+      catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("commit race") =>
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"commit of $table lost $maxAttempts races; giving up", e)
+      }
     }
+    -1 // unreachable
   }
 
   private def commitMode(df: DataFrame, table: String,
@@ -106,64 +182,87 @@ object VersionedTable {
     new File(table).mkdirs()
     val v = latestVersion(table).getOrElse(0) + 1
     require(!append || v > 1, "append needs a base snapshot commit")
-    commitAt(df, table, v, append, batchId)
+    val parentDepth =
+      if (v == 1) 0 else chainDepthOf(manifestLines(table, v - 1))
+    if (append && parentDepth + 1 > AutoCompactEvery) {
+      // Chain at the dial: promote this append to a compacting
+      // snapshot — content = current latest ∪ the batch, written as
+      // a full snapshot manifest (chain_depth resets to 0). O(table)
+      // paid once per AutoCompactEvery appends: the LSM amortization.
+      val full = read(df.sparkSession, table, Some(v - 1))
+        .unionByName(df)
+      commitAt(full, table, v, append = false, batchId)
+    } else commitAt(df, table, v, append, batchId)
   }
 
   /** The version-CLAIM step of a commit: write data + staged
-    * manifest, publish by atomic rename of `v`'s manifest. Package-
-    * private so the spec can drive the lost-race path directly (two
-    * writers that both read latest = v−1 race on the same v; only
-    * one rename can land). */
+    * manifest, publish by one atomic `Files.createLink` (put-if-
+    * absent: link creation FAILS if the target exists — rename would
+    * silently replace it, letting two racing writers both report
+    * success). Package-private so the spec can drive the lost-race
+    * path directly (two writers that both read latest = v−1 race on
+    * the same v; only one link can land). */
+  private val attemptNonce = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[graft] def commitAt(df: DataFrame, table: String, v: Int,
       append: Boolean, batchId: Option[Long] = None): Int = {
+    // pid+tid+nonce: private per ATTEMPT, not just per thread — a
+    // same-thread retry after a lost race must not collide with the
+    // winner's (or its own earlier) data directory.
     val rel = s"data/v${v}_${ProcessHandle.current().pid()}_" +
-      s"${Thread.currentThread().getId}"
+      s"${Thread.currentThread().getId}_${attemptNonce.incrementAndGet()}"
     val dataDir = new File(table, rel)
     df.write.mode("errorifexists").parquet(dataDir.getPath)
     val parts = Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    // Footer-count read-back: an empty projection touches only
+    // parquet metadata, so this is O(files), not O(rows).
     val rows = df.sparkSession.read.parquet(dataDir.getPath).count()
     val schemaMd5 = java.security.MessageDigest.getInstance("MD5")
       .digest(df.schema.toDDL.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+    val parentRegistry =
+      if (v == 1) Map.empty[Long, Int]
+      else registryOf(manifestLines(table, v - 1))
+    val registry = parentRegistry ++ batchId.map(_ -> v).toMap
+    val depth =
+      if (!append) 0
+      else chainDepthOf(manifestLines(table, v - 1)) + 1
     val body = (Seq(
       s"version=$v", s"parent=${v - 1}", s"rows=$rows",
       s"mode=${if (append) "append" else "snapshot"}",
-      s"schema_md5=$schemaMd5") ++
-      batchId.map(b => s"batch_id=$b").toSeq ++
+      s"chain_depth=$depth",
+      s"schema_md5=$schemaMd5",
+      s"batch_ids=${registry.toSeq.sorted
+        .map { case (b, bv) => s"$b:$bv" }.mkString(",")}") ++
       parts.map(p => s"$rel/$p"))
       .mkString("", "\n", "\n")
-    val staged = new File(table, s"_staged_v${v}_" +
-      s"${ProcessHandle.current().pid()}_${Thread.currentThread().getId}")
+    val staged = new File(table, s"_staged_${rel.stripPrefix("data/")}")
     Files.write(staged.toPath, body.getBytes("UTF-8"),
       StandardOpenOption.CREATE_NEW)
     val target = manifestFile(table, v)
-    // CREATE_NEW + rename: the only way two writers both "succeed" on
-    // one version is a non-atomic filesystem — rename-onto-existing
-    // succeeds on POSIX, so check-then-rename plus the loud re-check
-    // below is the local stand-in for put-if-absent.
-    if (target.exists() || !staged.renameTo(target)) {
-      staged.delete()
-      rm(dataDir)
-      throw new IllegalStateException(
-        s"commit race lost: version $v of $table already exists — " +
-          "re-read latest and retry the merge")
-    }
+    try Files.createLink(target.toPath, staged.toPath)
+    catch {
+      case _: FileAlreadyExistsException =>
+        staged.delete()
+        rm(dataDir)
+        throw new IllegalStateException(
+          s"commit race lost: version $v of $table already exists — " +
+            "re-read latest and retry the merge")
+    } finally staged.delete()
     v
   }
 
   /** Read a committed version (default: latest). Resolves exactly
     * the manifest's file list — for an append version, the union of
     * its parent chain down to (and including) the nearest snapshot
-    * manifest. */
+    * manifest; [[AutoCompactEvery]] bounds that walk. */
   def read(s: SparkSession, table: String,
       version: Option[Int] = None): DataFrame = {
     val v0 = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalStateException(s"no committed version in $table"))
-    import scala.jdk.CollectionConverters._
     def filesOf(v: Int): Seq[String] = {
-      val lines = Files.readAllLines(manifestFile(table, v).toPath)
-        .asScala.toSeq
+      val lines = manifestLines(table, v)
       val own = lines.filterNot(_.contains("=")).filter(_.nonEmpty)
         .map(rel => new File(table, rel).getPath)
       val isAppend = lines.contains("mode=append")
@@ -172,18 +271,24 @@ object VersionedTable {
     s.read.parquet(filesOf(v0): _*)
   }
 
+  /** Append-chain depth of version `v` (0 = snapshot) — exposed for
+    * the compaction-policy audit. */
+  private[graft] def chainDepth(table: String, v: Int): Int =
+    chainDepthOf(manifestLines(table, v))
+
   /** Manifest-declared row count — the metadata a planner prunes by;
     * [[graft.operators.Ingest.tableVersion]] grades it against the
     * read-back count so the manifest can never drift from the data. */
-  def manifestRows(table: String, v: Int): Long = {
-    import scala.jdk.CollectionConverters._
-    Files.readAllLines(manifestFile(table, v).toPath).asScala
-      .find(_.startsWith("rows=")).map(_.stripPrefix("rows=").toLong)
-      .getOrElse(-1L)
-  }
+  def manifestRows(table: String, v: Int): Long =
+    headerOf(manifestLines(table, v), "rows").map(_.toLong).getOrElse(-1L)
 
   private def rm(f: File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm))
     f.delete()
   }
+
+  /** Remove a throwaway table root (tmp-rooted graded rows clean up
+    * after materializing their census instead of leaking a corpus
+    * copy per run). */
+  private[graft] def deleteRecursively(f: File): Unit = rm(f)
 }

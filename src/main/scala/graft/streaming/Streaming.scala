@@ -945,11 +945,19 @@ object Streaming extends graft.QueryGroup {
   def streamTable(s: SparkSession, dir: String): DataFrame = {
     // Fresh table root per execution: the graded row REBUILDS its
     // sink each run like every twin; a deployment passes a durable
-    // root and keeps the chain.
+    // root and keeps the chain. The per-source census is a bounded
+    // handful of rows, so it is materialized (localCheckpoint cuts
+    // the lineage back to the parquet chain) and the table root
+    // deleted before returning — the lazy formulation pinned a full
+    // projected copy of the corpus under java.io.tmpdir per
+    // invocation (the bench runs 5 passes per SF: unbounded tmp
+    // growth).
     val table = s"${System.getProperty("java.io.tmpdir")}/" +
       s"graft_stream_table_${java.util.UUID.randomUUID()}"
     try streamTableOver(s, documentsStream(s, dir), table)
-    finally () // table dir left for the session; small, tmp-rooted
+      .localCheckpoint(eager = true)
+    finally graft.sources.VersionedTable.deleteRecursively(
+      new java.io.File(table))
   }
 
   private[graft] def streamTableOver(s: SparkSession, in: DataFrame,
@@ -962,12 +970,17 @@ object Streaming extends graft.QueryGroup {
       .foreachBatch(land)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // ids_digest is the order-invariant sum(hash60(doc_id)) census —
+    // O(1) agg state per task and shard-mergeable, where the r11
+    // collect_list formulation buffered every doc_id of a source in
+    // one task (unbounded at 100 TB).
     VersionedTable.read(s, table)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
-          i => i.cast("string")), ",")).as("ids_md5"))
+        sum(graft.functions.MinHash.hash60(col("doc_id").cast("string"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").as("ids_digest"))
       .orderBy(col("source").asc)
   }
 
@@ -1686,12 +1699,14 @@ object Streaming extends graft.QueryGroup {
     },
     // The exactly-once file sink's read-back census must equal the
     // one-shot batch profile of the same columns.
-    "q_stream_table" ->
-      """SELECT source, count(*) AS n_docs,
+    "q_stream_table" -> {
+      val dig = graft.functions.MinHash.hash60Sql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT source, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
-        |         ORDER BY doc_id ASC)) AS ids_md5
-        |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin,
+        |       CAST(sum(CAST($dig AS DECIMAL(38,0))) AS VARCHAR)
+        |         AS ids_digest
+        |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin
+    },
     // Metadata-at-ingest must equal the batch extraction — same
     // oracle (Multimodal group).
     "q_stream_multimodal" ->

@@ -92,8 +92,8 @@ class JsonCleanSpec extends SparkSuite {
     // The deletion receipt must be bit-reproducible — a compliance
     // rerun has to produce the same manifest.
     val again = Ingest.forget(spark, sfDir).collect()
-    assert(rows.map(_.getAs[String]("manifest_md5")).toSeq ===
-      again.map(_.getAs[String]("manifest_md5")).toSeq)
+    assert(rows.map(_.getAs[String]("manifest_digest")).toSeq ===
+      again.map(_.getAs[String]("manifest_digest")).toSeq)
   }
 
   test("q_source_stats: coverage counts are consistent") {

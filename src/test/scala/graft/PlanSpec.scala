@@ -673,4 +673,79 @@ class PlanSpec extends SparkSuite {
     assert(offenders.isEmpty,
       s"global windows over unbounded input: $offenders")
   }
+
+  test("registry sweep: no UNBOUNDED collect_list/collect_set buffer") {
+    // The sibling of the global-window class the sweep above pins:
+    // a collect_list whose GROUP is corpus-sized materializes the
+    // whole group in ONE aggregation buffer (the final-merge task
+    // OOMs at 100 TB even though every executor upstream was fine).
+    // r11's q_table_version/q_stream_table snapshot digests shipped
+    // exactly this shape — collect_list the entire read-back table
+    // under a global (and per-source) group — and slipped past the
+    // window sweep because it checks Window, not Aggregate buffers.
+    // Rule: an Aggregate carrying a collect_list/collect_set is only
+    // allowed when its GROUP SIZE is bounded — grouping keys include
+    // at least one high-cardinality column (so each group is a
+    // per-entity handful), or the aggregate's input subtree is
+    // itself bounded (limit cut / ≤K-key agg below it). Grouping by
+    // ONLY bounded-domain keys (or none) over unbounded input means
+    // some group holds O(corpus) elements → flagged by name.
+    //
+    // Four folds are DIAL-bounded rather than plan-visibly bounded
+    // and are allowlisted BY OUTPUT ALIAS (a new unbounded collect
+    // cannot reuse these names without a reviewer seeing this list):
+    //  - "cents": the broadcast centroid fold — input is the stored
+    //    K-row centroid table (K = SemCells/KmK ≤ 256), read back
+    //    from parquet so the K-limit isn't in this plan's subtree;
+    //  - "cb": the PQ codebook fold — ≤ 256 codewords per subspace
+    //    by construction of the quantizer;
+    //  - "bits": the Bloom tier's collect_set(pos) — a SET over the
+    //    bit-position domain, state ≤ filter size M whatever the
+    //    input row count;
+    //  - "pa": the listwise reranker's per-qid permutation — each
+    //    qid's candidate list is the rerank window (≤ dial) cut
+    //    upstream of the stored probe, not a corpus group.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      CollectList, CollectSet}
+    val boundedKeys = Set(
+      "source", "lang", "split", "event_type", "label", "cell", "cid",
+      "bucket", "band", "tier", "tau_ppm", "stage", "step", "iter",
+      "col_name", "kind", "space", "qid", "q", "prio", "fp_mod", "blk",
+      "l_returnflag", "l_linestatus", "day", "hour", "week", "cohort")
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case a: Aggregate =>
+        a.groupingExpressions.forall(_.references.forall(r =>
+          boundedKeys.contains(r.name.toLowerCase))) || bounded(a.child)
+      case _: LocalRelation | _: OneRowRelation => true
+      case u: Union => u.children.forall(bounded)
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case g: Generate => bounded(g.child)
+      case other if other.children.size == 1 => bounded(other.children.head)
+      case _ => false
+    }
+    val dialBoundedAliases = Set("cents", "cb", "bits", "pa")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_stream_"))
+      .flatMap { name =>
+        val lp = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.optimizedPlan
+        lp.collect {
+          case a: Aggregate if a.aggregateExpressions.exists(ne =>
+                !dialBoundedAliases.contains(ne.name.toLowerCase) &&
+                ne.exists {
+                  case _: CollectList | _: CollectSet => true
+                  case _ => false
+                }) &&
+              a.groupingExpressions.forall(_.references.forall(r =>
+                boundedKeys.contains(r.name.toLowerCase))) &&
+              !bounded(a.child) =>
+            s"$name(${a.simpleString(60)})"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"corpus-scale collect_list/collect_set buffers: $offenders")
+  }
 }

@@ -110,6 +110,80 @@ class VersionedTableSpec extends SparkSuite
     assert(VersionedTable.committedBatch(t, 7L).isEmpty)
   }
 
+  test("200-version chain: batch lookup is one manifest read, read " +
+      "cost and chain depth stay flat (auto-compaction), all batches " +
+      "idempotent") {
+    val t = freshTable()
+    val n = 200
+    (0 until n).foreach { b =>
+      VersionedTable.commitBatch(
+        Seq((b.toLong, s"h$b")).toDF("doc_id", "h"), t, b.toLong)
+    }
+    assert(VersionedTable.latestVersion(t).contains(n))
+    // Auto-compaction: EVERY version's append-chain depth is bounded
+    // by the dial — a reader never unions more than AutoCompactEvery
+    // append manifests, however long the table lives.
+    (1 to n).foreach { v =>
+      assert(VersionedTable.chainDepth(t, v) <=
+        VersionedTable.AutoCompactEvery, s"chain too deep at v$v")
+    }
+    // ...and compaction actually fired (some snapshot beyond v1).
+    assert((2 to n).exists(VersionedTable.chainDepth(t, _) === 0))
+    // O(1) batch lookup: the registry in the LATEST manifest resolves
+    // every batch id — one file read each, no manifest walk. (The
+    // implementation only opens latestVersion's manifest; correctness
+    // of the full map is the observable contract.)
+    Seq(0L, 1L, 77L, (n - 1).toLong).foreach { b =>
+      val v = VersionedTable.committedBatch(t, b)
+      assert(v.nonEmpty && v.get <= n, s"batch $b unresolved")
+    }
+    assert(VersionedTable.committedBatch(t, 9999L).isEmpty)
+    // Replay of an OLD batch (crash-recovery case) is still a no-op
+    // even though its version is deep in the chain.
+    val before = VersionedTable.latestVersion(t)
+    VersionedTable.commitBatch(
+      Seq((77L, "h77")).toDF("doc_id", "h"), t, 77L)
+    assert(VersionedTable.latestVersion(t) === before)
+    // Content survived the compactions: every batch's row is present
+    // exactly once in the latest version.
+    val ids = VersionedTable.read(spark, t).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids === (0 until n).map(_.toLong))
+  }
+
+  test("commitWithRetry replays the merge on a lost race — the " +
+      "winner's commit is incorporated, not overwritten") {
+    val t = freshTable()
+    VersionedTable.commit(Seq((1L, "a")).toDF("doc_id", "h"), t)
+    // First merge attempt races: simulate the winner landing between
+    // the loser's read and its commit by committing from INSIDE the
+    // loser's merge function on attempt 1.
+    var attempts = 0
+    val v = VersionedTable.commitWithRetry(spark, t, { base =>
+      attempts += 1
+      if (attempts == 1) // the interleaved winner (full snapshot)
+        VersionedTable.commit(
+          Seq((1L, "a"), (9L, "w")).toDF("doc_id", "h"), t)
+      base.get.unionByName(
+        Seq((attempts.toLong + 100L, "m")).toDF("doc_id", "h"))
+    })
+    assert(attempts === 2, "merge must be REPLAYED after the lost race")
+    assert(v === 3) // v1 base, v2 winner, the replay lands v3
+    // The final snapshot holds the winner's row AND the replayed
+    // merge (which re-read v2's content) — nothing silently dropped.
+    val ids = VersionedTable.read(spark, t).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 9L, 102L))
+    // Exhaustion path: a merge that always loses gives up loudly.
+    val ex = intercept[IllegalStateException] {
+      VersionedTable.commitWithRetry(spark, t, { base =>
+        VersionedTable.commit(base.get, t) // somebody always wins first
+        base.get
+      }, maxAttempts = 2)
+    }
+    assert(ex.getMessage.contains("lost 2 races"))
+  }
+
   test("manifests are relocation-safe (relative paths — the atomic-" +
       "publish rename of the fingerprint store cannot break reads)") {
     val root = java.nio.file.Files
