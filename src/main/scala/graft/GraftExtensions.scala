@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (AsofJoinNode → AsofJoinExec).
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
 
+    // SQL-invocable TABLE functions over the registry + the
+    // reference-shaped parameterized search entry points (the
+    // `SELECT * FROM search_similar_cards(...)` serving surface;
+    // see graft.SqlSurface).
+    SqlSurface.register(ext)
+
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

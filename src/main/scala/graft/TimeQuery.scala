@@ -17,6 +17,8 @@ object TimeQuery {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.contains("GRAFT_NOAQE")).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

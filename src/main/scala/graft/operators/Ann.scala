@@ -1665,11 +1665,13 @@ object Ann extends graft.QueryGroup {
       cents, entries)
   }
 
-  /** The insert's constituent relations — (qcell, visited, outE,
-    * revKept) where revKept = the (d, nbr) out-pairs every TOUCHED
-    * standing node keeps after the degree-cap prune. Exposed so the
-    * navigability spec can assemble the post-insert graph from
-    * exactly the relations the graded census aggregates. */
+  /** The insert's constituent relations — (qcell, perQ, outE,
+    * revKept) where perQ = the ONE per-insert aggregate
+    * (qid, n_eval, tk = top-deg visited neighbors) every consumer
+    * derives from, and revKept = the (d, nbr) out-pairs every
+    * TOUCHED standing node keeps after the degree-cap prune. Exposed
+    * so the navigability spec can assemble the post-insert graph
+    * from exactly the relations the graded census aggregates. */
   private[graft] def annGraphInsertParts(s: SparkSession, dir: String,
       graph: DataFrame, centroids: DataFrame, entryByCell: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -1693,15 +1695,20 @@ object Ann extends graft.QueryGroup {
     // hop already cut `visited`).
     val visited = beamSearchAll(graph, standing, qs, entries,
       GraphBeam, GraphHops)
+    // ONE per-insert aggregate serves every downstream consumer:
+    // n_eval (count), the top-deg neighbor list (out-edges), its head
+    // (nearest neighbor), and its top-2 prefix (the pinned
+    // backlinks). The r11 shape ran four separate groupBy(qid) aggs
+    // over the same cut relation — 3 extra shuffle+agg subtrees of
+    // pure job-count overhead on a data-invariant row.
+    val perQ = visited.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_eval"),
+        graft.plans.TopKByScore(col("sim"), col("vec_id"), GraphDeg)
+          .as("tk"))
     // Out-edges: per insert, the deg best of everything evaluated.
-    val outE = visited.groupBy(col("qid"))
-      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), GraphDeg)
-        .as("tk"))
+    val outE = perQ
       .select(col("qid"), explode(col("tk")).as("t"))
       .select(col("qid"), col("t.id").as("d"), col("t.score").as("sim"))
-    val nnOf = visited.groupBy(col("qid"))
-      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), 1).as("tk"))
-      .select(col("qid"), col("tk").getItem(0).getField("id").as("nn"))
     // Reverse prune: each TOUCHED standing node ranks its existing
     // out-edges (scored on demand — the stored graph is ids-only)
     // against the new reverse edges and keeps the deg best. Work is
@@ -1734,10 +1741,10 @@ object Ann extends graft.QueryGroup {
         col("embedding").as("dv")), Seq("dst"))
       .select(col("src").as("d"), col("dst").as("nbr"),
         cosineSim(col("sv"), col("dv")).as("sim"))
-    val pin2 = visited.groupBy(col("qid"))
-      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), 2).as("tk"))
+    val pin2 = perQ
       .select(col("qid"),
-        transform(col("tk"), x => x.getField("id")).as("pin"))
+        transform(slice(col("tk"), 1, 2), x => x.getField("id"))
+          .as("pin"))
     val entryEdge = entries
       .join(qs, Seq("qid"))
       .join(ev.select(col("vec_id"), col("embedding").as("evec")),
@@ -1758,27 +1765,23 @@ object Ann extends graft.QueryGroup {
         .as("tk"))
       .select(col("d"), explode(col("tk")).as("t"))
       .select(col("d"), col("t.id").as("nbr"))
-    (qcell, visited, outE, revKept)
+    (qcell, perQ, outE, revKept)
   }
 
   private def annGraphInsertFrom(s: SparkSession, dir: String,
       graph: DataFrame, centroids: DataFrame,
       entryByCell: DataFrame): DataFrame = {
-    val (qcell, visited, outE, revKept) =
+    val (qcell, perQ, _, revKept) =
       annGraphInsertParts(s, dir, graph, centroids, entryByCell)
     val nRev = revKept.where(col("nbr") % Dedup.IncrMod === 0)
       .groupBy(col("nbr").as("qid"))
       .agg(count(lit(1)).as("n_rev_kept"))
-    val nEval = visited.groupBy(col("qid"))
-      .agg(count(lit(1)).as("n_eval"))
-    val nn = visited.groupBy(col("qid"))
-      .agg(graft.plans.TopKByScore(col("sim"), col("vec_id"), 1).as("tk"))
-      .select(col("qid"), col("tk").getItem(0).getField("id").as("nn"))
-    val nOut = outE.groupBy(col("qid")).agg(count(lit(1)).as("n_out"))
-    qcell.join(nEval, Seq("qid")).join(nn, Seq("qid"))
-      .join(nOut, Seq("qid")).join(nRev, Seq("qid"), "left")
+    // n_eval, nn, n_out all project off the ONE perQ aggregate (the
+    // r11 assembly re-aggregated visited three more times here).
+    qcell.join(perQ, Seq("qid")).join(nRev, Seq("qid"), "left")
       .select(col("qid").as("vec_id"), col("cell"), col("n_eval"),
-        col("nn"), col("n_out"),
+        col("tk").getItem(0).getField("id").as("nn"),
+        size(col("tk")).cast("long").as("n_out"),
         coalesce(col("n_rev_kept"), lit(0L)).as("n_rev_kept"))
       .orderBy(col("vec_id").asc)
   }

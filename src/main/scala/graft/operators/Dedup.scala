@@ -1080,9 +1080,15 @@ object Dedup extends graft.QueryGroup {
     * elimination collapses the three references to one evaluation). */
   private[graft] def bridgedCells(vec: Column, cents: Column): Column = {
     val t2 = graft.plans.Top2Cells(vec, cents)
-    when(t2("d2") <= lit(BridgeRatio) * t2("d1"),
-        array(t2("c1"), t2("c2")))
-      .otherwise(array(t2("c1")))
+    // Degenerate-quantizer guard: Top2Cells yields null when fewer
+    // than 2 usable centroids exist — without the fallback the
+    // vector's cells were array(NULL) and it silently dropped out of
+    // candidate generation entirely, STRICTER than the unbridged rule
+    // it is supposed to widen. Fall back to the plain nearest cell.
+    when(t2.isNull, array(graft.plans.NearestCell(vec, cents)))
+      .otherwise(when(t2("d2") <= lit(BridgeRatio) * t2("d1"),
+          array(t2("c1"), t2("c2")))
+        .otherwise(array(t2("c1"))))
   }
 
   private[graft] def semanticDedupBridgedOver(e: DataFrame): DataFrame = {

@@ -398,8 +398,8 @@ object Graph extends graft.QueryGroup {
   // bump-on-any-change rule a silent no-op for those two dials
   // (caught via the compiler's uninitialized-reference warning, r10).
   private[graft] lazy val GraphIndexLayout =
-    s"v1:refs=$EdgeRefs:keep=$CcKeepMod:cap=$CnDegCap:it=$CcMaxIters:" +
-      s"mod=${Dedup.IncrMod}:meta+edges+degrees+strong+labels+cn"
+    s"v2:refs=$EdgeRefs:keep=$CcKeepMod:cap=$CnDegCap:it=$CcMaxIters:" +
+      s"mod=${Dedup.IncrMod}:meta+edges+degrees+strong+labels+cn-noedge"
 
   /** Fingerprint-keyed location of the standing graph store. */
   private[graft] def graphIndexPath(dir: String): String =
@@ -420,7 +420,11 @@ object Graph extends graft.QueryGroup {
     *    left-join-default a deployment's label read applies);
     *  - `cn`: the standing common-neighbor table at STANDING-degree
     *    center eligibility (what was storable before the batch
-    *    existed; the serve-side algebra corrects eligibility flips).
+    *    existed; the serve-side algebra corrects eligibility flips),
+    *    with STANDING EDGES already excluded — pre-excluding them
+    *    here is what lets the serve merge stay broadcast-only (the
+    *    only edges that can newly conflict with a stored pair are
+    *    the batch's own, which are broadcast-scale).
     *
     * Every serve-side maintenance row then reads these and scans
     * ONLY batch documents — the O(batch) property the graded rows
@@ -446,6 +450,7 @@ object Graph extends graft.QueryGroup {
       .where(col("d") <= CnDegCap).select(col("x").as("c"))
     wedgePairs(adjOf(sUe), eligS)
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_common"))
+      .join(sUe, Seq("u", "v"), "left_anti")
       .write.mode("overwrite").parquet(s"$out/cn")
   }
 
@@ -486,32 +491,73 @@ object Graph extends graft.QueryGroup {
     * graded row priced a rebuild it disclaimed); full degrees at
     * affected centers come from stored degrees + the batch delta,
     * never a corpus re-count. The refresh scans batch documents
-    * only; corpus size enters solely through columnar reads of the
-    * standing store. */
+    * only; corpus size enters solely through MAP-ONLY broadcast
+    * semi/anti probes of the standing store — r12 removed the last
+    * corpus-scale shuffle (the merge agg used to re-exchange the
+    * whole stored cn per refresh; now stored pairs the batch touched
+    * are extracted by broadcast probe, merged at batch scale, and
+    * edge exclusion probes the edge table with the small merged key
+    * set — possible because the stored cn pre-excludes standing
+    * edges). */
   def graphIncremental(s: SparkSession, dir: String): DataFrame = {
     val idx = ensureGraphIndex(s, dir)
     val cnS = s.read.parquet(s"$idx/cn")
-    val (ue, sUe, eligFAff, eligSAff) = incrCnServeParts(s, dir, idx)
-    def arm(adj: DataFrame, centers: DataFrame, w: Column) =
-      wedgePairs(adj, centers).select(col("u"), col("v"), w.as("w"))
-    cnS.select(col("u"), col("v"), col("n_common").as("w"))
-      .unionAll(arm(adjOf(ue), eligFAff, lit(1L)))
-      .unionAll(arm(adjOf(sUe), eligSAff, lit(-1L)))
+    val sUe = s.read.parquet(s"$idx/edges")
+    val (nUe, fused) = incrCnFused(s, dir, idx)
+    // Batch-scale delta per pair; cut because multiple consumers
+    // below would each re-run the wedge self-join (measured: the cut
+    // is worth ~1.4 s here; cutting `merged` too COSTS ~1.2 s — its
+    // recompute is just a map-only cn probe over cut delta, cheaper
+    // than the cut's own eager job).
+    val delta = fused
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("dw"))
+      .transform(graft.Checkpoints.cut)
+    val dKeys = delta.select(col("u"), col("v"))
+    // The serve merge is BROADCAST-ONLY — the corpus-scale standing
+    // tables (cn, edges) are probed by map-only broadcast semi/anti
+    // scans and never shuffled (the r11 shape unioned the whole
+    // stored cn into a hash-agg: a full cn re-shuffle per refresh).
+    val touched = cnS.join(broadcast(dKeys), Seq("u", "v"), "left_semi")
+    val untouched = cnS.join(broadcast(dKeys), Seq("u", "v"), "left_anti")
+    val merged = touched
+      .select(col("u"), col("v"), col("n_common").as("w"))
+      .unionAll(delta.select(col("u"), col("v"), col("dw").as("w")))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("n_common"))
       .where(col("n_common") > 0)
-      .join(ue, Seq("u", "v"), "left_anti")
+    // Edge exclusion without a corpus shuffle: the stored cn already
+    // excludes STANDING edges, so only (a) touched pairs that
+    // collide with a standing edge — found by probing the edge table
+    // with the small merged key set — and (b) the batch's own new
+    // edges (broadcast-scale) can conflict.
+    val conflicts = sUe.join(
+      broadcast(merged.select(col("u"), col("v"))),
+      Seq("u", "v"), "left_semi")
+    val nKeys = nUe.select(col("u"), col("v"))
+    untouched
+      .unionAll(merged.join(broadcast(conflicts.select(col("u"), col("v"))),
+        Seq("u", "v"), "left_anti"))
+      .join(broadcast(nKeys), Seq("u", "v"), "left_anti")
       .orderBy(col("n_common").desc, col("u").asc, col("v").asc)
       .limit(CnTopK)
   }
 
-  /** The serve-side inputs of the CN maintenance algebra, standing
-    * tables read from the store at `idx`: (full canonical edges,
-    * standing edges, full-degree-eligible affected centers,
-    * standing-degree-eligible affected centers). ONE construction
-    * shared by the production row and the plan spec's delta-arm
-    * audit (r9 review discipline). */
-  private[graft] def incrCnServeParts(s: SparkSession, dir: String,
-      idx: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** The CN maintenance delta as ONE fused wedge pass: (new batch
+    * edges, fused ±wedge rows). The r11 formulation ran the
+    * +arm (full adjacency at full-eligible centers) and the −arm
+    * (standing adjacency at standing-eligible centers) as two
+    * separate prune+self-join+union subtrees — 2x the probe scans and
+    * a job-count tax the verdict measured at ~2 s of data-invariant
+    * overhead. The algebra fuses: tag each adjacency row with
+    * inS ∈ {0,1} (standing membership), broadcast-join the affected
+    * centers' eligibility flags (eF = full-degree ≤ cap,
+    * eS = standing-degree ≤ cap), and each full-adjacency wedge pair
+    * at an affected center contributes w = eF − eS·(a.inS·b.inS) —
+    * exactly +arm minus −arm per pair, in ONE self-join. Centers
+    * with eF = eS = 0 are pruned before the self-join (they
+    * contribute only zeros). ONE construction shared by the
+    * production row and the plan spec's prune audit. */
+  private[graft] def incrCnFused(s: SparkSession, dir: String,
+      idx: String): (DataFrame, DataFrame) = {
     val in = Tables.documents(s, dir)
     val nd = s.read.parquet(s"$idx/meta")
     val sUe = s.read.parquet(s"$idx/edges")
@@ -525,16 +571,34 @@ object Graph extends graft.QueryGroup {
       .join(sUe, Seq("u", "v"), "left_anti")
     // Degree DELTA per affected center from the new edges alone;
     // full degree = stored standing degree (0 if unseen) + delta.
+    // Eligibility per arm in the arm's own world, as ONE flags row
+    // per affected center (batch-scale → broadcast).
     val dDelta = adjOf(nUe).groupBy(col("c")).agg(count(lit(1)).as("dd"))
-    val eligFAff = dDelta
+    val cFlags = dDelta
       .join(sDeg.select(col("x").as("c"), col("d")), Seq("c"), "left")
-      .where(coalesce(col("d"), lit(0L)) + col("dd") <= CnDegCap)
-      .select(col("c"))
-    val eligSAff = dDelta.select(col("c"))
-      .join(sDeg.where(col("d") <= CnDegCap).select(col("x").as("c")),
-        Seq("c"), "left_semi")
-    (sUe.unionAll(nUe), sUe, eligFAff, eligSAff)
+      .select(col("c"),
+        when(coalesce(col("d"), lit(0L)) + col("dd") <= CnDegCap, 1L)
+          .otherwise(0L).as("ef"),
+        when(col("d").isNotNull && col("d") <= CnDegCap, 1L)
+          .otherwise(0L).as("es"))
+      .where(col("ef") + col("es") > 0)
+    val taggedAdj = adjTagged(sUe.withColumn("ins", lit(1L))
+      .unionAll(nUe.withColumn("ins", lit(0L))))
+    val a2 = taggedAdj.join(broadcast(cFlags), Seq("c"))
+    val fused = a2.as("a").join(a2.as("b"),
+        col("a.c") === col("b.c") && col("a.x") < col("b.x"))
+      .select(col("a.x").as("u"), col("b.x").as("v"),
+        (col("a.ef") - col("a.es") * col("a.ins") * col("b.ins"))
+          .as("w"))
+      .where(col("w") =!= 0L)
+    (nUe, fused)
   }
+
+  /** Both directions of a tagged canonical edge set as
+    * (center, neighbor, ins). */
+  private def adjTagged(e: DataFrame): DataFrame =
+    e.select(col("u").as("c"), col("v").as("x"), col("ins"))
+      .unionAll(e.select(col("v").as("c"), col("u").as("x"), col("ins")))
 
   /** Both directions of a canonical edge set as (center, neighbor). */
   private[graft] def adjOf(e: DataFrame): DataFrame =
@@ -759,16 +823,14 @@ object Graph extends graft.QueryGroup {
     (labels.toDF("doc_id", "component"), t, trace)
   }
 
-  /** The +arm's pruned wedge relation — exposed pre-agg so the plan
-    * spec can assert the affected-center left-semi prune sits below
-    * the join+agg. Built from the SAME incrCnServeParts/adjOf/
-    * wedgePairs construction the production query uses. */
+  /** The fused ±wedge relation pre-agg — exposed so the plan spec can
+    * assert the affected-center prune (the broadcast flags join) sits
+    * below the wedge self-join + aggregation. Built from the SAME
+    * [[incrCnFused]] construction the production query uses. */
   private[graft] def incrDeltaWedges(s: SparkSession,
       dir: String): DataFrame = {
-    val (ue, _, eligFAff, _) =
-      incrCnServeParts(s, dir, ensureGraphIndex(s, dir))
-    wedgePairs(adjOf(ue), eligFAff)
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("nw"))
+    val (_, fused) = incrCnFused(s, dir, ensureGraphIndex(s, dir))
+    fused.groupBy(col("u"), col("v")).agg(sum(col("w")).as("nw"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

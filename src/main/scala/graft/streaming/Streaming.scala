@@ -143,6 +143,13 @@ object Streaming extends graft.QueryGroup {
       val q = ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
       q.awaitTermination()
     } finally {
+      // The checkpoint is disposable, so the providers the run loaded
+      // (and their in-heap state maps) are dead weight — unload them
+      // before the next suite row instead of letting 26 twins × reps
+      // × partitions of final state pile onto the heap (measured as
+      // suite-position inflation: identical twins cost 2-3x mid-suite
+      // vs solo on the same code).
+      org.apache.spark.sql.GraftBridge.unloadStateStores()
       ckpt.foreach { c =>
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

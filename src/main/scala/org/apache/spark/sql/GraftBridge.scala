@@ -20,4 +20,15 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Drop every loaded state-store provider (and its in-heap state
+    * maps). The graded streaming twins run one-shot with DISPOSABLE
+    * checkpoints — after a query finishes, its providers are dead
+    * weight that Spark's executor-singleton cache still pins (the
+    * maintenance thread keeps servicing them and the final state
+    * maps stay on the heap for the rest of the suite). Safe by
+    * construction: providers reload on demand from their checkpoint
+    * if a live query still needs them. */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
 }

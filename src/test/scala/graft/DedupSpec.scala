@@ -739,8 +739,15 @@ class DedupSpec extends SparkSuite {
     assert(vRatio < 2.6,
       f"candidate volume grew ${vRatio}%.2f x for 2x data — the cell " +
         "dial is not holding occupancy")
-    assert(t2 / t1 < 3.0,
-      f"wall-time grew ${t2 / t1}%.2f x for 2x data (the one-level " +
-        "quadratic envelope is 4x) — assignment or census regressed")
+    // The wall-clock ratio is load/GC-sensitive on contended hosts, so
+    // the CORRECTNESS suite only logs it; the candidate-volume ratio
+    // above is the deterministic envelope. Export GRAFT_TIMING_ASSERTS
+    // to make the ratio a hard gate (local perf iteration).
+    if (sys.env.contains("GRAFT_TIMING_ASSERTS"))
+      assert(t2 / t1 < 3.0,
+        f"wall-time grew ${t2 / t1}%.2f x for 2x data (the one-level " +
+          "quadratic envelope is 4x) — assignment or census regressed")
+    else info(f"wall ratio 2x data: ${t2 / t1}%.2f x (quadratic " +
+      "envelope 4x; assertion gated behind GRAFT_TIMING_ASSERTS)")
   }
 }

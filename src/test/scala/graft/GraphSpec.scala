@@ -169,17 +169,30 @@ class GraphSpec extends SparkSuite {
     val full = Graph.graphCommonNeighbors(spark, sfDir).collect().toSeq
     assert(inc === full, "incremental CN diverged from the rebuild")
     assert(inc.nonEmpty)
-    // Plan: the delta arm's wedge enumeration must be pruned to the
+    // Plan: the fused wedge enumeration must be pruned to the
     // affected centers BEFORE the self-join + aggregation — the
-    // O(batch) property. LeftSemi below the top HashAggregate.
+    // O(batch) property. The prune is the broadcast eligibility-flags
+    // join (r12 fused the former two-arm LeftSemi shape into one
+    // tagged self-join); it must appear below the top HashAggregate,
+    // and it must be a BROADCAST join — a shuffled center join would
+    // re-exchange the corpus adjacency per refresh.
     val p = Graph.incrDeltaWedges(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(p.contains("LeftSemi"),
-      s"affected-center prune must be a left-semi join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"affected-center prune must be a broadcast join:\n$p")
     val aggIdx = p.indexOf("HashAggregate")
-    val semiIdx = p.lastIndexOf("LeftSemi")
-    assert(aggIdx >= 0 && semiIdx > aggIdx,
-      s"semi-join must sit BELOW the wedge aggregation:\n$p")
+    val bcIdx = p.lastIndexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && bcIdx > aggIdx,
+      s"center prune must sit BELOW the wedge aggregation:\n$p")
+    // The SERVE merge must be broadcast-only: the corpus-scale
+    // standing tables (cn, edges) are probed map-only, never
+    // re-shuffled per refresh — no sort-merge/shuffled-hash join
+    // anywhere in the graded row's plan (the only exchanges are the
+    // batch-scale delta agg and the final TakeOrdered).
+    val sp = Graph.graphIncremental(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!sp.contains("SortMergeJoin") && !sp.contains("ShuffledHashJoin"),
+      s"the serve merge must not shuffle the standing store:\n$sp")
   }
 
   test("q_rank_converged: tolerance fixpoint — stop rule exact, " +

@@ -984,4 +984,47 @@ class StreamingSpec extends SparkSuite
       assert(a === b, s"$n is not deterministic across reruns")
     }
   }
+
+  test("AvailableNow twins run exactly ONE data micro-batch per SF — " +
+      "per-trigger machinery cost is paid once, independent of data " +
+      "volume") {
+    // The r11 verdict theorized the twins' data-scaled marginal came
+    // from trigger count growing with input file count (more files at
+    // sf0.1 → more micro-batches → per-trigger tax re-paid). MEASURED
+    // (StreamProfile, both SFs, all 8 flagged rows): triggers = 1
+    // everywhere — each SF's table is one parquet file and the file
+    // source under AvailableNow takes all available files in one
+    // batch (no maxFilesPerTrigger is set). The residual marginal is
+    // addBatch row-processing (sublinear: 10x rows → ~1.6-2x
+    // addBatch) plus batch-side post-stream work, NOT trigger
+    // machinery. This pins the one-batch property so a future
+    // maxFilesPerTrigger / source change that silently splits the
+    // replay (re-paying walCommit + state commit per split) fails
+    // here by name.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+        e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+        e: StreamingQueryListener.QueryProgressEvent): Unit =
+        batches.synchronized {
+          if (e.progress.numInputRows > 0) batches += e.progress.batchId
+        }
+      override def onQueryTerminated(
+        e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      // One events-fed and one documents-fed twin cover both sources.
+      Seq("q_stream_sessionize", "q_stream_index").foreach { n =>
+        batches.synchronized(batches.clear())
+        SparkEntry.queries(n)(spark, sfDir).count()
+        val seen = batches.synchronized(batches.toList)
+        assert(seen.size === 1,
+          s"$n ran ${seen.size} data micro-batches (ids $seen); " +
+            "expected the single-batch AvailableNow replay")
+      }
+    } finally spark.streams.removeListener(listener)
+  }
 }
