@@ -58,10 +58,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * matter how long the table lives — the LSM rhythm the text index's
   * append/compact pair grades, applied to table storage.
   *
+  * Per-file stats: a commit given a `statsCol` records
+  * `|rows:n|min:v|max:v` on each manifest file line (plus a
+  * `stats_col=` header), collected in the SAME read-back pass that
+  * already verifies the row count — and [[readWhere]] then resolves
+  * a range predicate to ONLY the files whose [min,max] intersect it
+  * (manifest-level file skipping, the lakehouse data-skipping
+  * contract; files from a stats-less commit are conservatively
+  * kept). This miniature stores integral stats (the id-keyed layout
+  * every table here uses); a deployment widens the codec to typed
+  * stats per column exactly like Delta/Iceberg.
+  *
   * At 100 TB the same protocol holds with the local hard-link swapped
-  * for the object store's atomic put-if-absent and the manifest
-  * carrying per-file stats for pruning; nothing in the reader
-  * changes. */
+  * for the object store's atomic put-if-absent; nothing in the
+  * reader changes. */
 object VersionedTable {
 
   /** Append-chain length that triggers an automatic snapshot — the
@@ -110,8 +120,9 @@ object VersionedTable {
   /** Commit `df` as the next full snapshot version of `table`;
     * returns the committed version number. Fails loudly on a lost
     * commit race (see object doc). */
-  def commit(df: DataFrame, table: String): Int =
-    commitMode(df, table, append = false, batchId = None)
+  def commit(df: DataFrame, table: String,
+      statsCol: Option[String] = None): Int =
+    commitMode(df, table, append = false, batchId = None, statsCol)
 
   /** Commit `df` as an APPEND version: the manifest lists only the
     * NEW files plus `mode=append`; readers resolve the version by
@@ -178,7 +189,8 @@ object VersionedTable {
   }
 
   private def commitMode(df: DataFrame, table: String,
-      append: Boolean, batchId: Option[Long]): Int = {
+      append: Boolean, batchId: Option[Long],
+      statsCol: Option[String] = None): Int = {
     new File(table).mkdirs()
     val v = latestVersion(table).getOrElse(0) + 1
     require(!append || v > 1, "append needs a base snapshot commit")
@@ -191,8 +203,8 @@ object VersionedTable {
       // paid once per AutoCompactEvery appends: the LSM amortization.
       val full = read(df.sparkSession, table, Some(v - 1))
         .unionByName(df)
-      commitAt(full, table, v, append = false, batchId)
-    } else commitAt(df, table, v, append, batchId)
+      commitAt(full, table, v, append = false, batchId, statsCol)
+    } else commitAt(df, table, v, append, batchId, statsCol)
   }
 
   /** The version-CLAIM step of a commit: write data + staged
@@ -205,7 +217,8 @@ object VersionedTable {
   private val attemptNonce = new java.util.concurrent.atomic.AtomicLong(0)
 
   private[graft] def commitAt(df: DataFrame, table: String, v: Int,
-      append: Boolean, batchId: Option[Long] = None): Int = {
+      append: Boolean, batchId: Option[Long] = None,
+      statsCol: Option[String] = None): Int = {
     // pid+tid+nonce: private per ATTEMPT, not just per thread — a
     // same-thread retry after a lost race must not collide with the
     // winner's (or its own earlier) data directory.
@@ -215,9 +228,27 @@ object VersionedTable {
     df.write.mode("errorifexists").parquet(dataDir.getPath)
     val parts = Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    // Per-file (rows, min, max) for the pruning codec — ONE grouped
+    // read-back over just the stats column (a deployment lifts these
+    // from writer-task stats; parquet footers already hold them).
+    val fileStats: Map[String, (Long, Long, Long)] = statsCol.map { sc =>
+      import org.apache.spark.sql.functions.{col => c, count => cnt,
+        input_file_name, lit => l, min => mn, max => mx}
+      df.sparkSession.read.parquet(dataDir.getPath)
+        .groupBy(input_file_name().as("f"))
+        .agg(cnt(l(1)).as("n"), mn(c(sc)).cast("long").as("lo"),
+          mx(c(sc)).cast("long").as("hi"))
+        .collect()
+        .map(r => new File(r.getString(0)).getName ->
+          (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+    }.getOrElse(Map.empty)
     // Footer-count read-back: an empty projection touches only
-    // parquet metadata, so this is O(files), not O(rows).
-    val rows = df.sparkSession.read.parquet(dataDir.getPath).count()
+    // parquet metadata, so this is O(files), not O(rows); when stats
+    // were collected, their per-file counts already carry it.
+    val rows =
+      if (fileStats.nonEmpty) fileStats.valuesIterator.map(_._1).sum
+      else df.sparkSession.read.parquet(dataDir.getPath).count()
     val schemaMd5 = java.security.MessageDigest.getInstance("MD5")
       .digest(df.schema.toDDL.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -235,7 +266,13 @@ object VersionedTable {
       s"schema_md5=$schemaMd5",
       s"batch_ids=${registry.toSeq.sorted
         .map { case (b, bv) => s"$b:$bv" }.mkString(",")}") ++
-      parts.map(p => s"$rel/$p"))
+      statsCol.map(sc => s"stats_col=$sc").toSeq ++
+      // File lines: path, optionally `|rows:n|min:v|max:v` (colon
+      // codec — header lines are the ones containing '=').
+      parts.map(p => fileStats.get(p) match {
+        case Some((n, lo, hi)) => s"$rel/$p|rows:$n|min:$lo|max:$hi"
+        case None => s"$rel/$p"
+      }))
       .mkString("", "\n", "\n")
     val staged = new File(table, s"_staged_${rel.stripPrefix("data/")}")
     Files.write(staged.toPath, body.getBytes("UTF-8"),
@@ -258,17 +295,72 @@ object VersionedTable {
     * its parent chain down to (and including) the nearest snapshot
     * manifest; [[AutoCompactEvery]] bounds that walk. */
   def read(s: SparkSession, table: String,
-      version: Option[Int] = None): DataFrame = {
-    val v0 = version.orElse(latestVersion(table)).getOrElse(
+      version: Option[Int] = None): DataFrame =
+    s.read.parquet(resolveFiles(table, resolveV(table, version))
+      .map(_._1): _*)
+
+  private def resolveV(table: String, version: Option[Int]): Int =
+    version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalStateException(s"no committed version in $table"))
-    def filesOf(v: Int): Seq[String] = {
-      val lines = manifestLines(table, v)
-      val own = lines.filterNot(_.contains("=")).filter(_.nonEmpty)
-        .map(rel => new File(table, rel).getPath)
-      val isAppend = lines.contains("mode=append")
-      if (isAppend) filesOf(v - 1) ++ own else own
+
+  /** The file list of version `v` with each file's recorded
+    * (rows, min, max) stats, if its commit carried a stats column —
+    * resolved through the append chain exactly like [[read]].
+    * Package-private so the pruning spec can audit which files a
+    * predicate keeps. */
+  private[graft] def resolveFiles(table: String, v: Int)
+      : Seq[(String, Option[(Long, Long, Long)])] = {
+    val lines = manifestLines(table, v)
+    val own = lines.filterNot(_.contains("=")).filter(_.nonEmpty)
+      .map { line =>
+        val fields = line.split('|')
+        val path = new File(table, fields.head).getPath
+        val kv = fields.tail.flatMap { f =>
+          f.split(':') match {
+            case Array(k, x) => x.toLongOption.map(k -> _)
+            case _ => None
+          }
+        }.toMap
+        val stats = for (n <- kv.get("rows"); lo <- kv.get("min");
+          hi <- kv.get("max")) yield (n, lo, hi)
+        path -> stats
+      }
+    val isAppend = lines.contains("mode=append")
+    if (isAppend) resolveFiles(table, v - 1) ++ own else own
+  }
+
+  /** Range-predicate read with MANIFEST-LEVEL FILE SKIPPING: only
+    * files whose recorded [min, max] on the commit's stats column
+    * intersects [lo, hi] are opened (files without stats are
+    * conservatively kept); the residual predicate is applied on
+    * top, so the result is exactly `read(...).where(lo <= c <= hi)`
+    * at a fraction of the file I/O — the data-skipping half of the
+    * lakehouse contract ([[commitAt]]'s stats codec is the other).
+    * `statsCol` must be the column the commit recorded
+    * (`stats_col=` header) — enforced, a predicate pruned by a
+    * DIFFERENT column's stats would silently drop rows. */
+  def readWhere(s: SparkSession, table: String, statsCol: String,
+      lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
+    val v0 = resolveV(table, version)
+    val declared = headerOf(manifestLines(table, v0), "stats_col")
+    require(declared.forall(_ == statsCol),
+      s"stats column mismatch: manifest has $declared, asked $statsCol")
+    val kept = resolveFiles(table, v0).collect {
+      case (p, None) => p
+      case (p, Some((_, mn, mx))) if mx >= lo && mn <= hi => p
     }
-    s.read.parquet(filesOf(v0): _*)
+    import org.apache.spark.sql.functions.{col => c}
+    s.read.parquet(kept: _*).where(c(statsCol) >= lo && c(statsCol) <= hi)
+  }
+
+  /** Global (min, max) of the stats column of version `v`, folded
+    * from the manifest's per-file stats — table-wide bounds at ZERO
+    * data reads (the metadata question every range predicate asks
+    * first). */
+  def statsRange(table: String, v: Int): (Long, Long) = {
+    val st = resolveFiles(table, v).flatMap(_._2)
+    require(st.nonEmpty, s"version $v of $table carries no file stats")
+    (st.map(_._2).min, st.map(_._3).max)
   }
 
   /** Append-chain depth of version `v` (0 = snapshot) — exposed for

@@ -883,7 +883,17 @@ object Streaming extends graft.QueryGroup {
     * the stream by [[StreamAnnQMod]]. */
   private[graft] def streamAnnOver(s: SparkSession, in: DataFrame,
       corpus: DataFrame, sink: String, k: Int = 10): DataFrame = {
-    val (a1, centArr) = Ann.ivfServingSide(corpus)
+    // FREEZE the standing side before the stream starts — the
+    // deployment shape (queries probe a stored IVF index; nothing
+    // rebuilds the quantizer per micro-batch). Without the cut, the
+    // stream-static join re-evaluates the celled corpus AND the
+    // centroid build (a corpus-wide aggregate) inside every
+    // trigger's addBatch: measured 1.5-2.1 s of the twin's addBatch
+    // at sf0.1 was quantizer rebuild, not probe work. localCheckpoint
+    // materializes both once; per-batch cost is then queries ×
+    // probe-cell occupancy, exactly the stored-index serving claim.
+    val (a1u, centArrU) = Ann.ivfServingSide(corpus)
+    val (a1, centArr) = (a1u.localCheckpoint(), centArrU.localCheckpoint())
 
     val queries = in
       .withColumn("embedding", col("embedding").cast("array<double>"))
@@ -1206,13 +1216,16 @@ object Streaming extends graft.QueryGroup {
     * min/max through a zero-padded fixed-width sort key so the
     * string extreme IS the numeric extreme, reported as the plain
     * render). NDV splits by column class: BOUNDED columns keep the
-    * exact STANDING DICTIONARY — a first-sight `dropDuplicates`
-    * append stream of (column, value), state = one entry per
-    * distinct value — while UNBOUNDED key columns
+    * exact STANDING DICTIONARY — one state entry per distinct
+    * (column, value) — while UNBOUNDED key columns
     * ([[StreamStatsHllCols]]) ride the q_stream_hll REGISTER path:
-    * a complete-mode max-rho table of O(256) entries per column,
-    * folded through the same fixed-point estimator the sketch tier
-    * serves (the oracle replays it bit for bit).
+    * a max-rho table of O(256) entries per column, folded through
+    * the same fixed-point estimator the sketch tier serves (the
+    * oracle replays it bit for bit). All three tiers live in ONE
+    * complete-mode aggregation keyed by (arm, column, sub-key) —
+    * one ingest pass, one state store, one commit cycle per trigger
+    * (r11 ran them as three separate streaming queries and paid the
+    * per-query floor three times for identical state).
     *
     * Scale: counters state is O(columns), registers O(columns×256),
     * the dictionary O(NDV) for bounded columns only — nothing in the
@@ -1235,36 +1248,57 @@ object Streaming extends graft.QueryGroup {
     }
     val unpivot = in.select(explode(array(arms: _*)).as("r"))
       .select(col("r.*"))
-    val live = when(col("is_null") === 0L,
+    // ONE ingest pass, three state tiers in ONE complete-mode
+    // aggregation keyed by (arm, col_name, k2): counters (arm "c",
+    // one state row per column), the exact standing dictionary for
+    // bounded columns (arm "d", one row per distinct value — the
+    // same O(NDV) state the former dropDuplicates stream kept, now
+    // sharing the store), and the max-rho registers for unbounded
+    // key columns (arm "r", one row per (column, bucket), O(256)).
+    // r11 ran these as THREE streaming queries; each paid its own
+    // query start/stop, offset/commit logs and state-store commit
+    // cycle — pure per-query floor ×3 for the same row work. All
+    // three tiers are associative aggregates over the same unpivot,
+    // so they fold in one store exactly (the replay spec argument
+    // is unchanged: count/sum/min/max/max-rho are split-invariant).
+    import graft.operators.Sketches
+    val bounded = !col("col_name").isInCollection(StreamStatsHllCols)
+    val h = graft.functions.MinHash.hash60(concat(lit("hll:"), col("val")))
+    val tagged = unpivot.select(col("col_name"), col("sortkey"),
+      col("val"), col("len"), col("is_null"),
+      explode(filter(array(
+        struct(lit("c").as("arm"), lit("").as("k2"), lit(0L).as("rho")),
+        when(col("is_null") === 0L && bounded,
+          struct(lit("d").as("arm"), col("val").as("k2"),
+            lit(0L).as("rho"))),
+        when(col("is_null") === 0L && !bounded,
+          struct(lit("r").as("arm"),
+            pmod(h, lit(Sketches.HllM.toLong)).cast("string").as("k2"),
+            Sketches.hllRho(shiftright(h, 8).bitwiseAND(lit(0xffffL)))
+              .cast("long").as("rho")))),
+        x => x.isNotNull)).as("t"))
+    val live = when(col("is_null") === 0L && col("t.arm") === "c",
       struct(col("sortkey"), col("val")))
-    val counters = unpivot.groupBy(col("col_name"))
+    val agg = tagged.groupBy(col("t.arm").as("arm"), col("col_name"),
+        col("t.k2").as("k2"))
       .agg(count(lit(1)).as("n_rows"), sum(col("is_null")).as("n_null"),
         sum(col("len")).as("sum_len"),
         min(live).getField("val").as("min_v"),
-        max(live).getField("val").as("max_v"))
-    runToCompletion(counters, sink + "_cnt", "complete")
-    val bounded = !col("col_name").isInCollection(StreamStatsHllCols)
-    val dict = unpivot.where(col("is_null") === 0L && bounded)
-      .select(col("col_name"), col("val"))
-      .dropDuplicates("col_name", "val")
-    runToCompletion(dict, sink + "_dict", "append")
-    // Unbounded key columns: maintain the 256-register max-rho table
-    // at ingest (the q_stream_hll shape — same hash prefix, same
-    // estimator fold serve-side).
-    import graft.operators.Sketches
-    val h = graft.functions.MinHash.hash60(concat(lit("hll:"), col("val")))
-    val regs = unpivot.where(col("is_null") === 0L && !bounded)
-      .select(col("col_name"),
-        pmod(h, lit(Sketches.HllM.toLong)).as("bucket"),
-        Sketches.hllRho(shiftright(h, 8).bitwiseAND(lit(0xffffL)))
-          .as("rho"))
-      .groupBy(col("col_name"), col("bucket"))
-      .agg(max(col("rho")).as("m"))
-    runToCompletion(regs, sink + "_regs", "complete")
-    val ndvDict = s.table(sink + "_dict")
+        max(live).getField("val").as("max_v"),
+        max(col("t.rho")).as("m"))
+    runToCompletion(agg, sink, "complete")
+    val st = s.table(sink)
+    // Re-alias the grouped branches: three reads of the same memory
+    // sink share attribute ids, and the analyzer does not dedup them
+    // through MemoryPlan — a fresh Alias per branch disambiguates.
+    val ndvDict = st.where(col("arm") === "d")
       .groupBy(col("col_name")).agg(count(lit(1)).as("ndv"))
-    val ndvRegs = Sketches.hllNdv(s.table(sink + "_regs"), "col_name")
-    s.table(sink + "_cnt")
+      .select(col("col_name").as("col_name"), col("ndv"))
+    val ndvRegs = Sketches.hllNdv(
+      st.where(col("arm") === "r").select(col("col_name"), col("m")),
+      "col_name")
+      .select(col("col_name").as("col_name"), col("ndv").as("ndv"))
+    st.where(col("arm") === "c")
       .join(ndvDict.unionByName(ndvRegs), Seq("col_name"))
       .select(col("col_name"), col("n_rows"), col("n_null"), col("ndv"),
         col("min_v"), col("max_v"),

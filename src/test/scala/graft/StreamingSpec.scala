@@ -351,11 +351,13 @@ class StreamingSpec extends SparkSuite
     // Standing-state bound: unbounded key columns must NOT appear in
     // the exact dictionary (their state is the O(256) register
     // table) — the r10 registration kept one dictionary entry per
-    // corpus row for doc_id, which this pins out forever.
-    val dict = spark.table("graft_split_stats_dict")
-    assert(dict.where(col("col_name")
+    // corpus row for doc_id, which this pins out forever. All three
+    // tiers now live in ONE complete-mode sink keyed by arm
+    // ("c"ounters / "d"ictionary / "r"egisters).
+    val st = spark.table("graft_split_stats")
+    assert(st.where(col("arm") === "d" && col("col_name")
       .isInCollection(Streaming.StreamStatsHllCols)).count() === 0L)
-    val regs = spark.table("graft_split_stats_regs")
+    val regs = st.where(col("arm") === "r")
       .groupBy(col("col_name")).count().collect()
     assert(regs.nonEmpty && regs.forall(_.getLong(1) <= 256L))
   }

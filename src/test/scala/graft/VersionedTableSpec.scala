@@ -197,4 +197,49 @@ class VersionedTableSpec extends SparkSuite
     assert(back.orderBy(col("doc_id")).collect()
       .map(_.getString(1)).toSeq === Seq("x", "y"))
   }
+
+  test("per-file stats prune a range read to the intersecting files " +
+      "only, and pruned ≡ unpruned-filtered") {
+    val t = freshTable()
+    // 8 range-partitioned files over ids 0..799 → tight per-file
+    // id ranges the manifest stats codec must capture.
+    val df = spark.range(0, 800).toDF("doc_id")
+      .withColumn("v", (col("doc_id") * 7 % 100).cast("long"))
+      .repartitionByRange(8, col("doc_id"))
+    assert(VersionedTable.commit(df, t, statsCol = Some("doc_id")) === 1)
+    assert(VersionedTable.statsRange(t, 1) === (0L, 799L))
+    val all = VersionedTable.resolveFiles(t, 1)
+    assert(all.size === 8 && all.forall(_._2.isDefined))
+    // Every row is accounted for by the stats codec.
+    assert(all.flatMap(_._2).map(_._1).sum === 800L)
+    // The middle quarter of the id space must keep a strict subset
+    // of files (range partitioning puts ~200 ids in ~2-3 files).
+    val (lo, hi) = (200L, 399L)
+    val kept = all.collect {
+      case (p, Some((_, mn, mx))) if mx >= lo && mn <= hi => p }
+    assert(kept.nonEmpty && kept.size <= all.size / 2,
+      s"expected pruning, kept ${kept.size}/${all.size}")
+    val pruned = VersionedTable.readWhere(spark, t, "doc_id", lo, hi)
+    val full = VersionedTable.read(spark, t)
+      .where(col("doc_id") >= lo && col("doc_id") <= hi)
+    assert(pruned.orderBy(col("doc_id")).collect().toSeq ===
+      full.orderBy(col("doc_id")).collect().toSeq)
+    // And the pruned plan's scan really reads fewer files.
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution
+          .FileSourceScanExec => f.relation.location.inputFiles.length }
+      .sum
+    assert(scanned === kept.size)
+    // A mismatched stats column is refused, not silently mis-pruned.
+    intercept[IllegalArgumentException] {
+      VersionedTable.readWhere(spark, t, "v", 0L, 10L)
+    }
+    // Stats-less commits stay readable and un-pruned (conservative).
+    val t2 = freshTable()
+    VersionedTable.commit(df, t2)
+    assert(VersionedTable.resolveFiles(t2, 1).forall(_._2.isEmpty))
+    intercept[IllegalArgumentException] {
+      VersionedTable.statsRange(t2, 1)
+    }
+  }
 }
