@@ -23,12 +23,15 @@ object JobProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     case class J(id: Int, start: Long, var end: Long = -1,
-      var stages: Int = 0, var tasks: Int = 0)
+      var stages: Int = 0, var tasks: Int = 0, site: String = "")
     val jobs = scala.collection.mutable.LinkedHashMap[Int, J]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.synchronized {
-          jobs(e.jobId) = J(e.jobId, e.time)
+          val site = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse("")
+          jobs(e.jobId) = J(e.jobId, e.time, site = site)
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
@@ -53,8 +56,8 @@ object JobProfile {
         f"jobTimeSum=${jobTime / 1e3}%.2f gaps=${
           wall - jobTime / 1e3}%.2f " +
         s"perJob=[${snap.map(j =>
-          s"${(j.end - j.start).max(0)}ms/${j.stages}st/${j.tasks}tk")
-          .mkString(",")}]")
+          s"${(j.end - j.start).max(0)}ms/${j.stages}st/${j.tasks}tk/" +
+            j.site).mkString(",")}]")
     }
     spark.stop()
   }
