@@ -430,6 +430,50 @@ object Ingest extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  /** Layout fingerprint of the q_table_evolve store. */
+  private[graft] val VEvolveLayout = "vevolve-v1:snap=mod3eq1:add=lang"
+
+  /** q_table_evolve — ADD-ONLY SCHEMA EVOLUTION under the commit
+    * protocol (reference intent: cardsCleaning's schema grew fields
+    * release over release; a durable store must absorb that without
+    * rewriting history): v1 commits (doc_id, source) for one id
+    * class, v2 APPENDS (doc_id, source, lang) for another with
+    * `evolveSchema = true` — the manifest's authoritative schema
+    * advances, and the graded read of the LATEST version returns
+    * the v1 rows with NULL lang (name-based parquet resolution
+    * against the manifest schema; no footer merge, no history
+    * rewrite). The census buckets every row by
+    * coalesce(lang,'‹pre›') per source with an order-invariant
+    * digest, so a reader that drops pre-evolution rows, resurrects
+    * the old schema, or mis-nulls the new column breaks the hash.
+    * VersionedTableSpec pins the refusal arms (drifted schema
+    * without the flag; dropped / re-typed / non-nullable columns)
+    * and compaction to the union schema. */
+  def tableEvolve(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val table = graft.IndexCache.ensure(
+      graft.IndexCache.path("graft_vevolve", dir,
+        Seq("documents.parquet"), VEvolveLayout)) { out =>
+      val docs = Tables.documents(s, dir)
+      VersionedTable.commit(
+        docs.where(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("source")), out)
+      VersionedTable.commitAppend(
+        docs.where(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), col("source"), col("lang")), out,
+        evolveSchema = true)
+    }
+    VersionedTable.read(s, table)
+      .groupBy(col("source"),
+        coalesce(col("lang"), lit("<pre>")).as("lang_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.MinHash.hash60(
+          concat_ws(":", col("doc_id"), coalesce(col("lang"), lit(""))))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").as("digest"))
+      .orderBy(col("source").asc, col("lang_bucket").asc)
+  }
+
   /** The INGESTION CAPSTONE — the reference's master flow
     * (db/ingest_all.py runs glossary → rules → cards, each script
     * cleaning, constructing embedding text, deduping by content id,
@@ -501,6 +545,7 @@ object Ingest extends graft.QueryGroup {
     "q_merge_upsert" -> ((s, d) => mergeUpsert(s, d)),
     "q_table_version" -> ((s, d) => tableVersion(s, d)),
     "q_table_prune" -> ((s, d) => tablePrune(s, d)),
+    "q_table_evolve" -> ((s, d) => tableEvolve(s, d)),
     "q_ingest_all" -> ((s, d) => ingestAll(s, d)),
   )
 
@@ -577,6 +622,22 @@ object Ingest extends graft.QueryGroup {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), n, n, c, md FROM m2, chg
         |ORDER BY version ASC""".stripMargin
+    },
+    "q_table_evolve" -> {
+      val dig = graft.functions.MinHash.hash60Sql(
+        "CAST(doc_id AS VARCHAR) || ':' || coalesce(lang, '')")
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang
+         |  FROM documents WHERE doc_id % 3 = 1
+         |  UNION ALL
+         |  SELECT doc_id, source, lang
+         |  FROM documents WHERE doc_id % 3 = 2)
+         |SELECT source, coalesce(lang, '<pre>') AS lang_bucket,
+         |       count(*) AS n_docs,
+         |       CAST(sum(CAST($dig AS DECIMAL(38,0))) AS VARCHAR)
+         |         AS digest
+         |FROM t GROUP BY source, lang_bucket
+         |ORDER BY source ASC, lang_bucket ASC""".stripMargin
     },
     "q_table_prune" -> {
       val dig = graft.functions.MinHash.hash60Sql(

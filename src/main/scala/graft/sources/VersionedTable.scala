@@ -58,6 +58,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * matter how long the table lives — the LSM rhythm the text index's
   * append/compact pair grades, applied to table storage.
   *
+  * Schema evolution (add-only, the Delta/Iceberg rule): every
+  * manifest carries the authoritative `schema_ddl` at its version;
+  * an APPEND must match the parent schema exactly unless
+  * `evolveSchema = true`, which may ADD nullable columns — never
+  * drop or re-type one (refused loudly either way). Readers apply
+  * the version's manifest schema explicitly (parquet resolves
+  * columns by name), so files written before an evolution read back
+  * with nulls in the new columns at zero footer-merge cost, and a
+  * compaction across an evolved chain lands the union schema.
+  *
   * Per-file stats: a commit given a `statsCol` records
   * `|rows:n|min:v|max:v` on each manifest file line (plus a
   * `stats_col=` header), collected in the SAME read-back pass that
@@ -131,8 +141,10 @@ object VersionedTable {
     * rewriting the table); when the chain hits [[AutoCompactEvery]]
     * the append is automatically promoted to a compacting snapshot
     * (see object doc). */
-  def commitAppend(df: DataFrame, table: String): Int =
-    commitMode(df, table, append = true, batchId = None)
+  def commitAppend(df: DataFrame, table: String,
+      evolveSchema: Boolean = false): Int =
+    commitMode(df, table, append = true, batchId = None,
+      evolveSchema = evolveSchema)
 
   /** EXACTLY-ONCE streaming-sink commit: land micro-batch `batchId`
     * as one table version (batch 0 = the base snapshot, later
@@ -190,10 +202,35 @@ object VersionedTable {
 
   private def commitMode(df: DataFrame, table: String,
       append: Boolean, batchId: Option[Long],
-      statsCol: Option[String] = None): Int = {
+      statsCol: Option[String] = None,
+      evolveSchema: Boolean = false): Int = {
     new File(table).mkdirs()
     val v = latestVersion(table).getOrElse(0) + 1
     require(!append || v > 1, "append needs a base snapshot commit")
+    // SCHEMA CONTRACT on appends: a drifted batch schema must not
+    // land silently (the reader would then see whichever footer it
+    // sampled first — silent row corruption). Identical schema is
+    // always fine; with `evolveSchema` the batch may ADD nullable
+    // columns (the Delta/Iceberg add-only evolution rule — old files
+    // read back with nulls in the new columns via the authoritative
+    // latest-manifest schema); dropping or re-typing a column is
+    // refused either way.
+    if (append) schemaOf(table, v - 1).foreach { parent =>
+      val cur = df.schema
+      val curByName = cur.map(f => f.name -> f.dataType).toMap
+      val missing = parent.filterNot(f =>
+        curByName.get(f.name).contains(f.dataType))
+      require(missing.isEmpty,
+        s"append drops or re-types ${missing.map(_.name).mkString(",")}" +
+          s" of $table — schema evolution is add-only")
+      val added = cur.filterNot(f => parent.exists(_.name == f.name))
+      require(evolveSchema || added.isEmpty,
+        s"append adds ${added.map(_.name).mkString(",")} to $table — " +
+          "pass evolveSchema=true to evolve the table schema")
+      require(added.forall(_.nullable),
+        s"added columns must be nullable (old files read back null): " +
+          added.filterNot(_.nullable).map(_.name).mkString(","))
+    }
     val parentDepth =
       if (v == 1) 0 else chainDepthOf(manifestLines(table, v - 1))
     if (append && parentDepth + 1 > AutoCompactEvery) {
@@ -201,11 +238,21 @@ object VersionedTable {
       // snapshot — content = current latest ∪ the batch, written as
       // a full snapshot manifest (chain_depth resets to 0). O(table)
       // paid once per AutoCompactEvery appends: the LSM amortization.
+      // allowMissingColumns: an evolved chain compacts to the union
+      // schema with nulls where history predates a column.
       val full = read(df.sparkSession, table, Some(v - 1))
-        .unionByName(df)
+        .unionByName(df, allowMissingColumns = true)
       commitAt(full, table, v, append = false, batchId, statsCol)
     } else commitAt(df, table, v, append, batchId, statsCol)
   }
+
+  /** Schema from version `v`'s manifest `schema_ddl` header (absent
+    * on pre-evolution manifests → no check / footer-derived reads,
+    * the legacy behavior). */
+  private def schemaOf(table: String, v: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    headerOf(manifestLines(table, v), "schema_ddl")
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
 
   /** The version-CLAIM step of a commit: write data + staged
     * manifest, publish by one atomic `Files.createLink` (put-if-
@@ -264,6 +311,14 @@ object VersionedTable {
       s"mode=${if (append) "append" else "snapshot"}",
       s"chain_depth=$depth",
       s"schema_md5=$schemaMd5",
+      // Authoritative table schema AT this version: readers apply it
+      // explicitly (name-based parquet resolution), so files from
+      // before an add-column evolution read back with nulls in the
+      // new columns — no footer-merging pass at any scale. Stored
+      // nullable-normalized: pre-evolution files are null in added
+      // columns by construction, so a NOT NULL read schema would lie.
+      s"schema_ddl=${org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true))).toDDL}",
       s"batch_ids=${registry.toSeq.sorted
         .map { case (b, bv) => s"$b:$bv" }.mkString(",")}") ++
       statsCol.map(sc => s"stats_col=$sc").toSeq ++
@@ -295,9 +350,18 @@ object VersionedTable {
     * its parent chain down to (and including) the nearest snapshot
     * manifest; [[AutoCompactEvery]] bounds that walk. */
   def read(s: SparkSession, table: String,
-      version: Option[Int] = None): DataFrame =
-    s.read.parquet(resolveFiles(table, resolveV(table, version))
-      .map(_._1): _*)
+      version: Option[Int] = None): DataFrame = {
+    val v0 = resolveV(table, version)
+    val files = resolveFiles(table, v0).map(_._1)
+    // The version's manifest schema is authoritative (parquet
+    // resolves columns by name; files predating an add-column
+    // evolution yield nulls there). Manifests written before the
+    // schema_ddl header fall back to footer-derived schema.
+    schemaOf(table, v0) match {
+      case Some(sc) => s.read.schema(sc).parquet(files: _*)
+      case None => s.read.parquet(files: _*)
+    }
+  }
 
   private def resolveV(table: String, version: Option[Int]): Int =
     version.orElse(latestVersion(table)).getOrElse(
@@ -350,7 +414,11 @@ object VersionedTable {
       case (p, Some((_, mn, mx))) if mx >= lo && mn <= hi => p
     }
     import org.apache.spark.sql.functions.{col => c}
-    s.read.parquet(kept: _*).where(c(statsCol) >= lo && c(statsCol) <= hi)
+    val base = schemaOf(table, v0) match {
+      case Some(sc) => s.read.schema(sc).parquet(kept: _*)
+      case None => s.read.parquet(kept: _*)
+    }
+    base.where(c(statsCol) >= lo && c(statsCol) <= hi)
   }
 
   /** Global (min, max) of the stats column of version `v`, folded

@@ -198,6 +198,57 @@ class VersionedTableSpec extends SparkSuite
       .map(_.getString(1)).toSeq === Seq("x", "y"))
   }
 
+  test("add-only schema evolution: appended column reads back null " +
+      "for pre-evolution files; drift/drop/retype/non-nullable refused") {
+    val t = freshTable()
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "source"), t)
+    val v2 = Seq((3L, "c", "en")).toDF("doc_id", "source", "lang")
+    // Schema drift without the flag is refused loudly.
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitAppend(v2, t)
+    }
+    assert(VersionedTable.commitAppend(v2, t, evolveSchema = true) === 2)
+    val back = VersionedTable.read(spark, t).orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(back.toSeq === Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some("en"))))
+    // Time travel keeps the OLD version's own schema.
+    assert(VersionedTable.read(spark, t, Some(1)).schema.fieldNames
+      .toSeq === Seq("doc_id", "source"))
+    // Dropping a column is refused even with the flag (add-only).
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitAppend(
+        Seq((4L, "d")).toDF("doc_id", "source"), t, evolveSchema = true)
+    }
+    // Re-typing a column is refused (doc_id int vs long).
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitAppend(
+        Seq((5, "e", "fr")).toDF("doc_id", "source", "lang"), t,
+        evolveSchema = true)
+    }
+    // A non-nullable added column is refused — pre-evolution files
+    // would read back null in it.
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitAppend(
+        Seq((6L, "f", "de", 1L))
+          .toDF("doc_id", "source", "lang", "rank"), t,
+        evolveSchema = true)
+    }
+    // Compaction across the evolved chain lands the union schema
+    // with history intact (allowMissingColumns union).
+    (1 to VersionedTable.AutoCompactEvery).foreach { i =>
+      VersionedTable.commitAppend(
+        Seq((100L + i, "z", "xx")).toDF("doc_id", "source", "lang"), t)
+    }
+    val latest = VersionedTable.latestVersion(t).get
+    assert(VersionedTable.chainDepth(t, latest) === 0) // compacted
+    val all = VersionedTable.read(spark, t)
+    assert(all.count() === 3L + VersionedTable.AutoCompactEvery)
+    assert(all.where(col("lang").isNull).count() === 2L) // v1 rows
+  }
+
   test("per-file stats prune a range read to the intersecting files " +
       "only, and pruned ≡ unpruned-filtered") {
     val t = freshTable()
