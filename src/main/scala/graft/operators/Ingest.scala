@@ -474,6 +474,52 @@ object Ingest extends graft.QueryGroup {
       .orderBy(col("source").asc, col("lang_bucket").asc)
   }
 
+  /** Layout fingerprint of the q_table_cdf store. */
+  private[graft] val VCdfLayout = "vcdf-v1:snap=mod4eq1:app=mod4eq2,mod4eq3"
+
+  /** q_table_cdf — CHANGE-DATA-FEED read under the commit protocol
+    * (reference intent: db/ingest_cards.py re-embeds only what a new
+    * ingest landed, not the standing corpus — the incremental-
+    * consumer rhythm): v1 commits a base snapshot of the documents
+    * table for one id class, v2 and v3 each APPEND another class,
+    * and the graded read is [[graft.sources.VersionedTable
+    * .readChanges]] from v1 — the rows the two appends introduced,
+    * resolved from the MANIFESTS' OWN FILE LINES (O(changed data)
+    * I/O; the standing v1 files are never opened — pinned by
+    * VersionedTableSpec via `inputFiles` disjointness, along with
+    * the fallback arm: a compaction in the window degrades to the
+    * exact `exceptAll` bag diff, same rows). The census buckets the
+    * change set per source with an order-invariant digest; the
+    * oracle recomputes it from `documents` with the same id-class
+    * predicates, so a change set that leaks standing rows, drops a
+    * batch, or double-reads one breaks the hash.
+    *
+    * Scale: this is the contract that keeps a 100 TB table's
+    * downstream consumers O(micro-batch) — embed/index/dedup jobs
+    * chain off readChanges(lastProcessed) and never rescan the
+    * table. */
+  def tableCdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val table = graft.IndexCache.ensure(
+      graft.IndexCache.path("graft_vcdf", dir,
+        Seq("documents.parquet"), VCdfLayout)) { out =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"))
+      VersionedTable.commit(docs.where(col("doc_id") % 4 === 1), out)
+      VersionedTable.commitAppend(docs.where(col("doc_id") % 4 === 2), out)
+      VersionedTable.commitAppend(docs.where(col("doc_id") % 4 === 3), out)
+    }
+    VersionedTable.readChanges(s, table, fromV = 1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(graft.functions.MinHash.hash60(
+          concat_ws(":", col("doc_id"), col("lang")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").as("digest"))
+      .orderBy(col("source").asc)
+  }
+
   /** The INGESTION CAPSTONE — the reference's master flow
     * (db/ingest_all.py runs glossary → rules → cards, each script
     * cleaning, constructing embedding text, deduping by content id,
@@ -546,6 +592,7 @@ object Ingest extends graft.QueryGroup {
     "q_table_version" -> ((s, d) => tableVersion(s, d)),
     "q_table_prune" -> ((s, d) => tablePrune(s, d)),
     "q_table_evolve" -> ((s, d) => tableEvolve(s, d)),
+    "q_table_cdf" -> ((s, d) => tableCdf(s, d)),
     "q_ingest_all" -> ((s, d) => ingestAll(s, d)),
   )
 
@@ -638,6 +685,17 @@ object Ingest extends graft.QueryGroup {
          |         AS digest
          |FROM t GROUP BY source, lang_bucket
          |ORDER BY source ASC, lang_bucket ASC""".stripMargin
+    },
+    "q_table_cdf" -> {
+      val dig = graft.functions.MinHash.hash60Sql(
+        "CAST(doc_id AS VARCHAR) || ':' || lang")
+      s"""SELECT source, count(*) AS n_docs,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |       CAST(sum(CAST($dig AS DECIMAL(38,0))) AS VARCHAR)
+         |         AS digest
+         |FROM documents
+         |WHERE doc_id % 4 = 2 OR doc_id % 4 = 3
+         |GROUP BY source ORDER BY source ASC""".stripMargin
     },
     "q_table_prune" -> {
       val dig = graft.functions.MinHash.hash60Sql(

@@ -293,4 +293,46 @@ class VersionedTableSpec extends SparkSuite
       VersionedTable.statsRange(t2, 1)
     }
   }
+
+  test("readChanges: an all-append window resolves to ONLY the " +
+      "appended files; a compaction in the window falls back to the " +
+      "exact bag diff; edge versions behave") {
+    val t = freshTable()
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "h"), t)
+    VersionedTable.commitAppend(Seq((3L, "c")).toDF("doc_id", "h"), t)
+    VersionedTable.commitAppend(
+      Seq((4L, "d"), (5L, "e")).toDF("doc_id", "h"), t)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val chg = VersionedTable.readChanges(spark, t, fromV = 1)
+    assert(ids(chg) === Set(3L, 4L, 5L))
+    // FAST path: the change read opens no v1 file — its inputs are
+    // exactly the two append manifests' own files.
+    val v1Files = VersionedTable.resolveFiles(t, 1).map(_._1).toSet
+    assert(chg.inputFiles.nonEmpty &&
+      chg.inputFiles.forall(f => !v1Files.exists(f.endsWith)))
+    assert(ids(VersionedTable.readChanges(spark, t, 2, Some(3)))
+      === Set(4L, 5L))
+    // Edges: fromV == toV is empty (schema kept); fromV = 0 is the
+    // full snapshot.
+    val empty = VersionedTable.readChanges(spark, t, 3)
+    assert(empty.count() === 0L &&
+      empty.columns.toSeq === Seq("doc_id", "h"))
+    assert(ids(VersionedTable.readChanges(spark, t, 0))
+      === Set(1L, 2L, 3L, 4L, 5L))
+    // FALLBACK: a snapshot rewrite inside the window (here a merge
+    // that also updates a standing row) → bag diff of the contents.
+    VersionedTable.commit(
+      Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d"), (5L, "e"),
+        (6L, "f")).toDF("doc_id", "h"), t)
+    val across = VersionedTable.readChanges(spark, t, 1)
+    assert(across.collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet ===
+      Set((2L, "B2"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f")))
+    // Out-of-range fromV refused.
+    intercept[IllegalArgumentException] {
+      VersionedTable.readChanges(spark, t, 9)
+    }
+  }
 }
