@@ -430,6 +430,59 @@ object Ingest extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  /** Layout fingerprint of the q_table_delete store. */
+  private[graft] val VDeleteLayout = "vdel-v1:files=8:stats=doc_id:mid-quarter"
+
+  /** q_table_delete — COPY-ON-WRITE RANGE DELETE with manifest-stats
+    * file pruning, the mutation half of the lakehouse contract
+    * (q_table_prune is the read half; reference intent: the
+    * reference deletes and re-ingests cards by id — a durable store
+    * must purge a key range without rewriting itself): the documents
+    * table is committed as 8 range-partitioned files with per-file
+    * doc_id stats, then [[graft.sources.VersionedTable.deleteWhere]]
+    * removes the middle quarter of the id space (bounds derived from
+    * the manifest's own global stats at zero data reads) — REWRITING
+    * ONLY the files whose [min, max] intersects the range; every
+    * disjoint file is carried forward by reference, byte-identical,
+    * never opened (VersionedTableSpec pins path identity, the
+    * rewritten-file count, time travel to the pre-delete version,
+    * and NULL-keep semantics). The graded census reads the
+    * post-delete LATEST; the oracle recomputes it from `documents`
+    * with the complementary predicate, so a row wrongly kept (delete
+    * missed), wrongly dropped (over-delete), or a stale carried file
+    * all break the hash.
+    *
+    * Scale: a targeted purge of one id range on a 100 TB table
+    * rewrites the handful of files that hold it — O(matching files),
+    * the Delta/Iceberg copy-on-write DELETE, pruned from the
+    * manifest alone. */
+  def tableDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val table = graft.IndexCache.ensure(
+      graft.IndexCache.path("graft_vdelete", dir,
+        Seq("documents.parquet"), VDeleteLayout)) { out =>
+      VersionedTable.commit(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"))
+          .repartitionByRange(8, col("doc_id")),
+        out, statsCol = Some("doc_id"))
+      val (_, mx) = VersionedTable.statsRange(out, 1)
+      VersionedTable.deleteWhere(s, out, "doc_id", mx / 4, mx / 2)
+      ()
+    }
+    VersionedTable.read(s, table)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        sum(graft.functions.MinHash.hash60(
+          concat_ws(":", col("doc_id"), col("lang")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").as("digest"))
+      .orderBy(col("source").asc)
+  }
+
   /** Layout fingerprint of the q_table_evolve store. */
   private[graft] val VEvolveLayout = "vevolve-v1:snap=mod3eq1:add=lang"
 
@@ -593,6 +646,7 @@ object Ingest extends graft.QueryGroup {
     "q_table_prune" -> ((s, d) => tablePrune(s, d)),
     "q_table_evolve" -> ((s, d) => tableEvolve(s, d)),
     "q_table_cdf" -> ((s, d) => tableCdf(s, d)),
+    "q_table_delete" -> ((s, d) => tableDelete(s, d)),
     "q_ingest_all" -> ((s, d) => ingestAll(s, d)),
   )
 
@@ -695,6 +749,20 @@ object Ingest extends graft.QueryGroup {
          |         AS digest
          |FROM documents
          |WHERE doc_id % 4 = 2 OR doc_id % 4 = 3
+         |GROUP BY source ORDER BY source ASC""".stripMargin
+    },
+    "q_table_delete" -> {
+      val dig = graft.functions.MinHash.hash60Sql(
+        "CAST(doc_id AS VARCHAR) || ':' || lang")
+      s"""WITH b AS (SELECT max(doc_id) // 4 AS lo,
+         |                  max(doc_id) // 2 AS hi FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(sum(CAST($dig AS DECIMAL(38,0))) AS VARCHAR)
+         |         AS digest
+         |FROM documents, b
+         |WHERE doc_id < lo OR doc_id > hi
          |GROUP BY source ORDER BY source ASC""".stripMargin
     },
     "q_table_prune" -> {

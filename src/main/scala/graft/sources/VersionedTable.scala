@@ -278,18 +278,10 @@ object VersionedTable {
     // Per-file (rows, min, max) for the pruning codec — ONE grouped
     // read-back over just the stats column (a deployment lifts these
     // from writer-task stats; parquet footers already hold them).
-    val fileStats: Map[String, (Long, Long, Long)] = statsCol.map { sc =>
-      import org.apache.spark.sql.functions.{col => c, count => cnt,
-        input_file_name, lit => l, min => mn, max => mx}
-      df.sparkSession.read.parquet(dataDir.getPath)
-        .groupBy(input_file_name().as("f"))
-        .agg(cnt(l(1)).as("n"), mn(c(sc)).cast("long").as("lo"),
-          mx(c(sc)).cast("long").as("hi"))
-        .collect()
-        .map(r => new File(r.getString(0)).getName ->
-          (r.getLong(1), r.getLong(2), r.getLong(3)))
-        .toMap
-    }.getOrElse(Map.empty)
+    val fileStats: Map[String, (Long, Option[(Long, Long)])] =
+      statsCol.map(sc =>
+        collectFileStats(df.sparkSession, dataDir.getPath, sc))
+        .getOrElse(Map.empty)
     // Footer-count read-back: an empty projection touches only
     // parquet metadata, so this is O(files), not O(rows); when stats
     // were collected, their per-file counts already carry it.
@@ -324,11 +316,48 @@ object VersionedTable {
       statsCol.map(sc => s"stats_col=$sc").toSeq ++
       // File lines: path, optionally `|rows:n|min:v|max:v` (colon
       // codec — header lines are the ones containing '=').
-      parts.map(p => fileStats.get(p) match {
-        case Some((n, lo, hi)) => s"$rel/$p|rows:$n|min:$lo|max:$hi"
-        case None => s"$rel/$p"
-      }))
+      parts.map(p => s"$rel/$p" + statsSuffix(fileStats.get(p))))
       .mkString("", "\n", "\n")
+    publishManifest(table, v, body, rel, dataDir)
+  }
+
+  /** Per-file (row count, Option[(min, max)]) of `statsCol` over the
+    * parquet under `dir` — ONE grouped read-back of just that
+    * column. min/max are None for a file whose stats column is
+    * entirely NULL (its line records the row count only and readers
+    * keep it conservatively). */
+  private def collectFileStats(s: SparkSession, dir: String,
+      statsCol: String): Map[String, (Long, Option[(Long, Long)])] = {
+    import org.apache.spark.sql.functions.{col => c, count => cnt,
+      input_file_name, lit => l, min => mn, max => mx}
+    s.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(cnt(l(1)).as("n"), mn(c(statsCol)).cast("long").as("lo"),
+        mx(c(statsCol)).cast("long").as("hi"))
+      .collect()
+      .map(r => new File(r.getString(0)).getName ->
+        (r.getLong(1),
+          if (r.isNullAt(2) || r.isNullAt(3)) None
+          else Some((r.getLong(2), r.getLong(3)))))
+      .toMap
+  }
+
+  /** Manifest file-line stats suffix for one file's read-back entry
+    * (empty for a file the grouped read-back did not see — possible
+    * only for a zero-row part, which readers keep conservatively). */
+  private def statsSuffix(e: Option[(Long, Option[(Long, Long)])])
+      : String = e match {
+    case Some((n, Some((lo, hi)))) => s"|rows:$n|min:$lo|max:$hi"
+    case Some((n, None)) => s"|rows:$n"
+    case None => ""
+  }
+
+  /** The PUBLISH step shared by every committing writer: stage the
+    * manifest body privately, then claim version `v` by one atomic
+    * `Files.createLink` (put-if-absent); a lost race removes the
+    * orphan data dir and fails loudly (see object doc). */
+  private def publishManifest(table: String, v: Int, body: String,
+      rel: String, dataDir: File): Int = {
     val staged = new File(table, s"_staged_${rel.stripPrefix("data/")}")
     Files.write(staged.toPath, body.getBytes("UTF-8"),
       StandardOpenOption.CREATE_NEW)
@@ -472,6 +501,129 @@ object VersionedTable {
       case None => s.read.parquet(kept: _*)
     }
     base.where(c(statsCol) >= lo && c(statsCol) <= hi)
+  }
+
+  /** COPY-ON-WRITE RANGE DELETE with manifest-stats file pruning —
+    * the mutation half of the lakehouse contract ([[readWhere]] is
+    * the read half): commit a new snapshot version whose content is
+    * the latest version minus rows with `statsCol` in `[lo, hi]`,
+    * REWRITING ONLY the files whose recorded [min, max] intersects
+    * the range — every provably-disjoint file is carried forward BY
+    * REFERENCE (its manifest line, stats included, copied verbatim;
+    * the data file is never opened, never moved). Rows with a NULL
+    * stats column never match a range and are kept. Old versions
+    * stay readable (time travel is untouched — immutable files, new
+    * manifest), and the commit publishes through the same
+    * put-if-absent claim as every writer, so concurrent commits
+    * conflict loudly instead of silently.
+    *
+    * This is what makes a targeted delete on a 100 TB table
+    * O(matching files): a GDPR-style purge of one id range rewrites
+    * the handful of files that hold it, not the table — the
+    * Delta/Iceberg copy-on-write DELETE, stats-pruned from the
+    * manifest alone. Requires the table's commits to carry stats on
+    * `statsCol` (enforced — pruning by a different column's stats
+    * would silently keep deleted rows); files without stats are
+    * conservatively REWRITTEN. Returns the committed version. */
+  def deleteWhere(s: SparkSession, table: String, statsCol: String,
+      lo: Long, hi: Long): Int = {
+    import org.apache.spark.sql.functions.{col => c}
+    val v0 = resolveV(table, None)
+    val lines = manifestLines(table, v0)
+    require(headerOf(lines, "stats_col").contains(statsCol),
+      s"deleteWhere needs manifest stats on $statsCol " +
+        s"(table declares ${headerOf(lines, "stats_col")})")
+    val tablePrefix = new File(table).getPath + File.separator
+    val (carried, touched) = resolveFiles(table, v0).partition {
+      case (_, Some((_, mn, mx))) => mx < lo || mn > hi
+      case (_, None) => false
+    }
+    val v = v0 + 1
+    val rel = s"data/v${v}_${ProcessHandle.current().pid()}_" +
+      s"${Thread.currentThread().getId}_${attemptNonce.incrementAndGet()}"
+    val dataDir = new File(table, rel)
+    val (newLines, newRows) = if (touched.isEmpty) (Seq.empty[String], 0L)
+    else {
+      val paths = touched.map(_._1)
+      val base = schemaOf(table, v0) match {
+        case Some(st) => s.read.schema(st).parquet(paths: _*)
+        case None => s.read.parquet(paths: _*)
+      }
+      base.where(c(statsCol).isNull || c(statsCol) < lo || c(statsCol) > hi)
+        .write.mode("errorifexists").parquet(dataDir.getPath)
+      val parts = Option(dataDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+      val st = collectFileStats(s, dataDir.getPath, statsCol)
+      (parts.toSeq.map(p => s"$rel/$p" + statsSuffix(st.get(p))),
+        st.valuesIterator.map(_._1).sum)
+    }
+    val carriedLines = carried.map { case (p, st) =>
+      val relPath = p.stripPrefix(tablePrefix)
+      st match {
+        case Some((n, flo, fhi)) => s"$relPath|rows:$n|min:$flo|max:$fhi"
+        case None => relPath
+      }
+    }
+    val rows = carried.flatMap(_._2).map(_._1).sum + newRows
+    val headers = Seq(
+      s"version=$v", s"parent=$v0", s"rows=$rows",
+      "mode=snapshot", "chain_depth=0") ++
+      headerOf(lines, "schema_md5").map(h => s"schema_md5=$h") ++
+      headerOf(lines, "schema_ddl").map(h => s"schema_ddl=$h") ++
+      Seq(s"batch_ids=${headerOf(lines, "batch_ids").getOrElse("")}",
+        s"stats_col=$statsCol")
+    val body = (headers ++ carriedLines ++ newLines)
+      .mkString("", "\n", "\n")
+    publishManifest(table, v, body, rel, dataDir)
+  }
+
+  /** RETENTION VACUUM — the GC half of the version lifecycle
+    * (Delta VACUUM / Iceberg expire_snapshots): expire every version
+    * below `keepFrom` and delete every data file no kept manifest
+    * references. Append chains are never broken: the actual
+    * retention floor is the nearest SNAPSHOT at or below `keepFrom`
+    * (an append version resolves through its parent chain, so
+    * expiring mid-chain would orphan the kept versions) — callers
+    * wanting an exact floor compact first. Files carried forward by
+    * reference (a [[deleteWhere]] commit lists files from older
+    * dirs) survive because referenced-ness is computed from the KEPT
+    * manifests' file lines, not from directory ages. Returns
+    * (expired manifest count, deleted data-file count).
+    *
+    * Time travel below the floor is gone after this — that is the
+    * point (bounded storage); the trade is explicit and the floor is
+    * chosen by the caller. At 100 TB the same two-phase walk runs
+    * against the object store listing; deletes are idempotent, so a
+    * crashed vacuum re-runs safely. */
+  def vacuum(table: String, keepFrom: Int): (Int, Int) = {
+    val latest = latestVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed version in $table"))
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"vacuum($keepFrom) of $table: retention floor out of range")
+    // Never break a chain: drop the floor to the nearest snapshot.
+    var floor = keepFrom
+    while (manifestLines(table, floor).contains("mode=append")) floor -= 1
+    val tablePrefix = new File(table).getPath + File.separator
+    val referenced = (floor to latest).flatMap(v =>
+      ownFilesOf(table, manifestLines(table, v)).map(_._1))
+      .map(_.stripPrefix(tablePrefix)).toSet
+    val expired = (1 until floor).map(v => manifestFile(table, v))
+      .filter(_.exists())
+    expired.foreach(_.delete())
+    val dataRoot = new File(table, "data")
+    val deleted = Option(dataRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).flatMap { d =>
+        val gone = Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile &&
+            !referenced.contains(s"data/${d.getName}/${f.getName}"))
+        gone.foreach(_.delete())
+        // Drop a dir emptied of data files (crc/_SUCCESS residue
+        // included in the sweep above only if unreferenced — parquet
+        // sidecars are never referenced, so an emptied dir clears).
+        if (Option(d.listFiles()).forall(_.isEmpty)) d.delete()
+        gone.filter(_.getName.endsWith(".parquet"))
+      }
+    (expired.size, deleted.length)
   }
 
   /** Global (min, max) of the stats column of version `v`, folded

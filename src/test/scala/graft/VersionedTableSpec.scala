@@ -335,4 +335,103 @@ class VersionedTableSpec extends SparkSuite
       VersionedTable.readChanges(spark, t, 9)
     }
   }
+
+  test("deleteWhere rewrites ONLY the intersecting files — disjoint " +
+      "files carry forward by reference with their stats; content, " +
+      "metadata, and time travel stay exact; nulls are kept") {
+    val t = freshTable()
+    val df = spark.range(0, 800).toDF("doc_id")
+      .withColumn("v", (col("doc_id") * 7 % 100).cast("long"))
+      .repartitionByRange(8, col("doc_id"))
+    VersionedTable.commit(df, t, statsCol = Some("doc_id"))
+    val before = VersionedTable.resolveFiles(t, 1)
+    assert(VersionedTable.deleteWhere(spark, t, "doc_id", 200L, 399L)
+      === 2)
+    val after = VersionedTable.resolveFiles(t, 2)
+    val beforeByPath = before.toMap
+    val (carried, rewritten) =
+      after.partition(f => beforeByPath.contains(f._1))
+    // 8 tight range files over 0..799 → [200, 399] touches ~2-3;
+    // the rest must be REFERENCED, not rewritten — stats verbatim.
+    assert(rewritten.nonEmpty && carried.size >= 5,
+      s"carried ${carried.size}, rewritten ${rewritten.size}")
+    carried.foreach { case (p, st) =>
+      assert(st === beforeByPath(p), s"stats drifted for $p") }
+    // Content = the filtered v1, exactly.
+    val got = VersionedTable.read(spark, t, Some(2))
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = VersionedTable.read(spark, t, Some(1))
+      .where(col("doc_id") < 200 || col("doc_id") > 399)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got === want)
+    // Manifest row count honest; global stats exclude the range.
+    assert(VersionedTable.manifestRows(t, 2) === 600L)
+    // Time travel: the pre-delete version is untouched.
+    assert(VersionedTable.read(spark, t, Some(1)).count() === 800L)
+    // The post-delete version still prunes range reads.
+    assert(VersionedTable.readWhere(spark, t, "doc_id", 0L, 100L)
+      .count() === 101L)
+    // NULL stats-column rows never match a range delete.
+    val t2 = freshTable()
+    VersionedTable.commit(
+      Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "n"))
+        .toDF("doc_id", "h"), t2, statsCol = Some("doc_id"))
+    VersionedTable.deleteWhere(spark, t2, "doc_id", 1L, 1L)
+    assert(VersionedTable.read(spark, t2).collect()
+      .map(_.getString(1)).toSet === Set("b", "n"))
+    // A stats-less table is refused, not silently mis-deleted.
+    val t3 = freshTable()
+    VersionedTable.commit(df, t3)
+    intercept[IllegalArgumentException] {
+      VersionedTable.deleteWhere(spark, t3, "doc_id", 0L, 10L)
+    }
+  }
+
+  test("vacuum expires versions below the floor and GCs exactly the " +
+      "unreferenced data files — carried-forward files survive, " +
+      "append chains are never broken") {
+    val t = freshTable()
+    val df = spark.range(0, 800).toDF("doc_id")
+      .withColumn("v", (col("doc_id") * 7 % 100).cast("long"))
+      .repartitionByRange(8, col("doc_id"))
+    VersionedTable.commit(df, t, statsCol = Some("doc_id"))
+    // v2: copy-on-write delete — rewrites the middle files, CARRIES
+    // the rest by reference out of v1's data directory.
+    VersionedTable.deleteWhere(spark, t, "doc_id", 200L, 399L)
+    // v3: an append on top of the delete snapshot.
+    VersionedTable.commitAppend(
+      spark.range(800, 810).toDF("doc_id")
+        .withColumn("v", lit(1L)), t)
+    def allParquet() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(t, "data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val filesBefore = allParquet()
+    val referenced = (2 to 3)
+      .flatMap(v => VersionedTable.resolveFiles(t, v)).map(_._1).toSet
+    val (expired, deleted) = VersionedTable.vacuum(t, 2)
+    assert(expired === 1)
+    // Exactly the unreferenced v1 files went; every referenced file
+    // (including the carried-forward ones in v1's directory) stayed.
+    assert(allParquet() === referenced)
+    assert(deleted === (filesBefore -- referenced).size && deleted > 0)
+    // Kept versions read exactly as before the vacuum.
+    assert(VersionedTable.read(spark, t, Some(2)).count() === 600L)
+    assert(VersionedTable.read(spark, t, Some(3)).count() === 610L)
+    // The expired version is gone — loudly, not wrongly.
+    intercept[java.nio.file.NoSuchFileException] {
+      VersionedTable.read(spark, t, Some(1)).count()
+    }
+    // A floor on an APPEND version drops to its chain's snapshot:
+    // nothing else expires and the chain still resolves.
+    val (expired2, deleted2) = VersionedTable.vacuum(t, 3)
+    assert(expired2 === 0 && deleted2 === 0)
+    assert(VersionedTable.read(spark, t, Some(3)).count() === 610L)
+    // Out-of-range floors refused.
+    intercept[IllegalArgumentException] { VersionedTable.vacuum(t, 9) }
+  }
 }
