@@ -430,6 +430,55 @@ object Ingest extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  /** q_table_mview — INCREMENTAL MATERIALIZED VIEW maintained from
+    * the change feed (the reason [[graft.sources.VersionedTable
+    * .readChanges]] exists; reference intent: the reference's
+    * per-source statistics views are recomputed per run —
+    * query_example.py's "database statistics" — where a deployment
+    * maintains them): the per-source census (row count + mergeable
+    * content digest) is computed ONCE over the base version, then
+    * advanced version-by-version by folding ONLY each append's
+    * change set — counts and the order-invariant sum-digest are
+    * ADDITIVE, so refresh cost is O(batch) per version while the
+    * graded result is provably the full recompute (the oracle IS
+    * the full recompute over all three id classes; any drift
+    * between "base + Σ deltas" and "recompute" breaks the hash).
+    * Reuses the q_table_cdf store (v1 base + two appends).
+    *
+    * Scale: this is the materialized-view maintenance rhythm at
+    * 100 TB — the standing aggregate is never recomputed from the
+    * table; each micro-batch folds its own delta in, exactly the
+    * shard-mergeable-digest contract q_table_version introduced. */
+  def tableMview(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val table = graft.IndexCache.ensure(
+      graft.IndexCache.path("graft_vcdf", dir,
+        Seq("documents.parquet"), VCdfLayout)) { out =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"))
+      VersionedTable.commit(docs.where(col("doc_id") % 4 === 1), out)
+      VersionedTable.commitAppend(docs.where(col("doc_id") % 4 === 2), out)
+      VersionedTable.commitAppend(docs.where(col("doc_id") % 4 === 3), out)
+    }
+    def census(r: DataFrame) = r.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.MinHash.hash60(
+          concat_ws(":", col("doc_id"), col("lang")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("dig"))
+    // Base view at v1, then one O(batch) fold per committed version.
+    val base = census(VersionedTable.read(s, table, Some(1)))
+    val deltas = (2 to VersionedTable.latestVersion(table).get).map(v =>
+      census(VersionedTable.readChanges(s, table, v - 1, Some(v))))
+    deltas.foldLeft(base)(_ unionByName _)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("dig")).cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))
+          .cast("string").as("digest"))
+      .orderBy(col("source").asc)
+  }
+
   /** Layout fingerprint of the q_table_delete store. */
   private[graft] val VDeleteLayout = "vdel-v1:files=8:stats=doc_id:mid-quarter"
 
@@ -647,6 +696,7 @@ object Ingest extends graft.QueryGroup {
     "q_table_evolve" -> ((s, d) => tableEvolve(s, d)),
     "q_table_cdf" -> ((s, d) => tableCdf(s, d)),
     "q_table_delete" -> ((s, d) => tableDelete(s, d)),
+    "q_table_mview" -> ((s, d) => tableMview(s, d)),
     "q_ingest_all" -> ((s, d) => ingestAll(s, d)),
   )
 
@@ -749,6 +799,16 @@ object Ingest extends graft.QueryGroup {
          |         AS digest
          |FROM documents
          |WHERE doc_id % 4 = 2 OR doc_id % 4 = 3
+         |GROUP BY source ORDER BY source ASC""".stripMargin
+    },
+    "q_table_mview" -> {
+      val dig = graft.functions.MinHash.hash60Sql(
+        "CAST(doc_id AS VARCHAR) || ':' || lang")
+      s"""SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CAST($dig AS DECIMAL(38,0))) AS VARCHAR)
+         |         AS digest
+         |FROM documents
+         |WHERE doc_id % 4 IN (1, 2, 3)
          |GROUP BY source ORDER BY source ASC""".stripMargin
     },
     "q_table_delete" -> {

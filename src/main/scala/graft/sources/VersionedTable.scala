@@ -160,6 +160,16 @@ object VersionedTable {
     committedBatch(table, batchId).getOrElse(
       commitMode(df, table, append = batchId > 0, batchId = Some(batchId)))
 
+  /** [[commitBatch]] for a table whose per-batch content is the FULL
+    * next state, not a delta (a continuously-merged view): every
+    * batch lands as a SNAPSHOT version, idempotent on the batch id.
+    * Same transaction rule, different manifest mode — readers of any
+    * version never walk a chain. */
+  def commitBatchSnapshot(df: DataFrame, table: String,
+      batchId: Long): Int =
+    committedBatch(table, batchId).getOrElse(
+      commitMode(df, table, append = false, batchId = Some(batchId)))
+
   /** The version holding streaming batch `batchId`, if committed —
     * resolved from the LATEST manifest's registry: one file read per
     * lookup regardless of chain length. */

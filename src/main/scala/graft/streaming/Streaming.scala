@@ -1001,6 +1001,89 @@ object Streaming extends graft.QueryGroup {
       .orderBy(col("source").asc)
   }
 
+  /** q_stream_mview — EXACTLY-ONCE INCREMENTAL VIEW MAINTENANCE,
+    * the streaming capstone of the VersionedTable tier (q_stream
+    * _table lands data exactly once; q_table_mview folds a change
+    * feed; this row chains them under replay): every micro-batch
+    * (1) lands in the DATA table as a version keyed by its batchId,
+    * (2) derives its delta census from [[graft.sources
+    * .VersionedTable.readChanges]] over exactly that version — the
+    * manifests' own files, O(batch) — and (3) merges the delta into
+    * a standing VIEW table committed as a snapshot keyed by the SAME
+    * batchId. Idempotence hangs off the VIEW (the final consumer):
+    * a replayed batch whose id the view has recorded is a no-op;
+    * a crash BETWEEN the data commit and the view commit replays
+    * safely because the data commit is itself idempotent and the
+    * delta re-derives deterministically from the manifests — the
+    * end-to-end exactly-once argument, not per-step. The graded
+    * read is the view's LATEST version, which must equal the
+    * one-shot batch census whatever the micro-batch split (same
+    * oracle as q_stream_table).
+    *
+    * Scale: per batch O(batch + |view|) — the change set resolves
+    * from the append manifest (never the standing table) and the
+    * view is per-source-bounded; the standing aggregate is never
+    * recomputed from the data table. */
+  def streamMview(s: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_stream_mview_${java.util.UUID.randomUUID()}"
+    try streamMviewOver(s, documentsStream(s, dir), root)
+      .localCheckpoint(eager = true)
+    finally graft.sources.VersionedTable.deleteRecursively(
+      new java.io.File(root))
+  }
+
+  /** One micro-batch of the mview pipeline — package-private so the
+    * replay spec can drive duplicate/late batch ids directly. */
+  private[graft] def landMviewBatch(s: SparkSession, root: String,
+      b: DataFrame, id: Long): Unit = {
+    import graft.sources.VersionedTable
+    val (data, view) = (s"$root/data_t", s"$root/view_t")
+    if (VersionedTable.committedBatch(view, id).isEmpty) {
+      val v = VersionedTable.commitBatch(b, data, id)
+      val delta = mviewCensus(
+        VersionedTable.readChanges(s, data, v - 1, Some(v)))
+      val merged = VersionedTable.latestVersion(view) match {
+        case None => delta
+        case Some(pv) => VersionedTable.read(s, view, Some(pv))
+          .unionByName(delta)
+          .groupBy(col("source"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("total_chars")).as("total_chars"),
+            sum(col("dig")).cast(
+              org.apache.spark.sql.types.DecimalType(38, 0)).as("dig"))
+      }
+      VersionedTable.commitBatchSnapshot(merged, view, id)
+      ()
+    }
+  }
+
+  /** The additive per-source census both the delta fold and the
+    * graded read share: counts/sums plus the order-invariant
+    * sum-digest — every column shard- AND delta-mergeable. */
+  private def mviewCensus(r: DataFrame): DataFrame =
+    r.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(graft.functions.MinHash.hash60(col("doc_id").cast("string"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("dig"))
+
+  private[graft] def streamMviewOver(s: SparkSession, in: DataFrame,
+      root: String): DataFrame = {
+    val proj = in.select(col("doc_id"), col("source"), col("n_chars"))
+    val land: (DataFrame, Long) => Unit =
+      (b, id) => landMviewBatch(s, root, b, id)
+    val q = proj.writeStream
+      .foreachBatch(land)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.sources.VersionedTable.read(s, s"$root/view_t")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("dig").cast("string").as("ids_digest"))
+      .orderBy(col("source").asc)
+  }
+
   /** q_stream_contamination — CONTINUOUS benchmark-leak guard, the
     * streaming face of [[graft.operators.Curation.contamination]]:
     * every arriving corpus document is scored against the standing
@@ -1673,6 +1756,7 @@ object Streaming extends graft.QueryGroup {
     "q_stream_stats" -> ((s, d) => streamStats(s, d)),
     "q_stream_multimodal" -> ((s, d) => streamMultimodal(s, d)),
     "q_stream_table" -> ((s, d) => streamTable(s, d)),
+    "q_stream_mview" -> ((s, d) => streamMview(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1741,6 +1825,16 @@ object Streaming extends graft.QueryGroup {
     // The exactly-once file sink's read-back census must equal the
     // one-shot batch profile of the same columns.
     "q_stream_table" -> {
+      val dig = graft.functions.MinHash.hash60Sql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(sum(CAST($dig AS DECIMAL(38,0))) AS VARCHAR)
+        |         AS ids_digest
+        |FROM documents GROUP BY source ORDER BY source ASC""".stripMargin
+    },
+    // The incrementally-maintained view must equal the one-shot
+    // census of everything landed — q_stream_table's oracle.
+    "q_stream_mview" -> {
       val dig = graft.functions.MinHash.hash60Sql("CAST(doc_id AS VARCHAR)")
       s"""SELECT source, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -326,6 +326,55 @@ class StreamingSpec extends SparkSuite
         s"batch $b not recorded"))
   }
 
+  test("exactly-once incremental view: multi-batch replay folds one " +
+      "delta per batch; duplicate and crash-interrupted batches " +
+      "re-land without double-counting") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.VersionedTable
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_split_mview").toString
+    tmpDirs += tmp
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until 3).foreach { i =>
+      d.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    }
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val root = s"$tmp/root"
+    val got = Streaming.streamMviewOver(spark, stream, root)
+      .collect().toSeq
+    val want = Streaming.queries("q_stream_table")(spark, sfDir)
+      .collect().toSeq
+    assert(got === want)
+    // One data version and one view snapshot per micro-batch.
+    assert(VersionedTable.latestVersion(s"$root/data_t").contains(3))
+    assert(VersionedTable.latestVersion(s"$root/view_t").contains(3))
+    // DUPLICATE replay of an already-folded batch: a pure no-op —
+    // no new version on either table, view contents unchanged.
+    val b1 = d.where(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    Streaming.landMviewBatch(spark, root, b1, 1L)
+    assert(VersionedTable.latestVersion(s"$root/data_t").contains(3))
+    assert(VersionedTable.latestVersion(s"$root/view_t").contains(3))
+    // CRASH BETWEEN the two commits: land a new batch's DATA only
+    // (simulating a crash before the view commit), then replay the
+    // whole batch — the data commit no-ops on its id, the delta
+    // re-derives from the manifests, the view catches up, and
+    // nothing is double-counted.
+    val b3 = d.where(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id") + lit(10000000L), col("source"),
+        col("n_chars")).toDF("doc_id", "source", "n_chars")
+    VersionedTable.commitBatch(b3, s"$root/data_t", 3L)
+    assert(VersionedTable.committedBatch(s"$root/view_t", 3L).isEmpty)
+    Streaming.landMviewBatch(spark, root, b3, 3L)
+    assert(VersionedTable.committedBatch(s"$root/view_t", 3L).nonEmpty)
+    val folded = VersionedTable.read(spark, s"$root/view_t")
+      .agg(sum(col("n_docs"))).collect().head.getLong(0)
+    assert(folded === d.count() + b3.count())
+  }
+
   test("continuous column profiling stays exact under multi-batch " +
       "document replay") {
     // Counters are associative (count/sum) and the dictionary is a
