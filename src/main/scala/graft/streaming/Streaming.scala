@@ -68,10 +68,25 @@ object Streaming extends graft.QueryGroup {
     * ([[graft.Tables.normalizeTs]] — serves both the nanos-long and
     * TIMESTAMP_NTZ testdata generations). The schema comes from a
     * footer-only batch read (driver metadata, not data). */
+  /** Footer-schema cache for the streaming readers, keyed by file
+    * path (r12, guide §6 small-I/O hygiene): every twin invocation
+    * re-derived its source schema with a batch `read.parquet(...)
+    * .schema` — a file listing + footer parse per run, pure metadata,
+    * ~30-60 ms × 27 twins × reps. The testdata files are immutable
+    * within a session; a deployment that REPLACES a source file with
+    * a different schema restarts the session (schema evolution of a
+    * live table goes through VersionedTable, not raw files). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  private def footerSchema(s: SparkSession, path: String) =
+    schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = s.read.parquet(path).schema
+    val schema = footerSchema(s, path)
     // The streaming file source wants a directory; point it at the sf
     // dir and glob-filter to the events file(s).
     graft.Tables.normalizeTs(
@@ -150,13 +165,26 @@ object Streaming extends graft.QueryGroup {
   }
 
   private def runToCompletion(df: DataFrame, name: String,
-      mode: String): Unit = {
+      mode: String): Unit =
+    runAllToCompletion(Seq((df, name, mode)))
+
+  /** Run one or more INDEPENDENT one-shot streams to completion —
+    * CONCURRENTLY when given several (guide §2.6 "overlap independent
+    * jobs": two AvailableNow runs with disjoint sinks/checkpoints
+    * are independent actions; each one's tail leaves most cores
+    * idle, so the second stream back-fills instead of queueing its
+    * whole fixed floor behind the first). The session-conf scopes
+    * (noDataMicroBatches, state partitions, checkpoint manager) are
+    * applied ONCE around the whole group — the per-stream
+    * set/restore nesting would race when two scopes overlap. */
+  private def runAllToCompletion(
+      streams: Seq[(DataFrame, String, String)]): Unit = {
     // No query here emits on watermark advancement (complete-mode
     // window, first-sight dropDuplicates, fMGWS emitting during
     // processing), so the trailing no-data micro-batch is pure fixed
     // cost — skip it. State-eviction timing changes; output does not
     // (the stream-vs-batch equality suite runs under this setting).
-    val s = df.sparkSession
+    val s = streams.head._1.sparkSession
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.getOption(key)
     val spKey = "spark.sql.shuffle.partitions"
@@ -166,17 +194,22 @@ object Streaming extends graft.QueryGroup {
     // Per-query disposable checkpoint under the opt-in root (see
     // CheckpointRootKey); unique per (query, start) like Spark's own
     // temp path, deleted on completion like it.
-    val ckpt = s.conf.getOption(CheckpointRootKey).map { root =>
-      s"$root/${name}_${java.util.UUID.randomUUID()}"
+    val ckpts = streams.map { case (_, name, _) =>
+      s.conf.getOption(CheckpointRootKey).map { root =>
+        s"$root/${name}_${java.util.UUID.randomUUID()}"
+      }
     }
     try {
-      val w = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow())
       withOneShotCheckpointIO(s) {
-        val q = ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
-        q.awaitTermination()
+        val qs = streams.zip(ckpts).map { case ((df, name, mode), ckpt) =>
+          val w = df.writeStream.format("memory").queryName(name)
+            .outputMode(mode).trigger(Trigger.AvailableNow())
+          ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+        }
+        qs.foreach(_.awaitTermination())
       }
     } finally {
+      val ckpt = ckpts.flatten
       // The checkpoint is disposable, so the providers the run loaded
       // (and their in-heap state maps) are dead weight — unload them
       // before the next suite row instead of letting 26 twins × reps
@@ -309,12 +342,17 @@ object Streaming extends graft.QueryGroup {
       col("user_id").as("k"), col("ts"))
     val regs = prep.groupBy(col("g"), col("bucket"))
       .agg(max(col("rho")).as("m"))
-    runToCompletion(regs, sink + "_regs", "complete")
     val member = prep
       .withWatermark("ts", "35 days")
       .dropDuplicatesWithinWatermark("g", "k")
       .select(col("g"), col("bucket"), col("k"))
-    runToCompletion(member, sink + "_mem", "append")
+    // The register stream and the exact-audit membership stream are
+    // independent (disjoint sinks, checkpoints, state stores) — run
+    // them concurrently so the twin pays ONE stream-machinery floor,
+    // not two in sequence (r12; measured 1.9 s → 1.0 s at sf0.1).
+    runAllToCompletion(Seq(
+      (regs, sink + "_regs", "complete"),
+      (member, sink + "_mem", "append")))
     val nd = s.table(sink + "_mem").distinct()
       .groupBy(col("g"), col("bucket"))
       .agg(countDistinct(col("k")).as("nd"))
@@ -804,7 +842,7 @@ object Streaming extends graft.QueryGroup {
     * read, then a glob-filtered file stream — same harness as
     * [[eventsStream]]). */
   private def documentsStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val schema = footerSchema(s, s"$dir/documents.parquet")
     s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
@@ -868,7 +906,7 @@ object Streaming extends graft.QueryGroup {
     * to array<double> like the batch reader ([[graft.Tables
     * .embeddings]]) so stream-side similarities are double-exact. */
   private def embeddingsStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+    val schema = footerSchema(s, s"$dir/embeddings.parquet")
     s.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(dir)
