@@ -1469,10 +1469,25 @@ object Ann extends graft.QueryGroup {
     visited
   }
 
-  /** Layout version for the STORED kNN-graph index. */
+  /** Score every (src, dst) edge with the same cosineSim the build's
+    * sweeps used — ONE pass at build time so refresh-time consumers
+    * (the insert's degree-cap prune) never re-join embeddings. */
+  private[graft] def scoreEdges(edges: DataFrame,
+      ev: DataFrame): DataFrame =
+    edges
+      .join(ev.select(col("vec_id").as("src"), col("embedding").as("sv")),
+        Seq("src"))
+      .join(ev.select(col("vec_id").as("dst"), col("embedding").as("dv")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        cosineSim(col("sv"), col("dv")).as("sim"))
+
+  /** Layout version for the STORED kNN-graph index (v3: edges carry
+    * their cosine score — see [[scoreEdges]]). */
   private[graft] val AnnGraphLayout =
-    s"v2:cells=$IvfCells:deg=$GraphDeg:sweeps=$GraphSweeps:" +
-      s"planes=$NumPlanes:shardknn+bring+hubs:graph+entries+centroids"
+    s"v3:cells=$IvfCells:deg=$GraphDeg:sweeps=$GraphSweeps:" +
+      s"planes=$NumPlanes:shardknn+bring+hubs:graph+entries+centroids:" +
+      "edgesim"
 
   /** Fingerprint-keyed location of the stored kNN-graph index. */
   private[graft] def annGraphIndexPath(dir: String): String =
@@ -1513,7 +1528,16 @@ object Ann extends graft.QueryGroup {
       .select(col("vec_id"), col("embedding"),
         NearestCell(col("embedding"), col("cents")).as("cell"))
       .transform(graft.Checkpoints.cut)
-    knnGraphOf(a1, GraphDeg, GraphSweeps)
+    // Edges persist WITH their cosine score (r12, guide §2.3 "shuffle
+    // keys and metadata instead of payloads"): the incremental
+    // insert's degree-cap prune ranks a touched node's EXISTING
+    // out-edges against the new reverse edges — with ids-only edges
+    // that re-scoring re-joined the corpus-scale embedding table
+    // twice per refresh; one extra scoring pass at BUILD time (paid
+    // once, amortized over every refresh) makes the prune a map-only
+    // probe of the edge table. 8 bytes/edge of storage.
+    scoreEdges(knnGraphOf(a1, GraphDeg, GraphSweeps),
+        a1.select(col("vec_id"), col("embedding")))
       .write.mode("overwrite").parquet(s"$out/graph")
     // Entry node per cell: the rank-1 (min-md5) member — the same
     // window the ring init used, over the same assignment.
@@ -1661,7 +1685,9 @@ object Ann extends graft.QueryGroup {
     val entries = a1.select(col("cell"), col("vec_id"),
         row_number().over(wCell).as("rk"))
       .where(col("rk") === 1).select(col("cell"), col("vec_id"))
-    annGraphInsertFrom(s, dir, knnGraphOf(a1, GraphDeg, GraphSweeps),
+    annGraphInsertFrom(s, dir,
+      scoreEdges(knnGraphOf(a1, GraphDeg, GraphSweeps),
+        a1.select(col("vec_id"), col("embedding"))),
       cents, entries)
   }
 
@@ -1734,13 +1760,14 @@ object Ann extends graft.QueryGroup {
     val touched = outE.select(col("d"))
       .unionAll(entries.select(col("vec_id").as("d"))).distinct()
     val ev = standing
+    // The stored edges carry their build-time cosine score (layout
+    // v3, [[scoreEdges]]) — the prune reads it instead of re-joining
+    // the corpus-scale embedding table twice per refresh (r12: two
+    // shuffle joins + re-scoring dropped from every refresh; the
+    // probe of the edge table is map-only against the broadcast
+    // touched set).
     val exOut = graph.join(broadcast(touched), graph("src") === col("d"))
-      .join(ev.select(col("vec_id").as("src"),
-        col("embedding").as("sv")), Seq("src"))
-      .join(ev.select(col("vec_id").as("dst"),
-        col("embedding").as("dv")), Seq("dst"))
-      .select(col("src").as("d"), col("dst").as("nbr"),
-        cosineSim(col("sv"), col("dv")).as("sim"))
+      .select(col("src").as("d"), col("dst").as("nbr"), col("sim"))
     val pin2 = perQ
       .select(col("qid"),
         transform(slice(col("tk"), 1, 2), x => x.getField("id"))

@@ -185,27 +185,32 @@ object Lexical extends graft.QueryGroup {
   /** Candidate (a_key, b_key) pairs for [[fuzzyJoinOver]] — exposed
     * so the skew smoke can count candidate volume directly. */
   private[graft] def fuzzyCandidates(names: DataFrame): DataFrame = {
-    // Materialized once: occupancy agg + both join sides + the hot
-    // star all read the compact (id, vh) variants, not 4 re-explodes.
+    // ONE exchange feeds everything (r12, guide §2.4): the exploded
+    // variants are hash-repartitioned by vh once; the occupancy agg,
+    // the occupancy join, and the cold self-join all consume that
+    // partitioning, so ReuseExchange collapses the repeated subtree
+    // and no consumer re-shuffles (the r11 shape materialized two
+    // eager localCheckpoint cuts — two extra jobs — and still paid a
+    // fresh exchange per agg/join). The hot-bucket representative
+    // (min id) rides the SAME aggregate as the occupancy count, so
+    // the star arm costs no second agg+join.
     val vars = names.select(col("id"),
       explode(array_union(array(xxhash64(col("nm"))),
         transform(sequence(lit(1), length(col("nm"))),
           i => xxhash64(concat(col("nm").substr(lit(1), i - 1),
             col("nm").substr(i + 1, length(col("nm")))))))).as("vh"))
-      .transform(graft.Checkpoints.cut)
-    val tagged = vars
-      .join(vars.groupBy(col("vh")).agg(count(lit(1)).as("occ")), "vh")
-      .transform(graft.Checkpoints.cut)
+      .repartition(col("vh"))
+    val occ = vars.groupBy(col("vh"))
+      .agg(count(lit(1)).as("occ"), min(col("id")).as("rep"))
+    val tagged = vars.join(occ, "vh")
     val cold = tagged.where(col("occ") <= FuzzyBucketCap)
     val coldPairs = cold.select(col("id").as("a_key"), col("vh"))
       .join(cold.select(col("id").as("b_key"), col("vh")), "vh")
       .where(col("a_key") < col("b_key"))
       .select(col("a_key"), col("b_key"))
-    val hot = tagged.where(col("occ") > FuzzyBucketCap)
     // rep = min(id) per hot bucket ⇒ rep < id ⇒ ordered pairs free.
-    val hotPairs = hot
-      .join(hot.groupBy(col("vh")).agg(min(col("id")).as("rep")), "vh")
-      .where(col("id") =!= col("rep"))
+    val hotPairs = tagged
+      .where(col("occ") > FuzzyBucketCap && col("id") =!= col("rep"))
       .select(col("rep").as("a_key"), col("id").as("b_key"))
     coldPairs.unionAll(hotPairs).distinct()
   }

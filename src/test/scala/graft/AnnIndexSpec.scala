@@ -371,7 +371,7 @@ class AnnIndexSpec extends SparkSuite {
     val (qcell, _, outE, revKept) =
       Ann.annGraphInsertParts(spark, sfDir, graph, cents, entries)
     val touched = outE.select(col("d")).distinct()
-    val updated = graph
+    val updated = graph.select(col("src"), col("dst"))
       .join(touched, graph("src") === col("d"), "left_anti")
       .unionAll(revKept.select(col("d").as("src"), col("nbr").as("dst")))
       .unionAll(outE.select(col("qid").as("src"), col("d").as("dst")))
