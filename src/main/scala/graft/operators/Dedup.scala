@@ -682,19 +682,27 @@ object Dedup extends graft.QueryGroup {
       .groupBy(col("doc_id")).agg(min(col("lab")).as("lab"))
       .transform(graft.Checkpoints.cut)
 
-  /** Iterate [[sweep]] to the FIXPOINT with an explicit convergence
-    * check: stop when a sweep changes zero labels. This is the pass
+  /** Iterate min-label propagation to the FIXPOINT. This is the pass
     * that actually canonicalizes a 100 TB corpus — chains of
     * overlapping near-dup clusters propagate one hop per sweep, so
     * any fixed sweep count under-merges some topology; iteration
     * count is bounded by the GRAPH DIAMETER (min-label moves exactly
     * one hop per sweep — the chain test in DedupSpec shows
-    * lab(i) = max(0, i − k) after k sweeps). Each iteration is one
-    * join + one min-agg + one O(labels) change-count action; every
-    * intermediate is lineage-cut (reliable under
-    * `graft.checkpoint.dir`, see [[graft.Checkpoints]]).
-    * Deterministic: labels are min doc_ids, independent of
-    * execution/iteration order.
+    * lab(i) = max(0, i − k) after k sweeps). Deterministic: labels
+    * are min doc_ids, independent of execution/iteration order.
+    *
+    * r12: executes through [[graft.plans.BspKernel]] — the SAME
+    * min-label kernel call q_graph_cc converges with
+    * ([[Graph.convergeComponentsOf]]'s algebra: init = own id,
+    * combine = min, symmetric edges — `und` is already symmetrized).
+    * The r11 DataFrame loop paid per sweep: one shuffle join + one
+    * min-agg + an eager lineage-cut job + a next⋈lab change-count
+    * join — ~4 scheduled jobs × diameter (JobProfile measured 54
+    * jobs, 2.0-2.8 s at sf0.1); the kernel's superstep is one
+    * co-partitioned zipPartitions + one primitive shuffle with the
+    * movement count riding the same pass. Fixpoint output identical
+    * (min label is engine-independent); the maxSweeps cap and the
+    * loud under-convergence failure keep their contract.
     *
     * Throws if `maxSweeps` is reached while labels are still
     * changing: the caller's oracle (and any downstream consumer)
@@ -703,21 +711,24 @@ object Dedup extends graft.QueryGroup {
     * whose verified-edge graph legitimately has a larger diameter. */
   private[graft] def convergeLabels(und: DataFrame,
       maxSweeps: Int = 64): DataFrame = {
-    var lab = initialLabels(und).transform(graft.Checkpoints.cut)
-    var changed = 1L
-    var n = 0
-    while (changed > 0 && n < maxSweeps) {
-      val next = sweep(und)(lab)
-      changed = next.join(lab.withColumnRenamed("lab", "prev"), Seq("doc_id"))
-        .where(col("lab") =!= col("prev")).count()
-      lab = next
-      n += 1
+    val sp = und.sparkSession
+    import sp.implicits._
+    val edges = und.select(col("a"), col("b")).as[(Long, Long)].rdd
+    val nodes = und.select(col("a")).distinct().as[Long].rdd
+    try {
+      val (labels, _, _) = graft.plans.BspKernel.converge(sp,
+        edges, nodes, nodes.count(), 0L, maxSweeps,
+        init = id => id,
+        emit = (l, _) => l,
+        combine = math.min,
+        rebuild = (p, m, has) => if (has) math.min(p, m) else p)
+      labels.toDF("doc_id", "lab")
+    } catch {
+      case _: IllegalStateException =>
+        throw new IllegalStateException(
+          s"label propagation still changing after $maxSweeps sweeps — " +
+            "verified-edge graph diameter exceeds the cap; raise maxSweeps")
     }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"label propagation still changing after $maxSweeps sweeps — " +
-          "verified-edge graph diameter exceeds the cap; raise maxSweeps")
-    lab
   }
 
   /** Converged near-dup clustering — [[dedupClusters]]' semantics
